@@ -1,0 +1,26 @@
+"""kafka_connect_mongo_spark — a from-scratch PySpark-native CDC ingest engine.
+
+Re-expresses the query/data-processing capabilities of the reference
+connector ``alibaba-archive/kafka-connect-mongo`` (a Kotlin Kafka Connect
+plugin that tails MongoDB's oplog and restores collections by bulk
+upsert/delete) as an idiomatic Spark engine:
+
+- oplog-shaped change feed (``i``/``u``/``d`` keyed by ``_id``, totally
+  ordered by ``(ts, inc, seq)``) read as a batch or streaming DataFrame;
+- last-writer-wins collapse + tombstone semantics applied as an idempotent,
+  key-partitioned MERGE into an Iceberg-style bucketed lake table;
+- the connector's per-database offset model re-expressed as Structured
+  Streaming checkpoints;
+- dynamic schema analysis / add-only schema merge (``SchemaMapper.kt``)
+  re-expressed as a driver-side schema registry + vectorized pandas UDF
+  flatten + lake-table schema evolution;
+- explicit salting/repartitioning to defeat hot-repo key skew (the
+  reference's parallelism unit is one thread per collection —
+  ``MongoSourceTask.kt:24`` — which is exactly the skew anti-pattern).
+
+This is NOT a port: no reference execution machinery (threads, queues,
+Kafka Connect framework) survives; Spark micro-batches, checkpoints and
+shuffle replace them wholesale. See SURVEY.md for the full mapping.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Basic-mode change-record projection (P2) and scalar helpers (X1-X6).
+
+The reference's basic mode converts each oplog entry into a fixed 6-field
+struct keyed by the doc's ``_id`` (``AbstractMongoSourceTask.kt:85-91`` for
+the schema, ``162-180`` for the fill-in):
+
+- ``id`` ← ``o._id`` hex string (X1, ``AbstractMongoSourceTask.kt:168``);
+- ``database`` ← ``ns`` with ``.``→``_`` (X6, ``:163``);
+- ``object`` ← post-image JSON, **null for deletes** (tombstone,
+  ``:174-177``);
+- message key ← ``id`` (``:108-116``).
+
+Everything is a native Column expression — whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def to_change_records(oplog: DataFrame) -> DataFrame:
+    """P2: oplog events → basic-mode change records (CHANGE_RECORD_SCHEMA)."""
+    return oplog.select(
+        F.col("id").alias("key"),
+        F.col("ts"),
+        F.col("inc"),
+        F.col("id"),
+        F.regexp_replace(F.col("ns"), r"\.", "_").alias("database"),
+        F.col("op"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(F.col("object"))
+        .alias("object"),
+    )
+
+
+def iso_ts(col: F.Column | str) -> F.Column:
+    """X2: epoch-seconds → ISO-8601 ms UTC string, the reference's
+    ``yyyy-MM-dd'T'HH:mm:ss.SSS'Z'`` (DateUtil.kt:10-14). Oplog timestamps
+    are whole seconds (BsonTimestamp.time), so the ms part is always 000.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.date_format(F.to_timestamp(c.cast("long")), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(".000Z"),
+    )
+
+
+def content_sha256(json_object_col: F.Column | str) -> F.Column:
+    """Per-row invariant vs the reference: sha256 of the ``content`` field
+    of the post-image (BASELINE.json input_hint). JVM-side: json path
+    extraction + sha2, no Python.
+    """
+    c = F.col(json_object_col) if isinstance(json_object_col, str) else json_object_col
+    return F.sha2(F.get_json_object(c, "$.content"), 256)

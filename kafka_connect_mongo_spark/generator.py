@@ -1,0 +1,228 @@
+"""Deterministic synthetic change-feed generator.
+
+Synthesises, at a scale factor derived from the testdata dir name, the two
+inputs mandated by BASELINE.json's ``input_hint`` / FIXTURES.md:
+
+- ``repos`` — the upstream entity table
+  ``(repo, path, commit, lang, content, _id)`` with Zipf hot-repo skew;
+  ``_id`` is a 24-hex deterministic hash of ``(repo, path)`` (the
+  reference's ObjectId analog, AbstractMongoSourceTask.kt:103-105).
+- ``oplog`` — the ordered change feed
+  ``(ts, inc, seq, op, ns, id, object, from_migrate, initial_import)``
+  mirroring the oplog-entry shape OplogReader.kt:56 projects. Includes
+  noise rows the source must filter: ``op='n'`` no-ops
+  (OplogReader.kt:137-141) and ``from_migrate=true`` shard-migration ops
+  (OplogReader.kt:135). Updates carry full post-images (the reference
+  resolves ``op='u'`` by a lookback read of the current doc,
+  OplogReader.kt:99-109, so its emitted records are post-images too).
+  Late-stream events add new JSON fields (``stars``, ``topics``) plus a
+  ``camelCase`` and an invalid key to exercise schema evolution and the
+  SchemaMapper key rules (SchemaMapper.kt:41-49).
+
+Generation is pure numpy/pandas, seeded, cached as parquet under
+``/root/repo/.gen/<sfname>/`` so the Spark engine and the DuckDB oracle
+read byte-identical inputs. NEVER touches /root/testdata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+GEN_VERSION = "v3"
+GEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gen")
+SEED = 42
+T0 = 1_600_000_000  # fixed epoch base; no wall-clock anywhere
+EVENTS_PER_SECOND = 64  # many events share a second -> (ts, inc) matters
+NAMESPACES = ["code.repos", "code.docs"]  # two collections, skewed 85/15
+
+_LANGS = ["py", "js", "go", "rs", "java"]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """``/root/testdata/sf0.01`` → 0.01; unknown names default to 0.01."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def sizes_for_sf(sf: float) -> tuple[int, int, int]:
+    """(n_keys, n_events, n_chunk_files) for a scale factor."""
+    n_keys = max(500, int(2_000_000 * sf))
+    n_events = 6 * n_keys
+    n_files = max(4, min(32, int(16 * sf / 0.1) or 4))
+    return n_keys, n_events, n_files
+
+
+def _hex_ids(texts: list[str], n: int, algo: str = "md5") -> list[str]:
+    h = hashlib.md5 if algo == "md5" else hashlib.sha1
+    return [h(t.encode()).hexdigest()[:n] for t in texts]
+
+
+def _build_repos(n_keys: int, rng: np.random.Generator) -> pd.DataFrame:
+    n_repos = max(20, n_keys // 200)
+    # Zipf-skewed repo assignment: a handful of "hot" repos own most keys —
+    # the skew the north_rule demands the engine defeat via salting.
+    repo_idx = (rng.zipf(1.2, n_keys) - 1) % n_repos
+    j = np.arange(n_keys)
+    lang = np.array(_LANGS)[j % len(_LANGS)]
+    repo = np.array([f"org-{i % 37:02d}/repo-{i:05d}" for i in range(n_repos)])[repo_idx]
+    path = np.array([f"src/m{jj % 97:02d}/f_{jj:07d}.{l}" for jj, l in zip(j, lang)])
+    commit = _hex_ids([f"c{jj}" for jj in j], 40, "sha1")
+    base_val = j % 13
+    pad = np.array(["# " + "x" * int(k) + "\n" for k in (j % 7) * 23])
+    content = np.char.add(
+        np.char.add(
+            np.array([f"def fn_{jj:07d}(x):\n" for jj in j]),
+            np.array([f"    return x * {v}\n" for v in base_val]),
+        ),
+        pad,
+    )
+    _id = _hex_ids([f"{r}|{p}" for r, p in zip(repo, path)], 24)
+    ns = np.where(j % 100 < 85, NAMESPACES[0], NAMESPACES[1])
+    return pd.DataFrame(
+        {
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "lang": lang,
+            "content": content,
+            "_id": _id,
+            "ns": ns,
+        }
+    )
+
+
+def _json_object(keys_df: pd.DataFrame, seq: np.ndarray, phase2: np.ndarray,
+                 phase3: np.ndarray, is_update: np.ndarray) -> pd.Series:
+    """Vectorized JSON post-image build (content json-escaped via map)."""
+    content = keys_df["content"].to_numpy(dtype=object).copy()
+    rev = np.array([f"\n# rev {s}" for s in seq], dtype=object)
+    content = np.where(is_update, content + rev, content)
+    content_json = pd.Series(content).map(json.dumps)
+    commit = np.where(
+        is_update,
+        np.array(_hex_ids([f"c{i}-{s}" for i, s in zip(keys_df["_id"], seq)], 40, "sha1")),
+        keys_df["commit"].to_numpy(),
+    )
+    head = (
+        '{"_id":"' + keys_df["_id"].to_numpy() + '","repo":"' + keys_df["repo"].to_numpy()
+        + '","path":"' + keys_df["path"].to_numpy() + '","commit":"' + commit
+        + '","lang":"' + keys_df["lang"].to_numpy() + '","content":' + content_json.to_numpy()
+    )
+    stars = np.char.add(
+        np.char.add(',"stars":', ((seq % 997) / 10.0).astype("U8")),
+        ',"topics":["cdc","spark"]',
+    )
+    extra2 = np.where(phase2, stars, "")
+    cc = np.char.add(
+        np.char.add(',"camelCase":"cc', (seq % 7).astype("U2")), '","bad-key!":"x"'
+    )
+    extra3 = np.where(phase3, cc, "")
+    return pd.Series(head + extra2 + extra3 + "}")
+
+
+def generate(sf_dir: str, out_root: str = GEN_ROOT, seed: int = SEED) -> str:
+    """Generate (or reuse cached) repos + oplog parquet for ``sf_dir``.
+
+    Returns the cache dir containing ``repos.parquet`` and ``oplog/`` (a
+    directory of seq-ordered parquet chunks, streamable via readStream).
+    """
+    sf = sf_from_dir(sf_dir)
+    name = f"sf{sf:g}-{GEN_VERSION}"
+    out_dir = os.path.join(out_root, name)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    n_keys, n_events, n_files = sizes_for_sf(sf)
+    rng = np.random.default_rng(seed)
+    repos = _build_repos(n_keys, rng)
+
+    # 90% of keys exist at t0 (snapshot); 10% are born inside the feed.
+    n_snapshot = int(n_keys * 0.9)
+    is_new_key = np.zeros(n_keys, dtype=bool)
+    is_new_key[n_snapshot:] = True
+
+    # Hot-key skew in the event stream itself (Zipf over key index).
+    key_idx = (rng.zipf(1.15, n_events) - 1) % n_keys
+    first_hit = ~pd.Series(key_idx).duplicated().to_numpy()
+    r = rng.random(n_events)
+    op = np.where(r < 0.82, "u", "d").astype(object)
+    op = np.where(first_hit & is_new_key[key_idx], "i", op)
+
+    pos = np.arange(n_events, dtype=np.int64)
+    ts = (T0 + pos // EVENTS_PER_SECOND).astype(np.int64)
+    inc = (pos % EVENTS_PER_SECOND).astype(np.int32)
+    phase2 = pos >= int(0.6 * n_events)  # adds stars/topics fields
+    phase3 = pos >= int(0.8 * n_events)  # adds camelCase + invalid key
+
+    keys_df = repos.iloc[key_idx].reset_index(drop=True)
+    is_update = op == "u"
+    obj = _json_object(keys_df, pos, phase2, phase3, is_update)
+    obj = obj.where(pd.Series(op) != "d", other=None)
+
+    oplog = pd.DataFrame(
+        {
+            "ts": ts.astype(np.int32),
+            "inc": inc,
+            "seq": pos,
+            "op": pd.Series(op, dtype="string"),
+            "ns": keys_df["ns"].astype("string"),
+            "id": keys_df["_id"].astype("string"),
+            "object": obj.astype("string"),
+            "from_migrate": pd.Series([None] * n_events, dtype="boolean"),
+            "initial_import": pd.Series([False] * n_events, dtype="boolean"),
+        }
+    )
+
+    # Noise the source must filter out (F1, F3): no-op commands and
+    # shard-migration dupes that would corrupt state if let through.
+    n_noise = max(8, n_events // 50)
+    noise_pick = rng.integers(0, n_events, n_noise)
+    noise = oplog.iloc[noise_pick].copy().reset_index(drop=True)
+    half = n_noise // 2
+    noise.loc[: half - 1, "op"] = "n"
+    noise.loc[: half - 1, "object"] = '{"msg":"periodic noop"}'
+    noise.loc[half:, "from_migrate"] = True
+    noise.loc[half:, "object"] = noise.loc[half:, "object"].map(
+        lambda s: s.replace('"lang":"', '"lang":"MIGRATED-') if isinstance(s, str) else s
+    )
+    noise["seq"] = (n_events + np.arange(n_noise)).astype(np.int64)
+    noise["inc"] = (EVENTS_PER_SECOND + np.arange(n_noise) % 16).astype(np.int32)
+
+    full = pd.concat([oplog, noise], ignore_index=True)
+    full = full.sort_values(["ts", "inc", "seq"], kind="stable").reset_index(drop=True)
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "oplog"), exist_ok=True)
+    snapshot = repos.iloc[:n_snapshot].reset_index(drop=True)
+    snapshot.to_parquet(os.path.join(tmp, "repos.parquet"), index=False)
+    chunks = np.array_split(np.arange(len(full)), n_files)
+    for k, idxs in enumerate(chunks):
+        full.iloc[idxs].to_parquet(
+            os.path.join(tmp, "oplog", f"part-{k:04d}.parquet"), index=False
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(GEN_VERSION)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def oplog_path(sf_dir: str) -> str:
+    return os.path.join(generate(sf_dir), "oplog")
+
+
+def repos_path(sf_dir: str) -> str:
+    return os.path.join(generate(sf_dir), "repos.parquet")

@@ -1,0 +1,127 @@
+"""Data model: event schemas, offset codec, name mangling.
+
+Faithful re-expression of the reference's data model (SURVEY.md §1):
+
+- oplog entry: ``(ts:int, inc:int, seq:long, op, ns, id, object:json?, initial_import)``
+  — ``/root/reference/src/main/kotlin/.../database/OplogReader.kt:56`` projects
+  exactly ``{ts, op, ns, o, o2}``; ``seq`` stands in for the oplog's
+  ``$natural`` order as a global total-order tiebreaker.
+- basic-mode change record: fixed 6-field struct
+  (``AbstractMongoSourceTask.kt:85-91``), ``object`` null == delete tombstone
+  (``AbstractMongoSourceTask.kt:174-176``).
+- offset string ``"<ts>,<inc>,<objectId>,<±1>"``
+  (``MongoSourceOffset.kt:23-38``) with legacy ≤2-piece compatibility.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Schemas
+
+#: Change-feed (oplog) schema. Mirrors OplogReader.kt:56's projection plus
+#: the synthetic-export marker (ExportReader.kt:72) and a global seq.
+OPLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.IntegerType(), False),  # BsonTimestamp.time
+        T.StructField("inc", T.IntegerType(), False),  # BsonTimestamp.inc
+        T.StructField("seq", T.LongType(), False),  # $natural order stand-in
+        T.StructField("op", T.StringType(), False),  # i | u | d (| n | c noise)
+        T.StructField("ns", T.StringType(), False),  # "db.collection"
+        T.StructField("id", T.StringType(), False),  # o._id, 24-hex
+        T.StructField("object", T.StringType(), True),  # post-image JSON; null for d
+        T.StructField("from_migrate", T.BooleanType(), True),  # shard-migration marker
+        T.StructField("initial_import", T.BooleanType(), True),
+    ]
+)
+
+#: Basic-mode output record (AbstractMongoSourceTask.kt:85-91): all optional.
+CHANGE_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),  # kafka message key = _id
+        T.StructField("ts", T.IntegerType(), True),
+        T.StructField("inc", T.IntegerType(), True),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("database", T.StringType(), True),  # ns with '.' -> '_'
+        T.StructField("op", T.StringType(), True),
+        T.StructField("object", T.StringType(), True),  # null == tombstone
+    ]
+)
+
+#: The upstream entity table per BASELINE.json input_hint.
+REPOS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("_id", T.StringType(), False),  # 24-hex of (repo, path)
+    ]
+)
+
+VALID_OPS = ("i", "u", "d")
+
+
+# ---------------------------------------------------------------------------
+# Offset codec (MongoSourceOffset.kt:23-38, X8)
+
+ZERO_OBJECT_ID = "0" * 24
+
+
+@dataclass(frozen=True)
+class SourceOffset:
+    """Per-namespace resume point.
+
+    ``finished_import``: 1 → tail the change feed from ``(ts, inc)`` only;
+    -1 → resume the initial full-table export from ``object_id`` first
+    (ExportReader.kt:38-45), then tail from ``(ts, inc)``.
+    """
+
+    ts: int
+    inc: int
+    object_id: str = ZERO_OBJECT_ID
+    finished_import: int = 1
+
+    def encode(self) -> str:
+        return f"{self.ts},{self.inc},{self.object_id},{self.finished_import}"
+
+    @classmethod
+    def decode(cls, s: str | None, *, now: int, initial_import: bool = False) -> "SourceOffset":
+        """Parse an offset string; mirrors MongoSourceOffset.kt:29-38.
+
+        No offset → start at ``now`` (skip history); export from the zero
+        ObjectId iff ``initial_import`` (MongoSourceTask.kt:25-28). Legacy
+        formats with 2 or 3 comma-pieces are accepted.
+        """
+        if not s:
+            return cls(ts=now, inc=0, object_id=ZERO_OBJECT_ID,
+                       finished_import=-1 if initial_import else 1)
+        parts = s.split(",")
+        ts = int(parts[0])
+        inc = int(parts[1]) if len(parts) > 1 else 0
+        object_id = parts[2] if len(parts) > 2 else ZERO_OBJECT_ID
+        finished = int(parts[3]) if len(parts) > 3 else 1
+        return cls(ts=ts, inc=inc, object_id=object_id, finished_import=finished)
+
+
+# ---------------------------------------------------------------------------
+# Name mangling (StructUtil.kt:9-16, X6)
+
+
+def ns_database(ns: str) -> str:
+    """``"db.collection"`` → ``"db"`` (StructUtil.kt:9-11)."""
+    return ns.split(".", 1)[0]
+
+
+def ns_to_flat(ns: str) -> str:
+    """``"db.collection"`` → ``"db_collection"`` (AbstractMongoSourceTask.kt:163)."""
+    return ns.replace(".", "_")
+
+
+def topic_name(prefix: str, ns: str) -> str:
+    """Topic/table routing ``prefix_db_coll`` (StructUtil.kt:13-16)."""
+    return f"{prefix}_{ns_to_flat(ns)}" if prefix else ns_to_flat(ns)

@@ -1,0 +1,90 @@
+"""Last-writer-wins collapse (A2) + hot-key salting.
+
+The reference achieves LWW implicitly: the sink applies upserts/deletes
+sequentially in record order, so the last ``$set``/delete per ``_id`` in a
+batch wins (``MongoSinkTask.kt:34-90``; test ``MongoSinkTaskTest.kt:93-117``
+asserts i,i,u,d → 1 doc holding the update's value). Sequential apply
+doesn't distribute; we re-express it as a declarative per-key argmax over
+the total order ``(ts, inc, seq)``:
+
+    groupBy(id).agg(max_by(struct(<all>), struct(ts, inc, seq)))
+
+``max_by`` gets map-side partial aggregation (each task keeps one candidate
+row per key before the shuffle), so the shuffle volume is ~|distinct keys|
+rather than |events| — at 10^10 events with hot-repo skew that is the
+difference between a working job and a dead executor. A window/row_number
+variant is provided for parity testing; it shuffles ALL rows and sorts each
+partition, strictly worse — kept only as a cross-check.
+
+Hot-key skew (R1): the reference parallelizes one thread per collection
+(``MongoSourceTask.kt:24``) — hot collections bottleneck a single thread.
+Here a salt column spreads a hot key's rows over ``n_salts`` reducers for
+the partial-agg stage; the final agg over (key) is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ("ts", "inc", "seq")
+
+
+def _order_struct() -> F.Column:
+    return F.struct(*[F.col(c) for c in ORDER_COLS])
+
+
+def lww_collapse(events: DataFrame, key: str = "id") -> DataFrame:
+    """One row per key: the event with max ``(ts, inc, seq)``.
+
+    Single shuffle on ``key`` with map-side combine; AQE splits skewed
+    partitions. Output columns == input columns.
+    """
+    cols = events.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    collapsed = events.groupBy(key).agg(
+        F.max_by(payload, _order_struct()).alias("_last")
+    )
+    return collapsed.select(*[F.col(f"_last.{c}").alias(c) for c in cols])
+
+
+def lww_collapse_salted(events: DataFrame, key: str = "id", n_salts: int = 16) -> DataFrame:
+    """Two-stage LWW for extreme skew: argmax per (key, salt) then per key.
+
+    Stage 1 shuffles on ``(key, pmod(xxhash64(seq), n_salts))`` — a hot key's
+    billions of rows split across ``n_salts`` reducers; stage 2 reduces the
+    ≤``n_salts`` survivors per key. With map-side combine the plain
+    ``lww_collapse`` already resists skew, so this is the belt-and-braces
+    path for pathological single-key floods (SURVEY.md §4 "skew").
+    """
+    cols = events.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    salted = events.withColumn("_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)))
+    stage1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(payload, _order_struct()).alias("_last")
+    )
+    stage2 = stage1.groupBy(key).agg(
+        F.max_by(
+            F.col("_last"),
+            F.struct(*[F.col(f"_last.{c}") for c in ORDER_COLS]),
+        ).alias("_last")
+    )
+    return stage2.select(*[F.col(f"_last.{c}").alias(c) for c in cols])
+
+
+def lww_collapse_window(events: DataFrame, key: str = "id") -> DataFrame:
+    """Window/row_number variant (cross-check only — full shuffle + sort)."""
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in ORDER_COLS]
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def drop_tombstones(collapsed: DataFrame) -> DataFrame:
+    """T6: keys whose LAST event is a delete vanish from final state
+    (MongoSinkTask.kt:52-60 turns null-payload records into deletes)."""
+    return collapsed.filter(F.col("op") != "d")

@@ -1,0 +1,60 @@
+"""Lineage + op-count metrics (A4, north_rule "per-partition lineage").
+
+The reference logs a progress counter every 1000 docs per reader thread
+(``OplogReader.kt:74-82``, ``ExportReader.kt:54-56``). Here metrics are a
+first-class DataFrame: per-(ns, op) counts, per-namespace resume offsets
+(the encoded offset string, MongoSourceOffset.kt:23-26), and distinct-key
+counts (the reference's own test correctness metric — distinct ``id``
+count, ``MongoSourceTaskTest.kt:192-193``, A3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def op_counts(events: DataFrame) -> DataFrame:
+    """A4: per-(ns, op) event counts — one aggregation, map-side combined."""
+    return events.groupBy("ns", "op").agg(F.count("*").alias("n_events"))
+
+
+def batch_lineage(events: DataFrame, batch_id: int | None = None) -> DataFrame:
+    """Per-namespace lineage row: counts per op + max offset reached.
+
+    Written by the streaming sink after every micro-batch so an operator
+    can audit exactly what each batch applied and where to resume.
+    """
+    agg = events.groupBy("ns").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        F.countDistinct("id").alias("n_keys"),
+        F.max_by(
+            F.struct("ts", "inc", "id"), F.struct("ts", "inc", "seq")
+        ).alias("_m"),
+    )
+    out = agg.select(
+        "ns",
+        "n_events",
+        "n_insert",
+        "n_update",
+        "n_delete",
+        "n_keys",
+        F.concat_ws(
+            ",",
+            F.col("_m.ts").cast("string"),
+            F.col("_m.inc").cast("string"),
+            F.col("_m.id"),
+            F.lit("1"),
+        ).alias("offset"),
+    )
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(batch_id).cast("long"))
+    return out
+
+
+def distinct_keys(events: DataFrame) -> DataFrame:
+    """A3: deduped key count per namespace (MongoSourceTaskTest.kt:192-193)."""
+    return events.groupBy("ns").agg(F.countDistinct("id").alias("n_distinct_ids"))

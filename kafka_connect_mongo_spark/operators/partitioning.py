@@ -1,0 +1,50 @@
+"""Work partitioning (R1) — the ConnectorUtils.groupPartitions analog.
+
+The reference splits N databases round-robin over ``min(N, maxTasks)``
+Connect tasks (``MongoSourceConnector.kt:65-85``; tests assert 3 dbs / 2
+tasks → groups of {2, 1}, ``MongoSourceConnectorTest.kt:34-52``). In Spark
+the real parallelism is hash partitioning by key — this helper exists for
+semantic parity (task-group assignment) plus the salted repartition used
+before heavy per-key work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_partitions(elements: list[str], max_groups: int) -> list[list[str]]:
+    """Round-robin grouping identical to ConnectorUtils.groupPartitions:
+    N elements into min(N, max_groups) groups, sizes differing by ≤1,
+    earlier groups get the extras. 3 elements / 2 groups → [[a, b], [c]].
+    """
+    if max_groups <= 0:
+        raise ValueError("max_groups must be positive")
+    n_groups = min(len(elements), max_groups)
+    if n_groups == 0:
+        return []
+    base, extra = divmod(len(elements), n_groups)
+    groups, i = [], 0
+    for g in range(n_groups):
+        size = base + (1 if g < extra else 0)
+        groups.append(elements[i : i + size])
+        i += size
+    return groups
+
+
+def salted_repartition(
+    df: DataFrame, key: str = "id", n_partitions: int | None = None, n_salts: int = 16
+) -> DataFrame:
+    """Spread hot keys: repartition on ``(key, pmod(xxhash64(seq), n_salts))``.
+
+    The reference's unit of parallelism is a whole collection
+    (MongoSourceTask.kt:24) — a hot collection saturates one thread. Hash
+    partitioning by key alone still sends a hot KEY to one reducer; the
+    salt splits it. Used before per-key heavy lifting where downstream
+    tolerates split keys (e.g. pre-aggregation).
+    """
+    salt = F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts))
+    if n_partitions:
+        return df.repartition(n_partitions, F.col(key), salt)
+    return df.repartition(F.col(key), salt)

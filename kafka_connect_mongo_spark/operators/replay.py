@@ -1,0 +1,73 @@
+"""Batch replay — the flagship end-to-end pipeline.
+
+Replays a change feed (optionally bootstrapped by the initial snapshot
+import) into the final table state:
+
+    scan (F1-F4 pushed down) → LWW collapse per key over (ts, inc, seq)
+    → drop tombstones → project final columns + content sha256
+
+This is the batch expression of what the reference does with a reader
+thread + sequential sink apply (``OplogReader`` → Kafka →
+``MongoSinkTask.put``): identical final state, one shuffle, fully
+distributed. SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.export import bootstrap_union_feed, read_snapshot, snapshot_as_events
+from ..sources.oplog import read_oplog
+from .lww import drop_tombstones, lww_collapse
+
+#: Converged flat schema of the post-image payloads (phase-2 fields included;
+#: absent fields are null — the add-only evolution model, SchemaMapper.kt:199-235).
+FINAL_FIELDS = ["repo", "path", "commit", "lang", "content"]
+
+
+def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
+    """Collapse a (bootstrap ∪ feed) event set to final table state.
+
+    Output: one row per live key with the post-image fields extracted
+    JVM-side (``get_json_object``) plus ``content_sha`` — the per-row
+    invariant checked against the reference's sink state.
+    """
+    from .lww import lww_collapse_salted
+
+    collapse = lww_collapse_salted if salted else lww_collapse
+    live = drop_tombstones(collapse(events, key="id"))
+    cols = [
+        F.col("id"),
+        F.col("ns"),
+        F.col("ts"),
+        F.col("inc"),
+        F.col("seq"),
+        F.col("op"),
+    ]
+    for f in FINAL_FIELDS:
+        cols.append(F.get_json_object(F.col("object"), f"$.{f}").alias(f))
+    cols.append(
+        F.get_json_object(F.col("object"), "$.stars").cast("double").alias("stars")
+    )
+    cols.append(F.sha2(F.get_json_object(F.col("object"), "$.content"), 256).alias("content_sha"))
+    return live.select(*cols)
+
+
+def replay(
+    spark: SparkSession,
+    oplog_path: str,
+    snapshot_path: str | None = None,
+    namespace: str | None = None,
+    salted: bool = False,
+) -> DataFrame:
+    """Full replay: initial import (S2) ∪ change feed (S1) → final state."""
+    feed = read_oplog(spark, oplog_path, namespace=namespace)
+    if snapshot_path:
+        snap = read_snapshot(spark, snapshot_path)
+        if namespace is not None:
+            snap = snap.filter(F.col("ns") == F.lit(namespace))
+        events = bootstrap_union_feed(snapshot_as_events(snap), feed)
+    else:
+        events = feed
+    return final_state(events, salted=salted)

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local-mode testing uses ``local[N]``; the same configuration is what we'd
+ship to a 1000-executor cluster via ``spark-submit --py-files`` — AQE on
+(runtime skew-join splitting + partition coalescing), UTC session time,
+Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "kafka_connect_mongo_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster the caller omits ``master`` and spark-submit supplies
+    it; nothing here is local-mode-specific except the driver memory knob.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        # AQE: runtime re-planning — coalesce small shuffle partitions and
+        # split skewed ones (2nd line of defense after explicit salting).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dynamic partition overwrite: the lake sink rewrites only the
+        # hash-buckets touched by a batch, never the whole table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+"""Initial-import bootstrap (S2) — the ExportReader analog.
+
+The reference's ``ExportReader`` (``ExportReader.kt:33-60``) scans the whole
+upstream collection ordered by ``_id``, resumable from an ``_id`` watermark
+(``_id > offsetId``, ``ExportReader.kt:38-45``, F5), optionally ANDing a
+user-supplied filter (``ExportReader.kt:78-90``, F6), and wraps each doc as
+a synthetic ``op='i'`` change event with ``initialImport=true``
+(``ExportReader.kt:68-76``).
+
+Here the snapshot is a parquet/Iceberg table scan; resumability falls out of
+the monotone ``_id > watermark`` predicate (parquet min/max pruning skips
+finished files), and each snapshot row becomes an ``i`` event that orders
+BEFORE every real feed event (bootstrap ts < T0), so a plain LWW collapse
+over ``bootstrap ∪ feed`` yields the correct replayed state (the reference
+runs export then tail sequentially on one thread, ``MongoSourceTask.kt:24-28``
+— a temporal union, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Bootstrap events sort strictly before all feed events (feed ts >= T0).
+BOOTSTRAP_TS = 1_600_000_000 - 10
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    id_watermark: str | None = None,
+    additional_filter: Column | str | None = None,
+) -> DataFrame:
+    """Scan the upstream entity table (repos), resumable + filterable.
+
+    ``id_watermark`` → F5 (``_id > offsetId``, ExportReader.kt:38-40);
+    ``additional_filter`` → F6 (the ``additional.filter`` user predicate,
+    MongoExportSourceTask.kt:21-23).
+    """
+    df = spark.read.parquet(path)
+    if id_watermark:
+        df = df.filter(F.col("_id") > F.lit(id_watermark))
+    if additional_filter is not None:
+        df = df.filter(additional_filter)
+    return df
+
+
+def snapshot_as_events(snapshot: DataFrame) -> DataFrame:
+    """Wrap snapshot rows as synthetic ``op='i'`` oplog events
+    (ExportReader.kt:68-76): full doc as JSON post-image,
+    ``initial_import=true``, ordered by ``_id`` within the bootstrap epoch.
+
+    ``to_json`` keeps everything JVM-side — no Python in this path.
+    """
+    return snapshot.select(
+        F.lit(BOOTSTRAP_TS).cast("int").alias("ts"),
+        F.lit(0).cast("int").alias("inc"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("i").alias("op"),
+        F.col("ns"),
+        F.col("_id").alias("id"),
+        F.to_json(
+            F.struct(
+                F.col("_id"), F.col("repo"), F.col("path"),
+                F.col("commit"), F.col("lang"), F.col("content"),
+            )
+        ).alias("object"),
+        F.lit(True).alias("initial_import"),
+    )
+
+
+def bootstrap_union_feed(snapshot_events: DataFrame, feed: DataFrame) -> DataFrame:
+    """Temporal union of initial import + change feed (SURVEY.md §2.7)."""
+    return snapshot_events.unionByName(feed, allowMissingColumns=True)

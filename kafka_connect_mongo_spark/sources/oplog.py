@@ -1,0 +1,109 @@
+"""Change-feed (oplog) source — batch and streaming scans.
+
+Re-expresses the reference's tailable-await oplog cursor
+(``OplogReader.kt:51-88``) as declarative DataFrame scans over the ordered
+change-feed table. The cursor's hand-built pushdowns become Catalyst
+pushdowns:
+
+- projection to ``{ts, op, ns, o, o2}`` (``OplogReader.kt:56``) → column
+  pruning (P1);
+- ``notExists(fromMigrate)`` (``OplogReader.kt:135``) → F1 filter;
+- ``ts > offset`` (``OplogReader.kt:136``) → F2 resume predicate;
+- ``op in (i,u,d)`` (``OplogReader.kt:137-141``) → F3 filter;
+- ``ns == db`` (``OplogReader.kt:142``) → F4 filter.
+
+All of these reach the parquet scan as ``PushedFilters`` — verified in
+tests via ``explain``. The streaming variant replaces the reference's
+poll-thread/queue machinery with Structured Streaming micro-batches; its
+queue cap of 2000 docs (``OplogReader.kt:43``) becomes
+``maxFilesPerTrigger`` rate limiting (T2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA, VALID_OPS, SourceOffset
+
+#: Core oplog projection (P1) — prune to what downstream needs.
+OPLOG_COLUMNS = ["ts", "inc", "seq", "op", "ns", "id", "object", "initial_import"]
+
+
+def clean_feed_cond() -> F.Column:
+    """F1 + F3: drop shard-migration internals and non-CRUD ops.
+
+    ``from_migrate IS NOT TRUE`` mirrors ``notExists("fromMigrate")``
+    (OplogReader.kt:135); ``op IN ('i','u','d')`` mirrors the op whitelist
+    (OplogReader.kt:137-141).
+    """
+    return (~F.coalesce(F.col("from_migrate"), F.lit(False))) & F.col("op").isin(*VALID_OPS)
+
+
+def read_oplog(
+    spark: SparkSession,
+    path: str,
+    namespace: str | None = None,
+    offset: SourceOffset | None = None,
+) -> DataFrame:
+    """Batch scan of the change feed with all reference predicates applied.
+
+    ``namespace`` → F4 (``OplogReader.kt:142``); ``offset`` → F2 resume
+    predicate ``(ts > t0) OR (ts == t0 AND inc > i0)``
+    (``OplogReader.kt:136``; the reference compares BsonTimestamps, which
+    order by (time, inc)).
+    """
+    df = spark.read.schema(OPLOG_SCHEMA).parquet(path).filter(clean_feed_cond())
+    if namespace is not None:
+        df = df.filter(F.col("ns") == F.lit(namespace))
+    if offset is not None:
+        df = df.filter(
+            (F.col("ts") > F.lit(offset.ts))
+            | ((F.col("ts") == F.lit(offset.ts)) & (F.col("inc") > F.lit(offset.inc)))
+        )
+    return df.select(*OPLOG_COLUMNS)
+
+
+def read_oplog_stream(
+    spark: SparkSession,
+    path: str,
+    namespace: str | None = None,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming scan of the change feed (S1).
+
+    ``maxFilesPerTrigger`` is the backpressure analog of the reference's
+    2000-doc queue cap (OplogReader.kt:43,71-73, T2). Offsets/resume live
+    in the Structured Streaming checkpoint, replacing the Connect offset
+    topic (MongoSourceOffset.kt + AbstractMongoSourceTask.kt:137-147).
+    """
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path).filter(clean_feed_cond())
+    if namespace is not None:
+        df = df.filter(F.col("ns") == F.lit(namespace))
+    return df.select(*OPLOG_COLUMNS)
+
+
+def max_offset_per_ns(oplog: DataFrame) -> DataFrame:
+    """Latest resume offset per namespace, encoded as the reference's
+    offset string ``"<ts>,<inc>,<objectId>,1"`` (MongoSourceOffset.kt:23-26,
+    X8) — per-partition lineage for the metrics table.
+    """
+    latest = oplog.groupBy("ns").agg(
+        F.max_by(
+            F.struct(F.col("ts"), F.col("inc"), F.col("id")),
+            F.struct(F.col("ts"), F.col("inc"), F.col("seq")),
+        ).alias("m")
+    )
+    return latest.select(
+        "ns",
+        F.concat_ws(
+            ",",
+            F.col("m.ts").cast("string"),
+            F.col("m.inc").cast("string"),
+            F.col("m.id"),
+            F.lit("1"),
+        ).alias("offset"),
+    )
