@@ -1,0 +1,301 @@
+"""Analyzed-mode schema analysis + flatten (P3/P4, F7/F8, X9, §1.3-1.4).
+
+Re-expresses ``SchemaMapper.kt`` / ``CachedSchema.kt`` / ``SchemaParser.kt``:
+each change event's post-image document becomes a row of a dynamic,
+per-namespace flat schema with four meta fields, with these exact rules:
+
+- **key normalization (F7)**: top-level keys must match
+  ``^[a-z_][a-z0-9_]*$`` case-insensitively and are lower-cased;
+  non-matching keys are dropped (SchemaMapper.kt:41-49). Applied
+  recursively inside nested documents/arrays.
+- **null/undefined drop (F8)**: null values contribute no schema field
+  (SchemaMapper.kt:97-102).
+- **3-type system (§1.3)**: number → float64/DOUBLE (ints become doubles),
+  boolean → bool/BOOLEAN, everything else → string/VARCHAR; nested
+  docs/arrays are JSON-stringified at fill-in time with normalized keys
+  (SchemaMapper.kt:120-132, 171-192).
+- **old-type-wins + cast-or-null (X9)**: once a field has a type, later
+  values of other types are cast; failed casts store null and never touch
+  the schema (SchemaMapper.kt:137-162; test SchemaMapperTest.kt:112-175).
+- **add-only sorted merge (§1.4)**: new fields append, dropped fields stay,
+  result sorted by name (SchemaMapper.kt:199-250).
+- **meta fields**: ``__op``, ``__pkey`` (= _id), ``__ts`` (ISO ms UTC of
+  ts*1000), ``__sql`` declared but never filled (SchemaMapper.kt:54-91).
+
+Architecture differs deliberately from the reference's process-global
+mutable ``CachedSchema``: inference is a **distributed aggregation** — the
+type of a field is the type of its value in the earliest event
+``min(ts, inc, seq)`` where the field is non-null, which reproduces the
+reference's "first value seen fixes the type" stream-order semantics
+deterministically on any number of executors. The flatten is a single
+``mapInPandas`` over Arrow batches with the frozen schema in the closure
+(the permitted vectorized slow path — everything else in the engine is
+native Columns).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEY_RE = re.compile(r"^[a-z_][a-z0-9_]*$", re.IGNORECASE)
+
+META_FIELDS = {
+    "__op": "VARCHAR(5)",
+    "__pkey": "VARCHAR(100)",
+    "__sql": "VARCHAR(999)",
+    "__ts": "TIMESTAMP",
+}
+
+
+# ---------------------------------------------------------------------------
+# Value transforms (SchemaMapper.transformBody / transformValue untyped)
+
+
+def transform_body(body: dict) -> dict:
+    """Normalize keys (drop invalid, lowercase) and values, recursively."""
+    out = {}
+    for k, v in body.items():
+        if isinstance(k, str) and KEY_RE.match(k):
+            out[k.lower()] = transform_value(v)
+    return out
+
+
+def transform_value(v):
+    if isinstance(v, bool):  # bool before Number: bool is int in Python
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, dict):
+        return transform_body(v)
+    if isinstance(v, (list, tuple)):
+        return [transform_value(x) for x in v]
+    return v  # str, None
+
+
+def value_type(v) -> tuple[str, str] | None:
+    """(connect type, sqlType) of a transformed value; None → drop (F8)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("boolean", "BOOLEAN")
+    if isinstance(v, float):
+        return ("double", "DOUBLE")
+    return ("string", "VARCHAR")
+
+
+def cast_or_null(v, sql_type: str):
+    """Typed fill-in (SchemaMapper.kt:137-162): old type wins, cast-or-null."""
+    if v is None:
+        return None
+    try:
+        if sql_type == "DOUBLE":
+            return v if isinstance(v, float) and not isinstance(v, bool) else None
+        if sql_type == "BOOLEAN":
+            return v if isinstance(v, bool) else None
+        if sql_type == "TIMESTAMP":
+            if isinstance(v, str):
+                t = pd.Timestamp(v)
+                return t.strftime("%Y-%m-%dT%H:%M:%S.") + f"{t.microsecond // 1000:03d}Z"
+            return None
+        # VARCHAR / default
+        if isinstance(v, dict):
+            return json.dumps(v, separators=(",", ":"))
+        if isinstance(v, (list, tuple)):
+            return json.dumps(v, separators=(",", ":"))
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Schema registry (CachedSchema analog; driver-side, explicit not global)
+
+
+@dataclass(frozen=True)
+class FieldType:
+    type: str  # string | double | boolean
+    sql_type: str  # VARCHAR | DOUBLE | BOOLEAN | TIMESTAMP
+
+
+class SchemaRegistry:
+    """Per-namespace analyzed schemas with add-only, old-type-wins merge."""
+
+    def __init__(self) -> None:
+        self._schemas: dict[str, dict[str, FieldType]] = {}
+
+    def get(self, ns: str) -> dict[str, FieldType]:
+        return dict(self._schemas.get(ns, {}))
+
+    def merge(self, ns: str, fields: dict[str, FieldType]) -> dict[str, FieldType]:
+        """Add-only merge: existing fields keep their (old) type
+        (SchemaMapper.kt:216-235); result sorted by name (:240-250)."""
+        cur = self._schemas.setdefault(ns, {})
+        for name, ft in fields.items():
+            cur.setdefault(name, ft)
+        self._schemas[ns] = dict(sorted(cur.items()))
+        return self.get(ns)
+
+    def seed_from_avro_json(self, ns: str, avro_schema: str | dict) -> dict[str, FieldType]:
+        """SchemaParser analog (SchemaParser.kt:15-92): pre-seed the latest
+        schema from a registry's Avro-JSON — union-with-null → optional
+        (ignored: all our fields are optional), ``connect.parameters`` →
+        sqlType, double/boolean/else→string type mapping."""
+        doc = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+        fields: dict[str, FieldType] = {}
+        for f in doc.get("fields", []):
+            name = f["name"]
+            ftype = f["type"]
+            params = {}
+            if isinstance(ftype, list):  # union with null
+                ftype = next((t for t in ftype if t != "null"), "string")
+            if isinstance(ftype, dict):
+                params = ftype.get("connect.parameters", {}) or {}
+                ftype = ftype.get("type", "string")
+            if ftype == "double":
+                ct = "double"
+            elif ftype == "boolean":
+                ct = "boolean"
+            else:
+                ct = "string"
+            sql = params.get("sqlType") or {"double": "DOUBLE", "boolean": "BOOLEAN"}.get(ct, "VARCHAR")
+            fields[name] = FieldType(ct, sql)
+        return self.merge(ns, fields)
+
+
+# ---------------------------------------------------------------------------
+# Distributed inference
+
+
+_INFER_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("sql_type", T.StringType()),
+        T.StructField("ts", T.IntegerType()),
+        T.StructField("inc", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def infer_schema(events: DataFrame) -> dict[str, dict[str, FieldType]]:
+    """Infer analyzed schemas per namespace, order-faithfully.
+
+    Emits (field, type) per event field via ``mapInPandas``, then takes the
+    type at ``min(ts, inc, seq)`` per (ns, field) — i.e. the type of the
+    first value ever seen for the field, exactly what the reference's
+    sequential first-wins cache converges to. One shuffle of tiny rows.
+    """
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ns, obj, ts, inc, seq in zip(
+                pdf["ns"], pdf["object"], pdf["ts"], pdf["inc"], pdf["seq"]
+            ):
+                if obj is None:
+                    continue
+                body = transform_body(json.loads(obj))
+                for name, v in body.items():
+                    vt = value_type(v)
+                    if vt is None:
+                        continue
+                    rows.append((ns + "\x00" + name, vt[0], vt[1], ts, inc, seq))
+            yield pd.DataFrame(
+                rows, columns=["field", "type", "sql_type", "ts", "inc", "seq"]
+            )
+
+    firsts = (
+        events.select("ns", "object", "ts", "inc", "seq")
+        .mapInPandas(emit, schema=_INFER_SCHEMA)
+        .groupBy("field")
+        .agg(
+            F.min_by(
+                F.struct("type", "sql_type"), F.struct("ts", "inc", "seq")
+            ).alias("first")
+        )
+        .collect()
+    )
+    out: dict[str, dict[str, FieldType]] = {}
+    for r in firsts:
+        ns, name = r["field"].split("\x00", 1)
+        out.setdefault(ns, {})[name] = FieldType(r["first"]["type"], r["first"]["sql_type"])
+    return {ns: dict(sorted(fields.items())) for ns, fields in out.items()}
+
+
+def analyze_into_registry(events: DataFrame, registry: SchemaRegistry) -> None:
+    for ns, fields in infer_schema(events).items():
+        registry.merge(ns, fields)
+
+
+# ---------------------------------------------------------------------------
+# Flatten (fill-in) — vectorized over Arrow batches
+
+
+def _spark_type(ft: FieldType) -> T.DataType:
+    if ft.type == "double":
+        return T.DoubleType()
+    if ft.type == "boolean":
+        return T.BooleanType()
+    return T.StringType()
+
+
+def analyzed_spark_schema(fields: dict[str, FieldType]) -> T.StructType:
+    cols = [
+        T.StructField("__op", T.StringType()),
+        T.StructField("__pkey", T.StringType()),
+        T.StructField("__sql", T.StringType()),
+        T.StructField("__ts", T.StringType()),
+    ]
+    for name, ft in sorted(fields.items()):
+        if name.startswith("__"):
+            continue
+        cols.append(T.StructField(name, _spark_type(ft)))
+    return T.StructType(sorted(cols, key=lambda f: f.name))
+
+
+def flatten_analyzed(events: DataFrame, fields: dict[str, FieldType]) -> DataFrame:
+    """Flatten post-image JSON into the analyzed flat schema.
+
+    The frozen schema rides in the task closure; each Arrow batch is
+    processed with pandas ops (the reference does this per record on one
+    thread — ``getAnalyzedStruct`` — we do it per multi-thousand-row Arrow
+    batch on every executor).
+    """
+    out_schema = analyzed_spark_schema(fields)
+    plan = [(f.name, fields.get(f.name)) for f in out_schema.fields if not f.name.startswith("__")]
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bodies = [
+                transform_body(json.loads(o)) if o is not None else {}
+                for o in pdf["object"]
+            ]
+            data: dict[str, list] = {}
+            data["__op"] = list(pdf["op"])
+            data["__pkey"] = [
+                b.get("_id") if b.get("_id") is not None else i
+                for b, i in zip(bodies, pdf["id"])
+            ]
+            data["__sql"] = [None] * len(bodies)  # declared, never filled
+            data["__ts"] = [
+                pd.Timestamp(int(t), unit="s").strftime("%Y-%m-%dT%H:%M:%S.000Z")
+                for t in pdf["ts"]
+            ]
+            for name, ft in plan:
+                st = ft.sql_type if ft else "VARCHAR"
+                data[name] = [cast_or_null(b.get(name), st) for b in bodies]
+            yield pd.DataFrame(data, columns=[f.name for f in out_schema.fields])
+
+    return events.select("ts", "op", "id", "object").mapInPandas(fill, schema=out_schema)
