@@ -1,38 +1,560 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay at sf0.001; ``queries()``
+exposes one entry per implemented operator from SURVEY.md §2 (plus the
+training-data pipeline operators); ``oracle_sql()`` gives the DuckDB twin
+for every SQL-expressible query. CDC queries run over the deterministic
+synthetic change feed generated (and cached) by
+``kafka_connect_mongo_spark.generator`` — both engines read the same
+parquet bytes.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark import generator as gen
+from kafka_connect_mongo_spark.functions.basic_struct import iso_ts, to_change_records
+from kafka_connect_mongo_spark.functions.schema_mapper import (
+    SchemaRegistry,
+    analyze_into_registry,
+    flatten_analyzed,
+)
+from kafka_connect_mongo_spark.model import topic_name
+from kafka_connect_mongo_spark.operators.lww import lww_collapse
+from kafka_connect_mongo_spark.operators.metrics import distinct_keys, op_counts
+from kafka_connect_mongo_spark.operators.replay import replay
+from kafka_connect_mongo_spark.pipelines import dedup as dd
+from kafka_connect_mongo_spark.pipelines import multimodal as mm
+from kafka_connect_mongo_spark.pipelines import similarity as sim
+from kafka_connect_mongo_spark.pipelines import text as tx
+from kafka_connect_mongo_spark.sources.export import read_snapshot, snapshot_as_events
+from kafka_connect_mongo_spark.sources.oplog import max_offset_per_ns, read_oplog
+
+T0 = gen.T0
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _mid_ts(sf_dir: str) -> int:
+    _, n_events, _ = gen.sizes_for_sf(gen.sf_from_dir(sf_dir))
+    return T0 + (n_events // gen.EVENTS_PER_SECOND) // 2
+
+
+ID_WATERMARK = "8" + "0" * 23
+
+# ---------------------------------------------------------------------------
+# Spark-side table helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_oplog(spark, gen.oplog_path(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (bootstrap ∪ feed → LWW → tombstones →
+    final state with per-row content sha256) at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    return replay(spark, gen.oplog_path(sf_dir), gen.repos_path(sf_dir)).select(
+        "id", "ns", "repo", "path", "lang", "stars", "content_sha"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- CDC core (SURVEY.md §2.1-§2.9) -----------------------------------
+    q["s1_oplog_clean_scan"] = lambda spark, sf: _feed(spark, sf).select(
+        "ts", "inc", "seq", "op", "ns", "id", "object"
+    )
+
+    q["s2_initial_import_events"] = lambda spark, sf: snapshot_as_events(
+        read_snapshot(spark, gen.repos_path(sf))
+    ).select(
+        "id",
+        "ns",
+        "op",
+        "ts",
+        "inc",
+        "seq",
+        F.sha2(F.get_json_object("object", "$.content"), 256).alias("content_sha"),
+    )
+
+    q["f2_offset_resume"] = lambda spark, sf: _feed(spark, sf).filter(
+        (F.col("ts") > _mid_ts(sf))
+        | ((F.col("ts") == _mid_ts(sf)) & (F.col("inc") > 32))
+    ).select("ts", "inc", "seq", "op", "id")
+
+    q["f5_export_resume"] = lambda spark, sf: read_snapshot(
+        spark, gen.repos_path(sf), id_watermark=ID_WATERMARK
+    ).select("_id", "repo", "path")
+
+    q["f6_additional_filter"] = lambda spark, sf: read_snapshot(
+        spark, gen.repos_path(sf), additional_filter=(F.col("lang") == "py")
+    ).select("_id", "repo", "path", "lang")
+
+    q["p2_basic_struct"] = lambda spark, sf: to_change_records(_feed(spark, sf))
+
+    q["a2_lww_collapse"] = lambda spark, sf: lww_collapse(
+        _feed(spark, sf).select("id", "ts", "inc", "seq", "op"), key="id"
+    )
+
+    q["q_final_state"] = lambda spark, sf: replay(
+        spark, gen.oplog_path(sf), gen.repos_path(sf)
+    ).select("id", "ns", "repo", "path", "lang", "commit", "stars", "content_sha")
+
+    q["a2s_final_state_salted"] = lambda spark, sf: replay(
+        spark, gen.oplog_path(sf), gen.repos_path(sf), salted=True
+    ).select("id", "ns", "content_sha")
+
+    q["a3_distinct_ids"] = lambda spark, sf: distinct_keys(_feed(spark, sf))
+
+    q["a4_op_counts"] = lambda spark, sf: op_counts(_feed(spark, sf))
+
+    q["x8_max_offset"] = lambda spark, sf: max_offset_per_ns(_feed(spark, sf))
+
+    q["t6_tombstone_keys"] = lambda spark, sf: lww_collapse(
+        _feed(spark, sf).select("id", "ts", "inc", "seq", "op"), key="id"
+    ).filter(F.col("op") == "d").select("id")
+
+    def _j1(spark: SparkSession, sf: str) -> DataFrame:
+        live = replay(spark, gen.oplog_path(sf), gen.repos_path(sf)).select("id")
+        updates = _feed(spark, sf).filter(F.col("op") == "u").select("id")
+        return updates.join(live, "id").groupBy("id").agg(
+            F.count("*").alias("n_updates")
+        )
+
+    q["j1_update_lookback_join"] = _j1
+
+    q["j2_topic_route"] = lambda spark, sf: _feed(spark, sf).select("ns").distinct().select(
+        "ns", F.concat(F.lit("cdc_"), F.regexp_replace("ns", r"\.", "_")).alias("topic")
+    )
+
+    q["x2_iso_ts"] = lambda spark, sf: _feed(spark, sf).select("ts").distinct().select(
+        "ts", iso_ts("ts").alias("iso")
+    )
+
+    def _p3(spark: SparkSession, sf: str) -> DataFrame:
+        feed = _feed(spark, sf).filter(F.col("ns") == "code.repos")
+        reg = SchemaRegistry()
+        analyze_into_registry(feed, reg)
+        flat = flatten_analyzed(feed, reg.get("code.repos"))
+        return flat.select(
+            "__op", "__pkey", "__ts", "_id", "repo", "path", "lang",
+            "stars", "camelcase", "topics",
+        )
+
+    q["p3_analyzed_flatten"] = _p3
+
+    def _st1(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-entry-")
+        table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        run_replay_stream(
+            spark,
+            gen.oplog_path(sf),
+            table,
+            os.path.join(work, "ckpt"),
+            snapshot_path=gen.repos_path(sf),
+            max_files_per_trigger=None,
+        )
+        return table.read().select("id", "ns", "content_sha")
+
+    q["st1_streaming_replay"] = _st1
+
+    # --- training-data pipeline -------------------------------------------
+    q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
+    q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
+        _docs(spark, sf), k=3, threshold=0.5
+    )
+    q["d3_simhash32"] = lambda spark, sf: dd.simhash32(_docs(spark, sf))
+    q["d4_minhash_lsh"] = lambda spark, sf: dd.minhash_near_dups(
+        _docs(spark, sf), n_hashes=16, band_size=4, threshold=0.7
+    )
+    q["d5_cosine_neardup"] = lambda spark, sf: sim.cosine_neardup_pairs(
+        _emb(spark, sf), threshold=0.35, probe_mod=10
+    )
+
+    def _ann(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        probe = base.filter(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
+        score = F.round(
+            sim._dot(F.col("pe"), F.col("e"))
+            / (sim._norm(F.col("pe")) * sim._norm(F.col("e"))),
+            4,
+        )
+        return (
+            base.crossJoin(F.broadcast(probe))
+            .select("vec_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+
+    q["s7_ann_cosine_topk"] = _ann
+
+    q["t1_token_count"] = lambda spark, sf: tx.token_count(_docs(spark, sf))
+    q["t2_quality_score"] = lambda spark, sf: tx.quality_score(_docs(spark, sf))
+    q["t3_lang_id"] = lambda spark, sf: tx.lang_id(_docs(spark, sf))
+    q["t4_fingerprint"] = lambda spark, sf: tx.fingerprint(_docs(spark, sf))
+
+    q["m1_media_features"] = lambda spark, sf: mm.decode_features(
+        mm.attach_media(_docs(spark, sf))
+    ).select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))
+
+    # LSH ANN (scale path, recall<1 by design → rows-only check)
+    q["s7b_ann_topk_lsh"] = lambda spark, sf: sim.ann_topk_lsh(
+        _emb(spark, sf),
+        [float(i % 7) - 3.0 for i in range(64)],
+        k=10,
+        n_planes=6,
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _sql_clean_feed(op_path: str) -> str:
+    return (
+        f"SELECT ts, inc, seq, op, ns, id, object, initial_import "
+        f"FROM read_parquet('{op_path}/*.parquet') "
+        f"WHERE coalesce(from_migrate, false) = false AND op IN ('i','u','d')"
+    )
+
+
+def _sql_boot(repos_path: str) -> str:
+    return (
+        f"SELECT CAST({T0 - 10} AS INTEGER) AS ts, CAST(0 AS INTEGER) AS inc, "
+        f"CAST(-1 AS BIGINT) AS seq, 'i' AS op, ns, _id AS id, "
+        f"json_object('_id', _id, 'repo', repo, 'path', path, 'commit', commit, "
+        f"'lang', lang, 'content', content) AS object, TRUE AS initial_import "
+        f"FROM read_parquet('{repos_path}')"
+    )
+
+
+def _sql_final_state(op_path: str, repos_path: str) -> str:
+    return f"""
+WITH feed AS ({_sql_clean_feed(op_path)}),
+boot AS ({_sql_boot(repos_path)}),
+ev AS (SELECT * FROM boot UNION ALL SELECT * FROM feed),
+last AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) AS rn
+  FROM ev
+)
+SELECT id, ns, op, ts, inc, seq, object FROM last WHERE rn = 1 AND op <> 'd'
+""".strip()
+
+
+def _sql_minhash(n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7) -> str:
+    params = dd.minhash_params(n_hashes)
+    P = dd.MOD_P
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    n_bands = n_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = "||','||".join(
+            f"mh{b * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+hh AS (SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) % {P} AS BIGINT) AS h
+  FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+SELECT * FROM (
+  SELECT doc_a, doc_b, ({agree}) / {float(n_hashes)} AS est_jaccard
+  FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id
+) WHERE est_jaccard >= {threshold}
+""".strip()
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    pack = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM toks),
+votes AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
+""".strip()
+
+
+def _sql_ngram_jaccard(threshold: float = 0.5) -> str:
+    P = dd.MOD_P  # noqa: F841 — full 60-bit hash used here, kept for clarity
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+grams AS (
+  SELECT DISTINCT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh0)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+    round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+) WHERE jaccard >= {threshold}
+""".strip()
+
+
+_STOP_SQL = "['the','a','of','and','to','in']"
+_MARKER_SQL = {
+    "en": "['the','and','of']",
+    "de": "['der','und','die']",
+    "fr": "['le','et','la']",
+    "es": "['el','y','los']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    op = gen.oplog_path(ORACLE_SF_DIR)
+    rp = gen.repos_path(ORACLE_SF_DIR)
+    mid = _mid_ts(ORACLE_SF_DIR)
+    feed = _sql_clean_feed(op)
+    final = _sql_final_state(op, rp)
+
+    o: dict[str, str] = {}
+
+    o["s1_oplog_clean_scan"] = (
+        f"SELECT ts, inc, seq, op, ns, id, object FROM ({feed})"
+    )
+
+    o["s2_initial_import_events"] = f"""
+SELECT id, ns, op, ts, inc, seq, sha256(content) AS content_sha
+FROM (SELECT b.*, r.content FROM ({_sql_boot(rp)}) b
+      JOIN read_parquet('{rp}') r ON b.id = r._id)
+""".strip()
+
+    o["f2_offset_resume"] = (
+        f"SELECT ts, inc, seq, op, id FROM ({feed}) "
+        f"WHERE ts > {mid} OR (ts = {mid} AND inc > 32)"
+    )
+
+    o["f5_export_resume"] = (
+        f"SELECT _id, repo, path FROM read_parquet('{rp}') WHERE _id > '{ID_WATERMARK}'"
+    )
+
+    o["f6_additional_filter"] = (
+        f"SELECT _id, repo, path, lang FROM read_parquet('{rp}') WHERE lang = 'py'"
+    )
+
+    o["p2_basic_struct"] = f"""
+SELECT id AS key, ts, inc, id, replace(ns, '.', '_') AS database, op,
+       CASE WHEN op = 'd' THEN NULL ELSE object END AS object
+FROM ({feed})
+""".strip()
+
+    o["a2_lww_collapse"] = f"""
+SELECT id, ts, inc, seq, op FROM (
+  SELECT id, ts, inc, seq, op,
+         row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed})) WHERE rn = 1
+""".strip()
+
+    o["q_final_state"] = f"""
+SELECT id, ns, object->>'$.repo' AS repo, object->>'$.path' AS path,
+       object->>'$.lang' AS lang, object->>'$.commit' AS commit,
+       CAST(object->>'$.stars' AS DOUBLE) AS stars,
+       sha256(object->>'$.content') AS content_sha
+FROM ({final})
+""".strip()
+
+    o["a2s_final_state_salted"] = f"""
+SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
+""".strip()
+
+    o["a3_distinct_ids"] = (
+        f"SELECT ns, count(DISTINCT id) AS n_distinct_ids FROM ({feed}) GROUP BY ns"
+    )
+
+    o["a4_op_counts"] = (
+        f"SELECT ns, op, count(*) AS n_events FROM ({feed}) GROUP BY ns, op"
+    )
+
+    o["x8_max_offset"] = f"""
+SELECT ns, ts::VARCHAR || ',' || inc::VARCHAR || ',' || id || ',1' AS offset
+FROM (
+  SELECT ns, ts, inc, id,
+         row_number() OVER (PARTITION BY ns ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed})) WHERE rn = 1
+""".strip()
+
+    o["t6_tombstone_keys"] = f"""
+SELECT id FROM (
+  SELECT id, op,
+         row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed})) WHERE rn = 1 AND op = 'd'
+""".strip()
+
+    o["j1_update_lookback_join"] = f"""
+SELECT u.id AS id, count(*) AS n_updates
+FROM (SELECT id FROM ({feed}) WHERE op = 'u') u
+JOIN (SELECT DISTINCT id FROM ({final})) live ON u.id = live.id
+GROUP BY u.id
+""".strip()
+
+    o["j2_topic_route"] = (
+        f"SELECT ns, 'cdc_' || replace(ns, '.', '_') AS topic "
+        f"FROM (SELECT DISTINCT ns FROM ({feed}))"
+    )
+
+    o["x2_iso_ts"] = f"""
+SELECT ts, strftime(make_timestamp(ts::BIGINT * 1000000), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS iso
+FROM (SELECT DISTINCT ts FROM ({feed}))
+""".strip()
+
+    o["p3_analyzed_flatten"] = f"""
+SELECT op AS __op, coalesce(object->>'$._id', id) AS __pkey,
+       strftime(make_timestamp(ts::BIGINT * 1000000), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS __ts,
+       object->>'$._id' AS _id, object->>'$.repo' AS repo,
+       object->>'$.path' AS path, object->>'$.lang' AS lang,
+       CAST(object->>'$.stars' AS DOUBLE) AS stars,
+       object->>'$.camelCase' AS camelcase,
+       CAST(object->'$.topics' AS VARCHAR) AS topics
+FROM ({feed}) WHERE ns = 'code.repos'
+""".strip()
+
+    o["st1_streaming_replay"] = f"""
+SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
+""".strip()
+
+    # --- training-data pipeline -------------------------------------------
+    o["d1_dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups "
+        "FROM documents GROUP BY md5(text)"
+    )
+    o["d2_ngram_jaccard"] = _sql_ngram_jaccard(0.5)
+    o["d3_simhash32"] = _sql_simhash()
+    o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
+
+    o["d5_cosine_neardup"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id % 10 = 0)
+SELECT * FROM (
+  SELECT probe_id, vec_id,
+    round(list_inner_product(pe, e) /
+          (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
+  FROM p, base WHERE probe_id < vec_id
+) WHERE score >= 0.35
+""".strip()
+
+    o["s7_ann_cosine_topk"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS pe FROM base WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_inner_product(pe, e) /
+        (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
+FROM base, q ORDER BY score DESC, vec_id LIMIT 10
+""".strip()
+
+    o["t1_token_count"] = """
+SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+""".strip()
+
+    o["t2_quality_score"] = f"""
+WITH b AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr, length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha_sp
+  FROM documents),
+r AS (
+  SELECT doc_id, len(arr) AS n_tok, n_chars,
+         round((n_chars - n_alpha_sp) / n_chars, 6) AS punct_ratio,
+         round(len(list_filter(arr, t -> list_contains({_STOP_SQL}, t))) / len(arr), 6) AS stop_ratio
+  FROM b)
+SELECT doc_id, n_tok AS n_tokens,
+       round((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_word_len,
+       stop_ratio AS stopword_ratio, punct_ratio,
+       round(least(1.0, n_tok / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+             + least(1.0, stop_ratio * 4) * 0.2, 6) AS quality
+FROM r
+""".strip()
+
+    hits = ", ".join(
+        f"len(list_filter(arr, t -> list_contains({_MARKER_SQL[lang]}, t))) AS hits_{lang}"
+        for lang in _MARKER_SQL
+    )
+    o["t3_lang_id"] = f"""
+WITH b AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+h AS (SELECT doc_id, {hits} FROM b),
+g AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN hits_en = best THEN 'en'
+       WHEN hits_de = best THEN 'de'
+       WHEN hits_fr = best THEN 'fr'
+       WHEN hits_es = best THEN 'es'
+       ELSE 'und' END AS pred_lang
+FROM g
+""".strip()
+
+    o["t4_fingerprint"] = """
+SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS fp_int
+FROM documents
+""".strip()
+
+    # m1_media_features, s7b_ann_topk_lsh: non-SQL-expressible (binary UDF
+    # plumbing / recall<1 LSH) → rows-only check by design.
+    return o

@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact hash dedup, MinHash+LSH near-dup, 32-bit SimHash, and n-gram Jaccard
+— all pure built-in Column expressions (no Python in the hot path), so the
+whole pipeline stays in whole-stage codegen and scales by shuffle capacity.
+
+Cross-engine-checkable hashing: every hash is derived from ``md5`` (which
+DuckDB/Spark/Python agree on bit-for-bit) — ``conv(substr(md5(x),1,15),16,10)``
+is a 60-bit integer both engines compute identically, so each operator has
+an exact SQL oracle.
+
+Scale notes (100 TB): exact dedup is one map-side-combined groupBy on the
+digest (shuffle = |distinct|). MinHash signatures are K min-aggregates per
+doc over exploded shingles — combine happens map-side, so shuffle is
+K values/doc, NOT |shingles|. LSH banding turns the quadratic all-pairs
+problem into an equi-join on (band, band_hash); skewed bands (boilerplate
+docs) are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 60-bit md5-derived integer hash, reproducible in DuckDB/Python.
+MOD_P = 1_000_000_007
+
+
+def _h60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# Fixed affine permutation constants for MinHash (seeded, deterministic).
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(42)
+    return [(rnd.randrange(1, MOD_P - 1), rnd.randrange(0, MOD_P - 1)) for _ in range(n_hashes)]
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content digest: one groupBy, shuffle of
+    digests only (map-side combine). Returns (text_hash, keep_id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingles(text: F.Column, k: int = 3) -> F.Column:
+    """k-word shingles as an array column (built-in transform/sequence)."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, k_shingle: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: K min-aggregates over exploded shingles.
+
+    shingle → 60-bit md5 hash h → minhash_i = min((a_i*(h%P)+b_i) % P).
+    Output: (doc_id, mh0..mh{K-1}).
+    """
+    params = minhash_params(n_hashes)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), k_shingle)).alias("shingle")
+    ).select("doc_id", (_h60(F.col("shingle")) % MOD_P).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MOD_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash): docs agreeing
+    on ALL rows of any band become candidate pairs (doc_a < doc_b)."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    verify estimated Jaccard (fraction of agreeing minhashes) ≥ threshold."""
+    sigs = minhash_signatures(docs, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_hashes, band_size)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash32(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: tokens → 60-bit hash → per-bit ±1 vote sums →
+    sign bits packed into an int. 32 conditional-sum aggregates in ONE
+    groupBy pass (map-side combined) — no explode-by-bit blowup."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).select("doc_id", _h60(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    packed = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)
+    )
+    return votes.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the small-scale oracle path;
+    MinHash+LSH above is the 100 TB path). Self-join on shared gram hash,
+    then |∩| / (|A| + |B| - |∩|) ≥ threshold."""
+    grams = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
+        .select("doc_id", _h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.h") == F.col("gb.h")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
+        .groupBy(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

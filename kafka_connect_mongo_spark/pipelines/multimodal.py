@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The decode itself is STUBBED (the
+container ships no image/audio libs): ``decode_features`` computes a
+deterministic fake feature vector from the raw bytes unless
+``require_real_codecs=True``, in which case it raises
+``NotImplementedError`` — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary payload + metadata from the text column
+    (deterministic; stands in for real image bytes)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        kind.alias("kind"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        (F.col("doc_id") % 24 + 1).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        meta.alias("media"),
+    )
+
+
+def decode_features(
+    media_df: DataFrame, n_features: int = 8, require_real_codecs: bool = False
+) -> DataFrame:
+    """Arrow-batched 'decode' + feature extraction over binary payloads.
+
+    Real pipeline shape: ``mapInPandas`` over (doc_id, payload) with a
+    bounded batch size; the stub derives ``n_features`` floats from a
+    sha256 of the payload — swap the body for PIL/librosa on a cluster
+    with codecs installed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if require_real_codecs:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not present "
+                "in this environment; run with require_real_codecs=False for "
+                "the deterministic stub"
+            )
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                arr = np.frombuffer(digest[: n_features * 4], dtype=np.uint32)
+                feats.append((arr.astype(np.float32) / np.float32(2**32)).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return media_df.select("doc_id", "payload").mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plan for video payloads: one output row per sampled
+    frame index — pure Column ops (sequence + explode); the per-frame
+    decode would plug into ``decode_features``."""
+    frames = F.sequence(
+        F.lit(0), F.col("media.n_frames") - 1, F.lit(every_n)
+    )
+    return (
+        media_df.filter(F.col("media.kind") == "video")
+        .select("doc_id", F.explode(frames).alias("frame_idx"))
+    )

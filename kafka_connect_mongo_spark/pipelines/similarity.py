@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a random-
+hyperplane LSH bucketing as the 100 TB scale path (candidate generation by
+equi-join on bucket signature instead of a cross join).
+
+All arithmetic is built-in higher-order functions (``zip_with`` +
+``aggregate``) over doubles in array order — identical summation order to
+the DuckDB oracle, so rounded scores compare exactly. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10, round_digits: int = 4
+) -> DataFrame:
+    """Brute-force cosine top-k vs one query vector — a single scan, no
+    shuffle except the final top-k (global sort of k·partitions rows via
+    takeOrdered semantics). Output (vec_id, score)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    emb = F.col("embedding").cast("array<double>")
+    score = F.round(_dot(emb, q) / (_norm(emb) * _norm(q)), round_digits)
+    return (
+        embeddings.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    probe_mod: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup: probe set (vec_id % probe_mod == 0) vs the
+    full corpus, pairs with cosine ≥ threshold. The probe restriction keeps
+    the small-SF oracle exact; at scale swap the cross join for
+    ``lsh_bucket_candidates``."""
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    probes = base.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    score = F.round(
+        _dot(F.col("pe"), F.col("e")) / (_norm(F.col("pe")) * _norm(F.col("e"))),
+        round_digits,
+    )
+    return (
+        probes.crossJoin(base)
+        .filter(F.col("probe_id") < F.col("vec_id"))
+        .select("probe_id", "vec_id", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_candidates(
+    embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucketing: sign pattern of
+    ``n_planes`` projections packs into a bucket id; candidate pairs share a
+    bucket — an equi-join, shuffle ~|rows|, instead of an O(n²) cross join.
+    Returns (bucket, vec_id) for downstream join + exact re-scoring."""
+    planes = hyperplanes(dim, n_planes, seed)
+    emb = F.col("embedding").cast("array<double>")
+    bucket = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(emb, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else (bucket + bit)
+    return embeddings.select(bucket.cast("long").alias("bucket"), "vec_id")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    n_planes: int = 8, seed: int = 42, round_digits: int = 4,
+) -> DataFrame:
+    """Scale-path ANN: score only vectors in the query's hyperplane bucket
+    (recall < 1.0 by design; the exactness baseline is ``cosine_topk``)."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def sig(vec: list[float]) -> int:
+        s = 0
+        for i, p in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, p)) >= 0:
+                s |= 1 << i
+        return s
+
+    qsig = sig(query)
+    buckets = lsh_bucket_candidates(embeddings, dim, n_planes, seed)
+    cand = buckets.filter(F.col("bucket") == qsig).select("vec_id")
+    scoped = embeddings.join(F.broadcast(cand), "vec_id")
+    return cosine_topk(scoped, query, k, round_digits)

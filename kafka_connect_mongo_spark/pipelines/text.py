@@ -1,0 +1,100 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All built-in Column expressions (codegen'd,
+shuffle-free per-row maps) with exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _tokens(text: F.Column) -> F.Column:
+    return F.split(text, r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
+    the common byte-pair rule of thumb) — both pure Column math."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.ceil(F.length(F.col("text")) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, punctuation ratio, plus a blended 0-1 score. Deterministic,
+    round(6) for cross-engine comparison."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_alpha_sp = F.length(F.regexp_replace(F.col("text"), r"[^a-z ]", ""))
+    punct_ratio = F.round((n_chars - n_alpha_sp) / n_chars, 6)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    stop_ratio = F.round(stop_hits / n_tok, 6)
+    mean_wlen = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(64.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 4) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID: count hits per language's marker list,
+    pick the argmax (ties broken by fixed language order), 'und' when no
+    marker hits. A deterministic heuristic — the point is the distributed
+    shape (per-row map, no shuffle), not linguistic accuracy."""
+    toks = _tokens(F.col("text"))
+
+    def _hits(markers: list[str]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hit_cols = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = hit_cols[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, hit_cols[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [hit_cols[lang].cast("long").alias(f"hits_{lang}") for lang in langs]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """64-bit content fingerprint: first 16 hex chars of md5 — the
+    cross-engine-stable stand-in for a rolling hash; plus the md5-derived
+    60-bit integer for numeric bucketing."""
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text")), 1, 16).alias("fp_hex"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )

@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 in Spark, the matching
+``oracle_sql()`` in DuckDB (tables pre-registered as views like the driver
+does), and compares row count + order-insensitive value hash with columns
+sorted by name. Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "\\N"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.6f}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        "\x01".join(norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from kafka_connect_mongo_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(master="local[16]", shuffle_partitions="16")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
+            failures.append(name)
+            continue
+        if name not in os_:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(os_[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error {type(ex).__name__}: {ex}")
+            failures.append(name)
+            continue
+        sc, oc = sorted(sdf.columns), sorted(odf.columns)
+        if sc != oc:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            failures.append(name)
+            continue
+        hs, ho = value_hash(sdf), value_hash(odf)
+        status = "PASS" if (len(sdf) == len(odf) and hs == ho) else "FAIL"
+        print(
+            f"{status} {name}: rows {len(sdf)}/{len(odf)} hash {hs}/{ho} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
