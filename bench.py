@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+The flagship metric is the full CDC replay (bootstrap ∪ feed → LWW →
+tombstones → final state + sha256) — wall seconds and derived
+change-events/sec. Queries execute to completion via the noop sink (no
+driver-side result transfer in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as e
+    from kafka_connect_mongo_spark import generator as g
+    from kafka_connect_mongo_spark.session import get_spark
+
+    # Pre-generate the synthetic feed so generation never pollutes timings.
+    g.generate(sf_dir)
+    n_feed = None
+
+    spark = get_spark(app_name="bench")
+    qs = e.queries()
+
+    bench_queries = [
+        "q_final_state",        # flagship replay
+        "s1_oplog_clean_scan",  # scan + filter pushdown
+        "p2_basic_struct",      # projection
+        "a2_lww_collapse",      # key-collapse shuffle
+        "a4_op_counts",         # metrics aggregation
+        "x8_max_offset",        # per-ns lineage offsets
+        "p3_analyzed_flatten",  # pandas-UDF flatten path
+        "d1_dedup_exact",
+        "d3_simhash32",
+        "d4_minhash_lsh",
+        "s7_ann_cosine_topk",
+        "t2_quality_score",
+    ]
+
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        df = qs[name](spark, sf_dir)
+        run_noop(df)  # warm-up: JIT, FS cache, plan cache
+        t0 = time.time()
+        run_noop(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # events/sec over the flagship replay (clean feed + bootstrap rows)
+    from kafka_connect_mongo_spark.sources.oplog import read_oplog
+
+    n_feed = read_oplog(spark, g.oplog_path(sf_dir)).count()
+    n_boot = spark.read.parquet(g.repos_path(sf_dir)).count()
+    events_per_sec = round((n_feed + n_boot) / timings["q_final_state"], 1)
+
+    sf = g.sf_from_dir(sf_dir)
+    out = {
+        "metric": "replay_wall_sec",
+        "value": timings["q_final_state"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events_per_sec": events_per_sec,
+        "n_events": n_feed + n_boot,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

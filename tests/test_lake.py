@@ -1,0 +1,115 @@
+"""LakeTable MERGE semantics: bulk upsert (MongoSinkTaskTest.kt:53-90),
+idempotent replay, monotonic guard, tombstone rules (T1/T6), schema
+evolution, compaction."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+
+def ev(ts, inc, seq, op, ns, key, body):
+    return (ts, inc, seq, op, ns, key, json.dumps(body) if body is not None else None, None, False)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, schema=OPLOG_SCHEMA).select(
+        "id", "ts", "inc", "seq", "op", "ns", "object"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    return LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+
+
+def key(i: int) -> str:
+    return f"{i:024x}"
+
+
+def test_put_bulk(table, spark):
+    # 100 inserts over 2 namespaces → 100 docs (MongoSinkTaskTest.kt:53-90)
+    rows = [
+        ev(100, i, i, "i", "t.a" if i % 2 else "t.b", key(i), {"_id": key(i), "n": i})
+        for i in range(100)
+    ]
+    table.upsert(mk(spark, rows), 0)
+    out = table.read()
+    assert out.count() == 100
+    assert out.select("ns").distinct().count() == 2
+
+
+def test_idempotent_batch_replay(table, spark):
+    batch = mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})])
+    s1 = table.upsert(batch, 7)
+    s2 = table.upsert(batch, 7)  # re-delivered after checkpoint recovery
+    assert not s1["skipped"] and s2["skipped"]
+    assert table.read().count() == 1
+
+
+def test_monotonic_guard_out_of_order_batches(table, spark):
+    newer = mk(spark, [ev(200, 0, 5, "u", "t.a", key(1), {"_id": key(1), "v": "new"})])
+    older = mk(spark, [ev(100, 0, 1, "i", "t.a", key(1), {"_id": key(1), "v": "old"})])
+    table.upsert(newer, 0)
+    table.upsert(older, 1)  # late, stale batch must not win
+    rows = table.read().collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]["object"])["v"] == "new"
+
+
+def test_tombstone_blocks_stale_resurrect(table, spark):
+    table.upsert(mk(spark, [ev(300, 0, 9, "d", "t.a", key(2), None)]), 0)
+    table.upsert(
+        mk(spark, [ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 1})]), 1
+    )
+    assert table.read().count() == 0  # delete is the last writer
+    assert table.read(include_tombstones=True).count() == 1
+
+
+def test_delete_absent_key_is_noop(table, spark):
+    # DeleteOne on a missing key matches 0 docs in the reference (S6)
+    table.upsert(mk(spark, [ev(100, 0, 0, "d", "t.a", key(3), None)]), 0)
+    assert table.read().count() == 0
+
+
+def test_schema_evolution_add_column(table, spark):
+    b1 = mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})])
+    table.upsert(b1, 0)
+    b2 = mk(spark, [ev(101, 0, 1, "i", "t.a", key(2), {"_id": key(2)})]).withColumn(
+        "stars", F.lit(4.5)
+    )
+    table.upsert(b2, 1)
+    out = table.read()
+    assert "stars" in out.columns
+    vals = {r["id"]: r["stars"] for r in out.collect()}
+    assert vals[key(1)] is None and vals[key(2)] == 4.5
+
+
+def test_compact_purges_tombstones(table, spark):
+    table.upsert(
+        mk(
+            spark,
+            [
+                ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)}),
+                ev(101, 0, 1, "d", "t.a", key(4), None),
+            ],
+        ),
+        0,
+    )
+    assert table.read(include_tombstones=True).count() == 2
+    table.compact()
+    assert table.read(include_tombstones=True).count() == 1
+    assert table.read().count() == 1
+
+
+def test_reopen_from_meta(tmp_path, spark):
+    root = str(tmp_path / "lake")
+    t1 = LakeTable(spark, root, n_buckets=4)
+    t1.upsert(mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0)
+    t2 = LakeTable(spark, root)  # fresh handle, reads committed meta
+    assert t2.is_committed(0)
+    assert t2.read().count() == 1

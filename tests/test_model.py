@@ -1,0 +1,56 @@
+"""Offset codec (MongoSourceOffset.kt:23-38), name mangling (StructUtil.kt),
+and task partitioning (MongoSourceConnectorTest.kt:34-52) parity tests."""
+
+from kafka_connect_mongo_spark.model import (
+    ZERO_OBJECT_ID,
+    SourceOffset,
+    ns_database,
+    ns_to_flat,
+    topic_name,
+)
+from kafka_connect_mongo_spark.operators.partitioning import group_partitions
+
+NOW = 1_700_000_000
+
+
+def test_offset_round_trip():
+    o = SourceOffset(ts=123, inc=4, object_id="a" * 24, finished_import=-1)
+    assert SourceOffset.decode(o.encode(), now=NOW) == o
+
+
+def test_offset_null_defaults_to_now():
+    # No offset → start at now, skip history (MongoSourceOffset.kt:31)
+    o = SourceOffset.decode(None, now=NOW)
+    assert o.ts == NOW and o.finished_import == 1
+
+    # initial.import=true → export from zero ObjectId (MongoSourceTask.kt:25-28)
+    o = SourceOffset.decode(None, now=NOW, initial_import=True)
+    assert o.finished_import == -1 and o.object_id == ZERO_OBJECT_ID
+
+
+def test_offset_legacy_formats():
+    # legacy ≤2-piece offsets accepted (MongoSourceOffset.kt:29-35)
+    o = SourceOffset.decode("100", now=NOW)
+    assert (o.ts, o.inc, o.object_id, o.finished_import) == (100, 0, ZERO_OBJECT_ID, 1)
+    o = SourceOffset.decode("100,7", now=NOW)
+    assert (o.ts, o.inc) == (100, 7)
+    o = SourceOffset.decode("100,7," + "b" * 24, now=NOW)
+    assert o.object_id == "b" * 24 and o.finished_import == 1
+
+
+def test_ns_mangling():
+    assert ns_database("db.coll") == "db"
+    assert ns_to_flat("db.coll") == "db_coll"
+    assert topic_name("prefix", "db.coll") == "prefix_db_coll"
+    assert topic_name("", "db.coll") == "db_coll"
+
+
+def test_group_partitions_reference_fixture():
+    # 3 dbs / 2 tasks → groups {2, 1} (MongoSourceConnectorTest.kt:34-52)
+    assert group_partitions(["a", "b", "c"], 2) == [["a", "b"], ["c"]]
+    assert group_partitions(["a", "b", "c"], 5) == [["a"], ["b"], ["c"]]
+    assert group_partitions([], 3) == []
+    assert group_partitions(["a", "b", "c", "d", "e"], 2) == [
+        ["a", "b", "c"],
+        ["d", "e"],
+    ]

@@ -1,0 +1,122 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.pipelines import dedup as dd
+from kafka_connect_mongo_spark.pipelines import multimodal as mm
+from kafka_connect_mongo_spark.pipelines import similarity as sim
+from kafka_connect_mongo_spark.pipelines import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dd.exact_dedup(docs)
+    assert out.agg(F.sum("n_dups")).first()[0] == docs.count()
+    # planted duplicates are found
+    dup = docs.limit(1).union(docs.limit(1))
+    assert dd.exact_dedup(dup).first()["n_dups"] == 2
+
+
+def test_minhash_detects_planted_near_dup(spark, docs):
+    base = docs.limit(1).select("doc_id", "text")
+    # a copy with one word appended — high Jaccard on 3-shingles
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    pairs = dd.minhash_near_dups(base.union(near), threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["est_jaccard"] >= 0.5
+
+
+def test_simhash_close_for_near_dup(spark, docs):
+    base = docs.limit(2).select("doc_id", "text")
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash32(base).collect()}
+    assert all(0 <= s < 2**32 for s in sigs.values())
+
+
+def test_ann_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    m = np.stack([np.array(e, dtype=np.float64) for e in pdf["embedding"]])
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(cos, 4), -pdf["vec_id"]), reverse=True)[:10]
+    expected = {(-vid, s) for s, vid in order}
+    got = {
+        (r["vec_id"], r["score"])
+        for r in sim.cosine_topk(emb, [float(x) for x in q], k=10).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_ann_is_subset_of_corpus(spark, emb):
+    out = sim.ann_topk_lsh(emb, [1.0] * 64, k=5, n_planes=4).collect()
+    ids = {r["vec_id"] for r in out}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert ids <= all_ids and len(out) <= 5
+
+
+def test_token_count_matches_python(spark, docs):
+    sample = docs.limit(20).toPandas()
+    got = {r["doc_id"]: r["n_tokens"] for r in tx.token_count(docs.limit(20)).collect()}
+    for _, row in sample.iterrows():
+        assert got[row.doc_id] == len(row.text.split())
+
+
+def test_quality_and_lang_deterministic(spark, docs):
+    q1 = tx.quality_score(docs).orderBy("doc_id").toPandas()
+    q2 = tx.quality_score(docs).orderBy("doc_id").toPandas()
+    assert q1.equals(q2)
+    assert (q1["quality"] <= 1.0).all() and (q1["quality"] >= 0.0).all()
+    langs = tx.lang_id(docs).select("pred_lang").distinct().collect()
+    assert {r["pred_lang"] for r in langs} <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_matches_hashlib(spark, docs):
+    sample = docs.limit(5).toPandas()
+    got = {r["doc_id"]: r["fp_hex"] for r in tx.fingerprint(docs.limit(5)).collect()}
+    for _, row in sample.iterrows():
+        assert got[row.doc_id] == hashlib.md5(row.text.encode()).hexdigest()[:16]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = mm.attach_media(docs.limit(50))
+    feats = mm.decode_features(media, n_features=8).collect()
+    assert len(feats) == 50
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same payload → same features
+    again = {r["doc_id"]: r["features"] for r in mm.decode_features(media, n_features=8).collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in feats)
+    # real codecs are explicitly stubbed
+    with pytest.raises(Exception):
+        mm.decode_features(media, require_real_codecs=True).collect()
+    frames = mm.frame_sample(media, every_n=4)
+    assert frames.count() > 0
+
+
+def test_generator_deterministic(tmp_path):
+    from kafka_connect_mongo_spark import generator as g
+
+    d1 = g.generate(SF, out_root=str(tmp_path / "a"))
+    d2 = g.generate(SF, out_root=str(tmp_path / "b"))
+    import pandas as pd
+
+    f1 = pd.read_parquet(f"{d1}/oplog").sort_values("seq").reset_index(drop=True)
+    f2 = pd.read_parquet(f"{d2}/oplog").sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f1, f2)

@@ -1,0 +1,97 @@
+"""End-to-end replay correctness vs a sequential-apply pandas oracle
+(SURVEY.md §5: round-trip = source-parse → sink-apply → final table vs
+naive sequential oracle, compared by per-row sha256), plus LWW variant
+equivalence and source filter/pushdown checks."""
+
+import hashlib
+import json
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark import generator as g
+from kafka_connect_mongo_spark.model import SourceOffset
+from kafka_connect_mongo_spark.operators.lww import (
+    lww_collapse,
+    lww_collapse_salted,
+    lww_collapse_window,
+)
+from kafka_connect_mongo_spark.operators.replay import replay
+from kafka_connect_mongo_spark.sources.oplog import read_oplog
+
+
+@pytest.fixture(scope="module")
+def oracle_final(gen_paths):
+    """Naive sequential apply: walk events in (ts, inc, seq) order, upsert
+    post-images, delete on tombstones — the reference sink's semantics."""
+    op_path, rp_path = gen_paths
+    snap = pd.read_parquet(rp_path)
+    feed = pd.read_parquet(op_path)
+    feed = feed[(~feed["from_migrate"].fillna(False)) & feed["op"].isin(["i", "u", "d"])]
+    feed = feed.sort_values(["ts", "inc", "seq"])
+    state: dict[str, str] = {
+        r["_id"]: json.dumps(
+            {"_id": r["_id"], "repo": r["repo"], "path": r["path"],
+             "commit": r["commit"], "lang": r["lang"], "content": r["content"]}
+        )
+        for r in snap.to_dict("records")
+    }
+    for r in feed.to_dict("records"):
+        if r["op"] == "d":
+            state.pop(r["id"], None)
+        else:
+            state[r["id"]] = r["object"]
+    return {
+        k: hashlib.sha256(json.loads(v)["content"].encode()).hexdigest()
+        for k, v in state.items()
+    }
+
+
+def test_replay_matches_sequential_oracle(spark, gen_paths, oracle_final):
+    op_path, rp_path = gen_paths
+    got = {
+        r["id"]: r["content_sha"]
+        for r in replay(spark, op_path, rp_path).select("id", "content_sha").collect()
+    }
+    assert got == oracle_final
+
+
+def test_lww_variants_agree(spark, gen_paths):
+    op_path, _ = gen_paths
+    feed = read_oplog(spark, op_path).select("id", "ts", "inc", "seq", "op")
+    a = lww_collapse(feed).orderBy("id").toPandas()
+    b = lww_collapse_window(feed).orderBy("id").toPandas()
+    c = lww_collapse_salted(feed, n_salts=8).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_source_filters(spark, gen_paths):
+    op_path, _ = gen_paths
+    raw = spark.read.parquet(op_path)
+    clean = read_oplog(spark, op_path)
+    assert raw.filter("op = 'n'").count() > 0  # noise exists in the feed
+    assert raw.filter("from_migrate = true").count() > 0
+    assert clean.filter("op = 'n'").count() == 0  # F3
+    assert clean.filter(F.col("op").isin("i", "u", "d")).count() == clean.count()
+
+
+def test_offset_resume_predicate(spark, gen_paths):
+    op_path, _ = gen_paths
+    full = read_oplog(spark, op_path)
+    mid = full.approxQuantile("ts", [0.5], 0.01)[0]
+    off = SourceOffset(ts=int(mid), inc=10)
+    resumed = read_oplog(spark, op_path, offset=off)
+    n_before = full.filter(
+        (F.col("ts") < off.ts) | ((F.col("ts") == off.ts) & (F.col("inc") <= off.inc))
+    ).count()
+    assert resumed.count() == full.count() - n_before
+
+
+def test_filter_pushdown_reaches_scan(spark, gen_paths):
+    op_path, _ = gen_paths
+    plan = read_oplog(spark, op_path, namespace="code.repos")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "ns" in plan.split("PushedFilters")[1][:400]

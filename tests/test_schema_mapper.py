@@ -1,0 +1,134 @@
+"""SchemaMapper parity tests, ported from SchemaMapperTest.kt via FIXTURES.md:
+
+- analyzeStruct (:17-74): golden type-mapping of 15 field kinds;
+- updateStruct (:76-110): add-only schema growth across events;
+- conflictStruct (:112-175): old type wins, uncastable → null, schema stable;
+- SchemaParserTest (:12-32): Avro-JSON registry seeding.
+"""
+
+import json
+
+from kafka_connect_mongo_spark.functions.schema_mapper import (
+    FieldType,
+    SchemaRegistry,
+    analyze_into_registry,
+    cast_or_null,
+    flatten_analyzed,
+    transform_body,
+    value_type,
+)
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+
+OID = "5b5005ceb9e80fb20d106896"
+
+
+def test_analyze_struct_golden():
+    doc = {
+        "_id": OID,
+        "string": "string",
+        "int": 10,
+        "bool": False,
+        "double": 1.1,
+        "array": ["A", "B"],
+        "vacuum": None,
+        "map": {"k": "v"},
+        "camelCase": "lowercased",
+        "doc": {"objectId": OID},
+        "docarray": [{"objectId": OID}],
+        "invalidName[1]": "x",
+    }
+    body = transform_body(doc)
+    # key rules (SchemaMapper.kt:41-49)
+    assert "camelcase" in body and "camelCase" not in body
+    assert "invalidname[1]" not in body and "invalidName[1]" not in body
+    # numbers → double (SchemaMapperTest.kt:59)
+    assert body["int"] == 10.0 and isinstance(body["int"], float)
+    assert value_type(body["int"]) == ("double", "DOUBLE")
+    assert value_type(body["bool"]) == ("boolean", "BOOLEAN")
+    assert value_type(body["string"]) == ("string", "VARCHAR")
+    # null dropped from schema (SchemaMapperTest.kt:64,66)
+    assert value_type(body["vacuum"]) is None
+    # nested keys normalized recursively, stringified at fill-in
+    assert cast_or_null(body["doc"], "VARCHAR") == json.dumps({"objectid": OID}, separators=(",", ":"))
+    assert cast_or_null(body["docarray"], "VARCHAR") == json.dumps([{"objectid": OID}], separators=(",", ":"))
+    assert cast_or_null(body["array"], "VARCHAR") == '["A","B"]'
+    assert cast_or_null(body["map"], "VARCHAR") == '{"k":"v"}'
+
+
+def test_conflict_old_type_wins():
+    # name fixed as DOUBLE; later boolean value → null, schema unchanged
+    # (SchemaMapperTest.kt:139-159)
+    assert cast_or_null(False, "DOUBLE") is None
+    assert cast_or_null("10", "DOUBLE") is None  # string under DOUBLE → null
+    assert cast_or_null(10.0, "DOUBLE") == 10.0
+    assert cast_or_null(10.0, "BOOLEAN") is None
+    assert cast_or_null(True, "BOOLEAN") is True
+    # TIMESTAMP target: ISO string normalizes, garbage → null
+    assert cast_or_null("2018-07-19T03:29:07.888Z", "TIMESTAMP") == "2018-07-19T03:29:07.888Z"
+    assert cast_or_null("not a date", "TIMESTAMP") is None
+    assert cast_or_null(1.0, "TIMESTAMP") is None
+
+
+def test_registry_add_only_merge():
+    reg = SchemaRegistry()
+    reg.merge("db.c", {"name": FieldType("double", "DOUBLE")})
+    # event 2 brings name as string + a new field → name keeps DOUBLE,
+    # extra appended, sorted (SchemaMapper.kt:199-250)
+    merged = reg.merge(
+        "db.c",
+        {"name": FieldType("string", "VARCHAR"), "age": FieldType("double", "DOUBLE")},
+    )
+    assert merged["name"] == FieldType("double", "DOUBLE")
+    assert list(merged) == ["age", "name"]
+
+
+def test_avro_seed():
+    avro = {
+        "type": "record",
+        "name": "u",
+        "fields": [
+            {"name": "height", "type": ["null", {"type": "double", "connect.parameters": {"sqlType": "DOUBLE"}}]},
+            {"name": "active", "type": "boolean"},
+            {"name": "name", "type": ["null", "string"]},
+        ],
+    }
+    reg = SchemaRegistry()
+    fields = reg.seed_from_avro_json("db.c", avro)
+    assert fields["height"] == FieldType("double", "DOUBLE")
+    assert fields["active"] == FieldType("boolean", "BOOLEAN")
+    assert fields["name"] == FieldType("string", "VARCHAR")
+
+
+def test_update_struct_schema_growth(spark):
+    # event 1: delete with only _id; event 2: insert adds name
+    # (SchemaMapperTest.kt:76-110)
+    rows = [
+        (1, 0, 0, "d", "db.c", "a" * 24, json.dumps({"_id": "a" * 24}), None, False),
+        (2, 0, 1, "i", "db.c", "b" * 24, json.dumps({"_id": "b" * 24, "name": "x"}), None, False),
+    ]
+    events = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    reg = SchemaRegistry()
+    analyze_into_registry(events, reg)
+    fields = reg.get("db.c")
+    assert set(fields) == {"_id", "name"}
+    flat = flatten_analyzed(events, fields).orderBy("__ts").collect()
+    assert len(flat) == 2
+    assert flat[0]["name"] is None and flat[1]["name"] == "x"
+    assert flat[0]["__pkey"] == "a" * 24  # delete keeps pkey
+    assert flat[0]["__sql"] is None  # declared, never filled
+
+
+def test_conflict_inference_order_faithful(spark):
+    # first value seen fixes the type: name arrives as number at seq 0,
+    # as string at seq 1 → schema says DOUBLE, string value nulls out
+    rows = [
+        (1, 0, 0, "i", "db.c", "a" * 24, json.dumps({"_id": "a" * 24, "name": 10}), None, False),
+        (1, 1, 1, "u", "db.c", "a" * 24, json.dumps({"_id": "a" * 24, "name": "NotNumber"}), None, False),
+    ]
+    events = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    reg = SchemaRegistry()
+    analyze_into_registry(events, reg)
+    assert reg.get("db.c")["name"].sql_type == "DOUBLE"
+    flat = {r["__op"]: r for r in flatten_analyzed(events, reg.get("db.c")).collect()}
+    assert flat["i"]["name"] == 10.0
+    assert flat["u"]["name"] is None  # cast-or-null

@@ -1,0 +1,68 @@
+"""Streaming resume semantics (T4): kill mid-stream, restart from
+checkpoint, final state identical to batch replay; re-run applies nothing."""
+
+import os
+import shutil
+
+import pytest
+
+from kafka_connect_mongo_spark import generator as g
+from kafka_connect_mongo_spark.operators.replay import replay
+from kafka_connect_mongo_spark.sinks.lake import LakeTable
+from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
+
+
+@pytest.fixture(scope="module")
+def staged_feed(tmp_path_factory, gen_paths):
+    """An input dir we can grow: phase 1 sees half the chunk files (the
+    'stream so far'), phase 2 adds the rest (the stream continuing after a
+    restart)."""
+    op_path, _ = gen_paths
+    files = sorted(f for f in os.listdir(op_path) if f.endswith(".parquet"))
+    staged = tmp_path_factory.mktemp("staged-oplog")
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(op_path, f), staged / f)
+    return str(staged), op_path, files
+
+
+def test_resume_mid_stream(spark, staged_feed, gen_paths, tmp_path_factory):
+    staged, op_path, files = staged_feed
+    _, rp_path = gen_paths
+    work = tmp_path_factory.mktemp("stream-work")
+    table = LakeTable(spark, str(work / "lake"), n_buckets=8)
+    ckpt = str(work / "ckpt")
+
+    # Phase 1: process what's there, then "the job dies".
+    s1 = run_replay_stream(
+        spark, staged, table, ckpt, snapshot_path=rp_path, max_files_per_trigger=1
+    )
+    assert s1["n_micro_batches"] >= 1
+
+    # Phase 2: more feed arrives; restart from the same checkpoint.
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(op_path, f), os.path.join(staged, f))
+    s2 = run_replay_stream(
+        spark, staged, table, ckpt, snapshot_path=rp_path, max_files_per_trigger=1
+    )
+    assert s2["n_micro_batches"] >= 1
+
+    stream_state = {
+        r["id"]: r["content_sha"]
+        for r in table.read().select("id", "content_sha").collect()
+    }
+    batch_state = {
+        r["id"]: r["content_sha"]
+        for r in replay(spark, op_path, rp_path).select("id", "content_sha").collect()
+    }
+    assert stream_state == batch_state
+
+    # Phase 3: nothing new → zero batches, state untouched.
+    s3 = run_replay_stream(
+        spark, staged, table, ckpt, snapshot_path=rp_path, max_files_per_trigger=1
+    )
+    assert s3["n_micro_batches"] == 0
+    again = {
+        r["id"]: r["content_sha"]
+        for r in table.read().select("id", "content_sha").collect()
+    }
+    assert again == batch_state

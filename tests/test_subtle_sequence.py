@@ -1,0 +1,61 @@
+"""Golden op-sequence tests, ported from the reference:
+
+- ``testSubtleInsert`` (MongoSourceTaskTest.kt:160-175,217-260): insert doc1,
+  insert doc2, update doc1 (name=Stephen), delete doc2 ⇒ exactly 4 change
+  records, ops i,i,u,d, key==id, update carries post-image name=Stephen,
+  delete's object is null.
+- ``putSubtle`` (MongoSinkTaskTest.kt:92-117): applying i,i,u,d in one batch
+  leaves exactly 1 doc — the updated image.
+"""
+
+import json
+
+import pytest
+
+from kafka_connect_mongo_spark.functions.basic_struct import to_change_records
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+from kafka_connect_mongo_spark.operators.lww import drop_tombstones, lww_collapse
+from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+DOC1 = "a" * 24
+DOC2 = "b" * 24
+
+
+@pytest.fixture(scope="module")
+def subtle_events(spark):
+    rows = [
+        (100, 0, 0, "i", "t.c", DOC1, json.dumps({"_id": DOC1, "name": "n1", "state": 1}), None, False),
+        (100, 1, 1, "i", "t.c", DOC2, json.dumps({"_id": DOC2, "name": "n2"}), None, False),
+        (101, 0, 2, "u", "t.c", DOC1, json.dumps({"_id": DOC1, "name": "Stephen", "state": -1}), None, False),
+        (101, 1, 3, "d", "t.c", DOC2, None, None, False),
+    ]
+    return spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+
+
+def test_subtle_insert_source_records(subtle_events):
+    recs = to_change_records(subtle_events).orderBy("ts", "inc").collect()
+    assert len(recs) == 4
+    assert [r["op"] for r in recs] == ["i", "i", "u", "d"]
+    assert all(r["key"] == r["id"] for r in recs)
+    assert all(r["database"] == "t_c" for r in recs)
+    update = recs[2]
+    assert json.loads(update["object"])["name"] == "Stephen"
+    assert recs[3]["object"] is None  # tombstone
+
+
+def test_put_subtle_one_doc_remains(subtle_events, tmp_path, spark):
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.upsert(subtle_events.select("id", "ts", "inc", "seq", "op", "ns", "object"), 0)
+    final = table.read().collect()
+    assert len(final) == 1
+    row = final[0]
+    assert row["id"] == DOC1
+    body = json.loads(row["object"])
+    assert body["name"] == "Stephen" and body["state"] == -1
+
+
+def test_lww_batch_semantics(subtle_events):
+    collapsed = lww_collapse(subtle_events, key="id")
+    assert collapsed.count() == 2
+    live = drop_tombstones(collapsed).collect()
+    assert len(live) == 1 and live[0]["id"] == DOC1
