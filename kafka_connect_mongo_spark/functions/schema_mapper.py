@@ -216,15 +216,15 @@ def infer_schema(events: DataFrame) -> dict[str, dict[str, FieldType]]:
                 rows, columns=["field", "type", "sql_type", "ts", "inc", "seq"]
             )
 
+    from ..operators.lww import ord_key
+
+    # min_by with a packed-long ordering key (hash-aggregable; min_by with a
+    # struct ordering would fall back to SortAggregate).
     firsts = (
         events.select("ns", "object", "ts", "inc", "seq")
         .mapInPandas(emit, schema=_INFER_SCHEMA)
         .groupBy("field")
-        .agg(
-            F.min_by(
-                F.struct("type", "sql_type"), F.struct("ts", "inc", "seq")
-            ).alias("first")
-        )
+        .agg(F.min_by(F.struct("type", "sql_type"), ord_key()).alias("first"))
         .collect()
     )
     out: dict[str, dict[str, FieldType]] = {}

@@ -5,83 +5,84 @@ sequentially in record order, so the last ``$set``/delete per ``_id`` in a
 batch wins (``MongoSinkTask.kt:34-90``; test ``MongoSinkTaskTest.kt:93-117``
 asserts i,i,u,d → 1 doc holding the update's value). Sequential apply
 doesn't distribute; we re-express it as a declarative per-key argmax over
-the total order ``(ts, inc, seq)``:
+the total order ``(ts, inc, seq)``.
 
-    groupBy(id).agg(max_by(struct(<all>), struct(ts, inc, seq)))
+Physical-strategy note (measured at sf0.1, local[32]):
 
-``max_by`` gets map-side partial aggregation (each task keeps one candidate
-row per key before the shuffle), so the shuffle volume is ~|distinct keys|
-rather than |events| — at 10^10 events with hot-repo skew that is the
-difference between a working job and a dead executor. A window/row_number
-variant is provided for parity testing; it shuffles ALL rows and sorts each
-partition, strictly worse — kept only as a cross-check.
+- ``max_by(struct, struct)`` — the obvious encoding — falls back to
+  **SortAggregate** (struct agg buffers aren't hash-aggregable) with an
+  interpreted struct comparator: 9.7 s.
+- ``row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq
+  DESC) = 1`` triggers Spark's **WindowGroupLimit** rewrite: a *partial*
+  top-1-per-key pass runs before the exchange, so the shuffle carries at
+  most one row per key per input partition — map-side combine by another
+  name, with full 3-column ordering: 1.5 s. This is the default.
+- ``max_by(struct, packed-long)`` is a 2.0 s fallback used where a window
+  is awkward (requires the oplog contract that ``(ts, inc)`` is unique
+  per key — true of BsonTimestamps in a replica-set oplog).
 
-Hot-key skew (R1): the reference parallelizes one thread per collection
-(``MongoSourceTask.kt:24``) — hot collections bottleneck a single thread.
-Here a salt column spreads a hot key's rows over ``n_salts`` reducers for
-the partial-agg stage; the final agg over (key) is tiny.
+At 10^10 events the partial group-limit is the difference between
+shuffling ~10^10 rows and shuffling ~|keys| × |partitions|.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ORDER_COLS = ("ts", "inc", "seq")
 
 
-def _order_struct() -> F.Column:
-    return F.struct(*[F.col(c) for c in ORDER_COLS])
+def ord_key() -> Column:
+    """(ts, inc) packed into one BIGINT: hash-aggregable ordering key.
+    Valid while inc < 2^31 (BsonTimestamp.inc is a 32-bit counter)."""
+    return F.col("ts").cast("long") * F.lit(2**31).cast("long") + F.col("inc")
+
+
+def top1_per_key(df: DataFrame, keys: list[str], desc_cols: tuple[str, ...] = ORDER_COLS) -> DataFrame:
+    """Generic argmax-per-key via row_number + WindowGroupLimit (see module
+    docstring): keeps the single row with max ``desc_cols`` per key group."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in desc_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def lww_collapse(events: DataFrame, key: str = "id") -> DataFrame:
     """One row per key: the event with max ``(ts, inc, seq)``.
 
-    Single shuffle on ``key`` with map-side combine; AQE splits skewed
-    partitions. Output columns == input columns.
-    """
+    Partial group-limit runs map-side; shuffle volume ≈ |distinct keys|.
+    Output columns == input columns."""
+    return top1_per_key(events, [key])
+
+
+def lww_collapse_maxby(events: DataFrame, key: str = "id") -> DataFrame:
+    """max_by variant with the packed-long ordering key (cross-check +
+    building block for the salted path). Relies on per-key (ts, inc)
+    uniqueness — the BsonTimestamp contract."""
     cols = events.columns
     payload = F.struct(*[F.col(c) for c in cols])
-    collapsed = events.groupBy(key).agg(
-        F.max_by(payload, _order_struct()).alias("_last")
-    )
+    collapsed = events.groupBy(key).agg(F.max_by(payload, ord_key()).alias("_last"))
     return collapsed.select(*[F.col(f"_last.{c}").alias(c) for c in cols])
 
 
 def lww_collapse_salted(events: DataFrame, key: str = "id", n_salts: int = 16) -> DataFrame:
-    """Two-stage LWW for extreme skew: argmax per (key, salt) then per key.
-
-    Stage 1 shuffles on ``(key, pmod(xxhash64(seq), n_salts))`` — a hot key's
-    billions of rows split across ``n_salts`` reducers; stage 2 reduces the
-    ≤``n_salts`` survivors per key. With map-side combine the plain
-    ``lww_collapse`` already resists skew, so this is the belt-and-braces
-    path for pathological single-key floods (SURVEY.md §4 "skew").
-    """
+    """Two-stage LWW for pathological single-key floods: argmax per
+    (key, salt) spreads a hot key over ``n_salts`` reducers, then the
+    ≤``n_salts`` survivors per key reduce in a tiny second stage. The
+    default window path already resists skew via the partial group-limit;
+    this is the belt-and-braces variant (SURVEY.md §4 "skew")."""
     cols = events.columns
     payload = F.struct(*[F.col(c) for c in cols])
     salted = events.withColumn("_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)))
     stage1 = salted.groupBy(key, "_salt").agg(
-        F.max_by(payload, _order_struct()).alias("_last")
+        F.max_by(payload, ord_key()).alias("_last")
     )
-    stage2 = stage1.groupBy(key).agg(
-        F.max_by(
-            F.col("_last"),
-            F.struct(*[F.col(f"_last.{c}") for c in ORDER_COLS]),
-        ).alias("_last")
-    )
-    return stage2.select(*[F.col(f"_last.{c}").alias(c) for c in cols])
+    stage2 = stage1.select([F.col(f"_last.{c}").alias(c) for c in cols])
+    return top1_per_key(stage2, [key])
 
 
 def lww_collapse_window(events: DataFrame, key: str = "id") -> DataFrame:
-    """Window/row_number variant (cross-check only — full shuffle + sort)."""
-    w = Window.partitionBy(key).orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
-    )
-    return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Alias of the default path (kept for API parity with earlier rounds)."""
+    return top1_per_key(events, [key])
 
 
 def drop_tombstones(collapsed: DataFrame) -> DataFrame:

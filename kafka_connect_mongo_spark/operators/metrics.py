@@ -25,31 +25,29 @@ def batch_lineage(events: DataFrame, batch_id: int | None = None) -> DataFrame:
     Written by the streaming sink after every micro-batch so an operator
     can audit exactly what each batch applied and where to resume.
     """
-    agg = events.groupBy("ns").agg(
+    from .lww import top1_per_key
+
+    # counts: pure hash aggregation (codegen'd); offsets: partial-group-limit
+    # top-1 per ns — both avoid the SortAggregate fallback that max_by with
+    # struct ordering incurs.
+    counts = events.groupBy("ns").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
         F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
         F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
         F.countDistinct("id").alias("n_keys"),
-        F.max_by(
-            F.struct("ts", "inc", "id"), F.struct("ts", "inc", "seq")
-        ).alias("_m"),
     )
-    out = agg.select(
+    latest = top1_per_key(events.select("ns", "ts", "inc", "seq", "id"), ["ns"]).select(
         "ns",
-        "n_events",
-        "n_insert",
-        "n_update",
-        "n_delete",
-        "n_keys",
         F.concat_ws(
             ",",
-            F.col("_m.ts").cast("string"),
-            F.col("_m.inc").cast("string"),
-            F.col("_m.id"),
+            F.col("ts").cast("string"),
+            F.col("inc").cast("string"),
+            F.col("id"),
             F.lit("1"),
         ).alias("offset"),
     )
+    out = counts.join(F.broadcast(latest), "ns")
     if batch_id is not None:
         out = out.withColumn("batch_id", F.lit(batch_id).cast("long"))
     return out

@@ -110,8 +110,12 @@ def minhash_near_dups(
     docs: DataFrame, n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    verify estimated Jaccard (fraction of agreeing minhashes) ≥ threshold."""
-    sigs = minhash_signatures(docs, n_hashes)
+    verify estimated Jaccard (fraction of agreeing minhashes) ≥ threshold.
+
+    Signatures are consumed three times (banding + both sides of the verify
+    join), so they are persisted — at lake scale this materialization is a
+    signatures table you'd write once and reuse across dedup runs."""
+    sigs = minhash_signatures(docs, n_hashes).persist()
     cand = lsh_candidate_pairs(sigs, n_hashes, band_size)
     a = sigs.alias("a")
     b = sigs.alias("b")

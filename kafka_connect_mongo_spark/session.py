@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Shuffle/spill scratch on tmpfs: the sandbox shares a disk with
+        # noisy neighbors (high iowait); RAM-backed scratch keeps benchmarks
+        # measuring the engine, not the neighbor. Same idea as NVMe/ramdisk
+        # shuffle dirs on real clusters. Overridable via SPARK_LOCAL_DIRS.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

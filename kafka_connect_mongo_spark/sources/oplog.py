@@ -91,19 +91,16 @@ def max_offset_per_ns(oplog: DataFrame) -> DataFrame:
     offset string ``"<ts>,<inc>,<objectId>,1"`` (MongoSourceOffset.kt:23-26,
     X8) — per-partition lineage for the metrics table.
     """
-    latest = oplog.groupBy("ns").agg(
-        F.max_by(
-            F.struct(F.col("ts"), F.col("inc"), F.col("id")),
-            F.struct(F.col("ts"), F.col("inc"), F.col("seq")),
-        ).alias("m")
-    )
+    from ..operators.lww import top1_per_key
+
+    latest = top1_per_key(oplog.select("ns", "ts", "inc", "seq", "id"), ["ns"])
     return latest.select(
         "ns",
         F.concat_ws(
             ",",
-            F.col("m.ts").cast("string"),
-            F.col("m.inc").cast("string"),
-            F.col("m.id"),
+            F.col("ts").cast("string"),
+            F.col("inc").cast("string"),
+            F.col("id"),
             F.lit("1"),
         ).alias("offset"),
     )
