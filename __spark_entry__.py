@@ -166,6 +166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p3_analyzed_flatten"] = _p3
 
+    def _t7(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.errors import error_counts
+
+        return error_counts(_feed(spark, sf))
+
+    q["t7_error_counts"] = _t7
+
     def _st1(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
@@ -472,6 +479,13 @@ SELECT op AS __op, coalesce(object->>'$._id', id) AS __pkey,
        object->>'$.camelCase' AS camelcase,
        CAST(object->'$.topics' AS VARCHAR) AS topics
 FROM ({feed}) WHERE ns = 'code.repos'
+""".strip()
+
+    o["t7_error_counts"] = f"""
+SELECT ns, count(*) AS n_rows,
+       CAST(sum(CASE WHEN op IN ('i','u') AND object IS NOT NULL
+                     AND NOT json_valid(object) THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+FROM ({feed}) GROUP BY ns
 """.strip()
 
     o["st1_streaming_replay"] = f"""

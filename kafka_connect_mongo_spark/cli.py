@@ -1,0 +1,96 @@
+"""spark-submit entry point.
+
+The north_rule runs the engine via ``spark-submit --py-files`` on a
+multi-executor cluster; this module is the ``main``:
+
+    spark-submit --py-files kafka_connect_mongo_spark.zip \\
+        -m kafka_connect_mongo_spark.cli stream \\
+        --oplog /data/feed --snapshot /data/repos.parquet \\
+        --table /lake/repos --checkpoint /ckpt/repos
+
+Subcommands mirror the reference's three connectors (SURVEY.md §3):
+``stream`` = MongoSourceConnector (bootstrap + tail), ``export`` =
+MongoExportSourceConnector (one-shot import), ``replay`` = batch
+replay to a parquet final-state table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="kafka_connect_mongo_spark")
+    p.add_argument("--master", default=None, help="override spark master (else spark-submit's)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("stream", help="checkpointed streaming replay into a lake table")
+    ps.add_argument("--oplog", required=True)
+    ps.add_argument("--snapshot", default=None)
+    ps.add_argument("--table", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--namespace", default=None)
+    ps.add_argument("--buckets", type=int, default=256)
+    ps.add_argument("--max-files-per-trigger", type=int, default=8)
+    ps.add_argument("--metrics", default=None)
+
+    pe = sub.add_parser("export", help="one-shot initial import (ExportReader analog)")
+    pe.add_argument("--snapshot", required=True)
+    pe.add_argument("--table", required=True)
+    pe.add_argument("--id-watermark", default=None)
+    pe.add_argument("--filter", default=None, help="SQL predicate (additional.filter analog)")
+    pe.add_argument("--buckets", type=int, default=256)
+
+    pr = sub.add_parser("replay", help="batch replay to a parquet final-state table")
+    pr.add_argument("--oplog", required=True)
+    pr.add_argument("--snapshot", default=None)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--namespace", default=None)
+
+    args = p.parse_args(argv)
+    spark = get_spark(master=args.master)
+
+    if args.cmd == "stream":
+        from .sinks.lake import LakeTable
+        from .streaming.replay_stream import run_replay_stream
+
+        table = LakeTable(spark, args.table, n_buckets=args.buckets)
+        stats = run_replay_stream(
+            spark,
+            args.oplog,
+            table,
+            args.checkpoint,
+            snapshot_path=args.snapshot,
+            namespace=args.namespace,
+            max_files_per_trigger=args.max_files_per_trigger,
+            metrics_dir=args.metrics,
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "export":
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from .sinks.lake import LakeTable
+        from .sources.export import read_snapshot, snapshot_as_events
+        from .streaming.replay_stream import prepare_batch
+
+        snap = read_snapshot(
+            spark, args.snapshot, id_watermark=args.id_watermark,
+            additional_filter=args.filter,
+        )
+        table = LakeTable(spark, args.table, n_buckets=args.buckets)
+        stats = table.upsert(prepare_batch(snapshot_as_events(snap)), "export")
+        print(json.dumps(stats))
+    elif args.cmd == "replay":
+        from .operators.replay import replay
+
+        df = replay(spark, args.oplog, args.snapshot, namespace=args.namespace)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

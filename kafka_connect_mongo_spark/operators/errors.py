@@ -1,0 +1,47 @@
+"""Error channels (T7, X4) — tolerant parse with a corrupt-row side channel.
+
+The reference tolerates malformed records at two points: a source doc that
+fails conversion is logged and skipped (``AbstractMongoSourceTask.kt:118-120``)
+and a sink record whose JSON fails to parse is logged and skipped
+(``MongoSinkTask.kt:63-70``). It also DROPS a whole bulk on write error
+(``MongoSinkTask.kt:85-88``, ``@todo retry``) — which we deliberately do NOT
+reproduce: sha256 state equality demands fail-and-retry, and Spark task
+retry + the idempotent MERGE give that for free.
+
+Here malformed payloads are split declaratively: ``from_json`` yields null
+for unparseable JSON (the X4 mapping), so one pass classifies rows into the
+good stream and a quarantine side channel with error counters — no row is
+silently lost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_bad(df: DataFrame) -> F.Column:
+    """Non-tombstone rows whose payload fails JSON parsing.
+
+    ``try_parse_json`` (variant) returns null on malformed input; deletes
+    carry null payloads legitimately (T6) and are never quarantined.
+    """
+    return F.col("op").isin("i", "u") & F.col("object").isNotNull() & F.try_parse_json(
+        F.col("object")
+    ).isNull()
+
+
+def split_corrupt(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) — one predicate, two filtered scans; Catalyst
+    shares the parse expression and both filters push to the scan."""
+    bad = _is_bad(events)
+    return events.filter(~bad), events.filter(bad)
+
+
+def error_counts(events: DataFrame) -> DataFrame:
+    """Per-namespace error metrics for the lineage table (A4 + T7)."""
+    bad = _is_bad(events)
+    return events.groupBy("ns").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
+    )

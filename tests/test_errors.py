@@ -1,0 +1,39 @@
+"""Error-channel semantics (T7/X4): malformed payloads are quarantined,
+never silently dropped, and never poison the good stream."""
+
+import json
+
+import pytest
+
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+from kafka_connect_mongo_spark.operators.errors import error_counts, split_corrupt
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    rows = [
+        (100, 0, 0, "i", "t.a", "a" * 24, json.dumps({"_id": "a" * 24, "v": 1}), None, False),
+        (100, 1, 1, "u", "t.a", "a" * 24, "{not json at all", None, False),  # corrupt
+        (100, 2, 2, "d", "t.a", "b" * 24, None, None, False),  # legit tombstone
+        (100, 3, 3, "i", "t.b", "c" * 24, "{\"unterminated\": ", None, False),  # corrupt
+    ]
+    return spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+
+
+def test_split_corrupt(mixed):
+    good, bad = split_corrupt(mixed)
+    assert good.count() == 2 and bad.count() == 2
+    assert {r["seq"] for r in bad.collect()} == {1, 3}
+    # tombstones (null payload) are never quarantined
+    assert any(r["op"] == "d" for r in good.collect())
+
+
+def test_error_counts(mixed):
+    counts = {r["ns"]: (r["n_rows"], r["n_corrupt"]) for r in error_counts(mixed).collect()}
+    assert counts["t.a"] == (3, 1)
+    assert counts["t.b"] == (1, 1)
+
+
+def test_nothing_lost(mixed):
+    good, bad = split_corrupt(mixed)
+    assert good.count() + bad.count() == mixed.count()
