@@ -47,7 +47,16 @@ def get_spark(
         # hash-buckets touched by a batch, never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Fixed-size heap + ParallelGC: the sandbox proxies syscalls through
+        # a userspace supervisor, so G1's heap grow/shrink (madvise/uncommit
+        # churn) serializes behind it and stalls jobs for minutes at larger
+        # inputs (observed: identical job 10s vs 330s). A non-resizing heap
+        # removes that syscall traffic entirely. Harmless on real clusters.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -Xms{os.environ.get('SPARK_DRIVER_MEM', '16g')}",
+        )
         # Shuffle/spill scratch on tmpfs: the sandbox shares a disk with
         # noisy neighbors (high iowait); RAM-backed scratch keeps benchmarks
         # measuring the engine, not the neighbor. Same idea as NVMe/ramdisk
