@@ -33,16 +33,35 @@ sys.path.insert(0, REPO)
 LEVELS = (2, 8, 32)
 
 
+def _staged_input(sf_alias: str) -> tuple[str, str]:
+    """Copy the generated feed to tmpfs once and return (oplog, repos) paths.
+
+    The sandbox's page cache is pinned at ~2 GB and the disk is shared with
+    other tenants, so cold parquet scans are a fixed serial resource that
+    flattens ANY engine's scaling curve. On a real cluster input bandwidth
+    scales with the executors (HDFS/S3); tmpfs staging restores that
+    property so the bench measures the engine."""
+    import shutil
+
+    from kafka_connect_mongo_spark import generator as g
+
+    src = g.generate(f"/root/testdata/{sf_alias}")
+    dst = f"/dev/shm/cdc-scaling-{os.path.basename(src)}"
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+    return os.path.join(dst, "oplog"), os.path.join(dst, "repos.parquet")
+
+
 def child(cpus: int, sf_alias: str) -> None:
     from pyspark.sql import functions as F
 
-    from kafka_connect_mongo_spark import generator as g
     from kafka_connect_mongo_spark.operators.replay import replay
     from kafka_connect_mongo_spark.session import get_spark
     from kafka_connect_mongo_spark.sources.oplog import read_oplog
 
-    sf_dir = f"/root/testdata/{sf_alias}"  # alias only — nothing written there
-    g.generate(sf_dir)
+    oplog_path, repos_path = _staged_input(sf_alias)
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -60,7 +79,7 @@ def child(cpus: int, sf_alias: str) -> None:
             walls.append(time.time() - t0)
         return walls
 
-    df = replay(spark, g.oplog_path(sf_dir), g.repos_path(sf_dir))
+    df = replay(spark, oplog_path, repos_path)
     replay_walls = timed(lambda: df.write.mode("overwrite").format("noop").save())
 
     probe = spark.range(0, 50_000_000, 1, 128).select(
@@ -68,8 +87,8 @@ def child(cpus: int, sf_alias: str) -> None:
     )
     probe_walls = timed(lambda: probe.filter(F.col("h") < "001").count(), n_warm=1, n_runs=3)
 
-    n_events = read_oplog(spark, g.oplog_path(sf_dir)).count() + spark.read.parquet(
-        g.repos_path(sf_dir)
+    n_events = read_oplog(spark, oplog_path).count() + spark.read.parquet(
+        repos_path
     ).count()
     spark.stop()
     # min-of-N: the noise-robust estimator under external interference
@@ -86,6 +105,21 @@ def child(cpus: int, sf_alias: str) -> None:
             }
         )
     )
+
+
+def wait_for_quiet(max_wait: int = 420, steal_threshold: int = 3) -> None:
+    """Best-effort: delay until host CPU steal subsides (shared host)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        out = subprocess.run(["vmstat", "2", "2"], capture_output=True, text=True)
+        last = out.stdout.strip().splitlines()[-1].split()
+        try:
+            st = int(last[-1])
+        except (ValueError, IndexError):
+            return
+        if st <= steal_threshold:
+            return
+        time.sleep(10)
 
 
 def run_child(cpus: int, sf_alias: str) -> dict:
@@ -112,11 +146,23 @@ def main() -> None:
         return
     sf_alias = sys.argv[1] if len(sys.argv) > 1 else "sf0.4"
 
-    from kafka_connect_mongo_spark import generator as g
+    _staged_input(sf_alias)  # generate + stage once, outside all timings
 
-    g.generate(f"/root/testdata/{sf_alias}")
-
-    results = {c: run_child(c, sf_alias) for c in LEVELS}
+    # Interleave levels across rounds: each level gets sampled in several
+    # time windows, so one co-tenant burst can't bias a whole level; keep
+    # the per-level min across rounds.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in LEVELS:
+            wait_for_quiet()
+            r = run_child(c, sf_alias)
+            best = results.get(c)
+            if best is None or r["replay_wall"] < best["replay_wall"]:
+                r["probe_wall"] = min(r["probe_wall"], best["probe_wall"]) if best else r["probe_wall"]
+                results[c] = r
+            elif r["probe_wall"] < best["probe_wall"]:
+                best["probe_wall"] = r["probe_wall"]
     n_events = results[LEVELS[0]]["n_events"]
 
     sp28, ef28 = eff(results[2], results[8], "replay_wall")
@@ -161,7 +207,11 @@ the SAME input.
 projection with per-row content sha256 — executed to a noop sink. Each
 level runs in its own JVM; min of 3 timed runs after a warm-up (min
 filters interference from co-tenants on this shared host). Shuffle
-partitions scale with cores (2×cpus); AQE on everywhere.
+partitions scale with cores (2×cpus); AQE on everywhere. Input parquet is
+staged on tmpfs: the sandbox pins the page cache at ~2 GB and shares one
+virtio disk across tenants, which makes cold scans a fixed serial resource
+— on a real cluster input bandwidth scales with executor count, and tmpfs
+staging restores that property so the pair measures the ENGINE.
 
 **CPU probe**: 50M sha256 over `range()` — pure CPU, no shuffle — measures
 the MACHINE's achievable thread scaling independent of the engine.
