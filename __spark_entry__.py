@@ -191,6 +191,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st1_streaming_replay"] = _st1
 
+    def _st2(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.analyzed_stream import run_analyzed_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-analyzed-")
+        table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        run_analyzed_stream(
+            spark, gen.oplog_path(sf), table, os.path.join(work, "ckpt"),
+            namespace="code.repos", max_files_per_trigger=None,
+        )
+        return table.read().select(
+            "id", "__op", "__ts", "repo", "lang", "stars", "camelcase"
+        )
+
+    q["st2_analyzed_stream"] = _st2
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -490,6 +506,18 @@ FROM ({feed}) GROUP BY ns
 
     o["st1_streaming_replay"] = f"""
 SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
+""".strip()
+
+    o["st2_analyzed_stream"] = f"""
+SELECT id, op AS __op,
+       strftime(make_timestamp(ts::BIGINT * 1000000), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS __ts,
+       object->>'$.repo' AS repo, object->>'$.lang' AS lang,
+       CAST(object->>'$.stars' AS DOUBLE) AS stars,
+       object->>'$.camelCase' AS camelcase
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed}) WHERE ns = 'code.repos'
+) WHERE rn = 1 AND op <> 'd'
 """.strip()
 
     # --- training-data pipeline -------------------------------------------

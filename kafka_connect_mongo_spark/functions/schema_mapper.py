@@ -265,16 +265,32 @@ def analyzed_spark_schema(fields: dict[str, FieldType]) -> T.StructType:
     return T.StructType(sorted(cols, key=lambda f: f.name))
 
 
-def flatten_analyzed(events: DataFrame, fields: dict[str, FieldType]) -> DataFrame:
+def flatten_analyzed(
+    events: DataFrame,
+    fields: dict[str, FieldType],
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Flatten post-image JSON into the analyzed flat schema.
 
     The frozen schema rides in the task closure; each Arrow batch is
     processed with pandas ops (the reference does this per record on one
     thread — ``getAnalyzedStruct`` — we do it per multi-thousand-row Arrow
-    batch on every executor).
+    batch on every executor). ``passthrough`` names input columns copied
+    verbatim into the output (e.g. the MERGE key + order columns for the
+    lake sink) — they ride the same Arrow batch, no join needed.
     """
     out_schema = analyzed_spark_schema(fields)
-    plan = [(f.name, fields.get(f.name)) for f in out_schema.fields if not f.name.startswith("__")]
+    in_types = {f.name: f.dataType for f in events.schema.fields}
+    for c in passthrough:
+        out_schema = T.StructType(
+            list(out_schema.fields) + [T.StructField(c, in_types[c])]
+        )
+    plan = [
+        (f.name, fields.get(f.name))
+        for f in out_schema.fields
+        if not f.name.startswith("__") and f.name not in passthrough
+    ]
+    in_cols = list(dict.fromkeys(["ts", "op", "id", "object", *passthrough]))
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,6 +312,8 @@ def flatten_analyzed(events: DataFrame, fields: dict[str, FieldType]) -> DataFra
             for name, ft in plan:
                 st = ft.sql_type if ft else "VARCHAR"
                 data[name] = [cast_or_null(b.get(name), st) for b in bodies]
+            for c in passthrough:
+                data[c] = list(pdf[c])
             yield pd.DataFrame(data, columns=[f.name for f in out_schema.fields])
 
-    return events.select("ts", "op", "id", "object").mapInPandas(fill, schema=out_schema)
+    return events.select(*in_cols).mapInPandas(fill, schema=out_schema)

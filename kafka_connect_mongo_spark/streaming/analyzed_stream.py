@@ -1,0 +1,73 @@
+"""Analyzed-mode streaming replay — dynamic schema evolution into the lake.
+
+The reference's analyzed mode (``analyze.schema=true``) flattens each
+change event into a per-collection dynamic schema that grows add-only as
+new fields appear (``SchemaMapper.kt`` §1.3-1.4), seeded from a schema
+registry on startup. Here each micro-batch:
+
+1. infers new fields from its post-images (distributed, order-faithful:
+   first value seen fixes the type — ``infer_schema``),
+2. merges them add-only into the driver-side ``SchemaRegistry`` (old type
+   wins; the CachedSchema analog),
+3. flattens via the Arrow-batched ``mapInPandas`` with the frozen schema,
+4. MERGEs into the lake table, whose column set grows add-only with the
+   registry (``unionByName allowMissingColumns`` — the parquet analog of
+   Iceberg's UpdateSchema/mergeSchema).
+
+Rows that existed before a field appeared read back as null for it —
+exactly the reference's add-only model (SchemaMapper.kt:199-235).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.schema_mapper import SchemaRegistry, analyze_into_registry, flatten_analyzed
+from ..sinks.lake import LakeTable
+from ..sources.oplog import read_oplog_stream
+
+
+def prepare_analyzed_batch(
+    batch: DataFrame, ns: str, registry: SchemaRegistry
+) -> DataFrame:
+    """Infer-merge-flatten one namespace's micro-batch into lake row shape."""
+    events = batch.filter(F.col("ns") == ns)
+    analyze_into_registry(events, registry)
+    # The MERGE key + order columns ride the same Arrow batch as the
+    # analyzed payload (passthrough) — no join, rows stay 1:1 with events.
+    return flatten_analyzed(
+        events, registry.get(ns), passthrough=("id", "ts", "inc", "seq", "op", "ns")
+    )
+
+
+def run_analyzed_stream(
+    spark: SparkSession,
+    oplog_path: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    namespace: str,
+    registry: SchemaRegistry | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Stream one namespace through analyzed-mode flatten into ``table``."""
+    registry = registry if registry is not None else SchemaRegistry()
+    applied: list[dict] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prepared = prepare_analyzed_batch(batch_df, namespace, registry)
+        applied.append(table.upsert(prepared, batch_id))
+
+    stream = read_oplog_stream(
+        spark, oplog_path, namespace=namespace,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"n_micro_batches": len(applied), "batches": applied,
+            "schema": {k: v.sql_type for k, v in registry.get(namespace).items()}}

@@ -1,0 +1,54 @@
+"""Property-based test: for ANY event sequence, the engine's distributed
+LWW + tombstone semantics equal the reference sink's sequential apply
+(upsert/delete in record order — MongoSinkTask.kt:34-90)."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+from kafka_connect_mongo_spark.operators.lww import (
+    drop_tombstones,
+    lww_collapse,
+    lww_collapse_maxby,
+    lww_collapse_salted,
+)
+
+KEYS = [f"{i:024x}" for i in range(6)]
+
+event = st.tuples(
+    st.integers(min_value=100, max_value=105),  # ts (collisions likely)
+    st.integers(min_value=0, max_value=3),  # inc
+    st.sampled_from(KEYS),
+    st.sampled_from(["i", "u", "d"]),
+    st.integers(min_value=0, max_value=99),  # payload value
+)
+
+
+def sequential_apply(rows):
+    state = {}
+    for ts, inc, seq, op, ns, key, obj, *_ in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = obj
+    return state
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(event, min_size=1, max_size=30))
+def test_lww_equals_sequential_apply(spark, events):
+    rows = []
+    for seq, (ts, inc, key, op, val) in enumerate(events):
+        obj = None if op == "d" else json.dumps({"_id": key, "v": val})
+        # make (ts, inc) unique per the BsonTimestamp contract by folding
+        # seq into inc's low bits — order stays total and deterministic
+        rows.append((ts, inc * 64 + seq, seq, op, "t.c", key, obj, None, False))
+    df = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    expected = sequential_apply(rows)
+
+    for collapse in (lww_collapse, lww_collapse_maxby, lww_collapse_salted):
+        live = drop_tombstones(collapse(df, key="id"))
+        got = {r["id"]: r["object"] for r in live.collect()}
+        assert got == expected, collapse.__name__
