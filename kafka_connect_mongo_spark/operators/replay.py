@@ -37,6 +37,10 @@ def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
 
     collapse = lww_collapse_salted if salted else lww_collapse
     live = drop_tombstones(collapse(events, key="id"))
+    # ONE from_json parse per row (get_json_object would re-parse the JSON
+    # once per extracted field — 7× the parsing work on the hot projection).
+    payload_schema = ", ".join(f"{f} string" for f in FINAL_FIELDS) + ", stars double"
+    doc = F.from_json(F.col("object"), payload_schema).alias("doc")
     cols = [
         F.col("id"),
         F.col("ns"),
@@ -45,13 +49,10 @@ def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
         F.col("seq"),
         F.col("op"),
     ]
-    for f in FINAL_FIELDS:
-        cols.append(F.get_json_object(F.col("object"), f"$.{f}").alias(f))
-    cols.append(
-        F.get_json_object(F.col("object"), "$.stars").cast("double").alias("stars")
-    )
-    cols.append(F.sha2(F.get_json_object(F.col("object"), "$.content"), 256).alias("content_sha"))
-    return live.select(*cols)
+    cols += [F.col(f"doc.{f}").alias(f) for f in FINAL_FIELDS]
+    cols.append(F.col("doc.stars").alias("stars"))
+    cols.append(F.sha2(F.col("doc.content"), 256).alias("content_sha"))
+    return live.withColumn("doc", doc).select(*cols)
 
 
 def replay(
