@@ -34,7 +34,7 @@ import shutil
 import numpy as np
 import pandas as pd
 
-GEN_VERSION = "v3"
+GEN_VERSION = "v4"  # v4: zstd parquet (fewer bytes through the sandbox's I/O proxy)
 GEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gen")
 SEED = 42
 T0 = 1_600_000_000  # fixed epoch base; no wall-clock anywhere
@@ -207,11 +207,15 @@ def generate(sf_dir: str, out_root: str = GEN_ROOT, seed: int = SEED) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "oplog"), exist_ok=True)
     snapshot = repos.iloc[:n_snapshot].reset_index(drop=True)
-    snapshot.to_parquet(os.path.join(tmp, "repos.parquet"), index=False)
+    snapshot.to_parquet(
+        os.path.join(tmp, "repos.parquet"), index=False, compression="zstd"
+    )
     chunks = np.array_split(np.arange(len(full)), n_files)
     for k, idxs in enumerate(chunks):
         full.iloc[idxs].to_parquet(
-            os.path.join(tmp, "oplog", f"part-{k:04d}.parquet"), index=False
+            os.path.join(tmp, "oplog", f"part-{k:04d}.parquet"),
+            index=False,
+            compression="zstd",
         )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(GEN_VERSION)

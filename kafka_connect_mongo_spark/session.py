@@ -46,6 +46,11 @@ def get_spark(
         # dynamic partition overwrite: the lake sink rewrites only the
         # hash-buckets touched by a batch, never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # zstd shuffle/spill compression: the LWW shuffle carries post-image
+        # JSON payloads; denser compression halves the bytes through the
+        # (sandbox-proxied, and on real clusters network-bound) shuffle.
+        # Measured 2-3x faster flagship replay at sf0.4 vs lz4.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Fixed-size heap + ParallelGC: the sandbox proxies syscalls through
