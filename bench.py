@@ -55,9 +55,12 @@ def main() -> None:
     for name in bench_queries:
         df = qs[name](spark, sf_dir)
         run_noop(df)  # warm-up: JIT, FS cache, plan cache
-        t0 = time.time()
-        run_noop(df)
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):  # min-of-2: co-tenant bursts on this shared host
+            t0 = time.time()
+            run_noop(df)
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # events/sec over the flagship replay (clean feed + bootstrap rows)
     from kafka_connect_mongo_spark.sources.oplog import read_oplog
