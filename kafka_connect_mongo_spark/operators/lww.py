@@ -39,6 +39,20 @@ def ord_key() -> Column:
     return F.col("ts").cast("long") * F.lit(2**31).cast("long") + F.col("inc")
 
 
+def ord_key_str() -> Column:
+    """FULL (ts, inc, seq) total order as one zero-padded string — still
+    hash-aggregable (string min/max), unlike a struct ordering key which
+    would force a SortAggregate fallback. Unlike ``ord_key`` it breaks
+    (ts, inc) ties deterministically by seq, covering inputs that violate
+    the BsonTimestamp per-key-uniqueness contract (e.g. bootstrap rows all
+    share (T0-10, 0)). seq ≥ -1 by construction (bootstrap = -1)."""
+    return F.concat(
+        F.lpad(F.col("ts").cast("string"), 11, "0"),
+        F.lpad(F.col("inc").cast("string"), 11, "0"),
+        F.lpad((F.col("seq") + F.lit(1)).cast("string"), 20, "0"),
+    )
+
+
 def top1_per_key(df: DataFrame, keys: list[str], desc_cols: tuple[str, ...] = ORDER_COLS) -> DataFrame:
     """Generic argmax-per-key via row_number + WindowGroupLimit (see module
     docstring): keeps the single row with max ``desc_cols`` per key group."""
@@ -55,12 +69,12 @@ def lww_collapse(events: DataFrame, key: str = "id") -> DataFrame:
 
 
 def lww_collapse_maxby(events: DataFrame, key: str = "id") -> DataFrame:
-    """max_by variant with the packed-long ordering key (cross-check +
-    building block for the salted path). Relies on per-key (ts, inc)
-    uniqueness — the BsonTimestamp contract."""
+    """max_by variant with the full-order string key (cross-check +
+    building block for the salted path): deterministic even under
+    (ts, inc) ties, via seq."""
     cols = events.columns
     payload = F.struct(*[F.col(c) for c in cols])
-    collapsed = events.groupBy(key).agg(F.max_by(payload, ord_key()).alias("_last"))
+    collapsed = events.groupBy(key).agg(F.max_by(payload, ord_key_str()).alias("_last"))
     return collapsed.select(*[F.col(f"_last.{c}").alias(c) for c in cols])
 
 
@@ -74,7 +88,7 @@ def lww_collapse_salted(events: DataFrame, key: str = "id", n_salts: int = 16) -
     payload = F.struct(*[F.col(c) for c in cols])
     salted = events.withColumn("_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(n_salts)))
     stage1 = salted.groupBy(key, "_salt").agg(
-        F.max_by(payload, ord_key()).alias("_last")
+        F.max_by(payload, ord_key_str()).alias("_last")
     )
     stage2 = stage1.select([F.col(f"_last.{c}").alias(c) for c in cols])
     return top1_per_key(stage2, [key])
@@ -85,7 +99,17 @@ def lww_collapse_window(events: DataFrame, key: str = "id") -> DataFrame:
     return top1_per_key(events, [key])
 
 
+def tombstone_cond(has_object: bool = True) -> Column:
+    """The reference sink treats ANY record with a null payload as a delete,
+    regardless of op (MongoSinkTask.kt:52-60) — not just op='d'."""
+    cond = F.col("op") == "d"
+    if has_object:
+        cond = cond | F.col("object").isNull()
+    return cond
+
+
 def drop_tombstones(collapsed: DataFrame) -> DataFrame:
     """T6: keys whose LAST event is a delete vanish from final state
-    (MongoSinkTask.kt:52-60 turns null-payload records into deletes)."""
-    return collapsed.filter(F.col("op") != "d")
+    (MongoSinkTask.kt:52-60 turns null-payload records into deletes —
+    honored here when the payload column is present)."""
+    return collapsed.filter(~tombstone_cond(has_object="object" in collapsed.columns))
