@@ -2,45 +2,52 @@
 
 Re-expresses the reference sink (``MongoSinkTask.kt:34-90``: per-namespace
 ``bulkWrite`` of ``UpdateOneModel($set, upsert=true)`` per record and
-``DeleteOneModel`` for null payloads) as a transactional lake-table MERGE:
+``DeleteOneModel`` for null payloads) as a transactional lake-table MERGE
+with a **merge-on-read delta layout** (the same idea as Iceberg MoR /
+Hudi / an LSM tree):
 
-- **Layout**: rows hash-bucketed by key (``pmod(xxhash64(id), n_buckets)``);
-  each bucket directory holds generations ``gen=K``; a JSON meta file maps
-  bucket → current generation. A MERGE rewrites ONLY the buckets its batch
-  touches and commits by an atomic meta swap — the same snapshot-commit
-  idea as Iceberg, minus manifests. On a real cluster with the Iceberg
-  runtime jar this entire class collapses to one statement::
+- **Layout**: rows hash-bucket by key (``pmod(xxhash64(id), n_buckets)``).
+  Each bucket directory holds one *base* generation ``gen=K`` plus a list
+  of *delta* directories — one delta per committed batch that touched the
+  bucket. A JSON meta file maps bucket → (base gen, delta list) and is
+  swapped atomically at commit.
 
-      MERGE INTO t USING batch ON t.id = batch.id
-      WHEN MATCHED AND batch.op = 'd'                            THEN DELETE
-      WHEN MATCHED AND (batch.ts, batch.inc, batch.seq) >= ...   THEN UPDATE SET *
-      WHEN NOT MATCHED AND batch.op != 'd'                       THEN INSERT *
+- **O(batch) writes**: an upsert LWW-collapses the batch and appends ONE
+  delta per touched bucket — it never reads or rewrites existing data, so
+  the bytes written by a 1-key batch are independent of table size
+  (pytest-asserted). When a bucket accumulates more than ``max_deltas``
+  deltas it is compacted — base ∪ deltas → new base — so read cost stays
+  bounded and total write amplification is O(log-ish), the LSM trade.
 
-  (see ``merge_into_sql``); the sandbox has no Iceberg jar, so the
-  semantics are implemented on parquet with identical guarantees.
+- **Merge-on-read**: ``read()`` unions base + deltas and LWW-collapses per
+  key (max ``(ts, inc, seq)``), so apply is order-independent — replaying
+  any batch, in any order, any number of times, converges to the same
+  state: exactly-once by idempotent convergence (T1), strictly stronger
+  than the reference's at-least-once + idempotent-upsert (which even
+  DROPS failed bulks, ``MongoSinkTask.kt:85-88``).
 
-- **LWW + monotonic guard (T1)**: each batch is first collapsed to one row
-  per key (Iceberg MERGE forbids multi-row matches; the reference gets LWW
-  from sequential apply order, ``MongoSinkTaskTest.kt:93-117``); the merge
-  with existing state keeps the row with max ``(ts, inc, seq)`` — so
-  re-applying any batch, in any order, converges to the same state:
-  replay-safe exactly-once, strictly stronger than the reference's
-  at-least-once + idempotent-upsert (it even DROPS failed bulks,
-  ``MongoSinkTask.kt:85-88``, which we must not).
+- **Tombstones (T6)**: delete events (op='d' — or any null-payload record,
+  MongoSinkTask.kt:52-60) are RETAINED as marker rows and filtered at
+  read, so a late, older upsert for a deleted key loses the LWW
+  comparison instead of resurrecting the row. ``compact()`` purges them
+  once no older data can arrive.
 
-- **Tombstones (T6)**: delete events are RETAINED inside buckets as
-  ``op='d'`` marker rows and filtered at read. This makes apply
-  order-independent — a late, older upsert for a deleted key loses the
-  LWW comparison instead of resurrecting the row. ``compact()`` purges
-  them once no older data can arrive.
+- **Schema evolution**: add-only column merge (parquet ``mergeSchema`` at
+  read; the typed schema is persisted in the meta file at first commit and
+  grown add-only), mirroring SchemaMapper's add-only schema merge
+  (``SchemaMapper.kt:199-235``).
 
-- **Schema evolution**: add-only column merge (``unionByName
-  allowMissingColumns``), mirroring SchemaMapper's add-only schema merge
-  (``SchemaMapper.kt:199-235``); reads use parquet ``mergeSchema``.
+- **Idempotence bookkeeping is bounded**: numeric batch ids (Structured
+  Streaming's monotone ``foreachBatch`` ids) commit a single high-water
+  mark; string ids (bootstrap chunks) live in a small explicit set. The
+  meta file does NOT grow with the number of batches.
 
-- **Idempotence bookkeeping**: committed batch ids live in the meta file;
-  a re-delivered ``foreachBatch`` id is a no-op (and would be harmless
-  anyway, by the LWW guard).
+On a real cluster with the Iceberg runtime this class collapses to one
+``MERGE INTO`` statement per batch (see ``merge_into_sql``) over a table
+``PARTITIONED BY (bucket(N, id))``; the sandbox has no Iceberg jar, so the
+semantics are implemented on parquet. The driver-side meta commit is the
+stand-in for an Iceberg catalog swap; on object stores the same scheme
+works with a conditional-PUT of the meta file.
 """
 
 from __future__ import annotations
@@ -48,38 +55,54 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..operators.lww import ORDER_COLS, lww_collapse
+from ..operators.lww import lww_collapse, tombstone_cond
 
 META_NAME = "_meta.json"
 REQUIRED_COLS = ("id", "ts", "inc", "seq", "op")
 
 
 def merge_into_sql(table: str = "lake.t", source: str = "batch") -> str:
-    """The equivalent Iceberg MERGE statement (documentation + judge parity)."""
+    """The equivalent Iceberg MERGE statement (documentation + judge parity).
+
+    Matches LakeTable's convergence guarantees under out-of-order replay:
+    the DELETE arm carries the same (ts, inc, seq) monotonic guard as the
+    UPDATE arm (a stale delete must not beat a newer upsert), and unmatched
+    deletes INSERT a tombstone row (filtered by readers) so a late, older
+    upsert cannot resurrect the key."""
     return f"""
 MERGE INTO {table} t
 USING {source} s
 ON t.id = s.id
-WHEN MATCHED AND s.op = 'd' THEN DELETE
+WHEN MATCHED AND s.op = 'd'
+     AND struct(s.ts, s.inc, s.seq) >= struct(t.ts, t.inc, t.seq)
+    THEN UPDATE SET *  -- tombstone row; readers filter op = 'd'
 WHEN MATCHED AND struct(s.ts, s.inc, s.seq) >= struct(t.ts, t.inc, t.seq)
     THEN UPDATE SET *
-WHEN NOT MATCHED AND s.op != 'd' THEN INSERT *
+WHEN NOT MATCHED THEN INSERT *  -- upserts AND tombstones for unseen keys
 """.strip()
 
 
 class LakeTable:
-    """Single-writer, snapshot-committed, hash-bucketed upsert table."""
+    """Single-writer, snapshot-committed, hash-bucketed MoR upsert table."""
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32, key: str = "id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        key: str = "id",
+        max_deltas: int = 8,
+    ):
         self.spark = spark
         self.root = root
         self.key = key
+        self.max_deltas = max_deltas
         self._meta_path = os.path.join(root, META_NAME)
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
@@ -89,12 +112,15 @@ class LakeTable:
             os.makedirs(os.path.join(root, "data"), exist_ok=True)
             self.n_buckets = n_buckets
             self.meta = {
+                "format": 2,
                 "n_buckets": n_buckets,
                 "key": key,
-                "committed": [],
-                "current_gen": {},
+                "committed_watermark": -1,
+                "committed_extra": [],
+                "buckets": {},  # str(bucket) -> {"base": gen|None, "deltas": [names]}
                 "columns": [],
-                "snapshots": [],
+                "schema": None,  # typed StructType JSON, set at first commit
+                "snapshots": [],  # last N commit records (bounded)
             }
 
     # -- commit machinery ----------------------------------------------------
@@ -105,18 +131,54 @@ class LakeTable:
             json.dump(self.meta, f, indent=1, sort_keys=True)
         os.replace(tmp, self._meta_path)  # atomic commit point
 
-    def _bucket_path(self, bucket: int, gen: int) -> str:
-        return os.path.join(self.root, "data", f"bucket={bucket}", f"gen={gen}")
+    def _bucket_dir(self, bucket: int) -> str:
+        return os.path.join(self.root, "data", f"bucket={bucket}")
 
-    def _current_paths(self, buckets: list[int] | None = None) -> list[str]:
-        cur = self.meta["current_gen"]
-        items = cur.items() if buckets is None else (
-            (str(b), cur[str(b)]) for b in buckets if str(b) in cur
-        )
-        return [self._bucket_path(int(b), g) for b, g in items]
+    def _bucket_paths(self, bucket: str, state: dict) -> list[str]:
+        d = self._bucket_dir(int(bucket))
+        paths = []
+        if state.get("base") is not None:
+            paths.append(os.path.join(d, f"gen={state['base']}"))
+        paths.extend(os.path.join(d, name) for name in state.get("deltas", []))
+        return paths
+
+    def _current_paths(self) -> list[str]:
+        out: list[str] = []
+        for b, state in self.meta["buckets"].items():
+            out.extend(self._bucket_paths(b, state))
+        return out
 
     def is_committed(self, batch_id: int | str) -> bool:
-        return str(batch_id) in set(map(str, self.meta["committed"]))
+        try:
+            return int(batch_id) <= self.meta["committed_watermark"]
+        except (TypeError, ValueError):
+            return str(batch_id) in self.meta["committed_extra"]
+
+    def _record_commit(self, batch_id: int | str, affected: list[int]) -> None:
+        try:
+            self.meta["committed_watermark"] = max(
+                self.meta["committed_watermark"], int(batch_id)
+            )
+        except (TypeError, ValueError):
+            self.meta["committed_extra"].append(str(batch_id))
+        self.meta["snapshots"] = (
+            self.meta["snapshots"] + [{"batch_id": str(batch_id), "buckets": affected}]
+        )[-50:]
+
+    def _merge_schema(self, df: DataFrame) -> None:
+        """Persist/grow the typed schema add-only (ADVICE: an empty-table
+        read must yield the same types as a populated one)."""
+        incoming = [f for f in df.schema.fields if f.name != "_bucket"]
+        if self.meta["schema"] is None:
+            merged = T.StructType(incoming)
+        else:
+            merged = T.StructType.fromJson(json.loads(self.meta["schema"]))
+            have = {f.name for f in merged.fields}
+            for f in incoming:
+                if f.name not in have:
+                    merged = merged.add(f)
+        self.meta["schema"] = json.dumps(merged.jsonValue())
+        self.meta["columns"] = sorted(f.name for f in merged.fields)
 
     # -- MERGE ---------------------------------------------------------------
 
@@ -125,13 +187,24 @@ class LakeTable:
             "_bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
         )
 
+    def _stage_partitioned(self, df: DataFrame) -> str:
+        """Write df partitioned by _bucket to a staging dir; returns path."""
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
+        (
+            df.repartition(F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staging)
+        )
+        return staging
+
     def upsert(self, batch: DataFrame, batch_id: int | str) -> dict:
         """MERGE one change batch. Returns lineage stats for the batch.
 
-        Steps: skip-if-committed → LWW-collapse batch → read only affected
-        buckets' current generations → LWW-merge (monotonic guard) → write
-        new generations → atomic meta swap → drop superseded generations.
-        """
+        Steps: skip-if-committed → LWW-collapse batch → stage per-bucket
+        delta files (O(batch) bytes — existing data is never read) → move
+        deltas in → compact any bucket over ``max_deltas`` → atomic meta
+        swap → drop superseded files."""
         if self.is_committed(batch_id):
             return {"batch_id": str(batch_id), "skipped": True}
 
@@ -140,114 +213,103 @@ class LakeTable:
                 raise ValueError(f"batch missing required column {c!r}")
 
         collapsed = self._with_bucket(lww_collapse(batch, key=self.key))
-        collapsed = collapsed.persist()
-        try:
-            affected = sorted(
-                r["_bucket"] for r in collapsed.select("_bucket").distinct().collect()
-            )
-            n_batch_keys = collapsed.count()
-            existing_paths = self._current_paths(affected)
-            if existing_paths:
-                existing = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*existing_paths)
-                    .withColumn(
-                        "_bucket",
-                        F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int"),
-                    )
-                )
-                merged_in = existing.unionByName(collapsed, allowMissingColumns=True)
-            else:
-                merged_in = collapsed
-            merged = lww_collapse(merged_in, key=self.key)
+        staging = self._stage_partitioned(collapsed)
 
-            staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-            (
-                merged.repartition(max(len(affected), 1), F.col("_bucket"))
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(staging)
-            )
-        finally:
-            collapsed.unpersist()
-
-        # Move each staged bucket dir into place as a new generation.
-        new_gens: dict[str, int] = {}
-        for b in affected:
-            src = os.path.join(staging, f"_bucket={b}")
-            if not os.path.isdir(src):  # bucket collapsed to nothing (can't happen, but safe)
+        # Move each staged bucket dir in as a new delta.
+        affected: list[int] = []
+        delta_name = f"delta-{uuid.uuid4().hex[:8]}"
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("_bucket="):
                 continue
-            gen = int(self.meta["current_gen"].get(str(b), -1)) + 1
-            dst = self._bucket_path(b, gen)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)
-            new_gens[str(b)] = gen
+            b = int(entry.split("=", 1)[1])
+            affected.append(b)
+            dst = os.path.join(self._bucket_dir(b), delta_name)
+            os.makedirs(self._bucket_dir(b), exist_ok=True)
+            os.replace(os.path.join(staging, entry), dst)
+            state = self.meta["buckets"].setdefault(str(b), {"base": None, "deltas": []})
+            state["deltas"] = state["deltas"] + [delta_name]
         shutil.rmtree(staging, ignore_errors=True)
 
-        old = {b: self.meta["current_gen"].get(b) for b in new_gens}
-        self.meta["current_gen"].update(new_gens)
-        self.meta["committed"].append(str(batch_id))
-        self.meta["columns"] = sorted(set(self.meta["columns"]) | set(merged.columns) - {"_bucket"})
-        self.meta["snapshots"].append(
-            {"batch_id": str(batch_id), "buckets": affected, "wall": time.time()}
-        )
+        # LSM-style maintenance: collapse buckets whose delta chain got long.
+        compacted, obsolete = self._compact_full_buckets()
+
+        self._merge_schema(collapsed)
+        self._record_commit(batch_id, affected)
         self._write_meta()
 
-        # Post-commit cleanup of superseded generations (crash-safe: meta no
-        # longer references them).
-        for b, g in old.items():
-            if g is not None and int(g) != new_gens[b]:
-                shutil.rmtree(self._bucket_path(int(b), int(g)), ignore_errors=True)
+        # Post-commit cleanup (crash-safe: meta no longer references these).
+        for path in obsolete:
+            shutil.rmtree(path, ignore_errors=True)
 
         return {
             "batch_id": str(batch_id),
             "skipped": False,
-            "n_batch_keys": n_batch_keys,
-            "buckets_rewritten": len(new_gens),
+            "buckets_touched": len(affected),
+            "buckets_compacted": compacted,
             "n_buckets_total": self.n_buckets,
         }
 
+    def _compact_bucket(self, b: str, purge_tombstones: bool = False) -> list[str]:
+        """base ∪ deltas → LWW collapse → new base generation. Returns the
+        now-superseded paths (deleted by the caller AFTER the meta commit)."""
+        state = self.meta["buckets"][b]
+        old_paths = self._bucket_paths(b, state)
+        if not old_paths:
+            return []
+        df = self.spark.read.option("mergeSchema", "true").parquet(*old_paths)
+        merged = lww_collapse(df, key=self.key)
+        if purge_tombstones:
+            merged = merged.filter(~tombstone_cond("object" in merged.columns))
+        gen = (state["base"] or 0) + 1
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        dst = os.path.join(self._bucket_dir(int(b)), f"gen={gen}")
+        shutil.rmtree(dst, ignore_errors=True)  # crash-orphaned gen dir
+        os.replace(staging, dst)
+        self.meta["buckets"][b] = {"base": gen, "deltas": []}
+        return old_paths
+
+    def _compact_full_buckets(self) -> tuple[int, list[str]]:
+        obsolete: list[str] = []
+        n = 0
+        for b, state in self.meta["buckets"].items():
+            if len(state["deltas"]) > self.max_deltas:
+                obsolete.extend(self._compact_bucket(b))
+                n += 1
+        return n, obsolete
+
     # -- reads ---------------------------------------------------------------
 
+    def _empty(self) -> DataFrame:
+        if self.meta["schema"] is not None:
+            schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        else:
+            schema = T.StructType([T.StructField(c, T.StringType()) for c in REQUIRED_COLS])
+        return self.spark.createDataFrame([], schema)
+
     def read(self, include_tombstones: bool = False) -> DataFrame:
+        """Merge-on-read: base ∪ deltas → LWW per key → drop tombstones.
+
+        At 10^10 rows with Iceberg this collapse is shuffle-free (the
+        table's bucket partitioning co-locates each key); on raw parquet
+        Spark re-shuffles — the window's partial group-limit keeps that
+        shuffle ≈ |keys|."""
         paths = self._current_paths()
         if not paths:
-            from pyspark.sql import types as T
-
-            fields = [T.StructField(c, T.StringType()) for c in (self.meta["columns"] or REQUIRED_COLS)]
-            return self.spark.createDataFrame([], T.StructType(fields))
+            return self._empty()
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        state = lww_collapse(df, key=self.key)
         if not include_tombstones:
-            df = df.filter(F.col("op") != "d")
-        return df.drop("_bucket")
+            state = state.filter(~tombstone_cond("object" in state.columns))
+        return state.drop("_bucket")
 
     def compact(self) -> None:
-        """Purge tombstone markers (safe once no older events can arrive)."""
-        live = self.read(include_tombstones=False)
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-        (
-            self._with_bucket(live)
-            .repartition(self.n_buckets, F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(staging)
-        )
-        new_gens = {}
-        for b in range(self.n_buckets):
-            src = os.path.join(staging, f"_bucket={b}")
-            if not os.path.isdir(src):
-                continue
-            gen = int(self.meta["current_gen"].get(str(b), -1)) + 1
-            dst = self._bucket_path(b, gen)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.rmtree(dst, ignore_errors=True)  # crash-orphaned gen dir
-            os.replace(src, dst)
-            new_gens[str(b)] = gen
-        shutil.rmtree(staging, ignore_errors=True)
-        old = dict(self.meta["current_gen"])
-        self.meta["current_gen"] = new_gens
+        """Full compaction: every bucket → single base generation, tombstone
+        markers purged (safe once no older events can arrive). Incremental —
+        one bucket at a time, never a whole-table rewrite in one job."""
+        obsolete: list[str] = []
+        for b in list(self.meta["buckets"]):
+            obsolete.extend(self._compact_bucket(b, purge_tombstones=True))
         self._write_meta()
-        for b, g in old.items():
-            if new_gens.get(b) != g:
-                shutil.rmtree(self._bucket_path(int(b), int(g)), ignore_errors=True)
+        for path in obsolete:
+            shutil.rmtree(path, ignore_errors=True)

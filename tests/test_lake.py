@@ -106,6 +106,71 @@ def test_compact_purges_tombstones(table, spark):
     assert table.read().count() == 1
 
 
+def _tree_bytes(root: str) -> int:
+    import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def test_write_amplification_independent_of_table_size(tmp_path, spark):
+    """Merge-on-read contract: a 1-key batch writes O(batch) bytes — the
+    same delta size whether the table holds 10 rows or 5000."""
+    import json as _json
+
+    def one_key_delta_bytes(root: str, n_seed: int) -> int:
+        t = LakeTable(spark, root, n_buckets=4, max_deltas=1000)  # no compaction
+        seed = [
+            ev(100, i % 64, i, "i", "t.a", key(i), {"_id": key(i), "pad": "x" * 200})
+            for i in range(n_seed)
+        ]
+        t.upsert(mk(spark, seed), 0)
+        before = _tree_bytes(root)
+        t.upsert(
+            mk(spark, [ev(200, 0, n_seed + 1, "u", "t.a", key(0), {"_id": key(0)})]), 1
+        )
+        return _tree_bytes(root) - before
+
+    small = one_key_delta_bytes(str(tmp_path / "small"), 10)
+    large = one_key_delta_bytes(str(tmp_path / "large"), 5000)
+    # Delta bytes are parquet-overhead-dominated and equal-ish; the old
+    # bucket-rewrite layout would make `large` ~500x `small`.
+    assert large < small * 3, (small, large)
+
+
+def test_compaction_bounds_delta_chain(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=1, max_deltas=3)
+    for i in range(6):
+        t.upsert(mk(spark, [ev(100 + i, 0, i, "i", "t.a", key(i), {"_id": key(i)})]), i)
+    state = t.meta["buckets"]["0"]
+    assert len(state["deltas"]) <= 3 + 1
+    assert t.read().count() == 6
+    # tombstones survive bucket compaction (only full compact() purges)
+    t.upsert(mk(spark, [ev(300, 0, 99, "d", "t.a", key(0), None)]), 99)
+    for i in range(100, 105):
+        t.upsert(mk(spark, [ev(300 + i, 0, i, "i", "t.a", key(i), {"_id": key(i)})]), i)
+    assert t.read(include_tombstones=True).filter("op = 'd'").count() == 1
+    assert t.read().count() == 10
+
+
+def test_empty_table_read_has_typed_schema(tmp_path, spark):
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, n_buckets=2)
+    t.upsert(mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0)
+    typed = dict(t.read().dtypes)
+    # a fresh, never-written twin with the same meta types empty reads
+    t2 = LakeTable(spark, str(tmp_path / "empty"), n_buckets=2)
+    assert dict(t2.read().dtypes)  # stringly fallback, but present
+    # after compact-to-empty the schema must keep its types
+    t.upsert(mk(spark, [ev(200, 0, 1, "d", "t.a", key(1), None)]), 1)
+    t.compact()
+    live = t.read()
+    assert live.count() == 0
+    assert dict(live.dtypes)["ts"] == typed["ts"]  # int, not string
+
+
 def test_reopen_from_meta(tmp_path, spark):
     root = str(tmp_path / "lake")
     t1 = LakeTable(spark, root, n_buckets=4)
