@@ -210,6 +210,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st2_analyzed_stream"] = _st2
 
+    def _st3(spark: SparkSession, sf: str) -> DataFrame:
+        from functools import reduce
+
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.router import run_routed_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-routed-")
+        res = run_routed_stream(
+            spark, gen.oplog_path(sf), os.path.join(work, "lake"),
+            os.path.join(work, "ckpt"), snapshot_path=gen.repos_path(sf),
+            n_buckets=8,
+        )
+        parts = [
+            LakeTable(spark, root).read().select(
+                "id", "ns",
+                F.lit(os.path.basename(root)).alias("table_name"),
+                "content_sha",
+            )
+            for _ns, root in sorted(res["tables"].items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    q["st3_multi_ns"] = _st3
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -509,6 +533,12 @@ FROM ({feed}) GROUP BY ns
 
     o["st1_streaming_replay"] = f"""
 SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
+""".strip()
+
+    o["st3_multi_ns"] = f"""
+SELECT id, ns, 'cdc_' || replace(ns, '.', '_') AS table_name,
+       sha256(object->>'$.content') AS content_sha
+FROM ({final})
 """.strip()
 
     o["st2_analyzed_stream"] = f"""

@@ -154,6 +154,15 @@ class LakeTable:
         except (TypeError, ValueError):
             return str(batch_id) in self.meta["committed_extra"]
 
+    def mark_committed(self, batch_id: int | str) -> None:
+        """Commit a data-less marker (e.g. 'bootstrap finished' after all
+        chunks landed — the ``finishedImport`` flag re-expressed,
+        MongoSourceOffset.kt:10-14)."""
+        if self.is_committed(batch_id):
+            return
+        self._record_commit(batch_id, [])
+        self._write_meta()
+
     def _record_commit(self, batch_id: int | str, affected: list[int]) -> None:
         try:
             self.meta["committed_watermark"] = max(

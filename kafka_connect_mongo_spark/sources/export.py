@@ -72,3 +72,33 @@ def snapshot_as_events(snapshot: DataFrame) -> DataFrame:
 def bootstrap_union_feed(snapshot_events: DataFrame, feed: DataFrame) -> DataFrame:
     """Temporal union of initial import + change feed (SURVEY.md §2.7)."""
     return snapshot_events.unionByName(feed, allowMissingColumns=True)
+
+
+def id_chunk_bounds(n_chunks: int) -> list[tuple[str | None, str | None]]:
+    """Split the 24-hex ``_id`` keyspace into ``n_chunks`` contiguous ranges
+    ``[lo, hi)`` (hi=None → open-ended).
+
+    This is the reference's resumable-export ``_id`` watermark
+    (``ExportReader.kt:38-45``) at chunk granularity: each finished chunk
+    commits, so a crash mid-import re-reads only the unfinished ranges.
+    ObjectIds/md5 ids are uniform in hex, so ranges are balanced."""
+    n_chunks = max(1, min(256, n_chunks))
+    marks = [format((i * 256) // n_chunks, "02x") for i in range(n_chunks + 1)]
+    bounds: list[tuple[str | None, str | None]] = []
+    for i in range(n_chunks):
+        lo = None if i == 0 else marks[i]
+        hi = None if i == n_chunks - 1 else marks[i + 1]
+        bounds.append((lo, hi))
+    return bounds
+
+
+def snapshot_id_range(
+    snapshot: DataFrame, lo: str | None, hi: str | None
+) -> DataFrame:
+    """One bootstrap chunk: ``lo <= _id < hi`` — a monotone range predicate
+    that parquet min/max pruning turns into file skipping (F5's pushdown)."""
+    if lo is not None:
+        snapshot = snapshot.filter(F.col("_id") >= F.lit(lo))
+    if hi is not None:
+        snapshot = snapshot.filter(F.col("_id") < F.lit(hi))
+    return snapshot

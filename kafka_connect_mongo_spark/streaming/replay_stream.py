@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from ..operators.metrics import batch_lineage
 from ..sinks.lake import LakeTable
-from ..sources.export import read_snapshot, snapshot_as_events
+from ..sources.export import (
+    id_chunk_bounds,
+    read_snapshot,
+    snapshot_as_events,
+    snapshot_id_range,
+)
 from ..sources.oplog import read_oplog_stream
 
 BOOTSTRAP_BATCH_ID = "bootstrap"
@@ -53,15 +58,45 @@ def prepare_batch(batch: DataFrame) -> DataFrame:
     )
 
 
-def bootstrap(spark: SparkSession, table: LakeTable, snapshot_path: str) -> dict:
-    """Initial full-table import (S2) as the first committed batch.
+def bootstrap(
+    spark: SparkSession,
+    table: LakeTable,
+    snapshot_path: str,
+    namespace: str | None = None,
+    n_chunks: int = 4,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Initial full-table import (S2), chunked by ``_id`` range and
+    resumable mid-import (T4).
 
-    Idempotent: recorded under a reserved batch id, so a restarted job
-    skips it (the ``finishedImport`` flag re-expressed)."""
+    The reference resumes a killed export from its ``_id`` watermark
+    (``ExportReader.kt:38-45``, ``MongoSourceOffset.kt:10-14``,
+    ``finishedImport=-1``); here each ``_id``-range chunk commits
+    independently, so a crash at chunk k re-reads nothing before k — a
+    100 TB snapshot import that dies at 99% restarts at 99%, and parquet
+    min/max pruning skips the finished ranges' files entirely.
+
+    ``fail_after_chunks`` is a crash-injection hook for the resume test.
+    Completion commits the ``bootstrap`` marker (``finishedImport=1``)."""
     if table.is_committed(BOOTSTRAP_BATCH_ID):
-        return {"batch_id": BOOTSTRAP_BATCH_ID, "skipped": True}
-    events = snapshot_as_events(read_snapshot(spark, snapshot_path))
-    return table.upsert(prepare_batch(events), BOOTSTRAP_BATCH_ID)
+        return {"batch_id": BOOTSTRAP_BATCH_ID, "skipped": True, "chunks_run": 0}
+    snapshot = read_snapshot(spark, snapshot_path)
+    if namespace is not None:
+        from pyspark.sql import functions as _F
+
+        snapshot = snapshot.filter(_F.col("ns") == namespace)
+    chunks_run = 0
+    for i, (lo, hi) in enumerate(id_chunk_bounds(n_chunks)):
+        chunk_id = f"{BOOTSTRAP_BATCH_ID}:{i:03d}"
+        if table.is_committed(chunk_id):
+            continue
+        if fail_after_chunks is not None and chunks_run >= fail_after_chunks:
+            raise RuntimeError(f"injected bootstrap crash before chunk {i}")
+        events = snapshot_as_events(snapshot_id_range(snapshot, lo, hi))
+        table.upsert(prepare_batch(events), chunk_id)
+        chunks_run += 1
+    table.mark_committed(BOOTSTRAP_BATCH_ID)
+    return {"batch_id": BOOTSTRAP_BATCH_ID, "skipped": False, "chunks_run": chunks_run}
 
 
 def run_replay_stream(

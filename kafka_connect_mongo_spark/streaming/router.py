@@ -1,0 +1,116 @@
+"""Table-per-namespace routing — the topic-per-collection contract.
+
+The reference routes every collection to its own topic
+(``StructUtil.kt:13-16`` builds ``prefix_db_coll``;
+``AbstractMongoSourceTask.kt:106-117`` stamps it per record) and the sink
+validates a 1:1 topics↔databases mapping (``MongoSinkConnector.kt:54-71``).
+Here a ``NamespaceRouter`` owns one ``LakeTable`` per namespace under a
+common root — ``<root>/<prefix_db_coll>/`` — and fans each micro-batch out
+by ``ns``:
+
+- the per-ns slice is LWW-merged into that namespace's table only;
+- batch ids are shared across tables (Structured Streaming's monotone
+  ``foreachBatch`` id), so every table keeps its own exactly-once
+  watermark; a namespace absent from a batch simply lags — harmless,
+  because re-applied slices converge by LWW;
+- the distinct-ns probe per batch is a tiny aggregation (≤ #collections
+  rows), not a data scan.
+
+At 10^10 events the fan-out costs one extra filter per namespace per
+micro-batch over the already-pruned batch — with Iceberg each table is its
+own catalog entry, matching a real deployment's one-table-per-collection
+layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import topic_name
+from ..sinks.lake import LakeTable
+from ..sources.oplog import read_oplog_stream
+from .replay_stream import bootstrap, prepare_batch
+
+
+class NamespaceRouter:
+    """One LakeTable per namespace under ``root`` (topic-name mangled)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        prefix: str = "cdc",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.prefix = prefix
+        self.n_buckets = n_buckets
+        self.tables: dict[str, LakeTable] = {}
+
+    def table_for(self, ns: str) -> LakeTable:
+        if ns not in self.tables:
+            self.tables[ns] = LakeTable(
+                self.spark,
+                os.path.join(self.root, topic_name(self.prefix, ns)),
+                n_buckets=self.n_buckets,
+            )
+        return self.tables[ns]
+
+    def namespaces(self, batch: DataFrame) -> list[str]:
+        return sorted(r["ns"] for r in batch.select("ns").distinct().collect())
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | str) -> list[dict]:
+        stats = []
+        for ns in self.namespaces(batch):
+            table = self.table_for(ns)
+            prepared = prepare_batch(batch.filter(F.col("ns") == ns))
+            stats.append({"ns": ns, **table.upsert(prepared, batch_id)})
+        return stats
+
+
+def run_routed_stream(
+    spark: SparkSession,
+    oplog_path: str,
+    root: str,
+    checkpoint_dir: str,
+    snapshot_path: str | None = None,
+    prefix: str = "cdc",
+    n_buckets: int = 32,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Replay a MULTI-collection change feed into one lake table per
+    namespace, exactly-once per table, resumable from the shared
+    checkpoint. Returns {ns: table_root} plus per-batch stats."""
+    router = NamespaceRouter(spark, root, prefix=prefix, n_buckets=n_buckets)
+
+    if snapshot_path:
+        snap_ns = sorted(
+            r["ns"]
+            for r in spark.read.parquet(snapshot_path).select("ns").distinct().collect()
+        )
+        for ns in snap_ns:
+            bootstrap(spark, router.table_for(ns), snapshot_path, namespace=ns)
+
+    applied: list[dict] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied.extend(router.apply_batch(batch_df, batch_id))
+
+    stream = read_oplog_stream(
+        spark, oplog_path, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "tables": {ns: t.root for ns, t in sorted(router.tables.items())},
+        "batches": applied,
+    }

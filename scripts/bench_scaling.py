@@ -62,11 +62,24 @@ def child(cpus: int, sf_alias: str) -> None:
     from kafka_connect_mongo_spark.sources.oplog import read_oplog
 
     oplog_path, repos_path = _staged_input(sf_alias)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=str(2 * cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # A faithful N-core machine: the parent pins this process (and
+            # its Python workers) to `cpus` hardware threads with taskset;
+            # the JVM must agree, or GC/netty/codegen pools size for the
+            # 32-thread host and the low-parallelism level gets free cores
+            # the pinning then serializes.
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -Xms{mem} "
+                f"-XX:ActiveProcessorCount={cpus} "
+                f"-XX:ParallelGCThreads={max(2, cpus)}"
+            ),
+        },
     )
 
     def timed(df_action, n_warm=1, n_runs=3) -> list[float]:
@@ -134,8 +147,16 @@ def wait_for_quiet(max_wait: int = 420, steal_threshold: int = 3) -> None:
 
 
 def run_child(cpus: int, sf_alias: str) -> dict:
+    # taskset pins the child JVM + its Python workers to exactly `cpus`
+    # hardware threads — a local[2] run is then a true 2-core machine
+    # (GC, shuffle, netty and parquet threads included), which is what
+    # "N executors vs 4N executors" means. Without pinning the JVM's
+    # service threads spill onto the other 30 host cores and inflate the
+    # small-N baseline, understating scaling efficiency.
+    cores = ",".join(str(c) for c in range(cpus))
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), sf_alias],
+        ["taskset", "-c", cores, sys.executable, os.path.abspath(__file__),
+         "--child", str(cpus), sf_alias],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -164,7 +185,9 @@ def main() -> None:
     # the per-level min across rounds AND across invocations (state file) —
     # co-tenant load varies on minute scales, so more samples ≡ closer to
     # the machine's true quiet-window capability.
-    state_path = os.path.join(REPO, "BENCH", f"scaling_state_{sf_alias}.json")
+    # "-pinned": taskset methodology (r2) — minima from the unpinned r1
+    # state files are not comparable and are left untouched.
+    state_path = os.path.join(REPO, "BENCH", f"scaling_state_{sf_alias}-pinned.json")
     results: dict[int, dict] = {}
     if os.path.exists(state_path):
         with open(state_path) as f:

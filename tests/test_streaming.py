@@ -9,7 +9,8 @@ import pytest
 from kafka_connect_mongo_spark import generator as g
 from kafka_connect_mongo_spark.operators.replay import replay
 from kafka_connect_mongo_spark.sinks.lake import LakeTable
-from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
+from kafka_connect_mongo_spark.streaming.replay_stream import bootstrap, run_replay_stream
+from kafka_connect_mongo_spark.streaming.router import run_routed_stream
 
 
 @pytest.fixture(scope="module")
@@ -66,3 +67,53 @@ def test_resume_mid_stream(spark, staged_feed, gen_paths, tmp_path_factory):
         for r in table.read().select("id", "content_sha").collect()
     }
     assert again == batch_state
+
+
+def test_resume_mid_bootstrap(spark, gen_paths, tmp_path_factory):
+    """T4 / ExportReader.kt:38-45: a bootstrap killed after k chunks
+    restarts at chunk k — finished _id ranges are never re-read — and the
+    final state is identical to an uninterrupted import."""
+    _, rp_path = gen_paths
+    work = tmp_path_factory.mktemp("boot-work")
+    table = LakeTable(spark, str(work / "lake"), n_buckets=8)
+
+    with pytest.raises(RuntimeError, match="injected bootstrap crash"):
+        bootstrap(spark, table, rp_path, n_chunks=8, fail_after_chunks=3)
+    assert not table.is_committed("bootstrap")
+    assert table.is_committed("bootstrap:002")
+    assert not table.is_committed("bootstrap:003")
+
+    s = bootstrap(spark, table, rp_path, n_chunks=8)
+    assert s["chunks_run"] == 5  # only the unfinished chunks ran
+    assert table.is_committed("bootstrap")
+
+    # third call: full skip
+    assert bootstrap(spark, table, rp_path, n_chunks=8)["skipped"]
+
+    expected = spark.read.parquet(rp_path).count()
+    assert table.read().count() == expected
+
+
+def test_routed_stream_table_per_namespace(spark, gen_paths, tmp_path_factory):
+    """st3: a 2-collection feed lands in 2 tables (topic-per-collection,
+    StructUtil.kt:13-16) whose union matches the single-table replay."""
+    op_path, rp_path = gen_paths
+    work = tmp_path_factory.mktemp("routed-work")
+    res = run_routed_stream(
+        spark, op_path, str(work / "lake"), str(work / "ckpt"),
+        snapshot_path=rp_path, n_buckets=8,
+    )
+    assert set(res["tables"]) == {"code.repos", "code.docs"}
+    assert res["tables"]["code.repos"].endswith("cdc_code_repos")
+
+    union = {}
+    for ns, root in res["tables"].items():
+        t = LakeTable(spark, root)
+        rows = t.read().select("id", "ns", "content_sha").collect()
+        assert {r["ns"] for r in rows} == {ns}  # strict 1:1 routing
+        union.update({r["id"]: r["content_sha"] for r in rows})
+    batch_state = {
+        r["id"]: r["content_sha"]
+        for r in replay(spark, op_path, rp_path).select("id", "content_sha").collect()
+    }
+    assert union == batch_state
