@@ -244,7 +244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), n_hashes=16, band_size=4, threshold=0.7
     )
     q["d5_cosine_neardup"] = lambda spark, sf: sim.cosine_neardup_pairs(
-        _emb(spark, sf), threshold=0.35, probe_mod=10
+        _emb(spark, sf), threshold=0.35, n_probes=64
+    )
+
+    # LSH-banded near-dup over deterministically planted twins (the random
+    # synthetic cloud has no natural near-dups; twins give the LSH path a
+    # non-trivial exact oracle).
+    q["d5b_lsh_neardup"] = lambda spark, sf: sim.banded_lsh_neardup_pairs(
+        sim.with_planted_twins(_emb(spark, sf), delta=0.15), threshold=0.98
     )
 
     def _ann(spark: SparkSession, sf: str) -> DataFrame:
@@ -270,17 +277,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t3_lang_id"] = lambda spark, sf: tx.lang_id(_docs(spark, sf))
     q["t4_fingerprint"] = lambda spark, sf: tx.fingerprint(_docs(spark, sf))
 
-    q["m1_media_features"] = lambda spark, sf: mm.decode_features(
+    # Real binary round-trip: synth valid WAV bytes per doc, decode them by
+    # parsing the actual RIFF header + PCM frames; every output value is
+    # closed-form in doc_id → exact DuckDB oracle (no more rows-only check).
+    q["m1_media_features"] = lambda spark, sf: mm.decode_wav_features(
+        mm.synth_wav(_docs(spark, sf))
+    )
+
+    # Opaque-binary plumbing for formats needing real codecs (image/video):
+    # schema/batching real, feature values a documented deterministic stub.
+    q["m2_media_plumbing"] = lambda spark, sf: mm.decode_features(
         mm.attach_media(_docs(spark, sf))
     ).select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))
 
-    # LSH ANN (scale path, recall<1 by design → rows-only check)
-    q["s7b_ann_topk_lsh"] = lambda spark, sf: sim.ann_topk_lsh(
-        _emb(spark, sf),
-        [float(i % 7) - 3.0 for i in range(64)],
-        k=10,
-        n_planes=6,
-    )
+    def _s7b(spark: SparkSession, sf: str) -> DataFrame:
+        # ANN top-k through banded LSH candidates; the query is vector 7
+        # and the corpus carries 12 graded planted twins of it, so the true
+        # top-10 are genuine near neighbors the banding retrieves with
+        # per-neighbor miss prob ≈ 1e-17 → recall@10 = 1, hash-checked
+        # against the exact oracle.
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        corpus = sim.planted_query_twins(emb, query_vec_id=7, n_twins=12)
+        return sim.ann_topk_banded(corpus, qv, k=10)
+
+    q["s7b_ann_topk_lsh"] = _s7b
 
     return q
 
@@ -378,8 +399,7 @@ SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
 """.strip()
 
 
-def _sql_ngram_jaccard(threshold: float = 0.5) -> str:
-    P = dd.MOD_P  # noqa: F841 — full 60-bit hash used here, kept for clarity
+def _sql_ngram_jaccard(threshold: float = 0.5, max_doc_freq: int = 100) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
 sh0 AS (
@@ -388,10 +408,12 @@ sh0 AS (
       THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
       ELSE [array_to_string(arr, ' ')] END AS shingles
   FROM toks),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id,
     CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(shingles) AS g FROM sh0)),
+rare AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) <= {max_doc_freq}),
+grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (h)),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_inter
@@ -564,13 +586,41 @@ FROM (
 
     o["d5_cosine_neardup"] = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-p AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id % 10 = 0)
+p AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 64)
 SELECT * FROM (
   SELECT probe_id, vec_id,
     round(list_inner_product(pe, e) /
           (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
   FROM p, base WHERE probe_id < vec_id
 ) WHERE score >= 0.35
+""".strip()
+
+    o["d5b_lsh_neardup"] = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tw AS (SELECT vec_id + {sim.TWIN_ID_OFFSET} AS vec_id,
+              [e[1] + 0.15] || e[2:] AS e FROM base),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_inner_product(a.e, b.e) /
+          (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS score
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+) WHERE score >= 0.98
+""".strip()
+
+    twin_selects = " UNION ALL ".join(
+        f"SELECT CAST({2 * sim.TWIN_ID_OFFSET + j} AS BIGINT) AS vec_id, "
+        f"e[1:{j - 1}] || [e[{j}] + {0.04 * j!r}] || e[{j + 1}:] AS e FROM q7"
+        for j in range(1, 13)
+    )
+    o["s7b_ann_topk_lsh"] = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q7 AS (SELECT e FROM base WHERE vec_id = 7),
+corpus AS (SELECT * FROM base UNION ALL {twin_selects})
+SELECT vec_id,
+  round(list_inner_product(corpus.e, q7.e) /
+        (sqrt(list_inner_product(corpus.e, corpus.e)) * sqrt(list_inner_product(q7.e, q7.e))), 4) AS score
+FROM corpus, q7 ORDER BY score DESC, vec_id LIMIT 10
 """.strip()
 
     o["s7_ann_cosine_topk"] = """
@@ -630,6 +680,21 @@ SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex,
 FROM documents
 """.strip()
 
-    # m1_media_features, s7b_ann_topk_lsh: non-SQL-expressible (binary UDF
-    # plumbing / recall<1 LSH) → rows-only check by design.
+    o["m1_media_features"] = """
+WITH p AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate, 100 + doc_id % 200 AS n
+  FROM documents),
+idx AS (SELECT doc_id, rate, n, unnest(generate_series(0, n - 1)) AS i FROM p),
+s AS (
+  SELECT doc_id, rate, n,
+         round(sum(abs(((doc_id * 31 + i * 17) % 65536) - 32768))::DOUBLE / n, 6) AS mean_abs
+  FROM idx GROUP BY doc_id, rate, n)
+SELECT doc_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes,
+       CAST(1 AS INTEGER) AS n_channels, CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples, mean_abs
+FROM s
+""".strip()
+
+    # m2_media_plumbing: non-SQL-expressible by design (documented stub for
+    # codec-requiring formats) → rows-only check.
     return o

@@ -155,15 +155,34 @@ def simhash32(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", packed.cast("long").alias("simhash"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the small-scale oracle path;
-    MinHash+LSH above is the 100 TB path). Self-join on shared gram hash,
-    then |∩| / (|A| + |B| - |∩|) ≥ threshold."""
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, max_doc_freq: int = 100
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via self-join on shared gram hash,
+    |∩| / (|A| + |B| - |∩|) ≥ threshold.
+
+    **Stop-gram cap**: grams appearing in more than ``max_doc_freq``
+    documents are dropped BEFORE the join (from both the intersection and
+    the set sizes — Jaccard is then exact over the filtered gram sets).
+    Without the cap one boilerplate gram shared by 10⁶ docs contributes
+    10¹² join rows; with it the join fan-out per gram is ≤ cap², making
+    the worst case |grams|·cap² — the standard prefix/stop-gram filtering
+    of all-pairs similarity joins. Boilerplate-only overlap is exactly
+    what near-dup detection wants to ignore anyway. MinHash+LSH above
+    stays the 100 TB default; this is the exact small/medium-scale path."""
     grams = (
         docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
         .select("doc_id", _h60(F.col("g")).alias("h"))
         .distinct()
     )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("h")
+        )
+        grams = grams.join(rare, "h")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("ga"), grams.alias("gb")
     inter = (

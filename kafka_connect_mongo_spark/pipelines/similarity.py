@@ -1,21 +1,51 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exactness baseline, plus a random-
-hyperplane LSH bucketing as the 100 TB scale path (candidate generation by
-equi-join on bucket signature instead of a cross join).
+Three operator families, each with an exact DuckDB oracle:
 
-All arithmetic is built-in higher-order functions (``zip_with`` +
+- ``cosine_topk`` / ``cosine_neardup_pairs`` — EXACT scoring of a bounded,
+  broadcastable probe set against the corpus: one linear scan, probes ride
+  the broadcast. This is the right plan at any corpus size *as long as the
+  probe set is fixed-size* (it is: ``n_probes`` is a constant, not a
+  fraction of the corpus — the round-1 ``probe_mod`` form grew the probe
+  side with n and went quadratic).
+- ``banded_lsh_neardup_pairs`` — the 100 TB near-dup path: banded
+  random-hyperplane LSH (b bands × r planes, candidate iff ALL r sign bits
+  of SOME band agree) + exact re-scoring of candidates only. Sub-quadratic
+  when near-dup means near: at cos ≥ 0.98 the per-pair miss probability is
+  (1 - p^r)^b ≈ 1e-17 for (r=16, b=64) while a random pair is a candidate
+  with prob ≈ b/2^r ≈ 1e-3 — the banding turns all-pairs into a skinny
+  equi-join. (At cos 0.35 over random vectors NO hash family prunes — the
+  pairs are indistinguishable from the bulk; that regime belongs to the
+  exact probe scan above.)
+- ``ann_topk_banded`` — ANN top-k through the same banded candidates:
+  candidates = vectors sharing ≥1 band with the query, exact re-score,
+  top-k. Recall@k is 1 - k·(miss prob) when the true neighbors are
+  actually near.
+
+The synthetic corpus is a uniform random cloud (max pairwise cosine ≈ 0.51
+at sf0.01) with no natural near-dups, so the LSH operators are exercised
+on deterministically PLANTED twins (``with_planted_twins`` /
+``planted_query_twins``): per-vector perturbations that both engines can
+construct exactly in SQL — giving the LSH path a non-trivial, hash-checked
+oracle instead of a rows-only smoke test.
+
+All exact arithmetic is built-in higher-order functions (``zip_with`` +
 ``aggregate``) over doubles in array order — identical summation order to
-the DuckDB oracle, so rounded scores compare exactly. No Python UDFs.
+the DuckDB oracle, so rounded scores compare exactly. The only Python is
+the Arrow-vectorized signature UDF (one numpy matmul per batch).
 """
 
 from __future__ import annotations
 
-import math
 import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -32,6 +62,14 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+def _cos(a: F.Column, b: F.Column, round_digits: int) -> F.Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), round_digits)
+
+
+# ---------------------------------------------------------------------------
+# Exact probe-set scoring (bounded probe side → broadcast + linear scan)
+
+
 def cosine_topk(
     embeddings: DataFrame, query: list[float], k: int = 10, round_digits: int = 4
 ) -> DataFrame:
@@ -40,9 +78,8 @@ def cosine_topk(
     takeOrdered semantics). Output (vec_id, score)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     emb = F.col("embedding").cast("array<double>")
-    score = F.round(_dot(emb, q) / (_norm(emb) * _norm(q)), round_digits)
     return (
-        embeddings.select("vec_id", score.alias("score"))
+        embeddings.select("vec_id", _cos(emb, q, round_digits).alias("score"))
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -51,44 +88,227 @@ def cosine_topk(
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    probe_mod: int = 10,
+    n_probes: int = 64,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: probe set (vec_id % probe_mod == 0) vs the
-    full corpus, pairs with cosine ≥ threshold. The probe restriction keeps
-    the small-SF oracle exact; at scale swap the cross join for
-    ``lsh_bucket_candidates``."""
+    """Exact threshold join of a FIXED-SIZE probe set (vec_id < n_probes)
+    vs the full corpus. The probe side broadcasts (it is O(1) in corpus
+    size), so the physical plan is one corpus scan × in-memory probe loop —
+    linear in n, shuffle-free. For corpus-vs-corpus near-dup at scale use
+    ``banded_lsh_neardup_pairs``."""
     emb = F.col("embedding").cast("array<double>")
     base = embeddings.select("vec_id", emb.alias("e"))
-    probes = base.filter(F.col("vec_id") % probe_mod == 0).select(
+    probes = base.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
-    score = F.round(
-        _dot(F.col("pe"), F.col("e")) / (_norm(F.col("pe")) * _norm(F.col("e"))),
-        round_digits,
-    )
     return (
-        probes.crossJoin(base)
-        .filter(F.col("probe_id") < F.col("vec_id"))
-        .select("probe_id", "vec_id", score.alias("score"))
+        base.join(F.broadcast(probes), F.col("probe_id") < F.col("vec_id"))
+        .select(
+            "probe_id", "vec_id", _cos(F.col("pe"), F.col("e"), round_digits).alias("score")
+        )
         .filter(F.col("score") >= threshold)
     )
 
 
+# ---------------------------------------------------------------------------
+# Planted twins (deterministic, SQL-expressible near-dups)
+
+TWIN_ID_OFFSET = 10_000_000
+
+
+def with_planted_twins(
+    embeddings: DataFrame, delta: float = 0.15, id_offset: int = TWIN_ID_OFFSET
+) -> DataFrame:
+    """corpus ∪ one twin per vector: ``twin = v + delta·e1`` under
+    ``vec_id + id_offset``. For unit vectors cos(v, twin) ∈ [0.988, 0.992]
+    at delta=0.15 — true near-dups, vs ≤ 0.51 for random pairs."""
+    emb = F.col("embedding").cast("array<double>")
+    dim = 64
+    twin = F.concat(
+        F.array(F.element_at(emb, 1) + F.lit(delta)), F.slice(emb, 2, dim - 1)
+    )
+    base = embeddings.select("vec_id", emb.alias("embedding"))
+    twins = embeddings.select(
+        (F.col("vec_id") + F.lit(id_offset)).alias("vec_id"), twin.alias("embedding")
+    )
+    return base.unionByName(twins)
+
+
+def planted_query_twins(
+    embeddings: DataFrame,
+    query_vec_id: int = 7,
+    n_twins: int = 12,
+    step: float = 0.04,
+    id_offset: int = 2 * TWIN_ID_OFFSET,
+) -> DataFrame:
+    """corpus ∪ n graded twins of ONE vector: twin j perturbs coordinate j
+    by ``step·j`` — cosines descend smoothly from ≈0.999, giving an ANN
+    query a non-trivial true top-k inside the random cloud."""
+    emb = F.col("embedding").cast("array<double>")
+    dim = 64
+    base = embeddings.select("vec_id", emb.alias("embedding"))
+    seed = embeddings.filter(F.col("vec_id") == query_vec_id).select(emb.alias("e"))
+    parts = [base]
+    for j in range(1, n_twins + 1):
+        twin = F.concat(
+            F.slice(F.col("e"), 1, j - 1),
+            F.array(F.element_at(F.col("e"), j) + F.lit(step * j)),
+            F.slice(F.col("e"), j + 1, dim - j),
+        )
+        parts.append(
+            seed.select(
+                F.lit(id_offset + j).cast("long").alias("vec_id"),
+                twin.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Banded sign-LSH (the scale path)
+
+
+def _band_planes(dim: int, r: int, b: int, seed: int) -> np.ndarray:
+    rnd = random.Random(seed)
+    return np.array(
+        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(r * b)]
+    )
+
+
+def band_signatures(
+    embeddings: DataFrame, dim: int = 64, r: int = 16, b: int = 64, seed: int = 42
+) -> DataFrame:
+    """(vec_id, band, h): h packs the r sign bits of the band's hyperplane
+    projections. One Arrow-vectorized numpy matmul per batch — (batch×dim)
+    @ (dim×r·b) — then per-band bit packing; the only Python in the LSH
+    path, and it is pure vectorized math (input_hint: pandas/Arrow UDFs,
+    no per-row Python)."""
+    planes = _band_planes(dim, r, b, seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+    def sign_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.ascontiguousarray(planes.T)  # dim × (r*b)
+        pack = (1 << np.arange(r)).astype(np.int64)
+        for pdf in batches:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (X @ weights) >= 0  # n × (r*b)
+            hs = bits.reshape(len(X), b, r) @ pack  # n × b
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), b),
+                    "band": np.tile(np.arange(b, dtype=np.int32), n),
+                    "h": hs.reshape(-1),
+                }
+            )
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(sign_bands, schema=out_schema)
+
+
+def banded_lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    dim: int = 64,
+    r: int = 16,
+    b: int = 64,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Corpus-vs-corpus near-dup: banded equi-join candidates + exact
+    re-score. Shuffle ≈ b rows/vector (tiny ints) + |candidates|; NO cross
+    join anywhere in the plan.
+
+    Miss probability per true pair at cos c: (1-p^r)^b with
+    p = 1 - acos(c)/π — for c=0.988, (r=16, b=64): ≈ 9e-18. Skewed bands
+    (many vectors sharing a signature) are split by AQE's skew-join."""
+    sigs = band_signatures(embeddings, dim, r, b, seed)
+    left, right = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, bb = emb.alias("a"), emb.alias("b")
+    return (
+        cand.join(a, F.col("id_a") == F.col("a.vec_id"))
+        .join(bb, F.col("id_b") == F.col("b.vec_id"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos(F.col("a.e"), F.col("b.e"), round_digits).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ann_topk_banded(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    dim: int = 64,
+    r: int = 16,
+    b: int = 64,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing ≥1 band signature with the
+    query, exact re-score, top-k. Scans only the candidate slice; recall@k
+    = 1 - Σ miss(cos_i) over the true top-k — ≈1 whenever the true
+    neighbors are near (cos ≳ 0.9)."""
+    planes = _band_planes(dim, r, b, seed)
+    qa = np.asarray(query, dtype=np.float64)
+    bits = (planes @ qa) >= 0
+    pack = (1 << np.arange(r)).astype(np.int64)
+    q_bands = [(band, int(bits[band * r : (band + 1) * r] @ pack)) for band in range(b)]
+    qsig = F.array(
+        *[F.struct(F.lit(band).alias("band"), F.lit(h).alias("h")) for band, h in q_bands]
+    )
+    sigs = band_signatures(embeddings, dim, r, b, seed)
+    cand = (
+        sigs.filter(
+            F.array_contains(qsig, F.struct(F.col("band"), F.col("h")))
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    scoped = embeddings.join(cand, "vec_id")
+    return cosine_topk(scoped, query, k, round_digits)
+
+
+# ---------------------------------------------------------------------------
+# Back-compat aliases (round-1 API surface)
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rnd = random.Random(seed)
-    return [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def lsh_bucket_candidates(
     embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42
 ) -> DataFrame:
-    """Random-hyperplane (SimHash-for-vectors) bucketing: sign pattern of
-    ``n_planes`` projections packs into a bucket id; candidate pairs share a
-    bucket — an equi-join, shuffle ~|rows|, instead of an O(n²) cross join.
-    Returns (bucket, vec_id) for downstream join + exact re-scoring."""
+    """Single-signature bucketing (kept for API parity; the banded form
+    above is the production path — a single AND-of-all-planes signature
+    has no OR dimension, so its recall decays with n_planes)."""
     planes = hyperplanes(dim, n_planes, seed)
     emb = F.col("embedding").cast("array<double>")
     bucket = None
@@ -96,26 +316,3 @@ def lsh_bucket_candidates(
         bit = F.when(_dot(emb, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(0)
         bucket = bit if bucket is None else (bucket + bit)
     return embeddings.select(bucket.cast("long").alias("bucket"), "vec_id")
-
-
-def ann_topk_lsh(
-    embeddings: DataFrame, query: list[float], k: int = 10,
-    n_planes: int = 8, seed: int = 42, round_digits: int = 4,
-) -> DataFrame:
-    """Scale-path ANN: score only vectors in the query's hyperplane bucket
-    (recall < 1.0 by design; the exactness baseline is ``cosine_topk``)."""
-    dim = len(query)
-    planes = hyperplanes(dim, n_planes, seed)
-
-    def sig(vec: list[float]) -> int:
-        s = 0
-        for i, p in enumerate(planes):
-            if sum(x * y for x, y in zip(vec, p)) >= 0:
-                s |= 1 << i
-        return s
-
-    qsig = sig(query)
-    buckets = lsh_bucket_candidates(embeddings, dim, n_planes, seed)
-    cand = buckets.filter(F.col("bucket") == qsig).select("vec_id")
-    scoped = embeddings.join(F.broadcast(cand), "vec_id")
-    return cosine_topk(scoped, query, k, round_digits)
