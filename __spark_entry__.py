@@ -169,6 +169,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p3_analyzed_flatten"] = _p3
 
+    def _p4(spark: SparkSession, sf: str) -> DataFrame:
+        # Registry pre-seed end-to-end (SchemaParser.kt:15-92): the seeded
+        # Avro schema fixes `stars` as VARCHAR before any data arrives;
+        # old-type-wins keeps it VARCHAR when inference later sees doubles,
+        # so the flatten emits the number's string form.
+        feed = _feed(spark, sf).filter(F.col("ns") == "code.repos")
+        reg = SchemaRegistry()
+        reg.seed_from_avro_json(
+            "code.repos",
+            {
+                "type": "record",
+                "name": "repos",
+                "fields": [
+                    {"name": "stars", "type": ["null", "string"]},
+                    {"name": "repo", "type": ["null", "string"]},
+                ],
+            },
+        )
+        analyze_into_registry(feed, reg)
+        assert reg.get("code.repos")["stars"].sql_type == "VARCHAR"
+        flat = flatten_analyzed(feed, reg.get("code.repos"))
+        return flat.select("__pkey", "repo", "stars")
+
+    q["p4_seeded_registry"] = _p4
+
     def _t7(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.operators.errors import error_counts
 
@@ -543,6 +568,13 @@ SELECT op AS __op, coalesce(object->>'$._id', id) AS __pkey,
        CAST(object->>'$.stars' AS DOUBLE) AS stars,
        object->>'$.camelCase' AS camelcase,
        CAST(object->'$.topics' AS VARCHAR) AS topics
+FROM ({feed}) WHERE ns = 'code.repos'
+""".strip()
+
+    o["p4_seeded_registry"] = f"""
+SELECT coalesce(object->>'$._id', id) AS __pkey,
+       object->>'$.repo' AS repo,
+       object->>'$.stars' AS stars
 FROM ({feed}) WHERE ns = 'code.repos'
 """.strip()
 
