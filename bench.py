@@ -40,12 +40,14 @@ def main() -> None:
         "a2_lww_collapse",      # key-collapse shuffle
         "a4_op_counts",         # metrics aggregation
         "x8_max_offset",        # per-ns lineage offsets
-        "p3_analyzed_flatten",  # pandas-UDF flatten path
+        "p3_analyzed_flatten",  # native variant flatten (infer + fill)
         "d1_dedup_exact",
         "d3_simhash32",
         "d4_minhash_lsh",
+        "d5b_lsh_neardup",      # banded-LSH near-dup (planted twins)
         "s7_ann_cosine_topk",
         "t2_quality_score",
+        "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
     ]
 
     def run_noop(df) -> None:
