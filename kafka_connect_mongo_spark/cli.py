@@ -50,6 +50,17 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--out", required=True)
     pr.add_argument("--namespace", default=None)
 
+    pt = sub.add_parser(
+        "route", help="multi-collection stream -> one lake table per namespace"
+    )
+    pt.add_argument("--oplog", required=True)
+    pt.add_argument("--snapshot", default=None)
+    pt.add_argument("--root", required=True, help="parent dir of the per-ns tables")
+    pt.add_argument("--checkpoint", required=True)
+    pt.add_argument("--prefix", default="cdc", help="table name prefix (topic prefix analog)")
+    pt.add_argument("--buckets", type=int, default=256)
+    pt.add_argument("--max-files-per-trigger", type=int, default=8)
+
     args = p.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -89,6 +100,20 @@ def main(argv: list[str] | None = None) -> None:
         df = replay(spark, args.oplog, args.snapshot, namespace=args.namespace)
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "route":
+        from .streaming.router import run_routed_stream
+
+        stats = run_routed_stream(
+            spark,
+            args.oplog,
+            args.root,
+            args.checkpoint,
+            snapshot_path=args.snapshot,
+            prefix=args.prefix,
+            n_buckets=args.buckets,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps(stats))
     spark.stop()
 
 

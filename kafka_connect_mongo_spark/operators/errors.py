@@ -24,7 +24,10 @@ def _is_bad(df: DataFrame) -> F.Column:
     """Non-tombstone rows whose payload fails JSON parsing.
 
     ``try_parse_json`` (variant) returns null on malformed input; deletes
-    carry null payloads legitimately (T6) and are never quarantined.
+    carry null payloads legitimately (T6) and are never quarantined. A
+    null-payload i/u row is ALSO not an error: the reference sink treats
+    any null payload as a delete (MongoSinkTask.kt:52-60), and
+    ``lww.tombstone_cond`` gives it exactly those semantics downstream.
     """
     return F.col("op").isin("i", "u") & F.col("object").isNotNull() & F.try_parse_json(
         F.col("object")
