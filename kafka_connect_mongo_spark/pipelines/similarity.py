@@ -231,8 +231,13 @@ def banded_lsh_neardup_pairs(
 
     Miss probability per true pair at cos c: (1-p^r)^b with
     p = 1 - acos(c)/π — for c=0.988, (r=16, b=64): ≈ 9e-18. Skewed bands
-    (many vectors sharing a signature) are split by AQE's skew-join."""
-    sigs = band_signatures(embeddings, dim, r, b, seed)
+    (many vectors sharing a signature) are split by AQE's skew-join.
+
+    Signatures feed both sides of the candidate self-join, so they are
+    persisted — at lake scale this materialization is a signatures table
+    written once and reused across dedup runs (same pattern as the
+    MinHash signatures in dedup.py)."""
+    sigs = band_signatures(embeddings, dim, r, b, seed).persist()
     left, right = sigs.alias("l"), sigs.alias("r")
     cand = (
         left.join(

@@ -118,6 +118,29 @@ def test_update_struct_schema_growth(spark):
     assert flat[0]["__sql"] is None  # declared, never filled
 
 
+def test_flatten_plan_is_native(spark):
+    """Regression guard for the r2 native flatten: the physical plan must
+    contain exactly one Arrow-vectorized UDF node (the masked nested-
+    container normalizer) and no row-wise Python or mapInPandas — the
+    fill-in itself is Column expressions over the materialized variant
+    map."""
+    rows = [
+        (1, 0, 0, "i", "db.c", "a" * 24,
+         json.dumps({"_id": "a" * 24, "n": 1.5, "s": "x", "arr": [1, 2]}), None, False),
+    ]
+    events = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    reg = SchemaRegistry()
+    analyze_into_registry(events, reg)
+    flat = flatten_analyzed(events, reg.get("db.c"))
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("BatchEvalPython") == 0
+    assert plan.count("MapInPandas") == 0
+    # nested container still normalizes through the masked UDF
+    row = flat.collect()[0]
+    assert row["arr"] == "[1.0,2.0]" and row["n"] == 1.5 and row["s"] == "x"
+
+
 def test_conflict_inference_order_faithful(spark):
     # first value seen fixes the type: name arrives as number at seq 0,
     # as string at seq 1 → schema says DOUBLE, string value nulls out
