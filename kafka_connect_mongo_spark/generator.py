@@ -56,10 +56,16 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def sizes_for_sf(sf: float) -> tuple[int, int, int]:
-    """(n_keys, n_events, n_chunk_files) for a scale factor."""
+    """(n_keys, n_events, n_chunk_files) for a scale factor.
+
+    The file cap is 96 (was 32): at sf1 on 32 cores a 32-file feed gives
+    the scan exactly one task wave, so a single co-tenant straggler sets
+    the stage wall; 96 files → 3 waves amortize stragglers — the same
+    reason real clusters size input splits at several× total cores.
+    Layouts for sf ≤ 0.1 are unchanged (4/4/16 files)."""
     n_keys = max(500, int(2_000_000 * sf))
     n_events = 6 * n_keys
-    n_files = max(4, min(32, int(16 * sf / 0.1) or 4))
+    n_files = max(4, min(96, int(16 * sf / 0.1) or 4))
     return n_keys, n_events, n_files
 
 
