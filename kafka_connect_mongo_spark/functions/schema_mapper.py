@@ -157,6 +157,45 @@ class SchemaRegistry:
         self._schemas[ns] = dict(sorted(cur.items()))
         return self.get(ns)
 
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                ns: {name: [ft.type, ft.sql_type] for name, ft in fields.items()}
+                for ns, fields in self._schemas.items()
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "SchemaRegistry":
+        reg = cls()
+        for ns, fields in json.loads(s).items():
+            reg._schemas[ns] = {
+                name: FieldType(t, sql) for name, (t, sql) in fields.items()
+            }
+        return reg
+
+    def save(self, path: str) -> None:
+        """Checkpoint the registry (CachedSchema durability analog): the
+        stream re-derives it from data anyway (order-faithful inference),
+        but a restart that loads the checkpoint skips re-paying inference
+        for schemas already frozen."""
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.to_json())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        import os
+
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls.from_json(f.read())
+
     def seed_from_avro_json(self, ns: str, avro_schema: str | dict) -> dict[str, FieldType]:
         """SchemaParser analog (SchemaParser.kt:15-92): pre-seed the latest
         schema from a registry's Avro-JSON — union-with-null → optional

@@ -271,7 +271,15 @@ class LakeTable:
             merged = merged.filter(~tombstone_cond("object" in merged.columns))
         gen = (state["base"] or 0) + 1
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
+        # generation must stay multi-file/multi-task; readers take a dir.
+        merged.write.mode("overwrite").parquet(staging)
+        if not any(f.startswith("part-") for f in os.listdir(staging)):
+            # bucket compacted away entirely (all rows were purged
+            # tombstones): no base generation, just forget the bucket.
+            shutil.rmtree(staging, ignore_errors=True)
+            self.meta["buckets"][b] = {"base": None, "deltas": []}
+            return old_paths
         dst = os.path.join(self._bucket_dir(int(b)), f"gen={gen}")
         shutil.rmtree(dst, ignore_errors=True)  # crash-orphaned gen dir
         os.replace(staging, dst)

@@ -63,8 +63,18 @@ def run_analyzed_stream(
     registry: SchemaRegistry | None = None,
     max_files_per_trigger: int | None = None,
 ) -> dict:
-    """Stream one namespace through analyzed-mode flatten into ``table``."""
-    registry = registry if registry is not None else SchemaRegistry()
+    """Stream one namespace through analyzed-mode flatten into ``table``.
+
+    The registry checkpoints beside the stream's offset log after every
+    batch and reloads on restart — a restarted job keeps its frozen
+    schemas (old-type-wins state survives), matching the reference's
+    process-lifetime CachedSchema without its process-global mutability.
+    """
+    import os as _os
+
+    reg_path = _os.path.join(checkpoint_dir, "schema_registry.json")
+    if registry is None:
+        registry = SchemaRegistry.load(reg_path)
     applied: list[dict] = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -79,6 +89,7 @@ def run_analyzed_stream(
             events = with_variant_map(raw)
             prepared = prepare_analyzed_batch(events, namespace, registry, parsed=True)
             applied.append(table.upsert(prepared, batch_id))
+            registry.save(reg_path)
         finally:
             raw.unpersist()
 

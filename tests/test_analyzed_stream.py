@@ -20,11 +20,21 @@ def analyzed_lake(spark, gen_paths, tmp_path_factory):
         spark, op_path, table, str(work / "ckpt"), namespace="code.repos",
         max_files_per_trigger=2,
     )
-    return table, stats, op_path
+    return table, stats, op_path, str(work / "ckpt")
+
+
+def test_registry_checkpoints_beside_stream(analyzed_lake):
+    import os
+
+    _table, stats, _op, ckpt = analyzed_lake
+    path = os.path.join(ckpt, "schema_registry.json")
+    assert os.path.exists(path)
+    reloaded = SchemaRegistry.load(path)
+    assert {k: v.sql_type for k, v in reloaded.get("code.repos").items()} == stats["schema"]
 
 
 def test_schema_evolves_add_only(analyzed_lake):
-    table, stats, _ = analyzed_lake
+    table, stats, _, _ckpt = analyzed_lake
     # stars only exists in phase-2 events — the registry must have grown
     assert stats["schema"]["stars"] == "DOUBLE"
     assert "camelcase" in stats["schema"]
@@ -33,7 +43,7 @@ def test_schema_evolves_add_only(analyzed_lake):
 
 
 def test_lww_and_values(analyzed_lake, spark):
-    table, _, op_path = analyzed_lake
+    table, _, op_path, _ckpt = analyzed_lake
     out = table.read()
     feed = read_oplog(spark, op_path, namespace="code.repos")
     # one row per live key, keys match the batch LWW oracle
