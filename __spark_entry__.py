@@ -297,6 +297,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7_ann_cosine_topk"] = _ann
 
+    from kafka_connect_mongo_spark.pipelines import select as sel
+
+    q["d6_stratified_sample"] = lambda spark, sf: sel.stratified_sample(
+        _docs(spark, sf), {"en": 0.5, "de": 0.1}, default_rate=0.02
+    ).select("doc_id", "lang")
+
+    q["t5_quality_topk"] = lambda spark, sf: sel.topk_per_group(
+        tx.quality_score(_docs(spark, sf)).join(
+            _docs(spark, sf).select("doc_id", "lang"), "doc_id"
+        ),
+        group_col="lang",
+        order_col="quality",
+        k=20,
+    ).select("doc_id", "lang", "quality")
+
     q["t1_token_count"] = lambda spark, sf: tx.token_count(_docs(spark, sf))
     q["t2_quality_score"] = lambda spark, sf: tx.quality_score(_docs(spark, sf))
     q["t3_lang_id"] = lambda spark, sf: tx.lang_id(_docs(spark, sf))
@@ -670,7 +685,7 @@ SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
 FROM documents
 """.strip()
 
-    o["t2_quality_score"] = f"""
+    quality_sql = f"""
 WITH b AS (
   SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr, length(text) AS n_chars,
          length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha_sp
@@ -686,6 +701,20 @@ SELECT doc_id, n_tok AS n_tokens,
        round(least(1.0, n_tok / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
              + least(1.0, stop_ratio * 4) * 0.2, 6) AS quality
 FROM r
+""".strip()
+    o["t2_quality_score"] = quality_sql
+
+    o["d6_stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
+      < CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 5000 ELSE 200 END
+""".strip()
+
+    o["t5_quality_topk"] = f"""
+WITH q AS ({quality_sql}),
+j AS (SELECT q.doc_id, d.lang, q.quality FROM q JOIN documents d ON q.doc_id = d.doc_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn FROM j)
+SELECT doc_id, lang, quality FROM rk WHERE rn <= 20
 """.strip()
 
     hits = ", ".join(

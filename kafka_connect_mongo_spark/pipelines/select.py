@@ -1,0 +1,78 @@
+"""Data-selection operators for training-data curation.
+
+Two standard curation primitives over the ``documents`` table, both pure
+Column expressions with exact DuckDB oracles:
+
+- **Deterministic stratified sampling**: per-stratum (e.g. per-language)
+  keep rates applied by hashing the key — ``md5`` so both engines agree
+  bit-for-bit — NOT ``rand()``: reproducible across runs/engines, stable
+  under re-partitioning, and joinable (the same doc samples identically
+  in every derived table). One scan, no shuffle; the filter pushes
+  nothing (hash of a column) but costs one md5 per row.
+
+- **Per-group top-k selection** (e.g. best-quality k docs per language):
+  ``row_number`` over (group, score) — Spark's WindowGroupLimit rewrite
+  runs a partial top-k per input partition BEFORE the exchange, so the
+  shuffle carries ≤ k rows per group per partition, not the corpus. The
+  same plan shape as the LWW collapse (operators/lww.py), which is what
+  makes it safe at 10^10 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-bucket resolution for sampling rates (1 bp = 0.01%)
+RATE_DENOM = 10_000
+
+
+def sample_hash(key: F.Column, salt: str = "sample-v1") -> F.Column:
+    """Deterministic uniform bucket in [0, RATE_DENOM): first 15 md5 hex
+    digits (60 bits) of salt||key, mod RATE_DENOM — reproducible in any
+    engine with md5 (DuckDB oracle shares the exact expression)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % RATE_DENOM
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically.
+
+    ``rates`` maps stratum value → keep fraction; unlisted strata use
+    ``default_rate``. The rate lookup is a CASE expression (broadcast-free:
+    the dict is tiny and lives in the plan)."""
+    rate_bp = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == value
+        clause = F.lit(int(round(rate * RATE_DENOM)))
+        rate_bp = F.when(cond, clause) if rate_bp is None else rate_bp.when(cond, clause)
+    rate_bp = (
+        rate_bp.otherwise(F.lit(int(round(default_rate * RATE_DENOM))))
+        if rate_bp is not None
+        else F.lit(int(round(default_rate * RATE_DENOM)))
+    )
+    return docs.filter(sample_hash(F.col("doc_id"), salt) < rate_bp)
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k rows per group by descending ``order_col`` (ties broken by
+    ascending ``tiebreak_col`` for determinism). WindowGroupLimit keeps
+    the pre-shuffle volume at ≤ k·partitions per group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col)
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
