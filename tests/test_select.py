@@ -1,0 +1,49 @@
+"""Data-selection operators: deterministic sampling + per-group top-k."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.pipelines import select as sel
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, docs):
+    out1 = sel.stratified_sample(docs, {"en": 0.5, "de": 0.1}, default_rate=0.0)
+    out2 = sel.stratified_sample(docs, {"en": 0.5, "de": 0.1}, default_rate=0.0)
+    ids1 = {r["doc_id"] for r in out1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids1 == ids2  # no rand(): rerun-identical
+    langs = {r["lang"] for r in out1.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # default_rate 0 drops other strata
+    n_en = docs.filter("lang = 'en'").count()
+    k_en = out1.filter("lang = 'en'").count()
+    assert 0 < k_en < n_en  # strictly sampled, not all/none
+
+
+def test_stratified_sample_is_stable_under_repartition(spark, docs):
+    a = sel.stratified_sample(docs, {"en": 0.3})
+    b = sel.stratified_sample(docs.repartition(7), {"en": 0.3})
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+
+
+def test_topk_per_group(spark, docs):
+    scored = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("score"))
+    out = sel.topk_per_group(scored, "lang", "score", k=3)
+    pdf = out.toPandas()
+    assert (pdf.groupby("lang").size() <= 3).all()
+    # each group's kept rows are its true top-3 by (score desc, doc_id)
+    full = scored.toPandas()
+    for lang, grp in full.groupby("lang"):
+        want = grp.sort_values(["score", "doc_id"], ascending=[False, True]).head(3)
+        got = pdf[pdf.lang == lang].sort_values(["score", "doc_id"], ascending=[False, True])
+        assert list(got.doc_id) == list(want.doc_id)
+    # the plan uses the partial WindowGroupLimit (pre-shuffle top-k)
+    plan = sel.topk_per_group(scored, "lang", "score", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
