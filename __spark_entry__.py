@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), k=3, threshold=0.5
     )
     q["d3_simhash32"] = lambda spark, sf: dd.simhash32(_docs(spark, sf))
+    q["d3b_simhash_neardup"] = lambda spark, sf: dd.simhash_neardup_pairs(
+        _docs(spark, sf), max_hamming=3, n_bands=4
+    )
     q["d4_minhash_lsh"] = lambda spark, sf: dd.minhash_near_dups(
         _docs(spark, sf), n_hashes=16, band_size=4, threshold=0.7
     )
@@ -629,6 +632,13 @@ FROM (
     )
     o["d2_ngram_jaccard"] = _sql_ngram_jaccard(0.5)
     o["d3_simhash32"] = _sql_simhash()
+    o["d3b_simhash_neardup"] = f"""
+WITH sig AS ({_sql_simhash()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""".strip()
     o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
 
     o["d5_cosine_neardup"] = """

@@ -155,6 +155,56 @@ def simhash32(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", packed.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``,
+    via pigeonhole banding — EXACT, not probabilistic: the 32-bit
+    signature splits into ``n_bands`` byte-bands, and any pair within
+    ``max_hamming < n_bands`` differing bits must agree on ≥1 whole band,
+    so the banded equi-join generates every qualifying pair (recall 1 by
+    construction). Candidates then verify with one ``bit_count(xor)``.
+
+    Shuffle = n_bands tiny rows/doc + |candidates| (random pairs collide
+    on a byte-band w.p. ≈ n_bands/256); a hot band value (e.g. a common
+    doc template) is an AQE skew-join case, same as MinHash banding."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole completeness needs max_hamming < n_bands")
+    width = 32 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash32(docs).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "v"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.5, max_doc_freq: int = 100
 ) -> DataFrame:
