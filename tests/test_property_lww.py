@@ -52,3 +52,44 @@ def test_lww_equals_sequential_apply(spark, events):
         live = drop_tombstones(collapse(df, key="id"))
         got = {r["id"]: r["object"] for r in live.collect()}
         assert got == expected, collapse.__name__
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(event, min_size=1, max_size=24),
+    st.randoms(use_true_random=False),
+)
+def test_lake_converges_under_any_batching_and_order(spark, tmp_path_factory, events, rnd):
+    """Lake-level exactly-once property: split ANY event sequence into ANY
+    batches, apply them in ANY order (even shuffled — out-of-order
+    delivery), and the merge-on-read table equals the reference sink's
+    sequential apply. This is the convergence that makes checkpoint
+    replay and at-least-once redelivery safe (T1/T6)."""
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    rows = []
+    for seq, (ts, inc, key, op, val) in enumerate(events):
+        obj = None if op == "d" else json.dumps({"_id": key, "v": val})
+        rows.append((ts, inc * 64 + seq, seq, op, "t.c", key, obj, None, False))
+    expected = sequential_apply(rows)
+
+    # random partition into 1-4 batches, applied in random order
+    n_batches = rnd.randint(1, min(4, len(rows)))
+    batches = [[] for _ in range(n_batches)]
+    for r in rows:
+        batches[rnd.randrange(n_batches)].append(r)
+    batches = [b for b in batches if b]
+    rnd.shuffle(batches)
+
+    table = LakeTable(
+        spark, str(tmp_path_factory.mktemp("prop-lake") / "t"), n_buckets=2, max_deltas=2
+    )
+    for i, b in enumerate(batches):
+        table.upsert(
+            spark.createDataFrame(b, schema=OPLOG_SCHEMA).select(
+                "id", "ts", "inc", "seq", "op", "ns", "object"
+            ),
+            i,
+        )
+    got = {r["id"]: r["object"] for r in table.read().collect()}
+    assert got == expected
