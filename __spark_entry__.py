@@ -259,6 +259,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st3_multi_ns"] = _st3
 
+    def _st4(spark: SparkSession, sf: str) -> DataFrame:
+        # Stateful streaming aggregation: per-minute per-ns op counts,
+        # complete mode (final emission == batch group-by, exactly).
+        from kafka_connect_mongo_spark.streaming.windowed import run_windowed_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-windowed-")
+        return run_windowed_stream(
+            spark, gen.oplog_path(sf), os.path.join(work, "ckpt"),
+            mode="complete", max_files_per_trigger=2,
+        )
+
+    q["st4_windowed_counts"] = _st4
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -611,6 +624,15 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 SELECT id, ns, 'cdc_' || replace(ns, '.', '_') AS table_name,
        sha256(object->>'$.content') AS content_sha
 FROM ({final})
+""".strip()
+
+    o["st4_windowed_counts"] = f"""
+SELECT (ts - ts % 60) AS window_start, ns,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM ({feed}) GROUP BY 1, 2
 """.strip()
 
     o["st2_analyzed_stream"] = f"""

@@ -1,0 +1,96 @@
+"""Windowed streaming aggregation with watermarks (late-data handling).
+
+The reference has no time-window semantics (its only aggregation is the
+sink's implicit per-key LWW), but a CDC feed at 10^10 events needs
+operational rollups — events/minute per collection is the canonical one
+— computed INSIDE the stream with bounded state:
+
+- **event-time windows** over the oplog `ts` (not arrival time: replayed
+  feeds deliver old events late by construction);
+- **watermark** bounds the state store: a window's state is dropped once
+  the watermark (max event time − delay) passes its end, so state size is
+  O(windows-in-flight), not O(stream);
+- **append mode** emits each window exactly once, when it can no longer
+  change — the deterministic contract downstream consumers want;
+- **complete mode** (used by the oracle-checked query) re-emits the full
+  rollup per micro-batch: state = all windows, fine for bounded replay
+  tests, and its final result is EXACTLY the batch group-by — which gives
+  the streaming aggregation an exact DuckDB oracle.
+
+This is the one operator family where Structured Streaming's stateful
+aggregation (HDFSBackedStateStore / RocksDB at scale) does the work — the
+rest of the engine is deliberately stateless-per-batch + idempotent MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.oplog import read_oplog_stream
+
+WINDOW_SECONDS = 60
+
+
+def windowed_op_counts(events: DataFrame, time_col: str | None = None) -> DataFrame:
+    """Per-(minute, ns) op counts — shared by the batch oracle path and
+    the streaming path (same expression tree on both). ``time_col`` names
+    an existing timestamp column — in streaming it MUST be the watermarked
+    column, or append mode can't bind the watermark to the aggregation."""
+    t = F.col(time_col) if time_col else F.timestamp_seconds(F.col("ts"))
+    win = F.window(t, f"{WINDOW_SECONDS} seconds")
+    return (
+        events.groupBy(win.alias("w"), "ns")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("int").alias("window_start"),
+            "ns", "n_events", "n_insert", "n_update", "n_delete",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    oplog_path: str,
+    checkpoint_dir: str,
+    mode: str = "complete",
+    watermark_delay: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the feed through the windowed aggregation; returns the final
+    emitted result as a (batch) DataFrame.
+
+    ``mode='complete'``: the last micro-batch's full rollup (== batch
+    group-by, exactly). ``mode='append'`` with ``watermark_delay``: the
+    union of all emitted (finalized) windows — windows the watermark never
+    passed remain in state and are NOT emitted, the append contract."""
+    stream = read_oplog_stream(
+        spark, oplog_path, max_files_per_trigger=max_files_per_trigger
+    )
+    stream = stream.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+    if watermark_delay is not None:
+        stream = stream.withWatermark("event_time", watermark_delay)
+    agg = windowed_op_counts(stream, time_col="event_time")
+
+    collected: list = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        rows = batch_df.collect()
+        if mode == "complete":
+            collected.clear()
+        collected.extend(rows)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(collected, schema=agg.schema)

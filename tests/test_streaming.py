@@ -117,3 +117,47 @@ def test_routed_stream_table_per_namespace(spark, gen_paths, tmp_path_factory):
         for r in replay(spark, op_path, rp_path).select("id", "content_sha").collect()
     }
     assert union == batch_state
+
+
+def test_windowed_stream_watermark_append(spark, gen_paths, tmp_path_factory):
+    """Append-mode windowed aggregation with a watermark: each emitted
+    window is final (exactly equals the batch group-by for that window),
+    and windows the watermark never passed are withheld — bounded state,
+    the late-data contract."""
+    from kafka_connect_mongo_spark.sources.oplog import read_oplog
+    from kafka_connect_mongo_spark.streaming.windowed import (
+        run_windowed_stream,
+        windowed_op_counts,
+    )
+
+    op_path, _ = gen_paths
+    work = tmp_path_factory.mktemp("windowed")
+    emitted = run_windowed_stream(
+        spark, op_path, str(work / "ckpt"), mode="append",
+        watermark_delay="10 seconds", max_files_per_trigger=1,
+    )
+    batch = windowed_op_counts(read_oplog(spark, op_path))
+    got = {(r["window_start"], r["ns"]): r["n_events"] for r in emitted.collect()}
+    want = {(r["window_start"], r["ns"]): r["n_events"] for r in batch.collect()}
+    assert got, "append mode emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v  # every emitted window is final and exact
+    withheld = set(want) - set(got)
+    max_start = max(s for s, _ in want)
+    assert all(s >= max_start - 60 for s, _ in withheld)  # only tail windows held
+
+
+def test_windowed_stream_complete_equals_batch(spark, gen_paths, tmp_path_factory):
+    from kafka_connect_mongo_spark.sources.oplog import read_oplog
+    from kafka_connect_mongo_spark.streaming.windowed import (
+        run_windowed_stream,
+        windowed_op_counts,
+    )
+
+    op_path, _ = gen_paths
+    work = tmp_path_factory.mktemp("windowed-c")
+    final = run_windowed_stream(
+        spark, op_path, str(work / "ckpt"), mode="complete", max_files_per_trigger=2
+    )
+    batch = windowed_op_counts(read_oplog(spark, op_path))
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
