@@ -272,6 +272,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st4_windowed_counts"] = _st4
 
+    def _st5(spark: SparkSession, sf: str) -> DataFrame:
+        # Custom stateful operator (applyInPandasWithState): first-seen key
+        # dedup — each key's earliest event emitted exactly once.
+        from kafka_connect_mongo_spark.streaming.stateful import first_seen_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-firstseen-")
+        return first_seen_stream(
+            spark, gen.oplog_path(sf), os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,
+        )
+
+    q["st5_first_seen"] = _st5
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -624,6 +637,13 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 SELECT id, ns, 'cdc_' || replace(ns, '.', '_') AS table_name,
        sha256(object->>'$.content') AS content_sha
 FROM ({final})
+""".strip()
+
+    o["st5_first_seen"] = f"""
+SELECT id, ts, inc, seq, op, ns FROM (
+  SELECT id, ts, inc, seq, op, ns,
+         row_number() OVER (PARTITION BY id ORDER BY ts, inc, seq) AS rn
+  FROM ({feed})) WHERE rn = 1
 """.strip()
 
     o["st4_windowed_counts"] = f"""

@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator — applyInPandasWithState.
+
+First-seen key dedup over the change feed: emit each key's FIRST event
+(by the total order ``(ts, inc, seq)``) exactly once, suppress everything
+later — the streaming derivation of an insert-only feed (e.g. to seed a
+downstream system that must see each key once, or to split "new key"
+traffic from updates).
+
+Why this needs CUSTOM state: the built-in windowed aggregation emits
+per-window results, and ``dropDuplicates`` on a stream keeps state but
+can't order within a batch nor emit the chosen row's payload columns with
+first-wins semantics. Here the state per key is a single boolean
+("already emitted"), managed explicitly via ``applyInPandasWithState``:
+
+- state store size = O(|distinct keys|) — one tiny row each, the minimum
+  any exact first-seen dedup can hold;
+- within a micro-batch the group's rows arrive as pandas chunks; the
+  first event is the (ts, inc, seq) argmin across chunks — vectorized,
+  no per-row Python;
+- across batches the boolean suppresses re-emission; re-delivery of a
+  batch after checkpoint recovery re-emits nothing (state is versioned
+  with the checkpoint — exactly-once emission).
+
+Micro-batch ordering caveat (documented contract): "first" is exact
+within the stream's delivery order per key; if a LATER micro-batch
+delivers an EARLIER event for an already-emitted key (out-of-order
+across batches beyond what the source guarantees), it is suppressed —
+the same at-most-once-per-key contract Kafka consumers implement with
+keyed state. The feed source delivers files in (ts, inc, seq) order, so
+batch replay equals the oracle argmin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.oplog import read_oplog_stream
+
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("ts", T.IntegerType()),
+        T.StructField("inc", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ns", T.StringType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("emitted", T.BooleanType())])
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists and state.get[0]:
+        return  # key already emitted in an earlier batch — suppress
+    best: dict[str, Any] | None = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        i = pdf.sort_values(["ts", "inc", "seq"], kind="stable").index[0]
+        row = pdf.loc[i]
+        if best is None or (row["ts"], row["inc"], row["seq"]) < (
+            best["ts"], best["inc"], best["seq"]
+        ):
+            best = {c: row[c] for c in ("id", "ts", "inc", "seq", "op", "ns")}
+    if best is not None:
+        state.update((True,))
+        yield pd.DataFrame([best])
+
+
+def first_seen_stream(
+    spark: SparkSession,
+    oplog_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the first-seen dedup over the feed (availableNow); returns the
+    emitted rows as a batch DataFrame."""
+    stream = read_oplog_stream(
+        spark, oplog_path, max_files_per_trigger=max_files_per_trigger
+    ).select("id", "ts", "inc", "seq", "op", "ns")
+    out = stream.groupBy("id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    collected: list = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        collected.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(collected, schema=FIRST_SEEN_SCHEMA)

@@ -161,3 +161,29 @@ def test_windowed_stream_complete_equals_batch(spark, gen_paths, tmp_path_factor
     )
     batch = windowed_op_counts(read_oplog(spark, op_path))
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_first_seen_stateful_exactly_once(spark, gen_paths, tmp_path_factory):
+    """applyInPandasWithState first-seen dedup: emissions equal the batch
+    per-key argmin; re-running over the same checkpoint emits NOTHING
+    (keyed state survives restart — exactly-once emission)."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    from kafka_connect_mongo_spark.sources.oplog import read_oplog
+    from kafka_connect_mongo_spark.streaming.stateful import first_seen_stream
+
+    op_path, _ = gen_paths
+    work = tmp_path_factory.mktemp("firstseen")
+    out = first_seen_stream(spark, op_path, str(work / "ckpt"), max_files_per_trigger=1)
+    feed = read_oplog(spark, op_path).select("id", "ts", "inc", "seq", "op", "ns")
+
+    w = Window.partitionBy("id").orderBy("ts", "inc", "seq")
+    expected = (
+        feed.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expected.collect()))
+
+    again = first_seen_stream(spark, op_path, str(work / "ckpt"))
+    assert again.count() == 0  # checkpointed state suppresses re-emission
