@@ -155,6 +155,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts", iso_ts("ts").alias("iso")
     )
 
+    # --- temporal analytics over the events table -------------------------
+    def _events(spark: SparkSession, sf: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    def _j4(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import asof_join
+
+        ev = _events(spark, sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join(clicks, errors, on="user_id", ts="ts", payload=("value",))
+
+    q["j4_asof_join"] = _j4
+
+    def _j5(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import range_join_bucketed
+
+        ev = _events(spark, sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("user_id").alias("cuid"), "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("t_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t_end"),
+        )
+        joined = range_join_bucketed(
+            clicks, errors, on_left="cuid", on_right="user_id",
+            ts="ts", start="t_start", end="t_end", bucket_seconds=3600,
+        )
+        return joined.groupBy("error_id").agg(
+            F.count("*").alias("n_clicks_within_1h"),
+            F.min("click_id").alias("first_click_id"),
+        )
+
+    q["j5_range_join"] = _j5
+
+    def _a5(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import sessionize
+
+        return sessionize(_events(spark, sf), gap_seconds=1800).select(
+            "event_id", "user_id", "session_id"
+        )
+
+    q["a5_sessionize"] = _a5
+
     def _p3(spark: SparkSession, sf: str) -> DataFrame:
         # Two passes (inference aggregation, then flatten), each a cheap
         # variant parse — measured faster than persisting the parsed map.
@@ -620,6 +671,38 @@ SELECT coalesce(object->>'$._id', id) AS __pkey,
        object->>'$.repo' AS repo,
        object->>'$.stars' AS stars
 FROM ({feed}) WHERE ns = 'code.repos'
+""".strip()
+
+    o["j4_asof_join"] = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, c.ts, e.value AS value_asof
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""".strip()
+
+    o["j5_range_join"] = """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (SELECT event_id AS error_id, user_id, ts AS t_start,
+                ts + INTERVAL 1 HOUR AS t_end
+         FROM events WHERE event_type = 'error')
+SELECT e.error_id, count(*) AS n_clicks_within_1h, min(c.click_id) AS first_click_id
+FROM errs e JOIN clicks c
+  ON c.user_id = e.user_id AND c.ts >= e.t_start AND c.ts < e.t_end
+GROUP BY e.error_id
+""".strip()
+
+    o["a5_sessionize"] = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM g
 """.strip()
 
     o["t7_error_counts"] = f"""

@@ -1,0 +1,139 @@
+"""Temporal analytics operators: as-of join, range join, sessionization.
+
+Operators Spark's DataFrame API lacks as primitives (the task brief's
+canonical examples), each built as a composition of existing operators
+with the physical plan you would want at 10^10 rows — never a nested-loop
+or cartesian join:
+
+- **as-of join** (`asof_join`): for every left row, the latest right row
+  with the same key and ``right.ts <= left.ts``. Implemented with the
+  union-tag trick: tag both sides, union, one window
+  ``last_value(ignorenulls) OVER (PARTITION BY key ORDER BY ts, side)``
+  — the right side's payload "carries forward" to each later left row.
+  ONE shuffle on the key, state = one row per partition position; never
+  materializes the |left|×|right| candidate space an inequality join
+  would. (DuckDB's native ``ASOF JOIN`` is the oracle.)
+
+- **range join** (`range_join_bucketed`): left×right on key equality plus
+  ``left.ts ∈ [right.start, right.end)``. Naive translation is a
+  BroadcastNestedLoopJoin — quadratic. Here each right interval explodes
+  into the coarse time buckets it spans, the join is an EQUI-join on
+  (key, bucket), and the exact range predicate filters after — the
+  standard bucketed-range-join rewrite (what engines' range-join hints
+  do under the hood). Fan-out = interval_span/bucket_width per right row
+  (bounded, choose bucket ≈ typical span); skewed buckets split by AQE.
+
+- **sessionization** (`sessionize`): gap-based sessions per user — a new
+  session starts when the gap to the previous event exceeds the
+  threshold. ``lag`` + running ``sum`` over one per-user window: one
+  shuffle, two window passes over the same partitioning (single
+  exchange; Spark reuses the sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    payload: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: columns of the latest right row at-or-before its
+    timestamp, per key (NULL when no prior right row exists).
+
+    Output = all left columns + ``<payload><suffix>`` columns."""
+    lcols = left.columns
+    tagged_l = left.select(
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    tagged_r = right.select(
+        F.lit(0).alias("_side"),
+        F.col(on),
+        F.col(ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts)],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    ).select("_side", *lcols, *[f"_r_{c}" for c in payload])
+    u = tagged_l.unionByName(tagged_r)
+    # right rows (side 0) sort BEFORE left rows at equal ts → inclusive <=
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+        .over(w)
+        .alias(f"{c}{suffix}")
+        for c in payload
+    ]
+    return (
+        u.select("_side", *lcols, *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str,
+    on_right: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Equi-join on (key, time-bucket) + exact range filter — the
+    scale-safe rewrite of ``l.key = r.key AND l.ts >= r.start AND
+    l.ts < r.end``. Right intervals explode into every bucket they span."""
+    lb = left.withColumn(
+        "_bucket", (F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long"),
+                # end is exclusive: a span touching a bucket boundary exactly
+                # at `end` contributes nothing there
+                ((F.unix_timestamp(F.col(end)) - F.lit(1)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(f"l.{on_left}") == F.col(f"r.{on_right}"))
+        & (F.col("l._bucket") == F.col("r._bucket"))
+        & (F.col(f"l.{ts}") >= F.col(f"r.{start}"))
+        & (F.col(f"l.{ts}") < F.col(f"r.{end}"))
+    )
+    return lb.alias("l").join(rb.alias("r"), cond).drop("_bucket")
+
+
+def sessionize(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: adds ``session_id`` (0-based per user, in time
+    order). Both windows share the (user, ts) partitioning+sort — one
+    exchange in the plan."""
+    w_order = Window.partitionBy(user).orderBy(ts, "event_id")
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(
+        F.lag(F.col(ts)).over(w_order)
+    )
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(user).orderBy(ts, "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "session_id", (F.sum(new_session).over(running) - F.lit(1)).cast("long")
+    )

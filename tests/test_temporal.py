@@ -1,0 +1,101 @@
+"""Temporal operators: as-of join, bucketed range join, sessionization."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+    sessionize,
+)
+
+
+def T(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def clicks(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, T("2024-01-01 10:00:00")),
+            (2, 10, T("2024-01-01 10:30:00")),
+            (3, 10, T("2024-01-01 09:00:00")),  # before any error
+            (4, 20, T("2024-01-01 10:00:00")),  # user with no errors
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture()
+def errors(spark):
+    return spark.createDataFrame(
+        [
+            (10, T("2024-01-01 09:30:00"), 1.0),
+            (10, T("2024-01-01 10:15:00"), 2.0),
+            (10, T("2024-01-01 10:30:00"), 3.0),  # ties click 2 exactly
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_join_semantics(spark, clicks, errors):
+    out = {r["event_id"]: r["value_asof"] for r in
+           asof_join(clicks, errors, on="user_id").collect()}
+    assert out == {
+        1: 1.0,   # latest error at/before 10:00 is 09:30
+        2: 3.0,   # exact-tie timestamp is inclusive (<=)
+        3: None,  # no prior error
+        4: None,  # user has no errors at all
+    }
+
+
+def test_asof_join_plan_has_no_join(spark, clicks, errors):
+    plan = asof_join(clicks, errors, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan  # union + single window, not a join at all
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    L = [(i, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(100_000)))
+         for i in range(300)]
+    R = []
+    for j in range(60):
+        s = base + dt.timedelta(seconds=rnd.randrange(100_000))
+        R.append((j, rnd.randrange(5), s, s + dt.timedelta(seconds=rnd.randrange(1, 7200))))
+    left = spark.createDataFrame(L, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(R, "rid long, rk long, t_start timestamp, t_end timestamp")
+    got = range_join_bucketed(
+        left, right, on_left="k", on_right="rk", ts="ts",
+        start="t_start", end="t_end", bucket_seconds=1800,
+    ).select("lid", "rid")
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.k") == F.col("r.rk"))
+        & (F.col("l.ts") >= F.col("r.t_start"))
+        & (F.col("l.ts") < F.col("r.t_end")),
+    ).select("lid", "rid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # and the bucketed plan's join is an equi (hash/sortmerge) join, not BNL
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, 5, T("2024-01-01 10:00:00")),
+        (2, 5, T("2024-01-01 10:29:59")),  # gap < 30min → same session
+        (3, 5, T("2024-01-01 11:00:00")),  # gap 30:01 > 1800s → new session
+        (4, 5, T("2024-01-01 11:30:00")),  # gap exactly 1800s → SAME session
+        (5, 6, T("2024-01-01 10:00:00")),  # other user starts at 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
