@@ -206,6 +206,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a5_sessionize"] = _a5
 
+    def _x10(spark: SparkSession, sf: str) -> DataFrame:
+        # The analyzed-mode variant machinery generalizes to any JSON
+        # column: typed extraction from events.props with cast-or-null.
+        from kafka_connect_mongo_spark.functions.schema_mapper import (
+            _typed_value,
+            with_variant_map,
+        )
+
+        ev = with_variant_map(
+            _events(spark, sf).withColumnRenamed("props", "object")
+        )
+        return ev.select(
+            "event_id",
+            _typed_value(F.element_at(F.col("_m"), F.lit("k")), "DOUBLE").alias("k"),
+        )
+
+    q["x10_props_extract"] = _x10
+
     def _p3(spark: SparkSession, sf: str) -> DataFrame:
         # Two passes (inference aggregation, then flatten), each a cheap
         # variant parse — measured faster than persisting the parsed map.
@@ -703,6 +721,10 @@ SELECT event_id, user_id,
        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM g
+""".strip()
+
+    o["x10_props_extract"] = """
+SELECT event_id, CAST(props->>'$.k' AS DOUBLE) AS k FROM events
 """.strip()
 
     o["t7_error_counts"] = f"""
