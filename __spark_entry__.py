@@ -422,11 +422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm.synth_wav(_docs(spark, sf))
     )
 
-    # Opaque-binary plumbing for formats needing real codecs (image/video):
-    # schema/batching real, feature values a documented deterministic stub.
-    q["m2_media_plumbing"] = lambda spark, sf: mm.decode_features(
-        mm.attach_media(_docs(spark, sf))
-    ).select("doc_id", "n_bytes", F.element_at("features", 1).alias("f0"))
+    # Image twin of m1: synth valid P6 PPM bytes per doc, decode them by
+    # parsing the actual header + RGB plane; every output value closed-form
+    # in doc_id → exact DuckDB oracle. (The sha256-stub plumbing for
+    # codec-requiring formats stays in the library, pytest-covered.)
+    q["m2_image_features"] = lambda spark, sf: mm.decode_ppm_features(
+        mm.synth_ppm(_docs(spark, sf))
+    )
 
     def _s7b(spark: SparkSession, sf: str) -> DataFrame:
         # ANN top-k through banded LSH candidates; the query is vector 7
@@ -913,6 +915,20 @@ SELECT doc_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes,
 FROM s
 """.strip()
 
-    # m2_media_plumbing: non-SQL-expressible by design (documented stub for
-    # codec-requiring formats) → rows-only check.
+    o["m2_image_features"] = """
+WITH p AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM p),
+b AS (SELECT doc_id, w, h, i, (doc_id * 7 + i * 13) % 256 AS v FROM px),
+agg AS (
+  SELECT doc_id, w, h,
+         round(sum(CASE WHEN i % 3 = 0 THEN v END)::DOUBLE / (w * h), 6) AS mean_r,
+         round(sum(CASE WHEN i % 3 = 1 THEN v END)::DOUBLE / (w * h), 6) AS mean_g,
+         round(sum(CASE WHEN i % 3 = 2 THEN v END)::DOUBLE / (w * h), 6) AS mean_b
+  FROM b GROUP BY doc_id, w, h)
+SELECT doc_id,
+       CAST(3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 5 + 3 * w * h AS INTEGER) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       mean_r, mean_g, mean_b
+FROM agg
+""".strip()
     return o

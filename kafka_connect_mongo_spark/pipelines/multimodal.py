@@ -185,6 +185,94 @@ def decode_wav_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "payload").mapInPandas(decode, schema=WAV_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real binary decode path #2: PPM P6 (image header + RGB pixel plane).
+# Like the WAV path, this needs no external codec — P6 is "P6\n{w} {h}\n255\n"
+# followed by w*h*3 raw RGB bytes — so the decode round-trips REAL image
+# bytes: synthesize a valid P6 file per doc, then parse the actual header
+# and pixel plane. Every output value is closed-form in doc_id, giving the
+# image branch of the multimodal surface an exact DuckDB oracle (this
+# retires the sha256-stub plumbing as the only unverified media path).
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def _ppm_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) — deterministic in doc_id."""
+    return 8 + doc_id % 24, 8 + doc_id % 16
+
+
+def synth_ppm(docs: DataFrame) -> DataFrame:
+    """Deterministic P6 PPM per doc: pixel byte i = (doc_id·7 + i·13) mod 256.
+    Fixture-side synthesis (no real image files in the sandbox); the DECODE
+    below is the operator under test."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _ppm_params(int(doc_id))
+                i = np.arange(w * h * 3, dtype=np.int64)
+                pixels = ((int(doc_id) * 7 + i * 13) % 256).astype(np.uint8)
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(build, schema=out_schema)
+
+
+def decode_ppm_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched PPM decode: parse the P6 header (magic, dimensions,
+    maxval) from the raw bytes, reinterpret the RGB plane, aggregate
+    per-channel means — the image twin of ``decode_wav_features``. On a
+    cluster with PIL installed the body swaps for ``Image.open``; the
+    Spark-side contract (binary in, typed feature row out, Arrow batches)
+    is identical."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                # header: magic line, dimensions line, maxval line
+                assert buf[:3] == b"P6\n", "not a P6 PPM"
+                dim_end = buf.index(b"\n", 3)
+                w, h = (int(x) for x in buf[3:dim_end].split())
+                max_end = buf.index(b"\n", dim_end + 1)
+                assert buf[dim_end + 1 : max_end] == b"255", "8-bit PPM only"
+                plane = np.frombuffer(buf, dtype=np.uint8, offset=max_end + 1,
+                                      count=w * h * 3).reshape(-1, 3)
+                sums = plane.astype(np.int64).sum(axis=0)
+                n_px = w * h
+                rows.append(
+                    (
+                        int(doc_id), len(buf), w, h,
+                        round(float(sums[0]) / n_px, 6),
+                        round(float(sums[1]) / n_px, 6),
+                        round(float(sums[2]) / n_px, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media_df.select("doc_id", "payload").mapInPandas(decode, schema=PPM_SCHEMA)
+
+
 def frame_sample(media_df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling plan for video payloads: one output row per sampled
     frame index — pure Column ops (sequence + explode); the per-frame

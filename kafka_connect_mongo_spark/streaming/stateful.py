@@ -82,9 +82,16 @@ def first_seen_stream(
     oplog_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
 ) -> DataFrame:
-    """Run the first-seen dedup over the feed (availableNow); returns the
-    emitted rows as a batch DataFrame."""
+    """Run the first-seen dedup over the feed (availableNow); emitted rows
+    land in a parquet sink (``out_dir``, default beside the checkpoint) and
+    the sink is returned as a batch DataFrame — the result never flows
+    through the driver. First-seen output is O(|distinct keys|): at 10^10
+    events that is executor-side parquet, not a driver collect."""
+    import os
+
+    out_dir = out_dir or os.path.join(checkpoint_dir, "_out")
     stream = read_oplog_stream(
         spark, oplog_path, max_files_per_trigger=max_files_per_trigger
     ).select("id", "ts", "inc", "seq", "op", "ns")
@@ -95,16 +102,15 @@ def first_seen_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    collected: list = []
-
-    def sink(batch_df: DataFrame, _bid: int) -> None:
-        collected.extend(batch_df.collect())
-
     q = (
-        out.writeStream.foreachBatch(sink)
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(collected, schema=FIRST_SEEN_SCHEMA)
+    try:
+        return spark.read.schema(FIRST_SEEN_SCHEMA).parquet(out_dir)
+    except Exception:  # zero batches emitted → sink dir never created
+        return spark.createDataFrame([], schema=FIRST_SEEN_SCHEMA)

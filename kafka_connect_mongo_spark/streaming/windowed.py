@@ -69,6 +69,8 @@ def run_windowed_stream(
     group-by, exactly). ``mode='append'`` with ``watermark_delay``: the
     union of all emitted (finalized) windows — windows the watermark never
     passed remain in state and are NOT emitted, the append contract."""
+    import os
+
     stream = read_oplog_stream(
         spark, oplog_path, max_files_per_trigger=max_files_per_trigger
     )
@@ -76,14 +78,17 @@ def run_windowed_stream(
     if watermark_delay is not None:
         stream = stream.withWatermark("event_time", watermark_delay)
     agg = windowed_op_counts(stream, time_col="event_time")
+    out_dir = os.path.join(checkpoint_dir, "_out")
 
-    collected: list = []
+    # Result path is a parquet sink, never a driver collect: complete mode
+    # overwrites the rollup per micro-batch (last batch wins — its emission
+    # IS the full result); append mode appends each finalized window once.
+    # Either way the emitted rows are written executor-side — state stays
+    # bounded by the watermark and the driver holds no rows.
+    write_mode = "overwrite" if mode == "complete" else "append"
 
     def sink(batch_df: DataFrame, _bid: int) -> None:
-        rows = batch_df.collect()
-        if mode == "complete":
-            collected.clear()
-        collected.extend(rows)
+        batch_df.write.mode(write_mode).parquet(out_dir)
 
     q = (
         agg.writeStream.foreachBatch(sink)
@@ -93,4 +98,7 @@ def run_windowed_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(collected, schema=agg.schema)
+    try:
+        return spark.read.schema(agg.schema).parquet(out_dir)
+    except Exception:  # nothing emitted (e.g. append mode, no window closed)
+        return spark.createDataFrame([], schema=agg.schema)

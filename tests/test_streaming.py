@@ -185,5 +185,26 @@ def test_first_seen_stateful_exactly_once(spark, gen_paths, tmp_path_factory):
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expected.collect()))
 
-    again = first_seen_stream(spark, op_path, str(work / "ckpt"))
+    # Re-run over the same checkpoint with a FRESH sink dir: the keyed state
+    # survives restart, so nothing new is emitted into it.
+    again = first_seen_stream(
+        spark, op_path, str(work / "ckpt"), out_dir=str(work / "out2")
+    )
     assert again.count() == 0  # checkpointed state suppresses re-emission
+
+
+def test_streaming_wrappers_have_no_driver_collect():
+    """The st4/st5 result path must be a distributed sink, not a driver
+    collect: first-seen output is O(|distinct keys|) — at 10^10 events a
+    collect() is a driver OOM. Asserted at the source level, same style as
+    the no-cartesian plan assertions."""
+    import inspect
+
+    from kafka_connect_mongo_spark.streaming import stateful, windowed
+
+    for mod in (stateful, windowed):
+        src = inspect.getsource(mod)
+        assert ".collect(" not in src, f"driver-side collect in {mod.__name__}"
+        assert "createDataFrame([" not in src.replace(
+            "createDataFrame([], ", ""
+        ), f"driver-side row materialization in {mod.__name__}"
