@@ -275,7 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
 
         work = tempfile.mkdtemp(prefix="cdc-entry-")
-        table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16, payload_col="object")
         run_replay_stream(
             spark,
             gen.oplog_path(sf),

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> None:
         from .sinks.lake import LakeTable
         from .streaming.replay_stream import run_replay_stream
 
-        table = LakeTable(spark, args.table, n_buckets=args.buckets)
+        table = LakeTable(spark, args.table, n_buckets=args.buckets, payload_col="object")
         stats = run_replay_stream(
             spark,
             args.oplog,
@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.snapshot, id_watermark=args.id_watermark,
             additional_filter=args.filter,
         )
-        table = LakeTable(spark, args.table, n_buckets=args.buckets)
+        table = LakeTable(spark, args.table, n_buckets=args.buckets, payload_col="object")
         stats = table.upsert(prepare_batch(snapshot_as_events(snap)), "export")
         print(json.dumps(stats))
     elif args.cmd == "replay":

@@ -99,17 +99,26 @@ def lww_collapse_window(events: DataFrame, key: str = "id") -> DataFrame:
     return top1_per_key(events, [key])
 
 
-def tombstone_cond(has_object: bool = True) -> Column:
-    """The reference sink treats ANY record with a null payload as a delete,
-    regardless of op (MongoSinkTask.kt:52-60) — not just op='d'."""
+def tombstone_cond(payload_col: str | None = None) -> Column:
+    """Delete condition: op='d', plus — when ``payload_col`` names the RAW
+    CDC payload column — any record whose payload is null (the reference
+    sink treats null-payload records as deletes regardless of op,
+    MongoSinkTask.kt:52-60).
+
+    ``payload_col`` is an explicit opt-in, never inferred from column
+    names: on an analyzed/flattened table a USER field that happens to be
+    named 'object' must not make null-valued rows vanish."""
     cond = F.col("op") == "d"
-    if has_object:
-        cond = cond | F.col("object").isNull()
+    if payload_col is not None:
+        cond = cond | F.col(payload_col).isNull()
     return cond
 
 
-def drop_tombstones(collapsed: DataFrame) -> DataFrame:
-    """T6: keys whose LAST event is a delete vanish from final state
-    (MongoSinkTask.kt:52-60 turns null-payload records into deletes —
-    honored here when the payload column is present)."""
-    return collapsed.filter(~tombstone_cond(has_object="object" in collapsed.columns))
+def drop_tombstones(collapsed: DataFrame, payload_col: str | None = None) -> DataFrame:
+    """T6: keys whose LAST event is a delete vanish from final state.
+    Callers holding the raw CDC shape pass ``payload_col='object'`` to also
+    honor null-payload-means-delete (MongoSinkTask.kt:52-60); the default
+    applies only the op='d' rule."""
+    if payload_col is not None and payload_col not in collapsed.columns:
+        raise ValueError(f"drop_tombstones: payload column {payload_col!r} not in frame")
+    return collapsed.filter(~tombstone_cond(payload_col))

@@ -36,7 +36,9 @@ def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
     from .lww import lww_collapse_salted
 
     collapse = lww_collapse_salted if salted else lww_collapse
-    live = drop_tombstones(collapse(events, key="id"))
+    # Raw CDC shape: 'object' IS the payload column, so null-payload-means-
+    # delete applies (explicit opt-in, MongoSinkTask.kt:52-60).
+    live = drop_tombstones(collapse(events, key="id"), payload_col="object")
     # ONE from_json parse per row (get_json_object would re-parse the JSON
     # once per extracted field — 7× the parsing work on the hot projection).
     payload_schema = ", ".join(f"{f} string" for f in FINAL_FIELDS) + ", stars double"

@@ -49,6 +49,26 @@ def asof_join(
 
     Output = all left columns + ``<payload><suffix>`` columns."""
     lcols = left.columns
+    # API-edge validation: silent wrong-answer shapes become loud errors.
+    for c in (on, ts):
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"asof_join: column {c!r} must exist on both sides")
+    for c in payload:
+        if c not in right.columns:
+            raise ValueError(f"asof_join: payload column {c!r} missing from right")
+        out_name = f"{c}{suffix}"
+        if out_name in lcols:
+            raise ValueError(
+                f"asof_join: output column {out_name!r} collides with a left "
+                f"column — pass a different suffix"
+            )
+    for c in (on, ts):
+        lt, rt = left.schema[c].dataType, right.schema[c].dataType
+        if lt != rt:
+            raise ValueError(
+                f"asof_join: {c!r} type mismatch: left {lt.simpleString()} vs "
+                f"right {rt.simpleString()}"
+            )
     tagged_l = left.select(
         F.lit(1).alias("_side"),
         *lcols,
@@ -97,7 +117,12 @@ def range_join_bucketed(
     lb = left.withColumn(
         "_bucket", (F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
     )
-    rb = right.withColumn(
+    # Empty/inverted intervals (end <= start) can never match the exact
+    # range predicate, but F.sequence(hi, lo) would silently explode a
+    # DESCENDING bucket list for them — correct after the filter, yet
+    # quadratically expensive on malformed input. Drop them before the
+    # explode so a bad interval costs nothing.
+    rb = right.filter(F.col(end) > F.col(start)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -122,16 +147,21 @@ def sessionize(
     user: str = "user_id",
     ts: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Gap-based sessions: adds ``session_id`` (0-based per user, in time
-    order). Both windows share the (user, ts) partitioning+sort — one
+    order; ts ties broken deterministically by ``tiebreak_col``). Both
+    windows share the (user, ts, tiebreak) partitioning+sort — one
     exchange in the plan."""
-    w_order = Window.partitionBy(user).orderBy(ts, "event_id")
+    for c in (user, ts, tiebreak_col):
+        if c not in events.columns:
+            raise ValueError(f"sessionize: column {c!r} not in frame")
+    w_order = Window.partitionBy(user).orderBy(ts, tiebreak_col)
     gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(
         F.lag(F.col(ts)).over(w_order)
     )
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    running = Window.partitionBy(user).orderBy(ts, "event_id").rowsBetween(
+    running = Window.partitionBy(user).orderBy(ts, tiebreak_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn(

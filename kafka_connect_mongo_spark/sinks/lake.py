@@ -26,7 +26,8 @@ Hudi / an LSM tree):
   than the reference's at-least-once + idempotent-upsert (which even
   DROPS failed bulks, ``MongoSinkTask.kt:85-88``).
 
-- **Tombstones (T6)**: delete events (op='d' — or any null-payload record,
+- **Tombstones (T6)**: delete events (op='d' — or, on tables that DECLARE
+  a raw payload column via ``payload_col``, any null-payload record,
   MongoSinkTask.kt:52-60) are RETAINED as marker rows and filtered at
   read, so a late, older upsert for a deleted key loses the LWW
   comparison instead of resurrecting the row. ``compact()`` purges them
@@ -98,7 +99,14 @@ class LakeTable:
         n_buckets: int = 32,
         key: str = "id",
         max_deltas: int = 8,
+        payload_col: str | None = None,
     ):
+        """``payload_col`` opts this table into null-payload-means-delete
+        (MongoSinkTask.kt:52-60): raw-CDC writers pass the payload column
+        name ('object'); analyzed/flattened tables leave it None so a USER
+        field named 'object' can never make null rows vanish at read. The
+        choice is DECLARED at create time and persisted in the meta —
+        readers never infer delete semantics from column names."""
         self.spark = spark
         self.root = root
         self.key = key
@@ -107,14 +115,23 @@ class LakeTable:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
+            if self.meta.get("format") != 2:
+                raise ValueError(
+                    f"unsupported lake table format {self.meta.get('format')!r} "
+                    f"at {root!r} (this build reads format 2); refusing before "
+                    f"any write"
+                )
             self.n_buckets = self.meta["n_buckets"]
+            self.payload_col = self.meta.get("payload_col")
         else:
             os.makedirs(os.path.join(root, "data"), exist_ok=True)
             self.n_buckets = n_buckets
+            self.payload_col = payload_col
             self.meta = {
                 "format": 2,
                 "n_buckets": n_buckets,
                 "key": key,
+                "payload_col": payload_col,
                 "committed_watermark": -1,
                 "committed_extra": [],
                 "buckets": {},  # str(bucket) -> {"base": gen|None, "deltas": [names]}
@@ -268,7 +285,7 @@ class LakeTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*old_paths)
         merged = lww_collapse(df, key=self.key)
         if purge_tombstones:
-            merged = merged.filter(~tombstone_cond("object" in merged.columns))
+            merged = merged.filter(~tombstone_cond(self._payload_col_in(merged)))
         gen = (state["base"] or 0) + 1
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
         # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
@@ -297,6 +314,13 @@ class LakeTable:
 
     # -- reads ---------------------------------------------------------------
 
+    def _payload_col_in(self, df: DataFrame) -> str | None:
+        """The table's DECLARED payload column, if this frame carries it
+        (pre-evolution files may not — treat those rows as op-only)."""
+        if self.payload_col is not None and self.payload_col in df.columns:
+            return self.payload_col
+        return None
+
     def _empty(self) -> DataFrame:
         if self.meta["schema"] is not None:
             schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
@@ -317,7 +341,7 @@ class LakeTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         state = lww_collapse(df, key=self.key)
         if not include_tombstones:
-            state = state.filter(~tombstone_cond("object" in state.columns))
+            state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
 
     def compact(self) -> None:

@@ -88,8 +88,15 @@ def run_analyzed_stream(
         try:
             events = with_variant_map(raw)
             prepared = prepare_analyzed_batch(events, namespace, registry, parsed=True)
-            applied.append(table.upsert(prepared, batch_id))
+            # Persist the registry BEFORE the lake commit: the merge is
+            # add-only/first-wins, so a registry "ahead" of the lake is
+            # harmless — but a lake ahead of the registry loses this
+            # batch's type freezes on crash (the skipped batch would never
+            # re-teach them, and the field could later re-freeze with a
+            # DIFFERENT type, violating CachedSchema first-value-fixes-type
+            # semantics, SchemaMapper.kt:137-162).
             registry.save(reg_path)
+            applied.append(table.upsert(prepared, batch_id))
         finally:
             raw.unpersist()
 

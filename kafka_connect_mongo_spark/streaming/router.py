@@ -44,11 +44,15 @@ class NamespaceRouter:
         root: str,
         prefix: str = "cdc",
         n_buckets: int = 32,
+        payload_col: str | None = "object",
     ):
         self.spark = spark
         self.root = root
         self.prefix = prefix
         self.n_buckets = n_buckets
+        # Routed tables hold the RAW CDC shape, so they declare the payload
+        # column (null payload = delete, MongoSinkTask.kt:52-60).
+        self.payload_col = payload_col
         self.tables: dict[str, LakeTable] = {}
 
     def table_for(self, ns: str) -> LakeTable:
@@ -57,6 +61,7 @@ class NamespaceRouter:
                 self.spark,
                 os.path.join(self.root, topic_name(self.prefix, ns)),
                 n_buckets=self.n_buckets,
+                payload_col=self.payload_col,
             )
         return self.tables[ns]
 

@@ -171,6 +171,47 @@ def test_empty_table_read_has_typed_schema(tmp_path, spark):
     assert dict(live.dtypes)["ts"] == typed["ts"]  # int, not string
 
 
+def test_null_payload_delete_is_opt_in(tmp_path, spark):
+    """ADVICE r2: delete semantics come from the DECLARED payload column,
+    never from a column happening to be named 'object'. A flattened table
+    with a user field 'object' must keep rows whose latest value is null;
+    a raw-CDC table (payload_col='object') must drop null-payload records
+    (MongoSinkTask.kt:52-60)."""
+    rows = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)}),  # null-payload via op='i'
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2)}),
+    ]
+    # Make key(1)'s payload null while op stays 'i' (the sneaky case).
+    def nullify(df):
+        return df.withColumn(
+            "object", F.when(F.col("id") == key(1), F.lit(None)).otherwise(F.col("object"))
+        )
+
+    analyzed = LakeTable(spark, str(tmp_path / "analyzed"), n_buckets=2)  # no payload_col
+    analyzed.upsert(nullify(mk(spark, rows)), 0)
+    assert analyzed.read().count() == 2  # user null survives
+
+    raw = LakeTable(spark, str(tmp_path / "raw"), n_buckets=2, payload_col="object")
+    raw.upsert(nullify(mk(spark, rows)), 0)
+    assert raw.read().count() == 1  # null payload = delete on the raw table
+
+    # the declaration persists: a fresh handle keeps the raw semantics
+    assert LakeTable(spark, str(tmp_path / "raw")).read().count() == 1
+
+
+def test_unsupported_meta_format_rejected(tmp_path, spark):
+    """A format-1 (round-1 layout) meta must fail LOUDLY at open, before
+    any staging write — not with a KeyError mid-upsert."""
+    import os
+
+    root = str(tmp_path / "old")
+    os.makedirs(root)
+    with open(os.path.join(root, "_meta.json"), "w") as f:
+        json.dump({"format": 1, "n_buckets": 4, "committed": [], "current_gen": 0}, f)
+    with pytest.raises(ValueError, match="unsupported lake table format"):
+        LakeTable(spark, root)
+
+
 def test_reopen_from_meta(tmp_path, spark):
     root = str(tmp_path / "lake")
     t1 = LakeTable(spark, root, n_buckets=4)

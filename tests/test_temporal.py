@@ -99,3 +99,64 @@ def test_sessionize_gap_boundaries(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     out = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
     assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+# --- API-edge hardening (VERDICT r2 #7): degenerate inputs fail loudly or
+# are handled cheaply, never a silent wrong shape or quiet blow-up.
+
+
+def test_range_join_empty_and_inverted_intervals(spark):
+    """end <= start intervals match nothing AND are dropped before the
+    bucket explode (no descending F.sequence fan-out)."""
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 5, base + dt.timedelta(seconds=100))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 5, base, base),  # empty interval
+            (2, 5, base + dt.timedelta(days=300), base),  # inverted (huge if exploded)
+            (3, 5, base, base + dt.timedelta(seconds=200)),  # genuine match
+        ],
+        "rid long, rk long, t_start timestamp, t_end timestamp",
+    )
+    got = range_join_bucketed(
+        left, right, on_left="k", on_right="rk", ts="ts",
+        start="t_start", end="t_end", bucket_seconds=60,
+    ).select("lid", "rid")
+    assert [tuple(r) for r in got.collect()] == [(1, 3)]
+
+
+def test_sessionize_missing_tiebreak_col_raises(spark):
+    df = spark.createDataFrame(
+        [(5, T("2024-01-01 10:00:00"))], "user_id long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="event_id"):
+        sessionize(df)
+
+
+def test_sessionize_custom_tiebreak_col(spark):
+    rows = [
+        ("a", 5, T("2024-01-01 10:00:00")),
+        ("b", 5, T("2024-01-01 11:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "row_key string, user_id long, ts timestamp")
+    out = {r["row_key"]: r["session_id"]
+           for r in sessionize(df, tiebreak_col="row_key").collect()}
+    assert out == {"a": 0, "b": 1}
+
+
+def test_asof_join_validates_collisions_and_types(spark, clicks, errors):
+    # payload output name colliding with a left column
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(clicks.withColumn("value_asof", F.lit(0)), errors, on="user_id")
+    # missing payload column on the right
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(clicks, errors, on="user_id", payload=("nope",))
+    # key type mismatch across sides
+    with pytest.raises(ValueError, match="type mismatch"):
+        asof_join(clicks, errors.withColumn("user_id", F.col("user_id").cast("int")),
+                  on="user_id")
+    # missing key column
+    with pytest.raises(ValueError, match="both sides"):
+        asof_join(clicks, errors.drop("user_id"), on="user_id")
