@@ -89,6 +89,45 @@ WHEN NOT MATCHED THEN INSERT *  -- upserts AND tombstones for unseen keys
 """.strip()
 
 
+def apply_merge_arms(state: DataFrame, batch: DataFrame, key: str = "id") -> DataFrame:
+    """Execute ``merge_into_sql``'s WHEN-arm logic as DataFrame expressions.
+
+    The sandbox has no Iceberg/Delta jar, so the MERGE statement itself
+    can't run through a real planner here — this is its semantic twin,
+    used by the property harness to prove the statement's arm logic and
+    ``LakeTable`` converge identically under out-of-order replay
+    (MongoSinkTask.kt:52-79 parity):
+
+    - the source is LWW-collapsed per key first (MERGE errors on multiple
+      matching source rows — a real writer collapses the micro-batch
+      before merging, exactly as ``LakeTable.upsert`` pre-collapses at
+      read);
+    - both MATCHED arms share the monotonic guard
+      ``struct(s.ts,s.inc,s.seq) >= struct(t.ts,t.inc,t.seq)`` and both
+      UPDATE SET * (the delete arm leaves a tombstone ROW — readers
+      filter ``op='d'``), so a guarded match takes the source row;
+    - NOT MATCHED inserts the source row (upserts AND tombstones for
+      unseen keys, so a late older upsert can't resurrect a deleted key).
+
+    Returns the post-merge target state (tombstone rows included)."""
+    src = lww_collapse(batch, key=key).alias("s")
+    t = state.alias("t")
+    cols = state.columns
+    joined = t.join(src, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    guard = F.struct(F.col("s.ts"), F.col("s.inc"), F.col("s.seq")) >= F.struct(
+        F.col("t.ts"), F.col("t.inc"), F.col("t.seq")
+    )
+    # WHEN MATCHED AND guard (both arms) → source row; WHEN NOT MATCHED →
+    # source row; matched-but-stale or source-absent → keep target row.
+    take_source = F.col(f"s.{key}").isNotNull() & (F.col(f"t.{key}").isNull() | guard)
+    return joined.select(
+        *[
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+
+
 class LakeTable:
     """Single-writer, snapshot-committed, hash-bucketed MoR upsert table."""
 
