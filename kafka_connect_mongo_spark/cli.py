@@ -60,6 +60,23 @@ def main(argv: list[str] | None = None) -> None:
     pt.add_argument("--prefix", default="cdc", help="table name prefix (topic prefix analog)")
     pt.add_argument("--buckets", type=int, default=256)
     pt.add_argument("--max-files-per-trigger", type=int, default=8)
+    pt.add_argument(
+        "--databases", default=None,
+        help="comma-separated db.collection allowlist; validated like the "
+        "sink's topics<->databases mapping (MongoSinkConnector.kt:55-71)",
+    )
+
+    ph = sub.add_parser(
+        "healthcheck",
+        help="probe stream health from the engine's own artifacts "
+        "(tools/Application.kt:22-56 analog); exits 1 if any table is not ok",
+    )
+    ph.add_argument("--table", action="append", default=[],
+                    help="lake table root (repeatable)")
+    ph.add_argument("--root", default=None,
+                    help="routed-tables parent dir: every child with a _meta.json")
+    ph.add_argument("--oplog", default=None, help="feed path, for lag vs max offset")
+    ph.add_argument("--metrics", default=None, help="metrics dir, for quarantine counts")
 
     args = p.parse_args(argv)
     spark = get_spark(master=args.master)
@@ -112,8 +129,31 @@ def main(argv: list[str] | None = None) -> None:
             prefix=args.prefix,
             n_buckets=args.buckets,
             max_files_per_trigger=args.max_files_per_trigger,
+            databases=args.databases.split(",") if args.databases else None,
         )
         print(json.dumps(stats))
+    elif args.cmd == "healthcheck":
+        import os
+        import sys
+
+        from .health import healthcheck
+
+        roots = list(args.table)
+        if args.root:
+            roots.extend(
+                sorted(
+                    os.path.join(args.root, d)
+                    for d in os.listdir(args.root)
+                    if os.path.exists(os.path.join(args.root, d, "_meta.json"))
+                )
+            )
+        report = healthcheck(
+            spark, roots, oplog_path=args.oplog, metrics_dir=args.metrics
+        )
+        print(json.dumps(report))
+        if not report["healthy"]:
+            spark.stop()
+            sys.exit(1)
     spark.stop()
 
 

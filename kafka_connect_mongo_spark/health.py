@@ -1,0 +1,162 @@
+"""Ops healthcheck — "are my streams alive, how far behind, what broke".
+
+The reference ships a ``healthcheck`` CLI that probes connector/task
+state over the Connect REST API and exits non-zero on any failed task
+(``tools/Application.kt:22-56``). This engine has no REST daemon — its
+observable state IS its artifacts: the lake table meta (committed batch
+watermark, bootstrap marker), the per-batch lineage/error metrics tables
+the stream appends (``operators/metrics.py``), and the feed itself. The
+healthcheck derives, per namespace:
+
+- **bootstrap**: whether the initial import finished (the
+  ``finishedImport`` flag re-expressed, ``MongoSourceOffset.kt:10-14``);
+- **applied offset**: the latest (ts, inc) the table has committed,
+  encoded as the reference's offset string (``MongoSourceOffset.kt:23-26``);
+- **feed offset + lag**: the feed's max offset and the count of feed
+  events strictly newer than what's applied — 0 means caught up;
+- **quarantine**: corrupt-row counts from the error metrics channel
+  (T7, ``MongoSinkTask.kt:63-70``).
+
+Scale note: everything here is either O(1) driver-side meta JSON or one
+aggregation over tables the engine already maintains; the lag count is a
+single filtered scan of the feed with the tiny per-ns offset frame
+broadcast — no collect of data rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks.lake import LakeTable
+from .sources.oplog import max_offset_per_ns, read_oplog
+from .streaming.replay_stream import BOOTSTRAP_BATCH_ID
+
+
+def applied_offsets(table: LakeTable) -> DataFrame:
+    """Per-ns latest committed offset, derived from the table itself
+    (tombstones included — a delete advances the offset too)."""
+    from .operators.lww import top1_per_key
+
+    rows = table.read(include_tombstones=True)
+    latest = top1_per_key(rows.select("ns", "ts", "inc", "seq", "id"), ["ns"])
+    return latest.select(
+        "ns",
+        F.col("ts").alias("a_ts"),
+        F.col("inc").alias("a_inc"),
+        F.col("seq").alias("a_seq"),
+        F.concat_ws(
+            ",",
+            F.col("ts").cast("string"),
+            F.col("inc").cast("string"),
+            F.col("id"),
+            F.lit("1"),
+        ).alias("applied_offset"),
+    )
+
+
+def feed_lag(feed: DataFrame, applied: DataFrame) -> DataFrame:
+    """Events in the feed strictly newer than the applied offset, per ns.
+
+    Left join so a namespace the table has never seen reports its FULL
+    feed count as lag (applied offset −∞), not a silent absence."""
+    joined = feed.select("ns", "ts", "inc", "seq").join(
+        F.broadcast(applied), "ns", "left"
+    )
+    behind = F.col("a_ts").isNull() | (
+        F.struct(F.col("ts"), F.col("inc"), F.col("seq"))
+        > F.struct(F.col("a_ts"), F.col("a_inc"), F.col("a_seq"))
+    )
+    return joined.groupBy("ns").agg(
+        F.sum(F.when(behind, 1).otherwise(0)).alias("lag_events")
+    )
+
+
+def quarantine_counts(spark: SparkSession, metrics_dir: str) -> dict[str, int]:
+    """Total corrupt rows per ns from the stream's error channel table."""
+    path = os.path.join(metrics_dir, "errors")
+    if not os.path.isdir(path):
+        return {}
+    df = spark.read.parquet(path).groupBy("ns").agg(
+        F.sum("n_corrupt").alias("n_corrupt")
+    )
+    return {r["ns"]: int(r["n_corrupt"]) for r in df.collect()}
+
+
+def table_health(
+    spark: SparkSession,
+    table_root: str,
+    oplog_path: str | None = None,
+    metrics_dir: str | None = None,
+) -> dict:
+    """Health report for one lake table (possibly multi-ns)."""
+    if not os.path.exists(os.path.join(table_root, "_meta.json")):
+        return {"table": table_root, "status": "missing", "namespaces": {}}
+    table = LakeTable(spark, table_root)
+    applied = applied_offsets(table)
+    per_ns: dict[str, dict] = {
+        r["ns"]: {
+            "applied_offset": r["applied_offset"],
+            "lag_events": None,
+            "feed_offset": None,
+            "quarantined": 0,
+        }
+        for r in applied.collect()
+    }
+    if oplog_path is not None:
+        feed = read_oplog(spark, oplog_path)
+        for r in max_offset_per_ns(feed).collect():
+            per_ns.setdefault(
+                r["ns"],
+                {"applied_offset": None, "lag_events": None, "feed_offset": None,
+                 "quarantined": 0},
+            )["feed_offset"] = r["offset"]
+        for r in feed_lag(feed, applied).collect():
+            per_ns[r["ns"]]["lag_events"] = int(r["lag_events"])
+    if metrics_dir is not None:
+        for ns, n in quarantine_counts(spark, metrics_dir).items():
+            per_ns.setdefault(
+                ns,
+                {"applied_offset": None, "lag_events": None, "feed_offset": None,
+                 "quarantined": 0},
+            )["quarantined"] = n
+    for ns, h in per_ns.items():
+        if h["applied_offset"] is None:
+            h["status"] = "failed"  # feed/errors know this ns, table has nothing
+        elif h["quarantined"]:
+            h["status"] = "degraded"
+        elif h["lag_events"]:
+            h["status"] = "lagging"
+        else:
+            h["status"] = "ok"
+    severity = {"ok": 0, "lagging": 1, "degraded": 2, "failed": 3}
+    worst = max(
+        (h["status"] for h in per_ns.values()), key=severity.get, default="ok"
+    )
+    return {
+        "table": table_root,
+        "status": worst,
+        "bootstrap_done": table.is_committed(BOOTSTRAP_BATCH_ID),
+        "committed_watermark": table.meta["committed_watermark"],
+        "namespaces": per_ns,
+    }
+
+
+def healthcheck(
+    spark: SparkSession,
+    table_roots: list[str],
+    oplog_path: str | None = None,
+    metrics_dir: str | None = None,
+) -> dict:
+    """Aggregate report; ``healthy`` is False if ANY table is not ok —
+    the Application.kt exit-code contract."""
+    reports = [
+        table_health(spark, root, oplog_path=oplog_path, metrics_dir=metrics_dir)
+        for root in table_roots
+    ]
+    return {
+        "healthy": all(r["status"] == "ok" for r in reports),
+        "tables": reports,
+    }

@@ -125,3 +125,33 @@ def ns_to_flat(ns: str) -> str:
 def topic_name(prefix: str, ns: str) -> str:
     """Topic/table routing ``prefix_db_coll`` (StructUtil.kt:13-16)."""
     return f"{prefix}_{ns_to_flat(ns)}" if prefix else ns_to_flat(ns)
+
+
+def validate_sink_mapping(
+    topics: list[str] | str, databases: list[str] | str
+) -> dict[str, str]:
+    """Validate an EXPLICIT topics↔databases sink mapping, 1:1 by position
+    (``MongoSinkConnector.kt:55-71``): every database must match
+    ``db.collection`` (exactly one dot) and the two lists must be the same
+    length. Returns {topic: namespace}. The router's dynamic ns-derived
+    routing is strictly more flexible, but when a user DOES pass a
+    malformed explicit mapping it must be rejected at start, not at the
+    first mis-routed batch."""
+    if isinstance(topics, str):
+        topics = [t for t in topics.split(",") if t]
+    if isinstance(databases, str):
+        databases = [d for d in databases.split(",") if d]
+    for db in databases:
+        if len(db.split(".")) != 2:
+            raise ValueError(
+                f"each database's pattern should be db.collection, got {db!r}"
+            )
+    if len(topics) != len(databases):
+        raise ValueError(
+            f"topics and databases count should be the same in sink task "
+            f"({len(topics)} topics vs {len(databases)} databases)"
+        )
+    dupes = {t for t in topics if topics.count(t) > 1}
+    if dupes:
+        raise ValueError(f"duplicate topics in sink mapping: {sorted(dupes)}")
+    return dict(zip(topics, databases))

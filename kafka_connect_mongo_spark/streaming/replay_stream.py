@@ -129,6 +129,14 @@ def run_replay_stream(
             batch_lineage(batch_df, batch_id=batch_id).write.mode("append").parquet(
                 os.path.join(metrics_dir, "lineage")
             )
+            # error channel (T7): per-batch corrupt-row counts, the
+            # healthcheck's quarantine feed (MongoSinkTask.kt:63-70 —
+            # logged-and-skipped there, counted and queryable here).
+            from ..operators.errors import error_counts
+
+            error_counts(batch_df).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(os.path.join(metrics_dir, "errors"))
 
     stream = read_oplog_stream(
         spark, oplog_path, namespace=namespace, max_files_per_trigger=max_files_per_trigger

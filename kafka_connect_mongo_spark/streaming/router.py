@@ -45,6 +45,7 @@ class NamespaceRouter:
         prefix: str = "cdc",
         n_buckets: int = 32,
         payload_col: str | None = "object",
+        databases: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -53,6 +54,18 @@ class NamespaceRouter:
         # Routed tables hold the RAW CDC shape, so they declare the payload
         # column (null payload = delete, MongoSinkTask.kt:52-60).
         self.payload_col = payload_col
+        # Optional EXPLICIT namespace allowlist (the sink's 1:1
+        # topics↔databases contract, MongoSinkConnector.kt:55-71):
+        # validated at construction, enforced per batch — like the
+        # reference sink, unlisted namespaces are simply not consumed.
+        self.databases: set[str] | None = None
+        if databases is not None:
+            from ..model import validate_sink_mapping
+
+            mapping = validate_sink_mapping(
+                [topic_name(prefix, ns) for ns in databases], databases
+            )
+            self.databases = set(mapping.values())
         self.tables: dict[str, LakeTable] = {}
 
     def table_for(self, ns: str) -> LakeTable:
@@ -66,7 +79,10 @@ class NamespaceRouter:
         return self.tables[ns]
 
     def namespaces(self, batch: DataFrame) -> list[str]:
-        return sorted(r["ns"] for r in batch.select("ns").distinct().collect())
+        seen = sorted(r["ns"] for r in batch.select("ns").distinct().collect())
+        if self.databases is not None:
+            seen = [ns for ns in seen if ns in self.databases]
+        return seen
 
     def apply_batch(self, batch: DataFrame, batch_id: int | str) -> list[dict]:
         stats = []
@@ -86,17 +102,24 @@ def run_routed_stream(
     prefix: str = "cdc",
     n_buckets: int = 32,
     max_files_per_trigger: int | None = None,
+    databases: list[str] | None = None,
 ) -> dict:
     """Replay a MULTI-collection change feed into one lake table per
     namespace, exactly-once per table, resumable from the shared
-    checkpoint. Returns {ns: table_root} plus per-batch stats."""
-    router = NamespaceRouter(spark, root, prefix=prefix, n_buckets=n_buckets)
+    checkpoint. Returns {ns: table_root} plus per-batch stats.
+    ``databases`` optionally restricts routing to an explicit, validated
+    namespace list (MongoSinkConnector.kt:55-71)."""
+    router = NamespaceRouter(
+        spark, root, prefix=prefix, n_buckets=n_buckets, databases=databases
+    )
 
     if snapshot_path:
         snap_ns = sorted(
             r["ns"]
             for r in spark.read.parquet(snapshot_path).select("ns").distinct().collect()
         )
+        if router.databases is not None:
+            snap_ns = [ns for ns in snap_ns if ns in router.databases]
         for ns in snap_ns:
             bootstrap(spark, router.table_for(ns), snapshot_path, namespace=ns)
 

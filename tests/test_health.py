@@ -1,0 +1,123 @@
+"""Healthcheck (tools/Application.kt:22-56 analog): stream health derived
+from the engine's own artifacts — lake meta, lineage/error metrics, feed
+offsets — including detection of an injected corrupt batch."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from kafka_connect_mongo_spark.health import healthcheck, table_health
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+from kafka_connect_mongo_spark.sinks.lake import LakeTable
+from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
+
+K = [f"{i:024x}" for i in range(8)]
+
+
+def _write_feed_file(spark, path, rows):
+    df = spark.createDataFrame(rows, schema=OPLOG_SCHEMA).coalesce(1)
+    df.write.mode("append").parquet(path)
+
+
+def _row(ts, seq, op, key, obj, ns="t.a"):
+    return (ts, 0, seq, op, ns, key, obj, None, False)
+
+
+@pytest.fixture(scope="module")
+def corrupt_stream(spark, tmp_path_factory):
+    """A stream that applied one clean batch and one batch with corrupt
+    JSON payloads (the injected failure), plus a 'future' feed dir holding
+    events the table has not applied yet."""
+    work = tmp_path_factory.mktemp("health")
+    feed = str(work / "feed")
+    clean = [_row(100, i, "i", K[i], json.dumps({"_id": K[i], "v": i})) for i in range(4)]
+    bad = [
+        _row(200, 10, "i", K[4], json.dumps({"_id": K[4], "v": 4})),
+        _row(200, 11, "i", K[5], "{definitely not json"),
+        _row(200, 12, "u", K[6], "also-not-json}"),
+    ]
+    _write_feed_file(spark, feed, clean)
+    _write_feed_file(spark, feed, bad)
+
+    table = LakeTable(spark, str(work / "lake"), n_buckets=2, payload_col="object")
+    metrics = str(work / "metrics")
+    run_replay_stream(
+        spark, feed, table, str(work / "ckpt"),
+        max_files_per_trigger=1, metrics_dir=metrics,
+    )
+
+    future = str(work / "feed-future")
+    os.makedirs(future)
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(feed, f), os.path.join(future, f))
+    _write_feed_file(
+        spark, future,
+        [_row(300, 20, "i", K[7], json.dumps({"_id": K[7], "v": 7}))],
+    )
+    return str(work / "lake"), feed, future, metrics
+
+
+def test_caught_up_but_quarantined_is_degraded(spark, corrupt_stream):
+    lake, feed, _, metrics = corrupt_stream
+    h = table_health(spark, lake, oplog_path=feed, metrics_dir=metrics)
+    ns = h["namespaces"]["t.a"]
+    assert ns["lag_events"] == 0  # everything in the feed was applied
+    assert ns["quarantined"] == 2  # the two corrupt rows, from the error channel
+    assert ns["status"] == "degraded"
+    assert h["status"] == "degraded"
+    assert h["committed_watermark"] >= 1
+    assert not h["bootstrap_done"]  # no snapshot was given to this stream
+    # applied offset is the reference-encoded string of the last event
+    assert ns["applied_offset"].startswith("200,0,")
+
+
+def test_lag_against_a_feed_that_moved_on(spark, corrupt_stream):
+    lake, _, future, _ = corrupt_stream
+    h = table_health(spark, lake, oplog_path=future)
+    ns = h["namespaces"]["t.a"]
+    assert ns["lag_events"] == 1  # the ts=300 event is not applied yet
+    assert ns["status"] == "lagging"
+    assert ns["feed_offset"].startswith("300,0,")
+
+
+def test_unseen_namespace_reports_failed(spark, corrupt_stream, tmp_path_factory):
+    """A namespace present in the feed but absent from the table is a
+    dead task, not a silent omission."""
+    lake, feed, _, _ = corrupt_stream
+    other = str(tmp_path_factory.mktemp("otherns") / "feed")
+    _write_feed_file(
+        spark, other,
+        [_row(100, 0, "i", K[0], json.dumps({"_id": K[0]}), ns="t.ZZZ")],
+    )
+    h = table_health(spark, lake, oplog_path=other)
+    assert h["namespaces"]["t.ZZZ"]["status"] == "failed"
+    assert h["status"] == "failed"
+
+
+def test_missing_table_and_aggregate_healthy_flag(spark, corrupt_stream):
+    lake, feed, _, metrics = corrupt_stream
+    rep = healthcheck(
+        spark, [lake, "/nonexistent/table"], oplog_path=feed, metrics_dir=metrics
+    )
+    assert not rep["healthy"]
+    assert rep["tables"][1]["status"] == "missing"
+
+
+def test_cli_exit_code_contract(corrupt_stream):
+    """Application.kt:50-55: any non-ok task → exit 1; the report still
+    prints. Run out-of-process (the CLI owns/stops its session)."""
+    lake, feed, _, metrics = corrupt_stream
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "healthcheck",
+         "--table", lake, "--oplog", feed, "--metrics", metrics],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 1, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["healthy"] is False
+    assert report["tables"][0]["namespaces"]["t.a"]["quarantined"] == 2

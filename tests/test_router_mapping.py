@@ -1,0 +1,54 @@
+"""Explicit sink mapping validation + allowlisted routing
+(MongoSinkConnector.kt:55-71)."""
+
+import json
+
+import pytest
+
+from kafka_connect_mongo_spark.model import OPLOG_SCHEMA, validate_sink_mapping
+from kafka_connect_mongo_spark.streaming.router import NamespaceRouter
+
+
+def test_validate_sink_mapping_ok():
+    m = validate_sink_mapping("t_a,t_b", "db.a,db.b")
+    assert m == {"t_a": "db.a", "t_b": "db.b"}
+    # trailing empties dropped, list form accepted
+    assert validate_sink_mapping(["x"], ["d.c"]) == {"x": "d.c"}
+
+
+def test_validate_sink_mapping_rejects_bad_pattern():
+    with pytest.raises(ValueError, match="db.collection"):
+        validate_sink_mapping("t1", "justadb")
+    with pytest.raises(ValueError, match="db.collection"):
+        validate_sink_mapping("t1", "a.b.c")
+
+
+def test_validate_sink_mapping_rejects_count_mismatch_and_dupes():
+    with pytest.raises(ValueError, match="count should be the same"):
+        validate_sink_mapping("t1,t2", "db.a")
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_sink_mapping("t1,t1", "db.a,db.b")
+
+
+def test_router_rejects_malformed_allowlist(spark, tmp_path):
+    with pytest.raises(ValueError, match="db.collection"):
+        NamespaceRouter(spark, str(tmp_path), databases=["notanamespace"])
+
+
+def test_router_allowlist_restricts_routing(spark, tmp_path):
+    """Like the reference sink, only listed namespaces are consumed —
+    others are left in the feed, not errored."""
+    k = "0" * 24
+    rows = [
+        (100, 0, 0, "i", "db.a", k, json.dumps({"_id": k}), None, False),
+        (100, 0, 1, "i", "db.b", k, json.dumps({"_id": k}), None, False),
+    ]
+    batch = spark.createDataFrame(rows, schema=OPLOG_SCHEMA).select(
+        "id", "ts", "inc", "seq", "op", "ns", "object"
+    )
+    router = NamespaceRouter(
+        spark, str(tmp_path / "lake"), n_buckets=2, databases=["db.a"]
+    )
+    stats = router.apply_batch(batch, 0)
+    assert [s["ns"] for s in stats] == ["db.a"]
+    assert set(router.tables) == {"db.a"}
