@@ -41,6 +41,8 @@ def main() -> None:
         "a4_op_counts",         # metrics aggregation
         "x8_max_offset",        # per-ns lineage offsets
         "p3_analyzed_flatten",  # native variant flatten (infer + fill)
+        "p3_warm_flatten",      # warm flatten (converged registry, re-parse floor)
+        "p5_analyzed_lake",     # parse-at-ingest steady state (native column read)
         "d1_dedup_exact",
         "d3_simhash32",
         "d4_minhash_lsh",
