@@ -435,6 +435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=0.35, n_probes=64
     )
 
+    # Near-dup CLUSTERING: pairs -> distributed connected components ->
+    # canonical min-doc_id per cluster (what a dedup pass actually keys on).
+    q["d7_neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
+        _docs(spark, sf), n_hashes=16, band_size=4, threshold=0.7
+    )
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -872,6 +878,21 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
     o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
+
+    # components = min reachable doc_id, via transitive closure (the
+    # recursive CTE enumerates reachable labels; min per node = the
+    # canonical representative the Spark label propagation converges to)
+    o["d7_neardup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_sql_minhash(16, 4, 0.7)}),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION SELECT doc_b AS x, doc_a AS y FROM pairs),
+reach(x, label) AS (
+  SELECT x, x AS label FROM (SELECT DISTINCT x FROM edges) t
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y)
+SELECT x AS doc_id, min(label) AS cluster_id FROM reach GROUP BY x
+""".strip()
 
     o["d5_cosine_neardup"] = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

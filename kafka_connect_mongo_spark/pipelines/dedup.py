@@ -253,3 +253,87 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERING: pairs -> connected components -> canonical doc
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list:
+    returns ``(doc_id, cluster_id)`` where ``cluster_id`` is the MIN node
+    id reachable from ``doc_id`` — the deterministic canonical
+    representative of each near-dup cluster.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) every node takes the min label over itself and its neighbors
+    (one equi-join + map-side-combined min-aggregate), then (2) labels
+    are path-compressed by one label→label self-join (``label(x) :=
+    label(label(x))``), which squares the propagation distance per round
+    — convergence in O(log |longest chain|) rounds, not O(diameter).
+    Each round ends in ``localCheckpoint`` to truncate the plan lineage
+    (the standard guard for iterative DataFrame algorithms), and the
+    driver's only data contact is the scalar convergence count.
+
+    100 TB design: every round is two shuffles of |V|+|E| rows keyed by
+    node/label — the same shape GraphX/GraphFrames' CC uses. Near-dup
+    graphs are overwhelmingly tiny star clusters (diameter ≤ 2-3), so in
+    practice 2-3 rounds converge; ``max_iter`` is a safety bound, and
+    non-convergence raises instead of returning a silently wrong
+    clustering.
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
+    e = e.localCheckpoint()
+    labels = e.select("x").distinct().withColumn("label", F.col("x"))
+    for _ in range(max_iter):
+        # (1) neighbor min: label candidates flowing along edges
+        nbr = (
+            e.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, "x", "left").select(
+            "x",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # (2) pointer jumping: label(x) := label(label(x))
+        as_node = stepped.select(
+            F.col("x").alias("label"), F.col("label").alias("parent")
+        )
+        jumped = (
+            stepped.join(as_node, "label", "left")
+            .select("x", F.coalesce("parent", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup clustering: MinHash+LSH pairs → connected components
+    → every clustered doc labeled with its canonical (min) doc_id. This is
+    the operation a dedup pass actually needs — "keep one doc per cluster"
+    — not just the pair list; docs in no pair are implicitly their own
+    singleton cluster and are omitted here (join back with a coalesce to
+    assign ``cluster_id = doc_id`` corpus-wide)."""
+    pairs = minhash_near_dups(docs, n_hashes, band_size, threshold)
+    return connected_components(pairs)
