@@ -441,6 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), n_hashes=16, band_size=4, threshold=0.7
     )
 
+    # Composed curation pipeline: one scan + one shuffle end-to-end.
+    q["c1_curation"] = lambda spark, sf: sel.curate(
+        _docs(spark, sf), min_quality=0.5, rates={"en": 0.5, "de": 0.8},
+        default_rate=0.3,
+    )
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -996,6 +1002,31 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
        WHEN hits_es = best THEN 'es'
        ELSE 'und' END AS pred_lang
 FROM g
+""".strip()
+
+    # c1: the composed curation pipeline — quality gate, language gate,
+    # exact-dup removal (min doc_id per digest), stratified sample
+    o["c1_curation"] = f"""
+WITH q AS ({quality_sql}),
+b2 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+h2 AS (SELECT doc_id, {hits} FROM b2),
+g2 AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h2),
+l AS (SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN hits_en = best THEN 'en'
+       WHEN hits_de = best THEN 'de'
+       WHEN hits_fr = best THEN 'fr'
+       WHEN hits_es = best THEN 'es'
+       ELSE 'und' END AS pred_lang
+  FROM g2),
+j AS (SELECT d.doc_id, d.text, l.pred_lang, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id JOIN l ON d.doc_id = l.doc_id),
+f AS (SELECT * FROM j WHERE quality >= 0.5 AND pred_lang <> 'und'),
+dd2 AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, pred_lang, quality FROM dd2
+WHERE rn = 1
+  AND CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
+      < CASE pred_lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 ELSE 3000 END
 """.strip()
 
     o["t4_fingerprint"] = """

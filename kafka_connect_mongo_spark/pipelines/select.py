@@ -76,3 +76,45 @@ def topk_per_group(
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.3,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    pass actually runs: quality gate → language gate → exact-dup removal
+    (keep min doc_id per content digest) → deterministic per-language
+    stratified sample. Output: (doc_id, pred_lang, quality).
+
+    Plan shape (the part that matters at 100 TB): quality and language are
+    row-local Column expressions computed in ONE scan (`keep=` threading,
+    no self-joins); the only shuffle is the dedup window on the content
+    digest, and it runs AFTER both gates so it shuffles the filtered
+    survivors, not the corpus; the sample is a hash filter on top. Total:
+    one scan + one shuffle, versus the naive join-per-stage plan's four.
+    """
+    from .text import lang_id, quality_score
+
+    if rates is None:
+        rates = {"en": 0.5, "de": 0.8}
+    scored = lang_id(
+        quality_score(docs, keep=("text",)), keep=("quality", "text")
+    )
+    gated = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") != "und")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text")
+    )
+    sampled = stratified_sample(
+        deduped, rates, stratum_col="pred_lang",
+        default_rate=default_rate, salt=salt,
+    )
+    return sampled.select("doc_id", "pred_lang", "quality")

@@ -34,10 +34,12 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality features: length, mean word length, stopword
     ratio, punctuation ratio, plus a blended 0-1 score. Deterministic,
-    round(6) for cross-engine comparison."""
+    round(6) for cross-engine comparison. ``keep`` passes input columns
+    through so row-local stages compose without a join (see
+    ``select.curate``)."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length(F.col("text"))
@@ -61,10 +63,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         score.alias("quality"),
+        *[F.col(c) for c in keep],
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Marker-lexicon language ID: count hits per language's marker list,
     pick the argmax (ties broken by fixed language order), 'und' when no
     marker hits. A deterministic heuristic — the point is the distributed
@@ -86,6 +89,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [hit_cols[lang].cast("long").alias(f"hits_{lang}") for lang in langs]
     sel.append(pred.alias("pred_lang"))
+    sel += [F.col(c) for c in keep]
     return docs.select(*sel)
 
 
