@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> None:
         "sink's topics<->databases mapping (MongoSinkConnector.kt:55-71)",
     )
 
+    pc = sub.add_parser(
+        "compact",
+        help="full table maintenance: every bucket -> one base generation, "
+        "tombstones purged (run once no older events can arrive)",
+    )
+    pc.add_argument("--table", action="append", default=[], required=True,
+                    help="lake table root (repeatable)")
+
     ph = sub.add_parser(
         "healthcheck",
         help="probe stream health from the engine's own artifacts "
@@ -132,6 +140,19 @@ def main(argv: list[str] | None = None) -> None:
             databases=args.databases.split(",") if args.databases else None,
         )
         print(json.dumps(stats))
+    elif args.cmd == "compact":
+        from .sinks.lake import LakeTable
+
+        out = []
+        for root in args.table:
+            table = LakeTable(spark, root)
+            table.compact()
+            out.append({
+                "table": root,
+                "n_buckets": table.n_buckets,
+                "rows": table.read(include_tombstones=True).count(),
+            })
+        print(json.dumps(out))
     elif args.cmd == "healthcheck":
         import os
         import sys

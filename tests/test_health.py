@@ -121,3 +121,20 @@ def test_cli_exit_code_contract(corrupt_stream):
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["healthy"] is False
     assert report["tables"][0]["namespaces"]["t.a"]["quarantined"] == 2
+
+
+def test_cli_compact(corrupt_stream):
+    """compact: every bucket collapses to one base generation; table stays
+    readable with identical live state."""
+    lake, _, _, _ = corrupt_stream
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "compact",
+         "--table", lake],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report[0]["rows"] == 7  # K0..K6 all live (no deletes in the feed)
+    meta = json.load(open(os.path.join(lake, "_meta.json")))
+    assert all(not st["deltas"] for st in meta["buckets"].values())
