@@ -84,18 +84,26 @@ def curate(
     rates: dict[str, float] | None = None,
     default_rate: float = 0.3,
     salt: str = "sample-v1",
+    dedup_mode: str = "semijoin",
 ) -> DataFrame:
     """End-to-end corpus curation — the composed pipeline a training-data
     pass actually runs: quality gate → language gate → exact-dup removal
     (keep min doc_id per content digest) → deterministic per-language
     stratified sample. Output: (doc_id, pred_lang, quality).
 
-    Plan shape (the part that matters at 100 TB): quality and language are
-    row-local Column expressions computed in ONE scan (`keep=` threading,
-    no self-joins); the only shuffle is the dedup window on the content
-    digest, and it runs AFTER both gates so it shuffles the filtered
-    survivors, not the corpus; the sample is a hash filter on top. Total:
-    one scan + one shuffle, versus the naive join-per-stage plan's four.
+    Plan shape (the part that matters at 100 TB): quality and language
+    are row-local Column expressions computed in ONE scan (`keep=`
+    threading, no self-joins), and both gates run BEFORE the dedup so it
+    processes survivors, not the corpus. Two dedup strategies:
+
+    - ``semijoin`` (default, the 100 TB plan): digest the text map-side,
+      groupBy digest keeping min doc_id (shuffle = (digest, id) pairs,
+      map-side combined), then LEFT SEMI join the slim (doc_id,
+      pred_lang, quality) projection against the keep-set — **no text
+      bytes in any exchange**. Two small shuffles.
+    - ``window``: one ``row_number`` over ``partitionBy(md5(text))`` —
+      a single shuffle, but it carries the survivors' full text; right
+      when documents are small or the gates are very selective.
     """
     from .text import lang_id, quality_score
 
@@ -107,12 +115,22 @@ def curate(
     gated = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("pred_lang") != "und")
     )
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    deduped = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "text")
-    )
+    if dedup_mode == "semijoin":
+        keep_ids = gated.groupBy(F.md5(F.col("text")).alias("_h")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        deduped = gated.select("doc_id", "pred_lang", "quality").join(
+            keep_ids.select("doc_id"), "doc_id", "semi"
+        )
+    elif dedup_mode == "window":
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        deduped = (
+            gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "text")
+        )
+    else:
+        raise ValueError(f"curate: unknown dedup_mode {dedup_mode!r}")
     sampled = stratified_sample(
         deduped, rates, stratum_col="pred_lang",
         default_rate=default_rate, salt=salt,

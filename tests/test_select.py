@@ -47,3 +47,22 @@ def test_topk_per_group(spark, docs):
     # the plan uses the partial WindowGroupLimit (pre-shuffle top-k)
     plan = sel.topk_per_group(scored, "lang", "score", 3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_curate_dedup_modes_agree(spark):
+    """semijoin (no text in any shuffle) and window (single shuffle)
+    dedup strategies must select the exact same curated set."""
+    from kafka_connect_mongo_spark.pipelines.select import curate
+
+    base = "the and is in to of a for on it with as at by from "  # stopword-rich
+    rows = []
+    for i in range(60):
+        text = base * 5 + f"unique tail {i % 20}"  # 3 docs share each tail
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in curate(docs, dedup_mode="semijoin").collect()}
+    b = {tuple(r) for r in curate(docs, dedup_mode="window").collect()}
+    assert a == b and len(a) > 0
+    # dedup kept exactly one doc per distinct text among survivors
+    ids = {r[0] for r in a}
+    assert ids <= set(range(20))  # min doc_id per tail group wins
