@@ -66,3 +66,24 @@ def test_curate_dedup_modes_agree(spark):
     # dedup kept exactly one doc per distinct text among survivors
     ids = {r[0] for r in a}
     assert ids <= set(range(20))  # min doc_id per tail group wins
+
+
+def test_curate_semijoin_plan_has_no_text_in_exchanges(spark):
+    """The 100 TB contract of the default dedup strategy, asserted on the
+    physical plan: no exchange carries the text column."""
+    import re
+
+    from kafka_connect_mongo_spark.pipelines.select import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        curate(docs, dedup_mode="semijoin")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") >= 1
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not re.search(r"\btext\b", line), line
