@@ -46,6 +46,7 @@ class NamespaceRouter:
         n_buckets: int = 32,
         payload_col: str | None = "object",
         databases: list[str] | None = None,
+        max_parallel: int = 4,
     ):
         self.spark = spark
         self.root = root
@@ -66,6 +67,10 @@ class NamespaceRouter:
                 [topic_name(prefix, ns) for ns in databases], databases
             )
             self.databases = set(mapping.values())
+        #: concurrent per-ns upserts per micro-batch (driver threads
+        #: submitting independent Spark jobs; the scheduler shares
+        #: executors). 1 = sequential.
+        self.max_parallel = max_parallel
         self.tables: dict[str, LakeTable] = {}
 
     def table_for(self, ns: str) -> LakeTable:
@@ -85,12 +90,30 @@ class NamespaceRouter:
         return seen
 
     def apply_batch(self, batch: DataFrame, batch_id: int | str) -> list[dict]:
-        stats = []
-        for ns in self.namespaces(batch):
-            table = self.table_for(ns)
+        """Fan the micro-batch out to its namespaces' tables.
+
+        Per-ns slices are INDEPENDENT jobs on independent tables, so they
+        run on ``max_parallel`` driver threads — with hundreds of
+        collections a sequential loop would serialize the whole sink on
+        the slowest table; concurrent submission keeps the executors fed
+        (standard Spark: the scheduler interleaves the jobs' tasks).
+        Table handles are resolved serially first (meta reads aren't
+        thread-safe against creation)."""
+        ns_list = self.namespaces(batch)
+        tables = {ns: self.table_for(ns) for ns in ns_list}
+
+        def one(ns: str) -> dict:
             prepared = prepare_batch(batch.filter(F.col("ns") == ns))
-            stats.append({"ns": ns, **table.upsert(prepared, batch_id)})
-        return stats
+            return {"ns": ns, **tables[ns].upsert(prepared, batch_id)}
+
+        if len(ns_list) <= 1 or self.max_parallel <= 1:
+            return [one(ns) for ns in ns_list]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_parallel, len(ns_list))
+        ) as pool:
+            return list(pool.map(one, ns_list))
 
 
 def run_routed_stream(
