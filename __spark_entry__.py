@@ -472,6 +472,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7_ann_cosine_topk"] = _ann
 
+    def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+        # IVF path: coarse-quantizer cells + top-4-cell probe, exact
+        # re-score inside probed cells only (similarity.ann_topk_ivf).
+        emb = _emb(spark, sf)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivf(emb, qvec, k=10, n_centroids=16, n_probe=4)
+
+    q["s7c_ann_topk_ivf"] = _ann_ivf
+
     from kafka_connect_mongo_spark.pipelines import select as sel
 
     q["d6_stratified_sample"] = lambda spark, sf: sel.stratified_sample(
@@ -952,6 +964,34 @@ FROM base, q ORDER BY score DESC, vec_id LIMIT 10
 SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents
+""".strip()
+
+    # the oracle computes the SAME ivf semantics (assignment, probe cut,
+    # re-score) — exact match independent of recall-vs-exact-ANN
+    o["s7c_ann_topk_ivf"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+scored AS (
+  SELECT b.vec_id, b.e, c.cent_id,
+         round(list_inner_product(b.e, c.ce) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+  FROM base b, cents c),
+assign AS (
+  SELECT vec_id, e, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+qcells AS (
+  SELECT cent_id AS cell FROM cents, q
+  ORDER BY round(list_inner_product(ce, qe) /
+                 (sqrt(list_inner_product(ce, ce)) * sqrt(list_inner_product(qe, qe))), 6) DESC,
+           cent_id
+  LIMIT 4)
+SELECT a.vec_id,
+       round(list_inner_product(a.e, q.qe) /
+             (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS score
+FROM assign a JOIN qcells ON a.cell = qcells.cell, q
+ORDER BY score DESC, a.vec_id LIMIT 10
 """.strip()
 
     quality_sql = f"""

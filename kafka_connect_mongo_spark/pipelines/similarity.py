@@ -321,3 +321,84 @@ def lsh_bucket_candidates(
         bit = F.when(_dot(emb, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(0)
         bucket = bit if bucket is None else (bucket + bit)
     return embeddings.select(bucket.cast("long").alias("bucket"), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse quantizer cells -> probe top cells -> exact re-score
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, round_digits: int = 6
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector joins its
+    max-cosine centroid's cell. Output (vec_id, cell, e).
+
+    Centroids are the first ``n_centroids`` vectors — a deterministic
+    sampled quantizer. In production the centroid SET comes from k-means
+    (or is re-trained offline); that choice moves recall, never
+    correctness, and the structure is identical: this assignment is the
+    index-build you persist next to the corpus, exactly like the MinHash
+    signatures table.
+
+    Plan: centroids broadcast (O(n_centroids), corpus-size independent),
+    corpus scan × in-memory centroid loop, then an argmax per vector as
+    ``max_by`` over a packed double key — hash-aggregable, so the
+    combine happens map-side and the shuffle carries one row per vector,
+    not n_centroids. No corpus-vs-corpus join anywhere."""
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cent_id",
+        _cos(F.col("e"), F.col("ce"), round_digits).alias("cscore"),
+    )
+    # (cscore DESC, cent_id ASC) packed into one double: scores are
+    # rounded to round_digits, so distinct scores differ by ≥ 1e-rd and
+    # the ×100 gap dwarfs the cent_id term; equal scores tie-break to
+    # the smaller cent_id — the same total order the SQL oracle's
+    # row_number uses.
+    key = F.col("cscore") * F.lit(float(10**round_digits * 100)) - F.col("cent_id")
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(F.struct(F.col("cent_id"), F.col("e")), key).alias("_a")
+    )
+    return assign.select(
+        "vec_id", F.col("_a.cent_id").alias("cell"), F.col("_a.e").alias("e")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k through an IVF index: rank cells by query-to-centroid
+    cosine, exact-re-score ONLY the vectors assigned to the top
+    ``n_probe`` cells. Scan cost drops to ~n_probe/n_centroids of the
+    corpus (the IVF recall/cost dial); with the cell assignment
+    persisted, the probed cells are a partition-pruned read. Recall is
+    the standard IVF property — the true neighbor is missed only if its
+    cell ranks below the probe cut for the query; the oracle computes
+    the SAME ivf result, so correctness is exact by construction."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    assign = ivf_assign(embeddings, n_centroids)
+    emb = F.col("embedding").cast("array<double>")
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), emb.alias("ce")
+    )
+    qcells = (
+        cents.select("cell", _cos(F.col("ce"), qcol, 6).alias("qs"))
+        .orderBy(F.col("qs").desc(), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = assign.join(F.broadcast(qcells), "cell", "semi")
+    return (
+        cand.select("vec_id", _cos(F.col("e"), qcol, round_digits).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
