@@ -519,6 +519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm.synth_ppm(_docs(spark, sf))
     )
 
+    # m3: real image RESIZE (nearest-neighbor downsample of the decoded
+    # plane) — resized dims + channel means of the sampled grid.
+    q["m3_image_resize"] = lambda spark, sf: mm.resize_ppm(
+        mm.synth_ppm(_docs(spark, sf)), factor=2
+    )
+
     def _s7b(spark: SparkSession, sf: str) -> DataFrame:
         # ANN top-k through banded LSH candidates; the query is vector 7
         # and the corpus carries 12 graded planted twins of it, so the true
@@ -1103,6 +1109,24 @@ agg AS (
 SELECT doc_id,
        CAST(3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 5 + 3 * w * h AS INTEGER) AS n_bytes,
        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       mean_r, mean_g, mean_b
+FROM agg
+""".strip()
+
+    # m3: resized-image means over the SAMPLED pixel grid (y, x stepping
+    # by 2), byte index of channel c at (y, x) = 3*(y*w + x) + c
+    o["m3_image_resize"] = """
+WITH p AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+ys AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1, 2)) AS y FROM p),
+px AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1, 2)) AS x FROM ys),
+agg AS (
+  SELECT doc_id, w, h,
+         round(avg(((doc_id * 7 + (3 * (y * w + x) + 0) * 13) % 256)::DOUBLE), 6) AS mean_r,
+         round(avg(((doc_id * 7 + (3 * (y * w + x) + 1) * 13) % 256)::DOUBLE), 6) AS mean_g,
+         round(avg(((doc_id * 7 + (3 * (y * w + x) + 2) * 13) % 256)::DOUBLE), 6) AS mean_b
+  FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST((w + 1) // 2 AS INTEGER) AS out_w, CAST((h + 1) // 2 AS INTEGER) AS out_h,
        mean_r, mean_g, mean_b
 FROM agg
 """.strip()

@@ -284,3 +284,58 @@ def frame_sample(media_df: DataFrame, every_n: int = 4) -> DataFrame:
         media_df.filter(F.col("media.kind") == "video")
         .select("doc_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def resize_ppm(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode the P6 plane, nearest-neighbor
+    downsample by ``factor`` (keep every factor-th pixel on both axes),
+    emit resized dimensions + per-channel means of the RESIZED image.
+    Arrow-batched ``mapInPandas``, numpy strided slicing — the image
+    twin of frame sampling, and the 'resize' leg of the multimodal
+    surface as a real operator instead of plumbing. On a cluster with
+    PIL the body swaps for ``Image.resize``; the Spark contract (binary
+    in, typed row out, bounded Arrow batches) is identical."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[:3] == b"P6\n", "not a P6 PPM"
+                dim_end = buf.index(b"\n", 3)
+                w, h = (int(x) for x in buf[3:dim_end].split())
+                max_end = buf.index(b"\n", dim_end + 1)
+                plane = np.frombuffer(
+                    buf, dtype=np.uint8, offset=max_end + 1, count=w * h * 3
+                ).reshape(h, w, 3)
+                small = plane[::factor, ::factor, :]
+                means = small.reshape(-1, 3).astype(np.int64).mean(axis=0)
+                rows.append(
+                    (
+                        int(doc_id), w, h, small.shape[1], small.shape[0],
+                        round(float(means[0]), 6),
+                        round(float(means[1]), 6),
+                        round(float(means[2]), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media_df.select("doc_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)
