@@ -447,6 +447,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.3,
     )
 
+    def _d8(spark: SparkSession, sf: str) -> DataFrame:
+        # Incremental dedup: a deterministic "daily batch" (every 20th doc
+        # perturbed, ids shifted) joined against the PERSISTED corpus
+        # signature index — corpus text never re-read.
+        docs = _docs(spark, sf)
+        new_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        corpus_sigs = dd.minhash_signatures(docs)
+        return dd.incremental_neardup(new_docs, corpus_sigs, threshold=0.7)
+
+    q["d8_incremental_neardup"] = _d8
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -617,6 +631,43 @@ SELECT * FROM (
   SELECT doc_a, doc_b, ({agree}) / {float(n_hashes)} AS est_jaccard
   FROM cand JOIN sig a ON cand.doc_a = a.doc_id JOIN sig b ON cand.doc_b = b.doc_id
 ) WHERE est_jaccard >= {threshold}
+""".strip()
+
+
+def _sql_sig_chain(p: str, src: str, n_hashes: int = 16, band_size: int = 4) -> str:
+    """CTE fragment computing MinHash signatures + LSH bands for source
+    relation ``src``, with CTE names prefixed ``p`` — the SQL twin of
+    ``dedup.minhash_signatures`` + ``dedup.band_signatures``, reusable
+    for two-sided (incremental) joins."""
+    params = dd.minhash_params(n_hashes)
+    P = dd.MOD_P
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    n_bands = n_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = "||','||".join(
+            f"mh{b * band_size + j}::VARCHAR" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM {p}sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+{p}toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM {src}),
+{p}sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM {p}toks),
+{p}sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM {p}sh0),
+{p}hh AS (SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) % {P} AS BIGINT) AS h
+  FROM {p}sh),
+{p}sig AS (SELECT doc_id, {mins} FROM {p}hh GROUP BY doc_id),
+{p}bands AS ({bands})
 """.strip()
 
 
@@ -902,6 +953,24 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
     o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
+
+    agree16 = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    o["d8_incremental_neardup"] = f"""
+WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 20 = 0),
+{_sql_sig_chain('c', 'documents')},
+{_sql_sig_chain('n', 'newb')},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM nbands n JOIN cbands c ON n.band = c.band AND n.bh = c.bh)
+SELECT new_id, corpus_id, ({agree16}) / 16.0 AS est_jaccard
+FROM cand JOIN nsig a ON cand.new_id = a.doc_id
+          JOIN csig b ON cand.corpus_id = b.doc_id
+WHERE ({agree16}) / 16.0 >= 0.7
+""".strip()
 
     # components = min reachable doc_id, via transitive closure (the
     # recursive CTE enumerates reachable labels; min per node = the

@@ -108,11 +108,18 @@ def table_health(
     if oplog_path is not None:
         feed = read_oplog(spark, oplog_path)
         for r in max_offset_per_ns(feed).collect():
-            per_ns.setdefault(
+            h = per_ns.setdefault(
                 r["ns"],
                 {"applied_offset": None, "lag_events": None, "feed_offset": None,
                  "quarantined": 0},
-            )["feed_offset"] = r["offset"]
+            )
+            h["feed_offset"] = r["offset"]
+            # wall-clock lag: feed head ts minus applied ts (offset strings
+            # encode "<ts>,<inc>,<oid>,<flag>", MongoSourceOffset.kt:23-26)
+            if h.get("applied_offset"):
+                h["lag_seconds"] = int(r["offset"].split(",")[0]) - int(
+                    h["applied_offset"].split(",")[0]
+                )
         for r in feed_lag(feed, applied).collect():
             per_ns[r["ns"]]["lag_events"] = int(r["lag_events"])
     if metrics_dir is not None:

@@ -77,11 +77,12 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame, n_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band, band_hash): docs agreeing
-    on ALL rows of any band become candidate pairs (doc_a < doc_b)."""
+    """(doc_id, band, bh): one row per band per doc — the LSH index key.
+    Persist this next to the signatures table and every dedup run
+    (batch or incremental) becomes an equi-join against it."""
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -89,9 +90,17 @@ def lsh_candidate_pairs(
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
         )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash): docs agreeing
+    on ALL rows of any band become candidate pairs (doc_a < doc_b)."""
+    banded = band_signatures(signatures, n_hashes, band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -337,3 +346,50 @@ def neardup_clusters(
     assign ``cluster_id = doc_id`` corpus-wide)."""
     pairs = minhash_near_dups(docs, n_hashes, band_size, threshold)
     return connected_components(pairs)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the form a daily
+    ingest actually runs at 100 TB: the corpus side is the PERSISTED
+    signatures table (``minhash_signatures`` output, written once at
+    index build), so corpus text is never re-read, re-shingled, or
+    re-hashed. Cost = O(|batch|) signature compute + a banded equi-join
+    against the index + per-candidate verify.
+
+    Output: (new_id, corpus_id, est_jaccard) for batch docs whose
+    estimated Jaccard vs some corpus doc ≥ threshold — the batch rows a
+    dedup pass would drop (or cluster) before appending to the corpus."""
+    new_sigs = minhash_signatures(new_docs, n_hashes).persist()
+    nb = band_signatures(new_sigs, n_hashes, band_size).alias("n")
+    cb = band_signatures(corpus_signatures, n_hashes, band_size).alias("c")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    a = new_sigs.alias("a")
+    b = corpus_signatures.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(a, cand.new_id == F.col("a.doc_id"))
+        .join(b, cand.corpus_id == F.col("b.doc_id"))
+        .select(
+            "new_id", "corpus_id",
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -138,3 +138,11 @@ def test_cli_compact(corrupt_stream):
     assert report[0]["rows"] == 7  # K0..K6 all live (no deletes in the feed)
     meta = json.load(open(os.path.join(lake, "_meta.json")))
     assert all(not st["deltas"] for st in meta["buckets"].values())
+
+
+def test_lag_seconds(spark, corrupt_stream):
+    lake, feed, future, _ = corrupt_stream
+    caught_up = table_health(spark, lake, oplog_path=feed)
+    assert caught_up["namespaces"]["t.a"]["lag_seconds"] == 0
+    behind = table_health(spark, lake, oplog_path=future)
+    assert behind["namespaces"]["t.a"]["lag_seconds"] == 100  # ts 300 vs 200
