@@ -461,6 +461,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d8_incremental_neardup"] = _d8
 
+    def _st6(spark: SparkSession, sf: str) -> DataFrame:
+        # STREAMING dedup: docs arrive in 4 micro-batches; each batch
+        # self-pairs and probes the accumulated signature index, then
+        # appends its signatures. The accumulated pair set must equal the
+        # batch pipeline over the whole corpus (d4's oracle) exactly.
+        from kafka_connect_mongo_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-dedupstream-")
+        staged = os.path.join(work, "docs")
+        docs = _docs(spark, sf)
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(staged)
+        return run_dedup_stream(
+            spark, staged, os.path.join(work, "dd"), threshold=0.7
+        )
+
+    q["st6_streaming_dedup"] = _st6
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -953,6 +975,9 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
     o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
+
+    # streaming dedup must converge to EXACTLY the batch pipeline's pairs
+    o["st6_streaming_dedup"] = _sql_minhash(16, 4, 0.7)
 
     agree16 = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)

@@ -115,16 +115,12 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_near_dups(
-    docs: DataFrame, n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7
+def pairs_from_sigs(
+    sigs: DataFrame, n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    verify estimated Jaccard (fraction of agreeing minhashes) ≥ threshold.
-
-    Signatures are consumed three times (banding + both sides of the verify
-    join), so they are persisted — at lake scale this materialization is a
-    signatures table you'd write once and reuse across dedup runs."""
-    sigs = minhash_signatures(docs, n_hashes).persist()
+    """Near-dup pairs from an EXISTING signatures frame: banded candidates
+    → verify estimated Jaccard ≥ threshold. Callers persist ``sigs``
+    (consumed three times: banding + both verify sides)."""
     cand = lsh_candidate_pairs(sigs, n_hashes, band_size)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -142,6 +138,19 @@ def minhash_near_dups(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def minhash_near_dups(
+    docs: DataFrame, n_hashes: int = 16, band_size: int = 4, threshold: float = 0.7
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    verify estimated Jaccard (fraction of agreeing minhashes) ≥ threshold.
+
+    Signatures are consumed three times (banding + both sides of the verify
+    join), so they are persisted — at lake scale this materialization is a
+    signatures table you'd write once and reuse across dedup runs."""
+    sigs = minhash_signatures(docs, n_hashes).persist()
+    return pairs_from_sigs(sigs, n_hashes, band_size, threshold)
 
 
 def simhash32(docs: DataFrame) -> DataFrame:
@@ -366,6 +375,21 @@ def incremental_neardup(
     estimated Jaccard vs some corpus doc ≥ threshold — the batch rows a
     dedup pass would drop (or cluster) before appending to the corpus."""
     new_sigs = minhash_signatures(new_docs, n_hashes).persist()
+    return cross_pairs_from_sigs(
+        new_sigs, corpus_signatures, n_hashes, band_size, threshold
+    )
+
+
+def cross_pairs_from_sigs(
+    new_sigs: DataFrame,
+    corpus_signatures: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Two-sided near-dup verify from existing signature frames (the
+    sig-level core of ``incremental_neardup``, reused by the streaming
+    dedup where batch signatures are already materialized)."""
     nb = band_signatures(new_sigs, n_hashes, band_size).alias("n")
     cb = band_signatures(corpus_signatures, n_hashes, band_size).alias("c")
     cand = (

@@ -208,3 +208,48 @@ def test_streaming_wrappers_have_no_driver_collect():
         assert "createDataFrame([" not in src.replace(
             "createDataFrame([], ", ""
         ), f"driver-side row materialization in {mod.__name__}"
+
+
+def test_dedup_stream_resume_equals_batch(spark, tmp_path_factory):
+    """Streaming dedup killed mid-corpus and resumed (same checkpoint,
+    index grown so far) must converge to EXACTLY the batch pipeline's
+    pair set over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.dedup import minhash_near_dups
+    from kafka_connect_mongo_spark.streaming.dedup_stream import run_dedup_stream
+
+    work = tmp_path_factory.mktemp("dedup-stream")
+    staged = str(work / "docs")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = []
+    for i in range(24):
+        # 8 near-dup trios (i%8 determines the shared body), distinct tails
+        rows.append((i, base + f"group {i % 8} tail{'x' * (i // 8)}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # phase 1: half the corpus arrives, stream processes it, "job dies"
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    p1 = run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
+    n1 = p1.count()
+
+    # phase 2: rest arrives; SAME checkpoint + index resume
+    for i in range(2, 4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    pairs = run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert got == expected and len(got) > n1 > 0
+
+    # re-run with nothing new: no duplicate pair rows appended
+    again = run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
+    assert again.count() == len(got)
