@@ -520,6 +520,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7c_ann_topk_ivf"] = _ann_ivf
 
+    # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
+    # queries and corpus co-shuffle by cell, no query×corpus product.
+    def _knn(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        return sim.knn_join(
+            emb.filter(F.col("vec_id") < 8), emb, k=5, n_centroids=16, n_probe=4
+        )
+
+    q["s7d_knn_join"] = _knn
+
     from kafka_connect_mongo_spark.pipelines import select as sel
 
     q["d6_stratified_sample"] = lambda spark, sf: sel.stratified_sample(
@@ -1092,6 +1102,38 @@ SELECT a.vec_id,
              (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS score
 FROM assign a JOIN qcells ON a.cell = qcells.cell, q
 ORDER BY score DESC, a.vec_id LIMIT 10
+""".strip()
+
+    o["s7d_knn_join"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS ce FROM base WHERE vec_id < 16),
+scored AS (
+  SELECT b.vec_id, b.e, c.cell,
+         round(list_inner_product(b.e, c.ce) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+  FROM base b, cents c),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+queries AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 8),
+qscored AS (
+  SELECT q.query_id, q.qe, c.cell,
+         round(list_inner_product(q.qe, c.ce) /
+               (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS qs
+  FROM queries q, cents c),
+qcells AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qs DESC, cell) AS rn
+    FROM qscored) WHERE rn <= 4),
+cand AS (
+  SELECT qc.query_id, a.vec_id,
+         round(list_inner_product(qc.qe, a.e) /
+               (sqrt(list_inner_product(qc.qe, qc.qe)) * sqrt(list_inner_product(a.e, a.e))), 4) AS score
+  FROM qcells qc JOIN assign a ON qc.cell = a.cell)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM cand) WHERE rn <= 5
 """.strip()
 
     quality_sql = f"""

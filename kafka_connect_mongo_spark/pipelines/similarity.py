@@ -43,7 +43,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -401,4 +401,54 @@ def ann_topk_ivf(
         cand.select("vec_id", _cos(F.col("e"), qcol, round_digits).alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def knn_join(
+    query_df: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Batch k-NN JOIN through the IVF index: for EVERY query vector,
+    its k max-cosine corpus vectors — the retrieval shape production
+    pipelines actually run (millions of queries against the corpus, not
+    one probe). Output (query_id, vec_id, score).
+
+    Plan: centroids broadcast against the query side; each query keeps
+    its top ``n_probe`` cells (row_number → WindowGroupLimit, partial
+    top-k before the exchange); queries then equi-join the cell
+    assignment on ``cell`` — queries and corpus co-shuffle by cell, the
+    IVF analog of a bucketed join (with the assignment persisted and
+    cell-partitioned, the corpus side is partition-pruned reads). Exact
+    re-score inside probed cells, final per-query top-k again via the
+    partial-group-limit window. No query×corpus product anywhere."""
+    qemb = F.col("embedding").cast("array<double>")
+    queries = query_df.select(F.col("vec_id").alias("query_id"), qemb.alias("qe"))
+    assign = ivf_assign(corpus, n_centroids)
+    emb = F.col("embedding").cast("array<double>")
+    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), emb.alias("ce")
+    )
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qe", "cell", _cos(F.col("qe"), F.col("ce"), 6).alias("qs")
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(F.col("qs").desc(), "cell")
+    qcells = (
+        qscored.withColumn("_rn", F.row_number().over(w_cells))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qe", "cell")
+    )
+    cand = qcells.join(assign, "cell").select(
+        "query_id",
+        "vec_id",
+        _cos(F.col("qe"), F.col("e"), round_digits).alias("score"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
