@@ -483,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st6_streaming_dedup"] = _st6
 
+    # Corpus-trained unigram LM scoring (perplexity-filter shape).
+    q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
+
+    # Keyword extraction: top-5 tf-idf terms per doc.
+    q["t9_tfidf_terms"] = lambda spark, sf: tx.tfidf_top_terms(_docs(spark, sf), k=5)
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -1209,6 +1215,30 @@ SELECT doc_id, pred_lang, quality FROM dd2
 WHERE rn = 1
   AND CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
       < CASE pred_lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 ELSE 3000 END
+""".strip()
+
+    o["t8_unigram_lm"] = """
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT sum(n_tok) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id, ln(n_tok / n_total) AS lp
+  FROM toks JOIN vocab USING (tok), total)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""".strip()
+
+    o["t9_tfidf_terms"] = """
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.tok, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN df USING (tok), nd)
+SELECT doc_id, tok, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored) WHERE rn <= 5
 """.strip()
 
     o["t4_fingerprint"] = """

@@ -102,3 +102,67 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.substring(F.md5(F.col("text")), 1, 16).alias("fp_hex"),
         F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
+
+
+def unigram_lm_score(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Corpus-trained unigram LM score per doc — the perplexity-filter
+    shape (CCNet-style) reduced to its distributed skeleton: pass 1
+    learns token frequencies over the WHOLE corpus (map-side-combined
+    groupBy, shuffle = |vocab|), pass 2 scores every doc by its mean
+    token log-probability. Low scores = unusual token distributions
+    (boilerplate, noise, wrong-language) — the standard curation signal.
+
+    Output (doc_id, n_tokens, avg_logprob). At 100 TB the learned vocab
+    table is the persisted model artifact; the scoring join broadcasts
+    when the vocab fits (it does: vocab grows ~log corpus), else it is a
+    plain token equi-join. No Python anywhere; log arithmetic rounds to
+    ``round_digits`` for the cross-engine oracle."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n_tok") / F.col("n_total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), round_digits).alias("avg_logprob"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, round_digits: int = 6) -> DataFrame:
+    """Top-k characteristic terms per doc by tf·idf — keyword extraction
+    as two map-side-combined aggregations plus a per-doc top-k:
+    tf = count per (doc, token); df = docs containing the token (one
+    count over the distinct (doc, token) pairs tf already materialized);
+    idf = ln(n_docs/df) joined back (broadcast — vocab-sized). The
+    final per-doc top-k is the WindowGroupLimit pattern: partial top-k
+    per partition before the exchange. Output (doc_id, tok, tfidf)."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_digits
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
