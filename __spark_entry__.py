@@ -483,6 +483,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st6_streaming_dedup"] = _st6
 
+    def _st7(spark: SparkSession, sf: str) -> DataFrame:
+        # STREAMING sessionization: events staged as 4 time-ordered files
+        # (ntile over (ts, event_id)) arrive one per micro-batch; per-user
+        # state (last ts, session ordinal) labels every event with its
+        # session id. Accumulated output must equal batch sessionize (a5).
+        from pyspark.sql import Window as W
+
+        from kafka_connect_mongo_spark.streaming.session_stream import (
+            run_session_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-sessions-")
+        staged = os.path.join(work, "events")
+        ranked = _events(spark, sf).withColumn(
+            "_q", F.ntile(4).over(W.orderBy("ts", "event_id"))
+        )
+        for i in range(1, 5):
+            ranked.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(staged)
+        return run_session_stream(
+            spark, staged, os.path.join(work, "ckpt"), gap_seconds=1800
+        )
+
+    q["st7_streaming_sessions"] = _st7
+
     # Corpus-trained unigram LM scoring (perplexity-filter shape).
     q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
 
@@ -926,6 +952,9 @@ SELECT event_id, user_id,
                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM g
 """.strip()
+
+    # streaming sessionization must equal the batch window exactly
+    o["st7_streaming_sessions"] = o["a5_sessionize"]
 
     o["x10_props_extract"] = """
 SELECT event_id, CAST(props->>'$.k' AS DOUBLE) AS k FROM events

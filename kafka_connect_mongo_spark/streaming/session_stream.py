@@ -1,0 +1,113 @@
+"""Streaming gap-based sessionization — applyInPandasWithState.
+
+The streaming twin of ``operators/temporal.sessionize``: events arrive in
+micro-batches ordered by event time; per-user state carries (last event
+ts, current session ordinal), so every event is assigned its session id
+incrementally — no re-scan of history, state = O(|users|) tiny rows.
+
+Why custom state (vs the built-in ``session_window`` aggregation): the
+built-in emits one row PER SESSION (window bounds + aggregate); this
+operator emits one row PER EVENT carrying its session id — the labeled
+stream a downstream feature pipeline joins on, which the windowed agg
+cannot produce. Within a batch the group's rows sort once and the gap
+logic is vectorized pandas (``diff``/``cumsum``) — no per-row Python.
+
+Ordering contract (same as every keyed-state sessionizer, e.g. Flink's):
+events must arrive per-user in event-time order across batches — the
+file source delivers time-ordered files in order, and within a batch the
+group sorts by (ts, tiebreak). With that contract the accumulated output
+EQUALS the batch ``sessionize`` over the full table — the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+    ]
+)
+
+#: (epoch seconds of the user's last event, current session ordinal)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_epoch", T.DoubleType()), T.StructField("sid", T.LongType())]
+)
+
+
+def _make_session_fn(gap_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable", ignore_index=True)
+        epochs = pdf["ts"].astype("int64") / 1e9
+        if state.exists:
+            last_epoch, sid = state.get
+        else:
+            last_epoch, sid = None, -1
+        prev = epochs.shift(1)
+        if last_epoch is not None:
+            prev.iloc[0] = last_epoch
+        new_s = (prev.isna() | ((epochs - prev) > gap_seconds)).astype("int64")
+        sids = sid + new_s.cumsum()
+        state.update((float(epochs.iloc[-1]), int(sids.iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "session_id": sids,
+            }
+        )
+
+    return fn
+
+
+def run_session_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = 1,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Sessionize the event stream (availableNow); labeled rows land in a
+    parquet sink and the sink is returned — nothing flows through the
+    driver."""
+    import os
+
+    out_dir = out_dir or os.path.join(checkpoint_dir, "_out")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_path).select("event_id", "user_id", "ts")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_seconds),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.schema(OUT_SCHEMA).parquet(out_dir)
+    except Exception:
+        return spark.createDataFrame([], schema=OUT_SCHEMA)

@@ -253,3 +253,54 @@ def test_dedup_stream_resume_equals_batch(spark, tmp_path_factory):
     # re-run with nothing new: no duplicate pair rows appended
     again = run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
     assert again.count() == len(got)
+
+
+def test_session_stream_resume_equals_batch(spark, tmp_path_factory):
+    """Streaming sessionization killed mid-stream and resumed must label
+    every event exactly as the batch window does — including sessions
+    SPANNING the kill point (state carries last ts + ordinal across the
+    restart)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.operators.temporal import sessionize
+    from kafka_connect_mongo_spark.streaming.session_stream import run_session_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + dt.timedelta(minutes=user)
+        for s in range(3):            # 3 sessions per user
+            for j in range(4):        # 4 events each, 10 min apart
+                rows.append((eid, user, t))
+                eid += 1
+                t += dt.timedelta(minutes=10)
+            t += dt.timedelta(hours=2)  # gap > 1800 s -> new session
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    work = tmp_path_factory.mktemp("sess-stream")
+    staged = str(work / "events")
+    # phase 1: first half by time arrives (cut mid-session for every user)
+    half = events.approxQuantile("event_id", [0.5], 0)[0]
+    events.filter(F.col("event_id") <= half).orderBy("ts", "event_id").coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+    p1 = run_session_stream(spark, staged, str(work / "ckpt"), gap_seconds=1800)
+    n1 = p1.count()
+
+    # phase 2: the rest arrives; resume from the same checkpoint
+    events.filter(F.col("event_id") > half).orderBy("ts", "event_id").coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+    out = run_session_stream(spark, staged, str(work / "ckpt"), gap_seconds=1800)
+
+    got = {(r["event_id"], r["session_id"]) for r in out.collect()}
+    expected = {
+        (r["event_id"], r["session_id"])
+        for r in sessionize(events, gap_seconds=1800).select(
+            "event_id", "session_id"
+        ).collect()
+    }
+    assert got == expected and len(got) == len(rows) and 0 < n1 < len(rows)
