@@ -56,6 +56,10 @@ _WARM_REGISTRY: dict[str, str] = {}
 #: steady state, see p5_analyzed_lake).
 _ANALYZED_LAKE: dict[str, str] = {}
 
+#: sf_dir -> path of a persisted cell-partitioned IVF index
+#: (see s7e_ann_ivf_indexed).
+_IVF_INDEX: dict[str, str] = {}
+
 # ---------------------------------------------------------------------------
 # Spark-side table helpers
 
@@ -551,6 +555,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ann_topk_ivf(emb, qvec, k=10, n_centroids=16, n_probe=4)
 
     q["s7c_ann_topk_ivf"] = _ann_ivf
+
+    def _ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+        # Same IVF semantics as s7c, but against the PERSISTED
+        # cell-partitioned index: the probe reads ONLY its cells'
+        # partitions (partition pruning, pytest-asserted on the plan).
+        emb = _emb(spark, sf)
+        path = _IVF_INDEX.get(sf)
+        if path is None or not os.path.exists(path + ".centroids"):
+            path = os.path.join(tempfile.mkdtemp(prefix="cdc-ivf-"), "index")
+            sim.build_ivf_index(emb, path, n_centroids=16)
+            _IVF_INDEX[sf] = path
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivf_indexed(spark, path, qvec, k=10, n_probe=4)
+
+    q["s7e_ann_ivf_indexed"] = _ann_ivf_indexed
 
     # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
     # queries and corpus co-shuffle by cell, no query×corpus product.
@@ -1138,6 +1160,9 @@ SELECT a.vec_id,
 FROM assign a JOIN qcells ON a.cell = qcells.cell, q
 ORDER BY score DESC, a.vec_id LIMIT 10
 """.strip()
+
+    # persisted-index probe = identical IVF semantics to s7c
+    o["s7e_ann_ivf_indexed"] = o["s7c_ann_topk_ivf"]
 
     o["s7d_knn_join"] = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -452,3 +452,55 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, n_centroids: int = 16
+) -> None:
+    """Materialize the IVF index on disk: the cell assignment written as
+    parquet PARTITIONED BY cell (so a probe reads only its cells'
+    directories — partition pruning, not a scan+filter), plus the
+    centroid vectors beside it (``<path>.centroids``) for query-side
+    cell ranking. This is the index-build job a 100 TB corpus runs once
+    per (re)train; queries touch n_probe/n_centroids of the data."""
+    emb = F.col("embedding").cast("array<double>")
+    embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), emb.alias("ce")
+    ).write.mode("overwrite").parquet(path + ".centroids")
+    ivf_assign(embeddings, n_centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k against the PERSISTED cell-partitioned IVF index: rank
+    cells against the stored centroids (tiny table; the n_probe cell ids
+    are an O(n_probe) driver value, like any pruning predicate), then
+    read ONLY those cells' partitions and exact re-score. The physical
+    plan's scan shows the cell partition filter — at 100 TB this is the
+    difference between touching n_probe/n_centroids of the corpus and
+    all of it."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cents = spark.read.parquet(index_path + ".centroids")
+    probe_cells = [
+        r["cell"]
+        for r in cents.select(
+            "cell", _cos(F.col("ce"), qcol, 6).alias("qs")
+        )
+        .orderBy(F.col("qs").desc(), "cell")
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    return (
+        cand.select("vec_id", _cos(F.col("e"), qcol, round_digits).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
