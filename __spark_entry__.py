@@ -513,6 +513,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st7_streaming_sessions"] = _st7
 
+    def _st8(spark: SparkSession, sf: str) -> DataFrame:
+        # BUILT-IN session_window aggregation (merging session state):
+        # one row per (user, session) with bounds + count; complete-mode
+        # final emission == the batch gap-split exactly. No staging
+        # needed — merging state handles any arrival order.
+        from kafka_connect_mongo_spark.streaming.session_stream import (
+            run_session_window_stream,
+        )
+
+        import shutil
+
+        work = tempfile.mkdtemp(prefix="cdc-sessw-")
+        staged = os.path.join(work, "events")  # file source needs a DIR
+        os.makedirs(staged)
+        shutil.copy(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(staged, "events.parquet"),
+        )
+        return run_session_window_stream(
+            spark, staged, os.path.join(work, "ckpt"), gap_seconds=1800,
+        )
+
+    q["st8_session_window"] = _st8
+
     # Corpus-trained unigram LM scoring (perplexity-filter shape).
     q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
 
@@ -977,6 +1001,25 @@ FROM g
 
     # streaming sessionization must equal the batch window exactly
     o["st7_streaming_sessions"] = o["a5_sessionize"]
+
+    # built-in session_window: new session when gap >= gap (interval end
+    # exclusive); bounds/gaps compared in exact integer microseconds
+    o["st8_session_window"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""".strip()
 
     o["x10_props_extract"] = """
 SELECT event_id, CAST(props->>'$.k' AS DOUBLE) AS k FROM events

@@ -111,3 +111,60 @@ def run_session_stream(
         return spark.read.schema(OUT_SCHEMA).parquet(out_dir)
     except Exception:
         return spark.createDataFrame([], schema=OUT_SCHEMA)
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-SESSION summaries via the BUILT-IN ``session_window``
+    aggregation — the complement of ``run_session_stream`` (which labels
+    every event): here Spark's own merging session state produces one row
+    per (user, session) with bounds and count. Built-in beats custom
+    state when the per-session aggregate is all you need: RocksDB-backed
+    merging state, watermark eviction in append mode, no Python.
+    Complete mode (bounded replay) makes the final emission equal the
+    batch gap-split exactly — the oracle. Merge semantics: an event
+    exactly ``gap_seconds`` after the previous does NOT merge (interval
+    end exclusive), i.e. new session when gap ≥ gap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_path)
+    agg = (
+        stream.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            # events ts is TIMESTAMP_NTZ; the session runs in UTC, so the
+            # ntz→ltz cast is lossless and unix_micros stays exact
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    out_dir = os.path.join(checkpoint_dir, "_out")
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(agg.schema).parquet(out_dir)

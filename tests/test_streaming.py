@@ -304,3 +304,32 @@ def test_session_stream_resume_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == expected and len(got) == len(rows) and 0 < n1 < len(rows)
+
+
+def test_session_window_merges_across_out_of_order_batches(spark, tmp_path_factory):
+    """Built-in session_window: two halves of one session arriving in
+    SEPARATE micro-batches (later half first) still merge into a single
+    session — the merging-state property the custom labeler's ordering
+    contract does not need."""
+    import datetime as dt
+
+    from kafka_connect_mongo_spark.streaming.session_stream import (
+        run_session_window_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    early = [(i, 1, base + dt.timedelta(minutes=10 * i)) for i in range(3)]
+    late = [(10 + i, 1, base + dt.timedelta(minutes=30 + 10 * i)) for i in range(3)]
+    work = tmp_path_factory.mktemp("sessw")
+    staged = str(work / "events")
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    # later half written FIRST -> arrives in the first micro-batch
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(staged)
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(staged)
+    out = run_session_window_stream(
+        spark, staged, str(work / "ckpt"), gap_seconds=1800, max_files_per_trigger=1
+    ).collect()
+    assert len(out) == 1  # ONE merged session despite the split arrival
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["session_start_us"] == int(base.timestamp() * 1_000_000)
