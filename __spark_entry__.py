@@ -537,6 +537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st8_session_window"] = _st8
 
+    def _a6(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import value_percentiles
+
+        return value_percentiles(_events(spark, sf))
+
+    q["a6_value_percentiles"] = _a6
+
     # Corpus-trained unigram LM scoring (perplexity-filter shape).
     q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
 
@@ -1019,6 +1026,33 @@ SELECT user_id, epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) + 1800000000 AS session_end_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid
+""".strip()
+
+    # exact percentiles, replicating Spark's interpolation
+    # v_lo*(hi-pos) + v_hi*(pos-lo) (DuckDB quantile_cont interpolates
+    # differently, verified)
+    pct = """
+SELECT s.event_type,
+  CASE WHEN CAST(ceil({p} * (n - 1)) AS BIGINT) = CAST(floor({p} * (n - 1)) AS BIGINT)
+       THEN min(CASE WHEN rn = CAST(floor({p} * (n - 1)) AS BIGINT) THEN value END)
+       ELSE min(CASE WHEN rn = CAST(floor({p} * (n - 1)) AS BIGINT) THEN value END)
+              * (ceil({p} * (n - 1)) - {p} * (n - 1))
+            + min(CASE WHEN rn = CAST(ceil({p} * (n - 1)) AS BIGINT) THEN value END)
+              * ({p} * (n - 1) - floor({p} * (n - 1)))
+  END AS pv
+FROM (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events) s
+GROUP BY s.event_type, s.n
+"""
+    o["a6_value_percentiles"] = f"""
+WITH p50 AS ({pct.format(p=0.5)}),
+p95 AS ({pct.format(p=0.95)}),
+cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY event_type)
+SELECT cnt.event_type, round(p50.pv, 6) AS p50, round(p95.pv, 6) AS p95, cnt.n_events
+FROM cnt JOIN p50 ON cnt.event_type = p50.event_type
+         JOIN p95 ON cnt.event_type = p95.event_type
 """.strip()
 
     o["x10_props_extract"] = """

@@ -56,3 +56,20 @@ def batch_lineage(events: DataFrame, batch_id: int | None = None) -> DataFrame:
 def distinct_keys(events: DataFrame) -> DataFrame:
     """A3: deduped key count per namespace (MongoSourceTaskTest.kt:192-193)."""
     return events.groupBy("ns").agg(F.countDistinct("id").alias("n_distinct_ids"))
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-group percentile rollup (p50/p95 of ``value`` per
+    event_type) — `F.percentile`, the EXACT interpolating aggregate, not
+    the approx sketch: operational SLO-style rollups need reproducible
+    numbers, and exactness is what makes a cross-engine oracle possible
+    (the DuckDB twin replicates Spark's interpolation formula
+    ``v_lo·(hi−pos) + v_hi·(pos−lo)`` directly — DuckDB's own
+    quantile_cont interpolates differently). Shuffle = |groups|; at
+    10^10 rows per-group sort cost is the inherent price of exactness —
+    switch to percentile_approx when a sketch is acceptable."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count("*").alias("n_events"),
+    )
