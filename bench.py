@@ -39,6 +39,7 @@ def main() -> None:
         "p2_basic_struct",      # projection
         "a2_lww_collapse",      # key-collapse shuffle
         "a4_op_counts",         # metrics aggregation
+        "a6_value_percentiles", # exact per-group percentile rollup
         "x8_max_offset",        # per-ns lineage offsets
         "p3_analyzed_flatten",  # native variant flatten (infer + fill)
         "p3_warm_flatten",      # warm flatten (converged registry, re-parse floor)
