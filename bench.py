@@ -63,7 +63,7 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         run_noop(df)  # warm-up: JIT, FS cache, plan cache
         walls = []
-        for _ in range(2):  # min-of-2: co-tenant bursts on this shared host
+        for _ in range(3):  # min-of-3: co-tenant bursts on this shared host
             t0 = time.time()
             run_noop(df)
             walls.append(time.time() - t0)
