@@ -49,7 +49,8 @@ def main() -> None:
         "d4_minhash_lsh",
         "d5b_lsh_neardup",      # banded-LSH near-dup (planted twins)
         "s7_ann_cosine_topk",
-        "s7c_ann_topk_ivf",     # IVF cells + probe + exact re-score
+        "s7c_ann_topk_ivf",     # IVF build + probe + exact re-score
+        "s7e_ann_ivf_indexed",  # steady state: partition-pruned probe of the persisted index
         "t2_quality_score",
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
