@@ -1206,6 +1206,7 @@ FROM base, q ORDER BY score DESC, vec_id LIMIT 10
 
     o["t1_token_count"] = """
 SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_re,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents
 """.strip()

@@ -23,13 +23,22 @@ def _tokens(text: F.Column) -> F.Column:
     return F.split(text, r"\s+")
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, single symbols —
+#: the GPT-2-style split reduced to an engine-portable regex (identical
+#: in Java regex and RE2, verified cross-engine).
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
-    the common byte-pair rule of thumb) — both pure Column math."""
+    """Token counting three ways, all pure Column math: whitespace
+    tokens, a BPE-ish REGEX subword count (letter runs + single digits +
+    single symbols — digits and punctuation fragment, like real BPE
+    pre-tokenization), and the chars/4 rule-of-thumb estimate."""
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long").alias("n_bpe_re"),
         F.ceil(F.length(F.col("text")) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
     )
 
