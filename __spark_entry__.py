@@ -544,6 +544,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a6_value_percentiles"] = _a6
 
+    def _f1(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import funnel
+
+        return funnel(_events(spark, sf), ["view", "click", "purchase"])
+
+    q["f1_funnel"] = _f1
+
     # Corpus-trained unigram LM scoring (perplexity-filter shape).
     q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
 
@@ -1053,6 +1060,24 @@ cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROU
 SELECT cnt.event_type, round(p50.pv, 6) AS p50, round(p95.pv, 6) AS p95, cnt.n_events
 FROM cnt JOIN p50 ON cnt.event_type = p50.event_type
          JOIN p95 ON cnt.event_type = p95.event_type
+""".strip()
+
+    # sequential funnel: stage k = users with a stage-k event strictly
+    # after their earliest qualifying stage-(k-1) event
+    o["f1_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id)
+SELECT 0 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM t3
 """.strip()
 
     o["x10_props_extract"] = """

@@ -167,3 +167,51 @@ def sessionize(
     return events.withColumn(
         "session_id", (F.sum(new_session).over(running) - F.lit(1)).cast("long")
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential funnel: how many users reach each stage IN ORDER —
+    stage k counts users with a ``stages[k]`` event strictly after their
+    earliest qualifying ``stages[k-1]`` event. Output (stage_idx, stage,
+    n_users), one row per stage.
+
+    Plan shape: one filtered min-aggregate per stage, each keyed by
+    ``user`` (map-side combined, shuffle = |users who reached the
+    previous stage|), chained by an equi-join that shrinks monotonically
+    — no window over the whole event history and no per-user event-list
+    materialization. Ties (an event at EXACTLY the previous stage's
+    timestamp) do not advance the funnel; the rule is strict-after on
+    ``ts``, identical in the SQL oracle."""
+    if not stages:
+        raise ValueError("funnel: stages must be non-empty")
+
+    def stage_row(i: int, stage: str, reached: DataFrame) -> DataFrame:
+        return reached.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"), "n_users"
+        )
+
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user)
+        .agg(F.min(ts).alias("_t"))
+    )
+    parts = [stage_row(0, stages[0], reached)]
+    for i, stage in enumerate(stages[1:], 1):
+        reached = (
+            events.filter(F.col(type_col) == stage)
+            .join(reached, user)
+            .filter(F.col(ts) > F.col("_t"))
+            .groupBy(user)
+            .agg(F.min(ts).alias("_t"))
+        )
+        parts.append(stage_row(i, stage, reached))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

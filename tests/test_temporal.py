@@ -160,3 +160,32 @@ def test_asof_join_validates_collisions_and_types(spark, clicks, errors):
     # missing key column
     with pytest.raises(ValueError, match="both sides"):
         asof_join(clicks, errors.drop("user_id"), on="user_id")
+
+
+def test_funnel_ordering_and_ties(spark):
+    """Stage k requires a stage-k event STRICTLY after the earliest
+    qualifying stage-(k-1) event: out-of-order users drop off, and a
+    same-timestamp event does not advance the funnel."""
+    from kafka_connect_mongo_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, T("2024-01-01 10:00:00"), "view"),
+        (2, 1, T("2024-01-01 10:01:00"), "click"),
+        (3, 1, T("2024-01-01 10:02:00"), "purchase"),
+        # user 2: purchase BEFORE click -> reaches click only
+        (4, 2, T("2024-01-01 10:00:00"), "view"),
+        (5, 2, T("2024-01-01 10:01:00"), "purchase"),
+        (6, 2, T("2024-01-01 10:02:00"), "click"),
+        # user 3: click at the SAME ts as view -> tie does not advance
+        (7, 3, T("2024-01-01 10:00:00"), "view"),
+        (8, 3, T("2024-01-01 10:00:00"), "click"),
+        # user 4: never views -> reaches nothing
+        (9, 4, T("2024-01-01 10:00:00"), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["stage"]: r["n_users"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
