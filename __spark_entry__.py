@@ -551,6 +551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f1_funnel"] = _f1
 
+    def _c2(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import cohort_retention
+
+        return cohort_retention(_events(spark, sf), bucket_seconds=86400)
+
+    q["c2_cohort_retention"] = _c2
+
     # Corpus-trained unigram LM scoring (perplexity-filter shape).
     q["t8_unigram_lm"] = lambda spark, sf: tx.unigram_lm_score(_docs(spark, sf))
 
@@ -1060,6 +1067,17 @@ cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROU
 SELECT cnt.event_type, round(p50.pv, 6) AS p50, round(p95.pv, 6) AS p95, cnt.n_events
 FROM cnt JOIN p50 ON cnt.event_type = p50.event_type
          JOIN p95 ON cnt.event_type = p95.event_type
+""".strip()
+
+    # cohort = first active day; offset = days since cohort, distinct users
+    o["c2_cohort_retention"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p FROM events),
+first AS (SELECT user_id, min(p) AS cohort FROM active GROUP BY user_id)
+SELECT f.cohort, a.p - f.cohort AS "offset",
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort, a.p - f.cohort
 """.strip()
 
     # sequential funnel: stage k = users with a stage-k event strictly

@@ -215,3 +215,35 @@ def funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first active period
+    (cohort), counted in each later period they return. Output
+    (cohort, offset, n_users) with integer period ids (epoch //
+    bucket_seconds) — all-integer arithmetic, exactly reproducible.
+
+    Plan: one distinct over (user, period) (shuffle = active
+    user-periods, NOT events), a min-aggregate for the cohort, a keyed
+    join back, and one count-distinct — no self-join over events, the
+    shape that survives 10^10 rows."""
+    period = (
+        F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds))
+        .cast("long")
+        .alias("_p")
+    )
+    active = events.select(F.col(user).alias("_u"), period).distinct()
+    first = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        active.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort"),
+            (F.col("_p") - F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count_distinct("_u").cast("long").alias("n_users"))
+    )
