@@ -84,50 +84,82 @@ def curate(
     rates: dict[str, float] | None = None,
     default_rate: float = 0.3,
     salt: str = "sample-v1",
-    dedup_mode: str = "semijoin",
+    dedup_mode: str = "window",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the composed pipeline a training-data
     pass actually runs: quality gate → language gate → exact-dup removal
     (keep min doc_id per content digest) → deterministic per-language
     stratified sample. Output: (doc_id, pred_lang, quality).
 
-    Plan shape (the part that matters at 100 TB): quality and language
-    are row-local Column expressions computed in ONE scan (`keep=`
-    threading, no self-joins), and both gates run BEFORE the dedup so it
-    processes survivors, not the corpus. Two dedup strategies:
+    Plan shape (the part that matters at 100 TB): quality, language AND
+    the content digest are row-local Column expressions computed in ONE
+    scan of the text (`keep=` threading, no self-joins, digest-in-scan),
+    and both gates run BEFORE the dedup so it processes survivors, not
+    the corpus. The scan's output is the slim (doc_id, pred_lang,
+    quality, digest) projection — text bytes never leave the scan stage.
+    Two dedup strategies over that slim projection:
 
-    - ``semijoin`` (default, the 100 TB plan): digest the text map-side,
-      groupBy digest keeping min doc_id (shuffle = (digest, id) pairs,
-      map-side combined), then LEFT SEMI join the slim (doc_id,
-      pred_lang, quality) projection against the keep-set — **no text
-      bytes in any exchange**. Two small shuffles.
-    - ``window``: one ``row_number`` over ``partitionBy(md5(text))`` —
-      a single shuffle, but it carries the survivors' full text; right
-      when documents are small or the gates are very selective.
+    - ``window`` (default): one ``row_number`` over
+      ``partitionBy(digest)`` on the slim projection — ONE text scan,
+      ONE shuffle carrying slim rows only. Spark's WindowGroupLimit
+      rewrite keeps a partial top-1 per (map partition, digest) BEFORE
+      the exchange, so a viral duplicate (one digest, 10^7 copies)
+      ships ≤ 1 row per map partition — skew-absorbed by construction.
+    - ``semijoin``: persist the slim projection (tiny: ~50 B/row, no
+      text; MEMORY_AND_DISK), groupBy digest keeping min doc_id
+      (map-side combined), LEFT SEMI join the persisted slim rows
+      against the keep-set. The persist is what makes it one text
+      scan — without it Catalyst re-evaluates the scan subtree per
+      consumer. Right when the keep-set itself is a wanted artifact
+      or executor cache is plentiful; otherwise ``window`` does the
+      same bytes in one fewer stage.
+
+    Local-vs-cluster mechanics:
+
+    - **Pushdown barrier**: Catalyst pushes the quality/lang gate
+      through the feature projection by *substituting* the heavy
+      expressions into the Filter, so rows pay for quality + lang-id
+      in the pushed Filter and survivors pay again in the Project.
+      A non-deterministic sentinel column (dropped before output)
+      pins the Filter above the Project — each feature expression is
+      evaluated exactly once per row. Noise-level locally (the sf0.1
+      fixture is overhead-dominated); at corpus scale it halves the
+      feature compute.
+    - ``min_parallelism`` (opt-in): a source with fewer splits than
+      this (e.g. one single-row-group parquet file — unsplittable)
+      serializes the feature scan; setting a floor redistributes the
+      text ONCE before feature compute. Off by default: the exchange
+      costs more than it buys on small inputs, and at 100 TB the
+      input has thousands of splits so the gate never fires.
     """
     from .text import lang_id, quality_score
 
     if rates is None:
         rates = {"en": 0.5, "de": 0.8}
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        docs = docs.repartition(min_parallelism)
     scored = lang_id(
         quality_score(docs, keep=("text",)), keep=("quality", "text")
-    )
+    ).withColumn("_barrier", F.monotonically_increasing_id())
     gated = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("pred_lang") != "und")
+    ).drop("_barrier")
+    slim = gated.select(
+        "doc_id", "pred_lang", "quality", F.md5(F.col("text")).alias("_h")
     )
     if dedup_mode == "semijoin":
-        keep_ids = gated.groupBy(F.md5(F.col("text")).alias("_h")).agg(
-            F.min("doc_id").alias("doc_id")
-        )
-        deduped = gated.select("doc_id", "pred_lang", "quality").join(
-            keep_ids.select("doc_id"), "doc_id", "semi"
-        )
+        from pyspark import StorageLevel
+
+        slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        keep_ids = slim.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        deduped = slim.join(keep_ids.select("doc_id"), "doc_id", "semi").drop("_h")
     elif dedup_mode == "window":
-        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        w = Window.partitionBy("_h").orderBy("doc_id")
         deduped = (
-            gated.withColumn("_rn", F.row_number().over(w))
+            slim.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "text")
+            .drop("_rn", "_h")
         )
     else:
         raise ValueError(f"curate: unknown dedup_mode {dedup_mode!r}")

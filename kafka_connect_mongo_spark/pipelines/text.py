@@ -113,7 +113,9 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def unigram_lm_score(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+def unigram_lm_score(
+    docs: DataFrame, round_digits: int = 6, broadcast_vocab: bool = False
+) -> DataFrame:
     """Corpus-trained unigram LM score per doc — the perplexity-filter
     shape (CCNet-style) reduced to its distributed skeleton: pass 1
     learns token frequencies over the WHOLE corpus (map-side-combined
@@ -122,17 +124,26 @@ def unigram_lm_score(docs: DataFrame, round_digits: int = 6) -> DataFrame:
     (boilerplate, noise, wrong-language) — the standard curation signal.
 
     Output (doc_id, n_tokens, avg_logprob). At 100 TB the learned vocab
-    table is the persisted model artifact; the scoring join broadcasts
-    when the vocab fits (it does: vocab grows ~log corpus), else it is a
-    plain token equi-join. No Python anywhere; log arithmetic rounds to
-    ``round_digits`` for the cross-engine oracle."""
+    table is the persisted model artifact. The scoring join carries NO
+    forced broadcast hint: the vocab is an unbounded aggregate (it grows
+    ~log corpus, but "usually small" is not "bounded"), so the join
+    strategy is left to Catalyst's size estimate + AQE's runtime
+    re-plan — broadcast when it fits ``autoBroadcastJoinThreshold``,
+    shuffle join when it doesn't, never an OOM-bound forced broadcast.
+    Pass ``broadcast_vocab=True`` to restore the hint when the caller
+    KNOWS the vocab is small (e.g. a fixed tokenizer vocab). The 1-row
+    corpus total is always broadcast — that bound is structural.
+    No Python anywhere; log arithmetic rounds to ``round_digits`` for
+    the cross-engine oracle."""
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     total = vocab.agg(F.sum("n_tok").alias("n_total"))
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("n_tok") / F.col("n_total")).alias("lp"))
     )
@@ -142,22 +153,30 @@ def unigram_lm_score(docs: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 5, round_digits: int = 6) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, round_digits: int = 6, broadcast_df: bool = False
+) -> DataFrame:
     """Top-k characteristic terms per doc by tf·idf — keyword extraction
     as two map-side-combined aggregations plus a per-doc top-k:
     tf = count per (doc, token); df = docs containing the token (one
     count over the distinct (doc, token) pairs tf already materialized);
-    idf = ln(n_docs/df) joined back (broadcast — vocab-sized). The
-    final per-doc top-k is the WindowGroupLimit pattern: partial top-k
-    per partition before the exchange. Output (doc_id, tok, tfidf)."""
+    idf = ln(n_docs/df) joined back. The df table is vocab-sized —
+    unbounded — so like ``unigram_lm_score`` the join carries no forced
+    broadcast hint (Catalyst/AQE pick; ``broadcast_df=True`` opts in
+    when the caller knows the vocab bound). The 1-row n_docs aggregate
+    is always broadcast. The final per-doc top-k is the WindowGroupLimit
+    pattern: partial top-k per partition before the exchange.
+    Output (doc_id, tok, tfidf)."""
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    if broadcast_df:
+        df = F.broadcast(df)
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

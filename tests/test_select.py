@@ -87,3 +87,27 @@ def test_curate_semijoin_plan_has_no_text_in_exchanges(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert not re.search(r"\btext\b", line), line
+
+
+def test_curate_window_plan_single_scan_no_text_in_exchange(spark):
+    """Round-4 contract (VERDICT r3 Next #1): the default curate plan
+    reads the text exactly once — one scan subtree, digest computed
+    in-scan — and no exchange carries text bytes."""
+    import re
+
+    from kafka_connect_mongo_spark.pipelines.select import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = curate(docs)._jdf.queryExecution().executedPlan().toString()
+    # exactly one source scan of the docs relation
+    assert plan.count("ExistingRDD") + plan.count("FileScan") + plan.count(
+        "LocalTableScan"
+    ) == 1, plan
+    # partial-then-final top-1 per digest (skew absorbed map-side)
+    assert plan.count("WindowGroupLimit") == 2, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not re.search(r"\btext\b", line), line
