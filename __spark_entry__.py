@@ -451,6 +451,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         default_rate=0.3,
     )
 
+    # Deterministic train/val/test split: hash-bucket assignment, one
+    # scan, zero shuffles before the count rollup.
+    def _c3(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import (
+            train_val_test_split,
+        )
+
+        return (
+            train_val_test_split(_docs(spark, sf), val_frac=0.1, test_frac=0.1)
+            .groupBy("split", "lang")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+
+    q["c3_split_counts"] = _c3
+
+    # N-gram decontamination: test-split docs sharing any 3-gram with the
+    # train split (distinct-gram equi-join, no text past the projection).
+    def _c4(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import (
+            split_contamination,
+        )
+
+        return split_contamination(
+            _docs(spark, sf), val_frac=0.1, test_frac=0.1, k=3
+        )
+
+    q["c4_contamination"] = _c4
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1390,6 +1418,50 @@ SELECT doc_id, pred_lang, quality FROM dd2
 WHERE rn = 1
   AND CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
       < CASE pred_lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 ELSE 3000 END
+""".strip()
+
+    _split_bucket = (
+        "CAST(CAST(concat('0x', substr(md5('split-v1' || "
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)"
+    )
+    o["c3_split_counts"] = f"""
+WITH tagged AS (
+  SELECT doc_id, lang,
+    CASE WHEN {_split_bucket} < 1000 THEN 'test'
+         WHEN {_split_bucket} < 2000 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM tagged GROUP BY split, lang
+""".strip()
+
+    o["c4_contamination"] = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+    CASE WHEN {_split_bucket} < 1000 THEN 'test'
+         WHEN {_split_bucket} < 2000 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents),
+toks AS (SELECT doc_id, split, regexp_split_to_array(text, '\\s+') AS arr
+         FROM tagged WHERE split IN ('test', 'train')),
+sh0 AS (
+  SELECT doc_id, split,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+grams AS (
+  SELECT DISTINCT doc_id, split,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) % 1000000007 AS BIGINT) AS h
+  FROM (SELECT doc_id, split, unnest(shingles) AS g FROM sh0)),
+train_h AS (SELECT DISTINCT h FROM grams WHERE split = 'train'),
+test_g AS (SELECT doc_id, h FROM grams WHERE split = 'test'),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM test_g GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_contaminated FROM test_g
+        WHERE h IN (SELECT h FROM train_h) GROUP BY doc_id)
+SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
 """.strip()
 
     o["t8_unigram_lm"] = """

@@ -54,6 +54,20 @@ def main() -> None:
         "t2_quality_score",
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
+        "f1_funnel",            # chained filtered min-aggregates
+        "c2_cohort_retention",  # distinct user-periods, no event self-join
+        "d7_neardup_clusters",  # pairs -> connected components -> canonical ids
+        "d8_incremental_neardup",  # daily batch vs persisted signature index
+    ]
+
+    # Streaming jobs: the closure stages files + runs the whole stream per
+    # call, so the JOB WALL is the metric (re-nooping the returned batch
+    # read would only time reading the output). min-of-2 — each run is a
+    # full fresh stream (cold checkpoint), already worst-case.
+    job_queries = [
+        "st6_streaming_dedup",
+        "st7_streaming_sessions",
+        "st8_session_window",
     ]
 
     def run_noop(df) -> None:
@@ -67,6 +81,15 @@ def main() -> None:
         for _ in range(3):  # min-of-3: co-tenant bursts on this shared host
             t0 = time.time()
             run_noop(df)
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
+
+    for name in job_queries:
+        run_noop(qs[name](spark, sf_dir))  # warm-up run (JIT, FS cache)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            run_noop(qs[name](spark, sf_dir))
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 

