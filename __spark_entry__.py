@@ -479,6 +479,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c4_contamination"] = _c4
 
+    # Token-budget sequence packing: one shuffle on the pack group, a
+    # per-group window cumsum; reported as per-bin rollup.
+    def _c5(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import pack_sequences
+
+        return (
+            pack_sequences(_docs(spark, sf), capacity=512, n_groups=16)
+            .groupBy("pack_group", "bin")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+
+    q["c5_pack_sequences"] = _c5
+
+    # Domain mixing weights: one aggregation + arithmetic -> the
+    # O(|domains|) reweighting artifact.
+    def _c6(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import mix_weights
+
+        return mix_weights(
+            _docs(spark, sf), {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.1}
+        )
+
+    q["c6_mix_weights"] = _c6
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1462,6 +1489,45 @@ hit AS (SELECT doc_id, count(*) AS n_contaminated FROM test_g
 SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
 FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""".strip()
+
+    _pack_group = (
+        "CAST(CAST(concat('0x', substr(md5('pack-v1' || "
+        "CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT) % 16"
+    )
+    o["c5_pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+    {_pack_group} AS pack_group
+  FROM documents),
+packed AS (
+  SELECT pack_group,
+    CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512)
+      AS BIGINT) AS bin,
+    n_tokens
+  FROM base)
+SELECT pack_group, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY pack_group, bin
+""".strip()
+
+    o["c6_mix_weights"] = """
+WITH per AS (
+  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_tokens) AS all_tokens FROM per)
+SELECT domain, n_docs, n_tokens,
+  round(n_tokens / all_tokens, 6) AS actual_share,
+  round(CASE domain WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+                    WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+                    ELSE 0.0 END, 6) AS target_share,
+  round(least(1.0, CASE domain WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+                               WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+                               ELSE 0.0 END / (n_tokens / all_tokens)), 6) AS weight
+FROM per, tot
 """.strip()
 
     o["t8_unigram_lm"] = """

@@ -56,6 +56,8 @@ def main() -> None:
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
         "f1_funnel",            # chained filtered min-aggregates
         "c2_cohort_retention",  # distinct user-periods, no event self-join
+        "c4_contamination",     # split + n-gram overlap (distinct-gram join)
+        "c5_pack_sequences",    # group shuffle + per-group window cumsum
         "d7_neardup_clusters",  # pairs -> connected components -> canonical ids
         "d8_incremental_neardup",  # daily batch vs persisted signature index
     ]

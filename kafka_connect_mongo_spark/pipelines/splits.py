@@ -19,6 +19,17 @@ training-pipeline family):
   shingle-hashes per doc, equi-join test grams against the DISTINCT
   train-gram set, count hits per test doc. Shuffle = |distinct grams|,
   never |docs|²; no text bytes past the first projection.
+
+- **Token-budget sequence packing**: assign documents to fixed-capacity
+  training bins (contiguous-fill within deterministic pack groups) —
+  the sample-packing step that turns a curated corpus into fixed-length
+  training sequences. True first-fit bin packing is inherently
+  sequential; the distributed form packs independently within hash
+  groups, which is exactly how a multi-host data loader shards anyway.
+
+- **Domain mixing weights**: measured token mass per domain + target
+  proportions → per-domain sampling weight (the DoReMi/Pile-style
+  mixture reweighting reduced to one aggregation + arithmetic).
 """
 
 from __future__ import annotations
@@ -122,4 +133,92 @@ def split_contamination(
         tagged.filter(F.col("split") == "test"),
         tagged.filter(F.col("split") == "train"),
         k=k,
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_groups: int = 64,
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous-fill sequence packing: docs are hashed into
+    ``n_groups`` pack groups, ordered deterministically by id within
+    each, and binned by running token count — ``bin = floor(cum_before /
+    capacity)``. Output (doc_id, n_tokens, pack_group, bin).
+
+    Plan shape: one scan computing token counts, ONE shuffle on the
+    pack group, a per-group window cumsum (sessionize's plan shape:
+    sort within group, O(group) sequential scan per reducer). Bins
+    never cross groups, so groups pack embarrassingly parallel —
+    ``n_groups`` scales with the cluster, and the per-group sequential
+    cumsum is the same trade a multi-host data loader already makes by
+    sharding. Docs longer than ``capacity`` overflow their bin (they
+    span, as real packers truncate/span); the contract is determinism
+    and bounded bins, not optimal first-fit (NP-hard, sequential)."""
+    from pyspark.sql import Window
+
+    if capacity <= 0:
+        raise ValueError("pack_sequences: capacity must be positive")
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    base = docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        (sample_hash(F.col(id_col), salt) % n_groups).alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn(
+        "bin", F.floor(cum_before / F.lit(capacity)).cast("long")
+    )
+
+
+def mix_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Domain-mixture reweighting: measured token share per domain vs
+    target share → per-domain sampling weight (target/actual, capped at
+    1 — upsampling is the data loader's job, this operator only
+    downsamples). Domains absent from ``targets`` get weight 0. Output
+    (domain, n_docs, n_tokens, actual_share, target_share, weight).
+
+    One map-side-combined aggregation over the corpus; the weights
+    table is O(|domains|) — the tiny model artifact the sampling pass
+    then applies via ``stratified_sample``-style hashing."""
+    if not targets:
+        raise ValueError("mix_weights: targets must be non-empty")
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    per = docs.select(F.col(domain_col).alias("domain"), n_tok.alias("t")).groupBy(
+        "domain"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("all_tokens"))
+    tgt = None
+    for dom, share in sorted(targets.items()):
+        clause = F.when(F.col("domain") == dom, F.lit(float(share)))
+        tgt = clause if tgt is None else tgt.when(F.col("domain") == dom, F.lit(float(share)))
+    tgt = tgt.otherwise(F.lit(0.0))
+    actual = F.col("n_tokens") / F.col("all_tokens")
+    weight = F.least(F.lit(1.0), F.col("target_share") / actual)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("target_share", tgt)
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, round_digits).alias("actual_share"),
+            F.round(F.col("target_share"), round_digits).alias("target_share"),
+            F.round(weight, round_digits).alias("weight"),
+        )
     )

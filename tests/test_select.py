@@ -158,3 +158,59 @@ def test_contamination_counts_shared_ngrams(spark):
     got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
            for r in contamination(test, train).collect()}
     assert got[10] == (3, 1) and got[11] == (3, 0)
+
+
+def test_pack_sequences_bins_bounded_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.splits import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 30))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, capacity=100, n_groups=4)
+    rows = packed.collect()
+    again = pack_sequences(docs.repartition(7), capacity=100, n_groups=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # bin change only when the running total crosses capacity: every
+    # bin's token total is < capacity + its last doc's tokens (overflow
+    # doc spans); with max doc 39 tokens, bound is 100 + 39
+    per_bin = (
+        packed.groupBy("pack_group", "bin").agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert all(r["t"] < 139 for r in per_bin)
+    # contiguous fill: bins within a group are consecutive from 0
+    from collections import defaultdict
+
+    by_group = defaultdict(set)
+    for r in rows:
+        by_group[r["pack_group"]].add(r["bin"])
+    for bins in by_group.values():
+        assert bins == set(range(max(bins) + 1))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, capacity=0)
+
+
+def test_mix_weights_shares_and_caps(spark):
+    import pytest
+
+    from kafka_connect_mongo_spark.pipelines.splits import mix_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "a b c d", "en"),
+         (3, "a b", "de"), (4, "a b", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["domain"]: r for r in mix_weights(
+        docs, {"en": 0.5, "de": 0.5}).collect()}
+    assert got["en"]["n_tokens"] == 8 and got["en"]["actual_share"] == 0.666667
+    assert got["en"]["weight"] == 0.75          # 0.5 / 0.6667
+    assert got["de"]["weight"] == 1.0            # capped (target > actual)
+    assert got["xx"]["target_share"] == 0.0 and got["xx"]["weight"] == 0.0
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_weights(docs, {})
