@@ -725,6 +725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm.synth_ppm(_docs(spark, sf)), factor=2
     )
 
+    # m4: real video FRAME SAMPLING — seek to every 2nd frame's byte
+    # range in a raw-RGB container, decode only those frames.
+    q["m4_frame_sample"] = lambda spark, sf: mm.sample_frame_features(
+        mm.synth_video(_docs(spark, sf)), every_n=2
+    )
+
     def _s7b(spark: SparkSession, sf: str) -> DataFrame:
         # ANN top-k through banded LSH candidates; the query is vector 7
         # and the corpus carries 12 graded planted twins of it, so the true
@@ -1608,5 +1614,19 @@ SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        CAST((w + 1) // 2 AS INTEGER) AS out_w, CAST((h + 1) // 2 AS INTEGER) AS out_h,
        mean_r, mean_g, mean_b
 FROM agg
+""".strip()
+
+    # m4: sampled-frame channel means; frame f pixel-byte i value =
+    # (doc_id*7 + f*31 + i*13) % 256, frames 4x4, channel = i % 3
+    o["m4_frame_sample"] = """
+WITH p AS (SELECT doc_id, 4 + doc_id % 8 AS n FROM documents),
+fr AS (SELECT doc_id, unnest(generate_series(0, n - 1, 2)) AS f FROM p),
+px AS (SELECT doc_id, f, unnest(generate_series(0, 4 * 4 * 3 - 1)) AS i FROM fr),
+b AS (SELECT doc_id, f, i, (doc_id * 7 + f * 31 + i * 13) % 256 AS v FROM px)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       round(avg(CASE WHEN i % 3 = 0 THEN v END)::DOUBLE, 6) AS mean_r,
+       round(avg(CASE WHEN i % 3 = 1 THEN v END)::DOUBLE, 6) AS mean_g,
+       round(avg(CASE WHEN i % 3 = 2 THEN v END)::DOUBLE, 6) AS mean_b
+FROM b GROUP BY doc_id, f
 """.strip()
     return o
