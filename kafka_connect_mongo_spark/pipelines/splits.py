@@ -91,29 +91,26 @@ def contamination(
     ratio as policy dictates.
 
     Plan: both gram sets are map-side-distinct projections; the overlap
-    is one equi-join on the gram hash (shuffle = distinct grams, no
-    forced broadcast — the train gram set is corpus-sized) followed by a
-    map-side-combined count per doc. At 100 TB the train gram table is
-    the persisted artifact (build once, probe per eval refresh) — the
-    same lifecycle as the MinHash signature index."""
+    is ONE left equi-join of the test grams against the marked distinct
+    train-gram set (shuffle = distinct grams, no forced broadcast — the
+    train gram set is corpus-sized) feeding ONE map-side-combined
+    aggregate that counts total and hit grams together — the test grams
+    are evaluated once, not once per output column. At 100 TB the train
+    gram table is the persisted artifact (build once, probe per eval
+    refresh) — the same lifecycle as the MinHash signature index."""
     test_grams = _doc_grams(test_docs, k, id_col)
-    train_grams = _doc_grams(train_docs, k, id_col).select("h").distinct()
-    hits = (
-        test_grams.join(train_grams, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_contaminated"))
-    )
-    totals = test_grams.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_grams")
+    train_h = (
+        _doc_grams(train_docs, k, id_col)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
-                "n_contaminated"
-            ),
+        test_grams.join(train_h, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
         )
     )
 
@@ -127,12 +124,39 @@ def split_contamination(
 ) -> DataFrame:
     """The composed check: split the corpus deterministically, then
     measure test-vs-train contamination. Output (doc_id, n_grams,
-    n_contaminated) over the test split."""
+    n_contaminated) over the test split.
+
+    Single-scan form (the c1 lesson applied): shingle + hash + split-tag
+    the corpus ONCE into a slim (doc_id, split, h) gram table, persist
+    it (~20 B/row, no text), and derive both sides from the cache — the
+    text is read and shingled once, not once per side."""
+    from pyspark import StorageLevel
+
     tagged = train_val_test_split(docs, val_frac, test_frac, salt)
-    return contamination(
-        tagged.filter(F.col("split") == "test"),
-        tagged.filter(F.col("split") == "train"),
-        k=k,
+    grams = (
+        tagged.filter(F.col("split") != "val")
+        .select(
+            "doc_id", "split",
+            F.explode(_shingles(F.col("text"), k)).alias("shingle"),
+        )
+        .select("doc_id", "split", (_h60(F.col("shingle")) % MOD_P).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train_h = (
+        grams.filter(F.col("split") == "train")
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("split") == "test")
+        .join(train_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+        )
     )
 
 
