@@ -506,6 +506,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c6_mix_weights"] = _c6
 
+    # Incremental decontamination: a deterministic "daily batch" (every
+    # 20th doc perturbed, d8's fixture shape) probed against the
+    # persisted train-gram index — train text never re-read.
+    def _c7(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import (
+            build_gram_index,
+            incremental_contamination,
+        )
+
+        docs = _docs(spark, sf)
+        new_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        return incremental_contamination(new_docs, build_gram_index(docs))
+
+    q["c7_incremental_contamination"] = _c7
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1495,6 +1513,32 @@ hit AS (SELECT doc_id, count(*) AS n_contaminated FROM test_g
 SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
 FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""".strip()
+
+    o["c7_incremental_contamination"] = """
+WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 20 = 0),
+tgrams AS (
+  SELECT DISTINCT
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) % 1000000007 AS BIGINT) AS h
+  FROM (
+    SELECT unnest(CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END) AS g
+    FROM (SELECT regexp_split_to_array(text, '\\s+') AS arr FROM documents))),
+ngrams AS (
+  SELECT DISTINCT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) % 1000000007 AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM newb)))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN h IN (SELECT h FROM tgrams) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated
+FROM ngrams GROUP BY doc_id
 """.strip()
 
     _pack_group = (

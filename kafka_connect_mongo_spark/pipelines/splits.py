@@ -160,6 +160,41 @@ def split_contamination(
     )
 
 
+def incremental_contamination(
+    new_docs: DataFrame,
+    train_gram_index: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The daily-ingest form of the contamination check (the
+    decontamination twin of ``dedup.incremental_neardup``): a new batch
+    of documents probed against the PERSISTED train-gram index — the
+    train corpus text is never re-read. ``train_gram_index`` holds
+    distinct gram hashes in a column ``h`` (build it once with
+    ``_doc_grams(train).select('h').distinct()`` and write it next to
+    the corpus, the MinHash-signature-index lifecycle). Output
+    (doc_id, n_grams, n_contaminated) per new doc."""
+    train_h = train_gram_index.select("h").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        _doc_grams(new_docs, k, id_col)
+        .join(train_h, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+        )
+    )
+
+
+def build_gram_index(docs: DataFrame, k: int = 3) -> DataFrame:
+    """The persistable distinct-gram index over a corpus: one column
+    ``h`` of 60-bit gram hashes. O(distinct grams) rows, no text — the
+    artifact ``incremental_contamination`` probes."""
+    return _doc_grams(docs, k).select("h").distinct()
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,

@@ -1,0 +1,100 @@
+"""Property-based tests: for ANY corpus, the distributed dataset-assembly
+operators equal their obvious sequential references.
+
+- contamination == brute per-doc set intersection of shingle sets;
+- pack_sequences == a sequential contiguous-fill packer run per group;
+- train_val_test_split fractions are exact functions of the md5 bucket.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc = st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join)
+
+
+def _shingle_set(text: str, k: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(doc, min_size=1, max_size=8),
+    st.lists(doc, min_size=1, max_size=8),
+)
+def test_contamination_equals_brute_set_intersection(spark, train_texts, test_texts):
+    from kafka_connect_mongo_spark.pipelines.splits import contamination
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(test_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in contamination(test, train).collect()
+    }
+    train_grams = set().union(*(_shingle_set(t) for t in train_texts))
+    for i, t in enumerate(test_texts):
+        grams = _shingle_set(t)
+        assert got[100 + i] == (len(grams), len(grams & train_grams))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=5, max_value=60),
+)
+def test_pack_sequences_equals_sequential_packer(spark, lengths, capacity):
+    """Distributed packing == running the contiguous-fill rule
+    sequentially per group in doc_id order."""
+    from kafka_connect_mongo_spark.pipelines.splits import (
+        pack_sequences,
+        sample_hash,  # noqa: F401  (documented dependency)
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, capacity=capacity, n_groups=3).collect()
+    got = {r["doc_id"]: (r["pack_group"], r["bin"]) for r in rows}
+    # sequential reference: same group assignment, cumulative fill
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        g = r["pack_group"]
+        cum = by_group.get(g, 0)
+        assert got[r["doc_id"]] == (g, cum // capacity)
+        by_group[g] = cum + r["n_tokens"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=50, unique=True))
+def test_split_is_pure_function_of_bucket(spark, ids):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.select import RATE_DENOM
+    from kafka_connect_mongo_spark.pipelines.splits import train_val_test_split
+
+    docs = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    out = train_val_test_split(docs, val_frac=0.2, test_frac=0.3)
+    rows = out.withColumn(
+        "_b",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-v1"),
+                                       F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % RATE_DENOM,
+    ).collect()
+    for r in rows:
+        expect = (
+            "test" if r["_b"] < 3000 else "val" if r["_b"] < 5000 else "train"
+        )
+        assert r["split"] == expect

@@ -214,3 +214,30 @@ def test_mix_weights_shares_and_caps(spark):
     assert got["xx"]["target_share"] == 0.0 and got["xx"]["weight"] == 0.0
     with pytest.raises(ValueError, match="non-empty"):
         mix_weights(docs, {})
+
+
+def test_split_contamination_single_scan_no_text_in_exchange(spark):
+    """c4's 100 TB contract, plan-asserted: the corpus text is shingled
+    in ONE scan subtree (the persisted slim gram table serves both join
+    sides) and no exchange carries the text column."""
+    import re
+
+    from kafka_connect_mongo_spark.pipelines.splits import split_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body {i % 5} tail {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    df = split_contamination(docs, val_frac=0.1, test_frac=0.2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sources = (
+        plan.count("ExistingRDD") + plan.count("FileScan")
+        + plan.count("LocalTableScan")
+    )
+    n_cached = plan.count("InMemoryTableScan")
+    # both consumers read the cached gram table; the raw docs relation
+    # appears only inside the (single) cached plan
+    assert n_cached == 2, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not re.search(r"\btext\b", line), line
