@@ -1,0 +1,59 @@
+"""Driver-contract consistency: every bench entry is a real query, every
+query has an oracle, and the oracle SQL parses in DuckDB against empty
+views — catching name drift or SQL syntax rot without running Spark."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_bench_names_are_queries():
+    import ast
+
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+    ).read()
+    tree = ast.parse(src)
+    names = [
+        n.value
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Constant) and isinstance(n.value, str)
+        and any(n.value.startswith(p) for p in
+                ("q_", "s1", "s2", "s7", "p2", "p3", "p5", "a2", "a4", "a6",
+                 "x8", "d1", "d3", "d4", "d5", "d7", "d8", "t2", "c1", "c2",
+                 "c4", "c5", "m1", "f1", "st6", "st7", "st8"))
+    ]
+    assert names, "bench.py query list not found"
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_every_query_has_parsable_oracle():
+    import duckdb
+
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(qs) == set(os_), (
+        sorted(set(qs) ^ set(os_))
+    )
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE TABLE {t} (dummy INTEGER)")
+    # PREPARE-style validation is enough: DuckDB parses + binds nothing
+    # here (tables lack the columns), so only check the SQL PARSES.
+    for name, sql in os_.items():
+        try:
+            con.execute(f"SELECT json_serialize_sql({duckdb_quote(sql)})")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle for {name} does not parse: {ex}")
+
+
+def duckdb_quote(sql: str) -> str:
+    return "'" + sql.replace("'", "''") + "'"
