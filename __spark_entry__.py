@@ -524,6 +524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c7_incremental_contamination"] = _c7
 
+    # Corpus-relative quality gate: exact-percentile threshold broadcast,
+    # single persisted scored scan.
+    def _c8(spark: SparkSession, sf: str) -> DataFrame:
+        return sel.quantile_quality_gate(_docs(spark, sf), quantile=0.25)
+
+    q["c8_quality_quantile_gate"] = _c8
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1578,6 +1585,39 @@ SELECT domain, n_docs, n_tokens,
                                WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
                                ELSE 0.0 END / (n_tokens / all_tokens)), 6) AS weight
 FROM per, tot
+""".strip()
+
+    # c8: corpus-relative quality gate — Spark's exact percentile
+    # interpolation replicated over ONE group (rn/n window over quality)
+    o["c8_quality_quantile_gate"] = f"""
+WITH q AS ({quality_sql}),
+b8 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+h8 AS (SELECT doc_id, {hits} FROM b8),
+g8 AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h8),
+l8 AS (SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN hits_en = best THEN 'en'
+       WHEN hits_de = best THEN 'de'
+       WHEN hits_fr = best THEN 'fr'
+       WHEN hits_es = best THEN 'es'
+       ELSE 'und' END AS pred_lang
+  FROM g8),
+s8 AS (
+  SELECT q.doc_id, l8.pred_lang, q.quality,
+         row_number() OVER (ORDER BY q.quality) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM q JOIN l8 ON q.doc_id = l8.doc_id),
+thr AS (
+  SELECT round(CASE
+    WHEN CAST(ceil(0.25 * (n - 1)) AS BIGINT) = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+    THEN min(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN quality END)
+    ELSE min(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN quality END)
+           * (ceil(0.25 * (n - 1)) - 0.25 * (n - 1))
+         + min(CASE WHEN rn = CAST(ceil(0.25 * (n - 1)) AS BIGINT) THEN quality END)
+           * (0.25 * (n - 1) - floor(0.25 * (n - 1)))
+  END, 6) AS t
+  FROM s8 GROUP BY n)
+SELECT doc_id, pred_lang, quality FROM s8, thr WHERE quality >= t
 """.strip()
 
     o["t8_unigram_lm"] = """

@@ -168,3 +168,45 @@ def curate(
         default_rate=default_rate, salt=salt,
     )
     return sampled.select("doc_id", "pred_lang", "quality")
+
+
+def quantile_quality_gate(
+    docs: DataFrame,
+    quantile: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-relative quality gate (the Gopher/FineWeb practice): keep
+    documents whose quality score is at or above the corpus's own
+    ``quantile`` — an ABSOLUTE threshold goes stale as the corpus mix
+    drifts; a corpus-relative cut does not. Output (doc_id, pred_lang,
+    quality) for survivors.
+
+    Plan shape: one scored scan feeds BOTH the tiny exact-percentile
+    aggregate (shuffle = 1 group; exact `F.percentile` so the DuckDB
+    oracle can replicate the interpolation bit-for-bit) and the filter —
+    the threshold is a 1-row broadcast crossJoin, structurally bounded
+    like t8's corpus total. The scored projection is persisted slim
+    (~30 B/row, no text) so the text is scanned ONCE (the c1 lesson).
+    At 10^10 docs the threshold aggregate is a full pass, but it is a
+    pass over a 1-double projection with map-side partial aggregation —
+    the cheapest possible shape for an exact quantile."""
+    from pyspark import StorageLevel
+
+    from .text import lang_id, quality_score
+
+    if not 0 < quantile < 1:
+        raise ValueError(f"quantile_quality_gate: quantile {quantile} not in (0,1)")
+    scored = (
+        lang_id(quality_score(docs, keep=("text",)), keep=("quality",))
+        .select("doc_id", "pred_lang", "quality")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thr = scored.agg(
+        F.round(F.percentile("quality", F.lit(float(quantile))), round_digits)
+        .alias("_thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "pred_lang", "quality")
+    )

@@ -45,6 +45,7 @@ def read_oplog(
     path: str,
     namespace: str | None = None,
     offset: SourceOffset | None = None,
+    feed_format: str = "parquet",
 ) -> DataFrame:
     """Batch scan of the change feed with all reference predicates applied.
 
@@ -52,8 +53,22 @@ def read_oplog(
     predicate ``(ts > t0) OR (ts == t0 AND inc > i0)``
     (``OplogReader.kt:136``; the reference compares BsonTimestamps, which
     order by (time, inc)).
+
+    ``feed_format``: ``parquet`` (default) or ``jsonl`` — a JSON-lines
+    dump of the same schema (mongodump/debezium-style exports arrive as
+    JSONL in practice). The explicit schema keeps the scan single-pass
+    (no inference job) and column-pruned; predicate pushdown into the
+    file format is parquet-only — on JSONL, filters run post-scan, so
+    parquet is the performance path and JSONL the compatibility path
+    (convert once, then replay from parquet).
     """
-    df = spark.read.schema(OPLOG_SCHEMA).parquet(path).filter(clean_feed_cond())
+    if feed_format == "parquet":
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(path)
+    elif feed_format == "jsonl":
+        raw = spark.read.schema(OPLOG_SCHEMA).json(path)
+    else:
+        raise ValueError(f"read_oplog: unknown feed_format {feed_format!r}")
+    df = raw.filter(clean_feed_cond())
     if namespace is not None:
         df = df.filter(F.col("ns") == F.lit(namespace))
     if offset is not None:

@@ -95,3 +95,26 @@ def test_filter_pushdown_reaches_scan(spark, gen_paths):
     plan = read_oplog(spark, op_path, namespace="code.repos")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "ns" in plan.split("PushedFilters")[1][:400]
+
+
+def test_jsonl_feed_equals_parquet_feed(spark, tmp_path_factory):
+    """S1 alternate source format: a JSON-lines dump of the same feed
+    schema reads to the identical row set (filters, projection, nulls)
+    as the parquet path — the compatibility path for mongodump-style
+    exports."""
+    from kafka_connect_mongo_spark import generator as g
+    from kafka_connect_mongo_spark.sources.oplog import read_oplog
+
+    import pytest
+
+    op_path = g.oplog_path("/root/testdata/sf0.001")
+    pq_rows = read_oplog(spark, op_path)
+    work = tmp_path_factory.mktemp("jsonl-feed")
+    jl = str(work / "feed-jsonl")
+    spark.read.parquet(op_path).write.mode("overwrite").json(jl)
+    jl_rows = read_oplog(spark, jl, feed_format="jsonl")
+    assert sorted(map(tuple, pq_rows.collect())) == sorted(
+        map(tuple, jl_rows.collect())
+    )
+    with pytest.raises(ValueError, match="feed_format"):
+        read_oplog(spark, jl, feed_format="csv")
