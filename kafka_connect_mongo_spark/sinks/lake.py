@@ -300,8 +300,19 @@ class LakeTable:
             )
         except (TypeError, ValueError):
             self.meta["committed_extra"].append(str(batch_id))
+        # Each snapshot carries the FULL bucket state (base gen + delta
+        # list) as of this commit — what makes read_as_of() possible.
+        # O(n_buckets) per entry, capped at 50 entries: bounded meta.
         self.meta["snapshots"] = (
-            self.meta["snapshots"] + [{"batch_id": str(batch_id), "buckets": affected}]
+            self.meta["snapshots"]
+            + [{
+                "batch_id": str(batch_id),
+                "buckets": affected,
+                "state": {
+                    b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
+                    for b, s in self.meta["buckets"].items()
+                },
+            }]
         )[-50:]
 
     def _merge_schema(self, df: DataFrame) -> None:
@@ -456,6 +467,53 @@ class LakeTable:
         if not include_tombstones:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
+
+    def read_as_of(
+        self, batch_id: int | str, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Snapshot time travel: read the table exactly as it stood when
+        ``batch_id`` committed (the Iceberg `VERSION AS OF` semantics on
+        this engine's own meta). Each commit's snapshot entry records the
+        full bucket state; the read is the same merge-on-read plan over
+        THOSE files instead of the current ones.
+
+        Retention contract (same as any lake vacuum): a snapshot is
+        readable while its files exist — compaction deletes superseded
+        delta files, after which older snapshots raise a loud error
+        instead of silently returning partial state."""
+        wanted = str(batch_id)
+        snap = next(
+            (s for s in self.meta["snapshots"] if s["batch_id"] == wanted), None
+        )
+        if snap is None:
+            have = [s["batch_id"] for s in self.meta["snapshots"]]
+            raise ValueError(
+                f"read_as_of: no snapshot for batch {wanted!r} "
+                f"(retained: {have})"
+            )
+        if "state" not in snap:
+            raise ValueError(
+                f"read_as_of: snapshot {wanted!r} predates time-travel "
+                f"support (no bucket state recorded)"
+            )
+        paths: list[str] = []
+        for b, state in snap["state"].items():
+            paths.extend(self._bucket_paths(b, state))
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"read_as_of: snapshot {wanted!r} expired — {len(missing)} "
+                f"file group(s) removed by compaction (first: {missing[0]!r})"
+            )
+        if not paths:
+            return self._empty()
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        state_df = lww_collapse(df, key=self.key)
+        if not include_tombstones:
+            state_df = state_df.filter(
+                ~tombstone_cond(self._payload_col_in(state_df))
+            )
+        return state_df.drop("_bucket")
 
     def compact(self) -> None:
         """Full compaction: every bucket → single base generation, tombstone

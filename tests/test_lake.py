@@ -291,3 +291,50 @@ def test_interleaved_writers_conflict_detected(spark, tmp_path):
     assert {r["id"] for r in LakeTable(spark, root).read().collect()} == {
         "k1", "k2", "k3"
     }
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """Snapshot reads: each committed batch is re-readable exactly as the
+    table stood then; compaction expires superseded snapshots LOUDLY."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    root = str(tmp_path / "tt")
+    t = LakeTable(spark, root, n_buckets=2, payload_col="object",
+                  max_deltas=100)
+
+    def batch(bid, rows):
+        df = spark.createDataFrame(
+            [(k, ts, 0, ts, op,
+              None if op == "d" else _json.dumps({"_id": k, "v": v}), "t.a")
+             for (k, ts, op, v) in rows],
+            "id string, ts long, inc int, seq long, op string, "
+            "object string, ns string",
+        )
+        t.upsert(df, bid)
+
+    batch(0, [("k1", 100, "i", 1), ("k2", 100, "i", 2)])
+    batch(1, [("k1", 200, "u", 10), ("k3", 200, "i", 3)])
+    batch(2, [("k2", 300, "d", None)])
+
+    def ids_at(bid):
+        return {r["id"]: r["ts"] for r in t.read_as_of(bid).collect()}
+
+    assert ids_at(0) == {"k1": 100, "k2": 100}
+    assert ids_at(1) == {"k1": 200, "k2": 100, "k3": 200}
+    assert ids_at(2) == {"k1": 200, "k3": 200}          # k2 tombstoned
+    # current read == latest snapshot
+    assert {r["id"]: r["ts"] for r in t.read().collect()} == ids_at(2)
+    # unknown snapshot is loud
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.read_as_of(99)
+    # compaction expires earlier snapshots loudly, latest state unaffected
+    t.compact()
+    with _pytest.raises(ValueError, match="expired"):
+        t.read_as_of(0)
+    assert {r["id"]: r["ts"] for r in t.read().collect()} == {
+        "k1": 200, "k3": 200
+    }
