@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument("--table", action="append", default=[], required=True,
                     help="lake table root (repeatable)")
 
+    psn = sub.add_parser(
+        "snapshots",
+        help="list a table's retained snapshots (batch id, buckets "
+        "touched, time-travel readability)",
+    )
+    psn.add_argument("--table", action="append", default=[], required=True,
+                     help="lake table root (repeatable)")
+
     ph = sub.add_parser(
         "healthcheck",
         help="probe stream health from the engine's own artifacts "
@@ -152,6 +160,28 @@ def main(argv: list[str] | None = None) -> None:
                 "n_buckets": table.n_buckets,
                 "rows": table.read(include_tombstones=True).count(),
             })
+        print(json.dumps(out))
+    elif args.cmd == "snapshots":
+        import os
+
+        from .sinks.lake import LakeTable
+
+        out = []
+        for root in args.table:
+            table = LakeTable(spark, root)
+            snaps = []
+            for s in table.meta["snapshots"]:
+                readable = "state" in s and all(
+                    os.path.exists(p)
+                    for b, st in s.get("state", {}).items()
+                    for p in table._bucket_paths(b, st)
+                )
+                snaps.append({
+                    "batch_id": s["batch_id"],
+                    "buckets_touched": len(s.get("buckets", [])),
+                    "readable": readable,
+                })
+            out.append({"table": root, "snapshots": snaps})
         print(json.dumps(out))
     elif args.cmd == "healthcheck":
         import os

@@ -515,6 +515,62 @@ class LakeTable:
             )
         return state_df.drop("_bucket")
 
+    def read_changes(
+        self, from_batch: int | str, to_batch: int | str
+    ) -> DataFrame:
+        """Incremental scan (the lake's CDC-OUT surface, Iceberg's
+        incremental read semantics): the change rows committed AFTER
+        ``from_batch`` up to and including ``to_batch`` — exactly the
+        delta file groups added between the two snapshots, read directly
+        (no merge-on-read over the whole table: cost scales with the
+        CHANGES, not the table). Rows are the batches' LWW-collapsed
+        upserts/tombstones — what a downstream consumer needs to stay in
+        sync incrementally.
+
+        Same retention contract as ``read_as_of``: compaction folds
+        deltas into a new base generation, after which the interval is
+        no longer reconstructable from deltas and this raises loudly."""
+        snaps = {s["batch_id"]: s for s in self.meta["snapshots"]}
+        lo, hi = snaps.get(str(from_batch)), snaps.get(str(to_batch))
+        for want, got in ((from_batch, lo), (to_batch, hi)):
+            if got is None:
+                raise ValueError(
+                    f"read_changes: no snapshot for batch {want!r} "
+                    f"(retained: {sorted(snaps)})"
+                )
+            if "state" not in got:
+                raise ValueError(
+                    f"read_changes: snapshot {want!r} predates "
+                    f"time-travel support"
+                )
+        paths: list[str] = []
+        for b, hi_state in hi["state"].items():
+            lo_state = lo["state"].get(b, {"base": None, "deltas": []})
+            if hi_state.get("base") != lo_state.get("base"):
+                raise ValueError(
+                    f"read_changes: bucket {b} was compacted between "
+                    f"batches {from_batch!r} and {to_batch!r} — the "
+                    f"interval's deltas no longer exist as files"
+                )
+            lo_deltas = set(lo_state.get("deltas", []))
+            d = self._bucket_dir(int(b))
+            paths.extend(
+                os.path.join(d, name)
+                for name in hi_state.get("deltas", [])
+                if name not in lo_deltas
+            )
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"read_changes: {len(missing)} delta group(s) removed by "
+                f"compaction (first: {missing[0]!r})"
+            )
+        if not paths:
+            return self._empty()
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *paths
+        ).drop("_bucket")
+
     def compact(self) -> None:
         """Full compaction: every bucket → single base generation, tombstone
         markers purged (safe once no older events can arrive). Incremental —

@@ -189,3 +189,26 @@ def test_routed_tables_share_one_feed_healthy(spark, tmp_path_factory):
     # every table's failure
     for t in rep2["tables"]:
         assert "t.orphan" not in t["namespaces"]
+
+
+def test_cli_snapshots_listing(spark, corrupt_stream):
+    """Out-of-process `snapshots` listing: every committed batch appears
+    with its readability flag."""
+    import subprocess
+
+    lake, feed, future, metrics = corrupt_stream
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "snapshots",
+         "--table", lake],
+        capture_output=True, text=True, env={**os.environ,
+                                             "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    snaps = out[0]["snapshots"]
+    assert len(snaps) >= 2
+    # readability is a per-snapshot fact (earlier tests may have
+    # compacted this shared fixture, expiring old snapshots — that is
+    # exactly what the flag reports); assert the contract, not the value
+    assert all(isinstance(s["readable"], bool) and s["batch_id"] is not None
+               for s in snaps)

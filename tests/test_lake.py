@@ -338,3 +338,43 @@ def test_read_as_of_time_travel(spark, tmp_path):
     assert {r["id"]: r["ts"] for r in t.read().collect()} == {
         "k1": 200, "k3": 200
     }
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    """CDC-out: the interval scan returns exactly the batches' collapsed
+    change rows (upserts + tombstone markers), reads only delta files,
+    and fails loudly once compaction folds the interval away."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    root = str(tmp_path / "inc")
+    t = LakeTable(spark, root, n_buckets=2, payload_col="object",
+                  max_deltas=100)
+
+    def batch(bid, rows):
+        df = spark.createDataFrame(
+            [(k, ts, 0, ts, op,
+              None if op == "d" else _json.dumps({"_id": k, "v": v}), "t.a")
+             for (k, ts, op, v) in rows],
+            "id string, ts long, inc int, seq long, op string, "
+            "object string, ns string",
+        )
+        t.upsert(df, bid)
+
+    batch(0, [("k1", 100, "i", 1), ("k2", 100, "i", 2)])
+    batch(1, [("k1", 200, "u", 10), ("k3", 200, "i", 3)])
+    batch(2, [("k2", 300, "d", None)])
+
+    ch01 = {(r["id"], r["ts"], r["op"]) for r in t.read_changes(0, 1).collect()}
+    assert ch01 == {("k1", 200, "u"), ("k3", 200, "i")}
+    ch02 = {(r["id"], r["ts"], r["op"]) for r in t.read_changes(0, 2).collect()}
+    assert ch02 == {("k1", 200, "u"), ("k3", 200, "i"), ("k2", 300, "d")}
+    assert t.read_changes(2, 2).count() == 0      # empty interval
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.read_changes(0, 99)
+    t.compact()
+    with _pytest.raises(ValueError, match="compacted|removed"):
+        t.read_changes(0, 1)
