@@ -531,6 +531,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c8_quality_quantile_gate"] = _c8
 
+    # Incremental lake scan (CDC-out): replay the feed as two
+    # deterministic micro-batches (seq parity split, mtime-ordered
+    # files), then read EXACTLY batch 1's change rows from the delta
+    # files added between snapshots 0 and 1 — cost scales with the
+    # changes, not the table.
+    def _st9(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
+        work = tempfile.mkdtemp(prefix="cdc-incscan-")
+        staged = os.path.join(work, "feed")
+        os.makedirs(staged)
+        for i in (0, 1):
+            tmp = os.path.join(work, f"half{i}")
+            raw.filter(F.col("seq") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            t = 1_700_000_000 + i * 10  # batch order = file mtime order
+            os.utime(dst, (t, t))
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=16,
+            payload_col="object",
+        )
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return table.read_changes(0, 1).select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st9_incremental_scan"] = _st9
+
+    # Snapshot time travel: the table as it stood after batch 0 only —
+    # LWW final state of the even-seq half, tombstones dropped.
+    def _st10(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
+        work = tempfile.mkdtemp(prefix="cdc-ttravel-")
+        staged = os.path.join(work, "feed")
+        os.makedirs(staged)
+        for i in (0, 1):
+            tmp = os.path.join(work, f"half{i}")
+            raw.filter(F.col("seq") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=16,
+            payload_col="object",
+        )
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return table.read_as_of(0).select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st10_time_travel"] = _st10
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1476,6 +1553,27 @@ SELECT doc_id, pred_lang, quality FROM dd2
 WHERE rn = 1
   AND CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
       < CASE pred_lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 ELSE 3000 END
+""".strip()
+
+    # st9: batch 1 = the odd-seq half of the clean feed, LWW-collapsed
+    # per key (the same collapse upsert applies before writing the delta)
+    o["st9_incremental_scan"] = f"""
+WITH half AS (SELECT * FROM ({feed}) WHERE seq % 2 = 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM half)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1
+""".strip()
+
+    # st10: the table AS OF batch 0 = LWW final state over the even-seq
+    # clean half, last-event-is-delete keys dropped (null payload too —
+    # the table declares payload_col='object')
+    o["st10_time_travel"] = f"""
+WITH half AS (SELECT * FROM ({feed}) WHERE seq % 2 = 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM half)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
 """.strip()
 
     _split_bucket = (
