@@ -44,11 +44,15 @@ def main(argv: list[str] | None = None) -> None:
     pe.add_argument("--filter", default=None, help="SQL predicate (additional.filter analog)")
     pe.add_argument("--buckets", type=int, default=256)
 
-    pr = sub.add_parser("replay", help="batch replay to a parquet final-state table")
+    pr = sub.add_parser("replay", help="batch replay to a final-state table")
     pr.add_argument("--oplog", required=True)
     pr.add_argument("--snapshot", default=None)
     pr.add_argument("--out", required=True)
     pr.add_argument("--namespace", default=None)
+    pr.add_argument("--out-format", default="parquet",
+                    choices=("parquet", "json"),
+                    help="parquet (default) or json — JSON-lines records, "
+                    "the shape the reference emits to its topic")
 
     pt = sub.add_parser(
         "route", help="multi-collection stream -> one lake table per namespace"
@@ -131,8 +135,12 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.replay import replay
 
         df = replay(spark, args.oplog, args.snapshot, namespace=args.namespace)
-        df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
+        df.write.mode("overwrite").format(args.out_format).save(args.out)
+        rows = spark.read.format(args.out_format).schema(df.schema).load(
+            args.out
+        ).count()
+        print(json.dumps({"out": args.out, "rows": rows,
+                          "format": args.out_format}))
     elif args.cmd == "route":
         from .streaming.router import run_routed_stream
 

@@ -212,3 +212,35 @@ def test_cli_snapshots_listing(spark, corrupt_stream):
     # exactly what the flag reports); assert the contract, not the value
     assert all(isinstance(s["readable"], bool) and s["batch_id"] is not None
                for s in snaps)
+
+
+def test_cli_replay_json_output(spark, tmp_path_factory):
+    """`replay --out-format json` writes JSON-lines final-state records
+    (the reference's topic message shape) equal to the parquet output."""
+    import subprocess
+
+    from kafka_connect_mongo_spark import generator as g
+
+    op = g.oplog_path("/root/testdata/sf0.001")
+    rp = g.repos_path("/root/testdata/sf0.001")
+    work = tmp_path_factory.mktemp("replay-json")
+
+    outs = {}
+    for fmt in ("parquet", "json"):
+        out = str(work / fmt)
+        r = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "replay",
+             "--oplog", op, "--snapshot", rp, "--out", out,
+             "--out-format", fmt],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[fmt] = json.loads(r.stdout.strip().splitlines()[-1])
+    assert outs["json"]["rows"] == outs["parquet"]["rows"] > 0
+    # the json dir holds real JSON-lines text records
+    jdir = str(work / "json")
+    jfile = next(f for f in os.listdir(jdir) if f.startswith("part-"))
+    with open(os.path.join(jdir, jfile)) as f:
+        first = json.loads(f.readline())
+    assert "id" in first and "ns" in first
