@@ -230,14 +230,24 @@ class LakeTable:
                 os.close(fd)
                 break
             except FileExistsError:
-                try:  # steal locks abandoned by a crashed writer
-                    if time.monotonic() - t0 > LOCK_STALE_SECONDS or (
-                        time.time() - os.path.getmtime(lock) > LOCK_STALE_SECONDS
-                    ):
+                # Steal ONLY locks whose FILE is old (writer crashed
+                # between lock and unlock) — never merely because OUR
+                # wait is long: a held lock means a live writer, and
+                # stealing it would let two check-and-swaps interleave.
+                # The critical section is milliseconds, so a lock file
+                # older than LOCK_STALE_SECONDS is abandoned.
+                try:
+                    if time.time() - os.path.getmtime(lock) > LOCK_STALE_SECONDS:
                         os.unlink(lock)
                         continue
-                except OSError:
-                    pass
+                except OSError:  # lock vanished between check and stat
+                    continue
+                if time.monotonic() - t0 > 2 * LOCK_STALE_SECONDS:
+                    raise TimeoutError(
+                        f"lake table {self.root!r}: commit lock held for "
+                        f"> {2 * LOCK_STALE_SECONDS:.0f}s — live writer "
+                        f"stuck or pathological contention; not stealing"
+                    )
                 time.sleep(0.05)
         try:
             if os.path.exists(self._meta_path):

@@ -378,3 +378,60 @@ def test_read_changes_incremental_scan(spark, tmp_path):
     t.compact()
     with _pytest.raises(ValueError, match="compacted|removed"):
         t.read_changes(0, 1)
+
+
+def test_commit_lock_steals_stale_but_not_fresh(spark, tmp_path):
+    """A crashed writer's abandoned lock is stolen (old mtime); a FRESH
+    lock (live writer) blocks until timeout instead of being stolen."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from kafka_connect_mongo_spark.sinks import lake as lk
+
+    root = str(tmp_path / "locky")
+    t = lk.LakeTable(spark, root, n_buckets=2, payload_col="object")
+    df = spark.createDataFrame(
+        [("k1", 100, 0, 100, "i", _json.dumps({"_id": "k1"}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string",
+    )
+    # abandoned lock: old mtime -> stolen, commit proceeds
+    _os.makedirs(root, exist_ok=True)
+    lock = _os.path.join(root, lk.LOCK_NAME)
+    open(lock, "w").close()
+    old = _time.time() - lk.LOCK_STALE_SECONDS - 5
+    _os.utime(lock, (old, old))
+    t.upsert(df, 0)
+    assert not _os.path.exists(lock)
+
+    # live lock (mtime kept fresh by a running writer): never stolen;
+    # bounded wait then TimeoutError
+    import threading
+
+    open(lock, "w").close()
+    stop = threading.Event()
+
+    def toucher():
+        while not stop.is_set():
+            try:
+                _os.utime(lock, None)
+            except OSError:
+                pass
+            _time.sleep(0.05)
+
+    th = threading.Thread(target=toucher, daemon=True)
+    th.start()
+    orig = lk.LOCK_STALE_SECONDS
+    lk.LOCK_STALE_SECONDS = 0.3
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError, match="commit lock"):
+            t.mark_committed(1)
+        assert _os.path.exists(lock)  # the live lock was left alone
+    finally:
+        lk.LOCK_STALE_SECONDS = orig
+        stop.set()
+        th.join()
+        _os.unlink(lock)
