@@ -38,7 +38,10 @@ from kafka_connect_mongo_spark.sources.export import read_snapshot, snapshot_as_
 from kafka_connect_mongo_spark.sources.oplog import max_offset_per_ns, read_oplog
 
 T0 = gen.T0
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# The driver runs oracles at sf0.01; CHECK_SF_DIR lets the local mirror
+# (scripts/check_correctness.py) run the SAME oracles at a larger sf —
+# the CDC oracles embed feed paths, so they must follow the chosen dir.
+ORACLE_SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _mid_ts(sf_dir: str) -> int:
