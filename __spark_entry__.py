@@ -611,6 +611,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st10_time_travel"] = _st10
 
+    # Sliding-window rollup (batch form of the streaming expression):
+    # each event lands in width/slide overlapping windows.
+    def _a7(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.windowed import (
+            sliding_op_counts,
+        )
+
+        return sliding_op_counts(
+            _feed(spark, sf), width_seconds=120, slide_seconds=60
+        )
+
+    q["a7_sliding_window_counts"] = _a7
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1556,6 +1569,19 @@ SELECT doc_id, pred_lang, quality FROM dd2
 WHERE rn = 1
   AND CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
       < CASE pred_lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 ELSE 3000 END
+""".strip()
+
+    # a7: sliding windows (width 120 s, slide 60 s): event at t belongs
+    # to the two slide-aligned windows starting at floor(t/60)*60 and
+    # floor(t/60)*60 - 60 (Spark aligns window starts to the epoch)
+    o["a7_sliding_window_counts"] = f"""
+SELECT (ts - ts % 60 - off) AS window_start, ns,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM ({feed}) CROSS JOIN (VALUES (0), (60)) AS offs(off)
+GROUP BY 1, 2
 """.strip()
 
     # st9: batch 1 = the odd-seq half of the clean feed, LWW-collapsed

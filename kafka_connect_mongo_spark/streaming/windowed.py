@@ -54,6 +54,41 @@ def windowed_op_counts(events: DataFrame, time_col: str | None = None) -> DataFr
     )
 
 
+def sliding_op_counts(
+    events: DataFrame,
+    width_seconds: int = 120,
+    slide_seconds: int = 60,
+    time_col: str | None = None,
+) -> DataFrame:
+    """Per-(sliding window, ns) op counts — ``F.window`` with a slide:
+    each event lands in ``width/slide`` overlapping windows (Spark
+    explodes the assignment internally; shuffle = |windows × ns|, with
+    map-side partial aggregation exactly like the tumbling form). The
+    moving-average rollup shape ops dashboards want. Works identically
+    over a watermarked stream (same expression tree as
+    ``windowed_op_counts``)."""
+    if width_seconds % slide_seconds != 0:
+        raise ValueError(
+            "sliding_op_counts: width must be a multiple of slide "
+            f"(got {width_seconds}/{slide_seconds})"
+        )
+    t = F.col(time_col) if time_col else F.timestamp_seconds(F.col("ts"))
+    win = F.window(t, f"{width_seconds} seconds", f"{slide_seconds} seconds")
+    return (
+        events.groupBy(win.alias("w"), "ns")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("int").alias("window_start"),
+            "ns", "n_events", "n_insert", "n_update", "n_delete",
+        )
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     oplog_path: str,

@@ -388,3 +388,22 @@ def test_dedup_stream_mid_batch_crash_retry_idempotent(spark, tmp_path_factory):
     # index holds each doc's signature exactly once
     idx = spark.read.parquet(os.path.join(str(work / "dd"), "sig_index"))
     assert idx.count() == idx.select("doc_id").distinct().count() == 12
+
+
+def test_sliding_op_counts_overlap_and_validation(spark):
+    """Sliding windows: every event lands in exactly width/slide
+    windows; non-multiple widths are rejected loudly."""
+    import pytest
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.streaming.windowed import sliding_op_counts
+
+    rows = [(130, 0, i, "i", "t.a", f"{i:024x}", "{}", None, False)
+            for i in range(5)]
+    ev = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    got = {(r["window_start"], r["n_events"])
+           for r in sliding_op_counts(ev, 120, 60).collect()}
+    # all 5 events at t=130 -> windows starting 60 and 120
+    assert got == {(60, 5), (120, 5)}
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_op_counts(ev, 100, 60)
