@@ -624,6 +624,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a7_sliding_window_counts"] = _a7
 
+    # STREAMING curation: docs arrive in 4 ascending-id micro-batches;
+    # each batch gates+digests in one scan, probes the accumulated
+    # digest index, samples, and appends idempotently. Accumulated
+    # accepted set == batch curate over the whole corpus (c1's oracle).
+    def _st11(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.curation_stream import (
+            run_curation_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-curstream-")
+        staged = os.path.join(work, "docs")
+        docs = _docs(spark, sf)
+        n = docs.count()
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(staged)
+        return run_curation_stream(
+            spark, staged, os.path.join(work, "cur"),
+            min_quality=0.5, rates={"en": 0.5, "de": 0.8}, default_rate=0.3,
+        )
+
+    q["st11_streaming_curation"] = _st11
+
     def _d8(spark: SparkSession, sf: str) -> DataFrame:
         # Incremental dedup: a deterministic "daily batch" (every 20th doc
         # perturbed, ids shifted) joined against the PERSISTED corpus
@@ -1746,6 +1771,10 @@ thr AS (
   FROM s8 GROUP BY n)
 SELECT doc_id, pred_lang, quality FROM s8, thr WHERE quality >= t
 """.strip()
+
+    # st11: streaming curation accumulates EXACTLY the batch pipeline's
+    # accepted set (ascending-id staging makes first-seen == min-doc_id)
+    o["st11_streaming_curation"] = o["c1_curation"]
 
     o["t8_unigram_lm"] = """
 WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),

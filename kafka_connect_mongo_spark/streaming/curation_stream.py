@@ -1,0 +1,133 @@
+"""Streaming corpus curation — the batch ``select.curate`` pipeline as an
+incremental stream.
+
+Documents arrive in micro-batches; each batch (1) computes the quality /
+language gates and the content digest in ONE scan (the same row-local
+expressions as batch curate — `pipelines/select.py`), (2) keeps only
+gated docs whose digest is UNSEEN — not in the accumulated digest index
+and not duplicated within the batch (min doc_id wins, as in batch), (3)
+applies the deterministic stratified sample, (4) writes its accepted
+rows and its new digests under batch_id-keyed partitions with OVERWRITE
+(the dedup_stream discipline: a retried batch overwrites its own
+partition, so neither duplicate accepted rows nor duplicate index
+digests survive a crash-retry; the index probe excludes the probing
+batch's own partition).
+
+Equality contract (the oracle): when documents arrive in ascending
+doc_id order (files staged by id range), "first seen wins" equals
+"min doc_id wins", so the accumulated accepted set is EXACTLY batch
+``curate`` over the full corpus — c1's own oracle. That equality is
+what makes a daily-ingest curation pipeline trustworthy: adding data
+never changes what was already accepted (append-only decisions), yet
+the total output matches the one-shot batch run.
+
+Scale: per batch O(|batch|) gate/digest compute + one equi-join of the
+batch's digests against the digest index (slim: 32-char digest +
+doc_id) — text bytes never enter an exchange, the index is the
+persisted artifact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines.select import stratified_sample
+from ..pipelines.text import lang_id, quality_score
+
+
+def gated_slim(
+    batch: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """One-scan gate + digest: (doc_id, pred_lang, quality, _h) for docs
+    passing the quality/language gates — identical expressions to batch
+    curate's scan stage."""
+    scored = lang_id(
+        quality_score(batch, keep=("text",)), keep=("quality", "text")
+    ).withColumn("_barrier", F.monotonically_increasing_id())
+    gated = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") != "und")
+    ).drop("_barrier")
+    return gated.select(
+        "doc_id", "pred_lang", "quality", F.md5(F.col("text")).alias("_h")
+    )
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    docs_path: str,
+    work_dir: str,
+    min_quality: float = 0.5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.3,
+    salt: str = "sample-v1",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream document files through incremental curation; returns the
+    accumulated accepted (doc_id, pred_lang, quality) rows."""
+    if rates is None:
+        rates = {"en": 0.5, "de": 0.8}
+    index_dir = os.path.join(work_dir, "digest_index")
+    out_dir = os.path.join(work_dir, "accepted")
+    schema = spark.read.parquet(docs_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        slim = gated_slim(
+            batch_df.select("doc_id", "text"), min_quality
+        ).persist()
+        try:
+            # within-batch dedup: min doc_id per digest (batch curate's rule)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_h").orderBy("doc_id")
+            firsts = (
+                slim.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            # cross-batch dedup: drop digests already in the index
+            # (excluding our own partition — a failed attempt of THIS
+            # batch may have written its digests already)
+            if os.path.isdir(index_dir) and any(
+                e.startswith("batch_id=") for e in os.listdir(index_dir)
+            ):
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("_h")
+                )
+                firsts = firsts.join(index, "_h", "left_anti")
+            accepted = stratified_sample(
+                firsts, rates, stratum_col="pred_lang",
+                default_rate=default_rate, salt=salt,
+            ).select("doc_id", "pred_lang", "quality")
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            # the index gains ALL first-seen digests of this batch (not
+            # just sampled ones): a digest rejected by sampling must
+            # still block later duplicates, exactly like batch curate
+            firsts.select("_h", "doc_id").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            slim.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, pred_lang string, quality double"
+        )
+    return spark.read.parquet(out_dir).select("doc_id", "pred_lang", "quality")

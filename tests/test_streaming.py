@@ -407,3 +407,55 @@ def test_sliding_op_counts_overlap_and_validation(spark):
     assert got == {(60, 5), (120, 5)}
     with pytest.raises(ValueError, match="multiple"):
         sliding_op_counts(ev, 100, 60)
+
+
+def test_curation_stream_resume_and_retry_equals_batch(spark, tmp_path_factory):
+    """Streaming curation killed between batches AND retried after a
+    simulated mid-batch crash must converge to EXACTLY the batch
+    curate() output over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.select import curate
+    from kafka_connect_mongo_spark.streaming.curation_stream import (
+        gated_slim,
+        run_curation_stream,
+    )
+
+    work = tmp_path_factory.mktemp("cur-stream")
+    staged = str(work / "docs")
+    base = "the and is in to of a for on it with as at by from " * 4
+    rows = []
+    for i in range(48):
+        rows.append((i, base + f"tail {i % 12}"))  # 4 docs share each tail
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # phase 1: first half arrives (ascending ids), stream runs, "dies"
+    docs.filter(F.col("doc_id") < 24).coalesce(1).write.mode("append").parquet(staged)
+    p1 = run_curation_stream(spark, staged, str(work / "cur"))
+    n1 = p1.count()
+
+    # phase 2: rest arrives; simulate a FAILED attempt of batch 1 —
+    # garbage accepted rows + its digests written, no checkpoint commit
+    docs.filter(F.col("doc_id") >= 24).coalesce(1).write.mode("append").parquet(staged)
+    import os
+
+    gated_slim(docs.filter(F.col("doc_id") >= 24)).select(
+        "_h", "doc_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(work / "cur"), "digest_index", "batch_id=1")
+    )
+    spark.createDataFrame(
+        [(999999, "xx", 0.0)], "doc_id long, pred_lang string, quality double"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(work / "cur"), "accepted", "batch_id=1")
+    )
+
+    got = {tuple(r) for r in run_curation_stream(
+        spark, staged, str(work / "cur")
+    ).collect()}
+    expected = {tuple(r) for r in curate(docs).collect()}
+    assert got == expected and len(got) > 0 and n1 <= len(got)
+
+    # idle re-run: decisions are append-only, nothing duplicates
+    again = run_curation_stream(spark, staged, str(work / "cur"))
+    assert again.count() == len(got)
