@@ -78,6 +78,23 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument("--table", action="append", default=[], required=True,
                     help="lake table root (repeatable)")
 
+    pp = sub.add_parser(
+        "pipeline",
+        help="training-data pipeline ops over a documents table "
+        "(doc_id, text[, lang]): curate | dedup | split | contaminate | pack",
+    )
+    pp.add_argument("op", choices=("curate", "dedup", "split",
+                                   "contaminate", "pack"))
+    pp.add_argument("--docs", required=True, help="documents parquet path")
+    pp.add_argument("--out", required=True, help="output parquet path")
+    pp.add_argument("--min-quality", type=float, default=0.5)
+    pp.add_argument("--threshold", type=float, default=0.7,
+                    help="dedup: MinHash est-jaccard threshold")
+    pp.add_argument("--val-frac", type=float, default=0.05)
+    pp.add_argument("--test-frac", type=float, default=0.05)
+    pp.add_argument("--capacity", type=int, default=2048,
+                    help="pack: tokens per training bin")
+
     psn = sub.add_parser(
         "snapshots",
         help="list a table's retained snapshots (batch id, buckets "
@@ -169,6 +186,37 @@ def main(argv: list[str] | None = None) -> None:
                 "rows": table.read(include_tombstones=True).count(),
             })
         print(json.dumps(out))
+    elif args.cmd == "pipeline":
+        docs = spark.read.parquet(args.docs)
+        if args.op == "curate":
+            from .pipelines.select import curate
+
+            out_df = curate(docs, min_quality=args.min_quality)
+        elif args.op == "dedup":
+            from .pipelines.dedup import minhash_near_dups
+
+            out_df = minhash_near_dups(docs, threshold=args.threshold)
+        elif args.op == "split":
+            from .pipelines.splits import train_val_test_split
+
+            out_df = train_val_test_split(
+                docs, val_frac=args.val_frac, test_frac=args.test_frac
+            ).drop("text")
+        elif args.op == "contaminate":
+            from .pipelines.splits import split_contamination
+
+            out_df = split_contamination(
+                docs, val_frac=args.val_frac, test_frac=args.test_frac
+            )
+        else:  # pack
+            from .pipelines.splits import pack_sequences
+
+            out_df = pack_sequences(docs, capacity=args.capacity)
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "op": args.op, "out": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+        }))
     elif args.cmd == "snapshots":
         import os
 

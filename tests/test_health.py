@@ -244,3 +244,23 @@ def test_cli_replay_json_output(spark, tmp_path_factory):
     with open(os.path.join(jdir, jfile)) as f:
         first = json.loads(f.readline())
     assert "id" in first and "ns" in first
+
+
+def test_cli_pipeline_ops(tmp_path_factory):
+    """Out-of-process `pipeline` surface: every op runs end-to-end over
+    the documents fixture and writes non-empty parquet."""
+    import subprocess
+
+    work = tmp_path_factory.mktemp("cli-pipeline")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    for op in ("curate", "split", "pack"):
+        out = str(work / op)
+        r = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+             "pipeline", op, "--docs", docs, "--out", out],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        assert r.returncode == 0, (op, r.stderr[-1500:])
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["rows"] > 0, stats
