@@ -408,6 +408,24 @@ def _centroids_df(
     )
 
 
+def _collect_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the coarse quantizer as a driver-side list — it IS the
+    model artifact, O(n_centroids·dim) regardless of corpus size (a
+    16-row collect, the same legitimacy as broadcasting any model)."""
+    if centroids is not None:
+        return sorted(centroids)
+    rows = (
+        _centroids_df(embeddings, n_centroids, None)
+        .orderBy("cent_id")
+        .collect()
+    )
+    return [(int(r["cent_id"]), [float(x) for x in r["ce"]]) for r in rows]
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -420,36 +438,37 @@ def ivf_assign(
     Default centroids are the first ``n_centroids`` vectors — a
     deterministic sampled quantizer the DuckDB oracle can replicate
     exactly. Pass ``centroids=train_ivf_centroids(...)`` for the
-    k-means-trained quantizer (recall measured in BENCH/IVF_RECALL.md;
-    the trained path is recall-asserted rather than hash-matched). The
-    choice moves recall, never correctness, and the structure is
-    identical: this assignment is the index-build you persist next to
-    the corpus, exactly like the MinHash signatures table.
+    k-means-trained quantizer (recall measured in BENCH/IVF_RECALL.md).
+    The choice moves recall, never correctness.
 
-    Plan: centroids broadcast (O(n_centroids), corpus-size independent),
-    corpus scan × in-memory centroid loop, then an argmax per vector as
-    ``max_by`` over a struct ordering key — hash-aggregable, so the
-    combine happens map-side and the shuffle carries one row per vector,
-    not n_centroids. No corpus-vs-corpus join anywhere."""
+    Plan (round 4): the assignment is ROW-LOCAL. The quantizer is a
+    driver-side literal (O(n_centroids·dim) — the model artifact), so
+    each vector computes its n_centroids cosines and takes the argmax
+    as pure Column expressions in the scan projection: no crossJoin row
+    expansion (the previous form sorted n·n_centroids expanded rows —
+    max_by with an array-bearing struct payload is SortAggregate-only),
+    no aggregate, ZERO exchange. Ties break to the smallest cent_id
+    (``array_position`` returns the FIRST max; the centroid array is
+    cent_id-ascending) — the same total order the SQL oracle's
+    row_number uses, valid for any n_centroids."""
+    cents = _collect_centroids(embeddings, n_centroids, centroids)
     emb = F.col("embedding").cast("array<double>")
     base = embeddings.select("vec_id", emb.alias("e"))
-    cents = _centroids_df(embeddings, n_centroids, centroids)
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "cent_id",
-        _cos(F.col("e"), F.col("ce"), round_digits).alias("cscore"),
-    )
-    # (cscore DESC, cent_id ASC) as a struct ordering key — structs
-    # compare lexicographically, so max_by picks max cscore then max
-    # -cent_id (= min cent_id). The same total order the SQL oracle's
-    # row_number uses, valid for ANY n_centroids (the previous
-    # packed-double encoding silently flipped the argmax past ~100
-    # centroids — ADVICE r3).
-    key = F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by(F.struct(F.col("cent_id"), F.col("e")), key).alias("_a")
-    )
-    return assign.select(
-        "vec_id", F.col("_a.cent_id").alias("cell"), F.col("_a.e").alias("e")
+    norm_e = _norm(F.col("e"))
+    score_cols = []
+    for _cid, ce in cents:
+        carr = F.array(*[F.lit(float(x)) for x in ce])
+        cn = float(np.sqrt(sum(x * x for x in ce)))
+        score_cols.append(
+            F.round(_dot(F.col("e"), carr) / (norm_e * F.lit(cn)), round_digits)
+        )
+    scores = F.array(*score_cols)
+    cell_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return base.select(
+        "vec_id",
+        F.element_at(cell_ids, pos).cast("long").alias("cell"),
+        "e",
     )
 
 
