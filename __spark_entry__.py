@@ -635,13 +635,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         work = tempfile.mkdtemp(prefix="cdc-curstream-")
         staged = os.path.join(work, "docs")
+        os.makedirs(staged)
         docs = _docs(spark, sf)
         n = docs.count()
         for i in range(4):
             lo, hi = i * n // 4, (i + 1) * n // 4
+            tmp = os.path.join(work, f"q{i}")
             docs.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.mode("append").parquet(staged)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"q{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            # batch order must follow id order for first-seen == min-id;
+            # force distinct mtimes (FileStreamSource orders by mod time)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
         return run_curation_stream(
             spark, staged, os.path.join(work, "cur"),
             min_quality=0.5, rates={"en": 0.5, "de": 0.8}, default_rate=0.3,
