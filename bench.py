@@ -80,10 +80,12 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         run_noop(df)  # warm-up: JIT, FS cache, plan cache
         walls = []
-        for _ in range(3):  # min-of-3: co-tenant bursts on this shared host
-            t0 = time.time()
-            run_noop(df)
-            walls.append(time.time() - t0)
+        for _ in range(5):  # min-of-5: co-tenant bursts on this shared host
+            t0 = time.time()  # (observed: uniform 2-3x inflation under a
+            run_noop(df)      # sustained neighbor burst; more samples =
+            walls.append(time.time() - t0)  # better odds one lands clean)
+            if min(walls) < 0.15:
+                break  # already at the floor; don't buy noise insurance
         timings[name] = round(min(walls), 3)
 
     for name in job_queries:
