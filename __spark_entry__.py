@@ -771,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Keyword extraction: top-5 tf-idf terms per doc.
     q["t9_tfidf_terms"] = lambda spark, sf: tx.tfidf_top_terms(_docs(spark, sf), k=5)
 
+    q["t10_repetition"] = lambda spark, sf: tx.repetition_profile(_docs(spark, sf))
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -1807,6 +1809,26 @@ scored AS (
 SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
+""".strip()
+
+    # t10: within-doc repetition (Gopher §A1.1 signals). Bigram list via
+    # 1-indexed list_transform mirrors Spark's 0-indexed transform.
+    o["t10_repetition"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 1 THEN round(
+           1.0 - 1.0 * len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1]))) / (len(toks) - 1), 6)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM t),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+pc AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+tu AS (SELECT doc_id, round(1.0 * max(c) / sum(c), 6) AS top_unigram_frac
+       FROM pc GROUP BY doc_id)
+SELECT doc_id, n_tokens, top_unigram_frac, dup_bigram_frac
+FROM m JOIN tu USING (doc_id)
 """.strip()
 
     o["t4_fingerprint"] = """

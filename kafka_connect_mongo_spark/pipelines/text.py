@@ -194,3 +194,55 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def repetition_profile(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Gopher-style within-document repetition signals — the quality
+    filters a web-corpus curation pass keys on (Rae et al. 2021 §A1.1:
+    fraction of duplicated n-grams / fraction in the most common word):
+
+    - ``dup_bigram_frac``: 1 − distinct bigrams / total bigrams.
+      Computed ROW-LOCALLY (tokens → bigram array → ``array_distinct``
+      size) inside the one scan projection: zero exchanges, and the
+      dominant O(doc_len) work never leaves the mapper.
+    - ``top_unigram_frac``: occurrences of the doc's most frequent
+      token / total tokens. Needs per-(doc, token) counts, so it is the
+      explode → two map-side-combined aggregations shape; the shuffle
+      carries ~50 B rows keyed by doc_id, never text.
+
+    ONE text scan total: the row-local columns ride along as grouping
+    keys through the aggregation (functionally dependent on doc_id, so
+    the groups are identical and no self-join against a second scan is
+    needed — the c1_curation lesson). Output
+    (doc_id, n_tokens, top_unigram_frac, dup_bigram_frac)."""
+    toks = _tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams))
+                / (F.size("toks") - F.lit(1)),
+                round_digits,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.explode("toks").alias("tok"),
+    )
+    per_tok = exploded.groupBy(
+        "doc_id", "n_tokens", "dup_bigram_frac", "tok"
+    ).agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id", "n_tokens", "dup_bigram_frac").agg(
+        F.round(F.max("c") / F.sum("c"), round_digits).alias(
+            "top_unigram_frac"
+        )
+    ).select("doc_id", "n_tokens", "top_unigram_frac", "dup_bigram_frac")
