@@ -611,6 +611,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st10_time_travel"] = _st10
 
+    # Bucket-pruned point lookup: the current row for 50 keys, reading
+    # only the bucket dirs those keys hash to (Iceberg bucket-transform
+    # data skipping; the engine-side form of the reference's
+    # find(_id) lookback, OplogReader.kt:116).
+    def _st12(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+        feed = _feed(spark, sf).select(
+            "id", "ts", "inc", "seq", "op", "ns", "object",
+            F.sha2(
+                F.get_json_object(F.col("object"), "$.content"), 256
+            ).alias("content_sha"),
+        )
+        work = tempfile.mkdtemp(prefix="cdc-lookup-")
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=32,
+            payload_col="object",
+        )
+        table.upsert(feed, 0)
+        wanted = [
+            r["id"]
+            for r in feed.select("id").distinct().orderBy("id").limit(50).collect()
+        ]
+        return table.read_for_keys(wanted).select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st12_point_lookup"] = _st12
+
     # Sliding-window rollup (batch form of the streaming expression):
     # each event lands in width/slide overlapping windows.
     def _a7(spark: SparkSession, sf: str) -> DataFrame:
@@ -1637,6 +1666,18 @@ FROM r WHERE rn = 1
 WITH half AS (SELECT * FROM ({feed}) WHERE seq % 2 = 0),
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM half)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st12: LWW state of the 50 lexicographically-smallest feed ids,
+    # last-event-is-delete and null-payload keys dropped (payload_col
+    # declared) — what the bucket-pruned lookup must return.
+    o["st12_point_lookup"] = f"""
+WITH ids AS (SELECT DISTINCT id FROM ({feed}) ORDER BY id LIMIT 50),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn
+      FROM ({feed}) WHERE id IN (SELECT id FROM ids))
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
 """.strip()

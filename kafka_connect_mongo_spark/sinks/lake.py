@@ -478,6 +478,71 @@ class LakeTable:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
 
+    def _buckets_for_keys(self, keys: list) -> list[int]:
+        """Bucket ids the given keys can live in, computed with the SAME
+        ``pmod(xxhash64(key), n_buckets)`` expression the writer uses (a
+        tiny local job over the literal keys — no Python reimplementation
+        of xxhash64 to drift out of sync). Key values are cast to the
+        table's committed key type first: xxhash64('42') != xxhash64(42),
+        so hashing the caller's raw Python values would silently probe
+        the wrong buckets."""
+        if self.meta["schema"] is None:
+            return []
+        schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        ktype = next(
+            (f.dataType for f in schema.fields if f.name == self.key),
+            T.StringType(),
+        )
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(self.key, ktype)])
+        )
+        rows = (
+            self._with_bucket(kdf).select("_bucket").distinct().collect()
+        )
+        return sorted(r["_bucket"] for r in rows)
+
+    def _paths_for_keys(self, keys: list) -> list[str]:
+        out: list[str] = []
+        for b in self._buckets_for_keys(keys):
+            state = self.meta["buckets"].get(str(b))
+            if state:
+                out.extend(self._bucket_paths(str(b), state))
+        return out
+
+    def read_for_keys(
+        self, keys: list, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Point/batch lookup: the current row for each requested key,
+        reading ONLY the buckets those keys hash to — the Iceberg
+        bucket-transform data-skipping path, and the engine-side answer
+        to the reference's per-key lookback query (OplogReader's
+        ``find(Filters.eq("_id", id))`` against the collection,
+        OplogReader.kt:116: there the store serves the point read; here
+        the table layout does).
+
+        With |keys| ≪ n_buckets this touches ~|keys| bucket directories
+        instead of the whole table — at 10^10 rows a lookup of 50 keys
+        reads 50/``n_buckets`` of the data, and the residual file scan
+        still gets the ``key IN (...)`` predicate pushed to parquet
+        row-group stats. The merge-on-read LWW collapse then runs over
+        just those buckets' rows."""
+        if not keys:
+            return self._empty()
+        if any(k is None for k in keys):
+            raise ValueError("read_for_keys: keys must be non-null")
+        paths = self._paths_for_keys(keys)
+        if not paths:
+            return self._empty()
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .filter(F.col(self.key).isin(list(keys)))
+        )
+        state = lww_collapse(df, key=self.key)
+        if not include_tombstones:
+            state = state.filter(~tombstone_cond(self._payload_col_in(state)))
+        return state.drop("_bucket")
+
     def read_as_of(
         self, batch_id: int | str, include_tombstones: bool = False
     ) -> DataFrame:

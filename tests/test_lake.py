@@ -106,6 +106,56 @@ def test_compact_purges_tombstones(table, spark):
     assert table.read().count() == 1
 
 
+def test_read_for_keys_prunes_buckets_and_matches_full_read(tmp_path, spark):
+    """Point lookup reads ONLY the buckets its keys hash to (the
+    bucket-transform data-skipping contract) and returns exactly the
+    full merge-on-read state filtered to those keys — including the
+    update-wins and tombstone-hides semantics."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=16, payload_col="object")
+    t.upsert(
+        mk(
+            spark,
+            [
+                ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": i})
+                for i in range(64)
+            ],
+        ),
+        0,
+    )
+    t.upsert(
+        mk(
+            spark,
+            [
+                ev(200, 0, 100, "u", "t.a", key(3), {"_id": key(3), "v": -3}),
+                ev(200, 1, 101, "d", "t.a", key(5), None),
+            ],
+        ),
+        1,
+    )
+
+    wanted = [key(3), key(5), key(7), key(999)]  # updated, deleted, live, absent
+    pruned = t._paths_for_keys(wanted)
+    everything = t._current_paths()
+    assert set(pruned) < set(everything)
+    # 4 keys over 16 buckets: far fewer bucket dirs than the table has
+    assert len({p.split("bucket=")[1].split("/")[0] for p in pruned}) <= 4
+
+    got = {r["id"]: r for r in t.read_for_keys(wanted).collect()}
+    full = {
+        r["id"]: r
+        for r in t.read().filter(F.col("id").isin(wanted)).collect()
+    }
+    assert set(got) == set(full) == {key(3), key(7)}  # 5 tombstoned, 999 absent
+    assert json.loads(got[key(3)]["object"])["v"] == -3
+    assert {
+        r["id"] for r in t.read_for_keys(wanted, include_tombstones=True).collect()
+    } == {key(3), key(5), key(7)}
+
+    assert t.read_for_keys([]).count() == 0
+    with pytest.raises(ValueError, match="non-null"):
+        t.read_for_keys([key(1), None])
+
+
 def _tree_bytes(root: str) -> int:
     import os
 
