@@ -52,6 +52,7 @@ def main() -> None:
         "s7c_ann_topk_ivf",     # IVF build + probe + exact re-score
         "s7e_ann_ivf_indexed",  # steady state: partition-pruned probe of the persisted index
         "t2_quality_score",
+        "t10_repetition",       # Gopher repetition signals (1 scan)
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
         "f1_funnel",            # chained filtered min-aggregates
@@ -70,6 +71,7 @@ def main() -> None:
         "st6_streaming_dedup",
         "st7_streaming_sessions",
         "st8_session_window",
+        "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup
     ]
 
     def run_noop(df) -> None:

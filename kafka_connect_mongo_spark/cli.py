@@ -95,6 +95,19 @@ def main(argv: list[str] | None = None) -> None:
     pp.add_argument("--capacity", type=int, default=2048,
                     help="pack: tokens per training bin")
 
+    plk = sub.add_parser(
+        "lookup",
+        help="point lookup: current row(s) for the given keys, reading "
+        "only the buckets the keys hash to (the engine-side form of the "
+        "reference's find(_id) lookback, OplogReader.kt:116)",
+    )
+    plk.add_argument("--table", required=True, help="lake table root")
+    plk.add_argument("--keys", required=True,
+                     help="comma-separated key values")
+    plk.add_argument("--tombstones", action="store_true",
+                     help="include tombstone rows instead of hiding "
+                     "deleted keys")
+
     psn = sub.add_parser(
         "snapshots",
         help="list a table's retained snapshots (batch id, buckets "
@@ -217,6 +230,24 @@ def main(argv: list[str] | None = None) -> None:
             "op": args.op, "out": args.out,
             "rows": spark.read.parquet(args.out).count(),
         }))
+    elif args.cmd == "lookup":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        keys = args.keys.split(",")
+        rows = [
+            r.asDict(recursive=True)
+            for r in table.read_for_keys(
+                keys, include_tombstones=args.tombstones
+            ).collect()
+        ]
+        print(json.dumps({
+            "table": args.table,
+            "n_keys": len(keys),
+            "buckets_read": table._keys_and_buckets(keys)[1],
+            "n_buckets_total": table.n_buckets,
+            "rows": rows,
+        }, default=str))
     elif args.cmd == "snapshots":
         import os
 

@@ -478,32 +478,41 @@ class LakeTable:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
 
-    def _buckets_for_keys(self, keys: list) -> list[int]:
-        """Bucket ids the given keys can live in, computed with the SAME
-        ``pmod(xxhash64(key), n_buckets)`` expression the writer uses (a
-        tiny local job over the literal keys — no Python reimplementation
-        of xxhash64 to drift out of sync). Key values are cast to the
-        table's committed key type first: xxhash64('42') != xxhash64(42),
-        so hashing the caller's raw Python values would silently probe
-        the wrong buckets."""
+    def _keys_and_buckets(self, keys: list) -> tuple[list, list[int]]:
+        """(typed key values, bucket ids they hash to), computed with the
+        SAME ``pmod(xxhash64(key), n_buckets)`` expression the writer
+        uses (one tiny local job over the literal keys — no Python
+        reimplementation of xxhash64 to drift out of sync). Key values
+        are cast THROUGH the table's committed key type first:
+        xxhash64('42') != xxhash64(42), so hashing the caller's raw
+        values (CLI strings, say) would silently probe the wrong
+        buckets — and the typed values are what the read filter must
+        compare with, for the same reason."""
         if self.meta["schema"] is None:
-            return []
+            return [], []
         schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
         ktype = next(
             (f.dataType for f in schema.fields if f.name == self.key),
             T.StringType(),
         )
         kdf = self.spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([T.StructField(self.key, ktype)])
+            [(str(k),) for k in keys], "__k string"
+        ).select(F.col("__k").cast(ktype).alias(self.key))
+        rows = self._with_bucket(kdf).collect()
+        bad = [keys[i] for i, r in enumerate(rows) if r[self.key] is None]
+        if bad:
+            raise ValueError(
+                f"read_for_keys: key(s) {bad!r} not castable to the "
+                f"table's key type {ktype.simpleString()}"
+            )
+        return (
+            [r[self.key] for r in rows],
+            sorted({r["_bucket"] for r in rows}),
         )
-        rows = (
-            self._with_bucket(kdf).select("_bucket").distinct().collect()
-        )
-        return sorted(r["_bucket"] for r in rows)
 
     def _paths_for_keys(self, keys: list) -> list[str]:
         out: list[str] = []
-        for b in self._buckets_for_keys(keys):
+        for b in self._keys_and_buckets(keys)[1]:
             state = self.meta["buckets"].get(str(b))
             if state:
                 out.extend(self._bucket_paths(str(b), state))
@@ -530,13 +539,18 @@ class LakeTable:
             return self._empty()
         if any(k is None for k in keys):
             raise ValueError("read_for_keys: keys must be non-null")
-        paths = self._paths_for_keys(keys)
+        typed, buckets = self._keys_and_buckets(keys)
+        paths: list[str] = []
+        for b in buckets:
+            state = self.meta["buckets"].get(str(b))
+            if state:
+                paths.extend(self._bucket_paths(str(b), state))
         if not paths:
             return self._empty()
         df = (
             self.spark.read.option("mergeSchema", "true")
             .parquet(*paths)
-            .filter(F.col(self.key).isin(list(keys)))
+            .filter(F.col(self.key).isin(typed))
         )
         state = lww_collapse(df, key=self.key)
         if not include_tombstones:

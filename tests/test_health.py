@@ -264,3 +264,24 @@ def test_cli_pipeline_ops(tmp_path_factory):
         assert r.returncode == 0, (op, r.stderr[-1500:])
         stats = json.loads(r.stdout.strip().splitlines()[-1])
         assert stats["rows"] > 0, stats
+
+
+def test_cli_lookup_point_read(spark, corrupt_stream):
+    """Out-of-process `lookup`: returns the current rows for the asked
+    keys only, and reports which buckets it read (the pruning fact)."""
+    import subprocess
+
+    lake, feed, future, metrics = corrupt_stream
+    absent = f"{999:024x}"
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "lookup",
+         "--table", lake, "--keys", ",".join([K[0], K[2], absent])],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_keys"] == 3
+    got = {row["id"] for row in out["rows"]}
+    assert got == {K[0], K[2]}  # absent key yields nothing
+    assert set(out["buckets_read"]) <= set(range(out["n_buckets_total"]))
