@@ -534,6 +534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c8_quality_quantile_gate"] = _c8
 
+    # Shard manifest: deterministic global shuffle + shard assignment
+    # (training-shard export), summarized per shard.
+    def _c9(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import shard_manifest
+
+        return shard_manifest(_docs(spark, sf), n_shards=16)
+
+    q["c9_shard_manifest"] = _c9
+
     # Incremental lake scan (CDC-out): replay the feed as two
     # deterministic micro-batches (seq parity split, mtime-ordered
     # files), then read EXACTLY batch 1's change rows from the delta
@@ -1793,6 +1802,20 @@ FROM per, tot
 
     # c8: corpus-relative quality gate — Spark's exact percentile
     # interpolation replicated over ONE group (rn/n window over quality)
+    # c9: per-shard manifest of the deterministic global shuffle
+    # (60-bit md5 sort key, shard = key mod 16)
+    o["c9_shard_manifest"] = """
+WITH a AS (
+  SELECT doc_id, text,
+    CAST(CAST(concat('0x', substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS sort_key
+  FROM documents)
+SELECT CAST(sort_key % 16 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens,
+       min(sort_key) AS min_sort_key, max(sort_key) AS max_sort_key
+FROM a GROUP BY 1
+""".strip()
+
     o["c8_quality_quantile_gate"] = f"""
 WITH q AS ({quality_sql}),
 b8 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),

@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> None:
         "(doc_id, text[, lang]): curate | dedup | split | contaminate | pack",
     )
     pp.add_argument("op", choices=("curate", "dedup", "split",
-                                   "contaminate", "pack"))
+                                   "contaminate", "pack", "shard"))
     pp.add_argument("--docs", required=True, help="documents parquet path")
     pp.add_argument("--out", required=True, help="output parquet path")
     pp.add_argument("--min-quality", type=float, default=0.5)
@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> None:
     pp.add_argument("--test-frac", type=float, default=0.05)
     pp.add_argument("--capacity", type=int, default=2048,
                     help="pack: tokens per training bin")
+    pp.add_argument("--shards", type=int, default=64,
+                    help="shard: number of training shards")
+    pp.add_argument("--shard-format", choices=("jsonl", "parquet"),
+                    default="jsonl")
 
     plk = sub.add_parser(
         "lookup",
@@ -221,6 +225,22 @@ def main(argv: list[str] | None = None) -> None:
             out_df = split_contamination(
                 docs, val_frac=args.val_frac, test_frac=args.test_frac
             )
+        elif args.op == "shard":
+            from .pipelines.splits import export_shards
+
+            manifest = export_shards(
+                docs, args.out, n_shards=args.shards,
+                fmt=args.shard_format,
+            )
+            print(json.dumps({
+                "op": args.op, "out": args.out,
+                "rows": sum(
+                    s["n_docs"] for s in manifest["shards"].values()
+                ),
+                "n_shards": manifest["n_shards"],
+            }))
+            spark.stop()
+            return
         else:  # pack
             from .pipelines.splits import pack_sequences
 

@@ -281,3 +281,94 @@ def mix_weights(
             F.round(weight, round_digits).alias("weight"),
         )
     )
+
+
+def shard_assignments(
+    docs: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into training shards a multi-host loader
+    consumes. Adds ``sort_key`` (60-bit md5 of salt||id: the pseudo-
+    random training order) and ``shard`` (sort_key mod n_shards). Both
+    depend ONLY on the doc id, so a doc's shard and position never move
+    when the corpus is re-read, re-partitioned, or grown — and never
+    ``rand()``, which would reshuffle on every retry. Row-local
+    expressions: zero shuffles until the writer keys by shard."""
+    if n_shards <= 0:
+        raise ValueError(f"shard_assignments: n_shards must be > 0, got {n_shards}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn("sort_key", h).withColumn(
+        "shard", (F.col("sort_key") % F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard manifest (the artifact a loader validates before
+    consuming): doc count, whitespace-token mass, and the sort-key range
+    actually present. One map-side-combined aggregation over row-local
+    columns; shuffle = |shards|."""
+    from .text import _tokens
+
+    a = shard_assignments(docs, n_shards, salt, id_col)
+    return a.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.min("sort_key").alias("min_sort_key"),
+        F.max("sort_key").alias("max_sort_key"),
+    )
+
+
+def export_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    fmt: str = "jsonl",
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> dict:
+    """Write the corpus as ``shard=N/`` directories in deterministic
+    training order plus a ``_manifest.json``. ONE exchange keyed by
+    shard; ``sortWithinPartitions`` fixes the within-shard order so the
+    written files ARE the training order. Each shard lands in a single
+    task here (shard = the loader's unit of parallelism); at 100 TB you
+    raise ``n_shards`` — the layout, order, and manifest are unchanged
+    because every assignment is id-local."""
+    import json as _json
+    import os as _os
+
+    if fmt not in ("jsonl", "parquet"):
+        raise ValueError(f"export_shards: fmt must be jsonl|parquet, got {fmt!r}")
+    a = shard_assignments(docs, n_shards, salt, id_col)
+    writer = (
+        a.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    (writer.json(out_dir) if fmt == "jsonl" else writer.parquet(out_dir))
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "format": fmt,
+        "shards": {
+            str(r["shard"]): {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+            for r in shard_manifest(docs, n_shards, salt, id_col).collect()
+        },
+    }
+    with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

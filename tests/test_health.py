@@ -253,17 +253,20 @@ def test_cli_pipeline_ops(tmp_path_factory):
 
     work = tmp_path_factory.mktemp("cli-pipeline")
     docs = "/root/testdata/sf0.001/documents.parquet"
-    for op in ("curate", "split", "pack"):
+    for op in ("curate", "split", "pack", "shard"):
         out = str(work / op)
         r = subprocess.run(
             [sys.executable, "-m", "kafka_connect_mongo_spark.cli",
-             "pipeline", op, "--docs", docs, "--out", out],
+             "pipeline", op, "--docs", docs, "--out", out,
+             *(["--shards", "4"] if op == "shard" else [])],
             capture_output=True, text=True,
             env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
         )
         assert r.returncode == 0, (op, r.stderr[-1500:])
         stats = json.loads(r.stdout.strip().splitlines()[-1])
         assert stats["rows"] > 0, stats
+        if op == "shard":
+            assert os.path.exists(os.path.join(out, "_manifest.json"))
 
 
 def test_cli_lookup_point_read(spark, corrupt_stream):

@@ -241,3 +241,56 @@ def test_split_contamination_single_scan_no_text_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert not re.search(r"\btext\b", line), line
+
+
+def test_export_shards_deterministic_order_and_manifest(spark, tmp_path):
+    """Shard export: one file per shard in training order, manifest
+    counts match the files, and a doc's (shard, sort_key) never moves
+    when the corpus around it changes."""
+    import json
+    import os
+
+    from kafka_connect_mongo_spark.pipelines.splits import (
+        export_shards,
+        shard_assignments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} body text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    manifest = export_shards(docs, out, n_shards=8, fmt="jsonl")
+    assert sum(s["n_docs"] for s in manifest["shards"].values()) == 200
+
+    total = 0
+    for sd in sorted(os.listdir(out)):
+        if not sd.startswith("shard="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, sd))
+            if f.startswith("part-")
+        ]
+        assert len(files) == 1, (sd, files)  # one task per shard
+        with open(os.path.join(out, sd, files[0])) as f:
+            keys = [json.loads(line)["sort_key"] for line in f]
+        assert keys == sorted(keys), sd  # training order on disk
+        total += len(keys)
+        assert (
+            manifest["shards"][sd.split("=")[1]]["n_docs"] == len(keys)
+        )
+    assert total == 200
+
+    # id-local stability: same assignment inside a different corpus
+    full = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in shard_assignments(docs, n_shards=8).collect()
+    }
+    sub = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in shard_assignments(
+            docs.filter("doc_id % 3 = 0"), n_shards=8
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
