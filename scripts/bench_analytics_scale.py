@@ -126,6 +126,8 @@ def main() -> None:
             d, val_frac=0.1, test_frac=0.1
         ),
         "t8_unigram_lm": lambda d, e: tx.unigram_lm_score(d),
+        "t10_repetition": lambda d, e: tx.repetition_profile(d),
+        "c9_shard_manifest": lambda d, e: sp.shard_manifest(d, n_shards=64),
         "t5_topk_quality": lambda d, e: sel.topk_per_group(
             tx.lang_id(tx.quality_score(d, keep=("text",)), keep=("quality",)),
             "pred_lang", "quality", 100,
