@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     pc.add_argument("--table", action="append", default=[], required=True,
                     help="lake table root (repeatable)")
+    pc.add_argument("--sort-by", default=None,
+                    help="comma-separated columns: declare a persistent "
+                    "sort order for rewritten bases (row-group stat "
+                    "pruning on these columns)")
 
     pp = sub.add_parser(
         "pipeline",
@@ -196,7 +200,9 @@ def main(argv: list[str] | None = None) -> None:
         out = []
         for root in args.table:
             table = LakeTable(spark, root)
-            table.compact()
+            table.compact(
+                sort_by=tuple(args.sort_by.split(",")) if args.sort_by else None
+            )
             out.append({
                 "table": root,
                 "n_buckets": table.n_buckets,

@@ -411,7 +411,13 @@ class LakeTable:
 
     def _compact_bucket(self, b: str, purge_tombstones: bool = False) -> list[str]:
         """base ∪ deltas → LWW collapse → new base generation. Returns the
-        now-superseded paths (deleted by the caller AFTER the meta commit)."""
+        now-superseded paths (deleted by the caller AFTER the meta commit).
+
+        If the table declares a ``sort_order`` (see ``compact``), the
+        rewritten base is sorted within each output file on those
+        columns, so parquet row-group min/max stats become effective for
+        predicates on them — Iceberg's sort-order-on-rewrite. Purely a
+        layout property: the merge-on-read result is order-insensitive."""
         state = self.meta["buckets"][b]
         old_paths = self._bucket_paths(b, state)
         if not old_paths:
@@ -420,6 +426,11 @@ class LakeTable:
         merged = lww_collapse(df, key=self.key)
         if purge_tombstones:
             merged = merged.filter(~tombstone_cond(self._payload_col_in(merged)))
+        order = self.meta.get("sort_order")
+        if order:
+            present = [c for c in order if c in merged.columns]
+            if present:
+                merged = merged.sortWithinPartitions(*present)
         gen = (state["base"] or 0) + 1
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
         # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
@@ -660,10 +671,25 @@ class LakeTable:
             *paths
         ).drop("_bucket")
 
-    def compact(self) -> None:
+    def compact(self, sort_by: tuple[str, ...] | None = None) -> None:
         """Full compaction: every bucket → single base generation, tombstone
         markers purged (safe once no older events can arrive). Incremental —
-        one bucket at a time, never a whole-table rewrite in one job."""
+        one bucket at a time, never a whole-table rewrite in one job.
+
+        ``sort_by`` declares a persistent sort order for rewritten bases
+        (stored in the meta; later automatic LSM compactions keep
+        honoring it). Sorting within bucket files makes parquet
+        row-group stats selective for those columns — the data-skipping
+        lever for secondary predicates the hash bucketing can't prune."""
+        if sort_by:
+            known = set(self.meta.get("columns") or [])
+            bad = [c for c in sort_by if known and c not in known]
+            if bad:
+                raise ValueError(
+                    f"compact: sort_by column(s) {bad!r} not in table "
+                    f"columns {sorted(known)}"
+                )
+            self.meta["sort_order"] = list(sort_by)
         obsolete: list[str] = []
         for b in list(self.meta["buckets"]):
             obsolete.extend(self._compact_bucket(b, purge_tombstones=True))

@@ -106,6 +106,64 @@ def test_compact_purges_tombstones(table, spark):
     assert table.read().count() == 1
 
 
+def test_compact_sort_order_persists_and_orders_files(tmp_path, spark):
+    """Declared sort order: compact(sort_by=...) rewrites bucket bases
+    sorted within each file (row-group stats become selective), persists
+    the order in the meta, and later AUTOMATIC compactions keep it."""
+    import os
+
+    import pandas as pd
+
+    root = str(tmp_path / "lake")
+
+    def assert_bases_sorted(t):
+        for b, state in t.meta["buckets"].items():
+            if state.get("base") is None:
+                continue
+            d = os.path.join(root, "data", f"bucket={b}", f"gen={state['base']}")
+            for f in os.listdir(d):
+                if not f.startswith("part-"):
+                    continue
+                pdf = pd.read_parquet(os.path.join(d, f))[["ns", "id"]]
+                assert (
+                    pdf.sort_values(["ns", "id"]).reset_index(drop=True)
+                ).equals(pdf.reset_index(drop=True)), (b, f)
+
+    t = LakeTable(spark, root, n_buckets=2, max_deltas=1)
+    t.upsert(
+        mk(spark, [
+            ev(100, i, i, "i", "t.a" if i % 3 else "t.b", key(i), {"_id": key(i)})
+            for i in range(60)
+        ]),
+        0,
+    )
+    with pytest.raises(ValueError, match="sort_by"):
+        t.compact(sort_by=("nope",))
+    t.compact(sort_by=("ns", "id"))
+    assert_bases_sorted(t)
+    assert t.read().count() == 60
+
+    # overflow the delta chain so upsert() auto-compacts — the reopened
+    # table must honor the persisted order without being asked again
+    t2 = LakeTable(spark, root, max_deltas=1)
+    assert t2.meta["sort_order"] == ["ns", "id"]
+    for batch_id in (1, 2, 3):
+        t2.upsert(
+            mk(spark, [
+                ev(200 + batch_id, i, 1000 * batch_id + i, "u", "t.a",
+                   key(i), {"_id": key(i), "b": batch_id})
+                for i in range(0, 60, 2)
+            ]),
+            batch_id,
+        )
+    # auto-compaction rewrote at least one base past the explicit gen 1
+    assert any(
+        (s.get("base") or 0) >= 2 for s in t2.meta["buckets"].values()
+    ), t2.meta["buckets"]
+    assert_bases_sorted(t2)
+    assert t2.read().count() == 60
+
+
 def test_read_for_keys_prunes_buckets_and_matches_full_read(tmp_path, spark):
     """Point lookup reads ONLY the buckets its keys hash to (the
     bucket-transform data-skipping contract) and returns exactly the
@@ -154,6 +212,12 @@ def test_read_for_keys_prunes_buckets_and_matches_full_read(tmp_path, spark):
     assert t.read_for_keys([]).count() == 0
     with pytest.raises(ValueError, match="non-null"):
         t.read_for_keys([key(1), None])
+
+    # the residual key filter reaches the parquet scan (row-group skip)
+    plan = (
+        t.read_for_keys(wanted)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(id" in plan, plan
 
 
 def _tree_bytes(root: str) -> int:
