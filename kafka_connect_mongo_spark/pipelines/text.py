@@ -206,25 +206,49 @@ def repetition_profile(docs: DataFrame, round_digits: int = 6) -> DataFrame:
       size) inside the one scan projection: zero exchanges, and the
       dominant O(doc_len) work never leaves the mapper.
     - ``top_unigram_frac``: occurrences of the doc's most frequent
-      token / total tokens. Needs per-(doc, token) counts, so it is the
-      explode → two map-side-combined aggregations shape; the shuffle
-      carries ~50 B rows keyed by doc_id, never text.
+      token / total tokens — ALSO row-local: the top count is the
+      longest equal-run in the SORTED token array, one ``array_sort``
+      + one ``aggregate`` fold per doc (O(n log n), all inside the
+      mapper).
 
-    ONE text scan total: the row-local columns ride along as grouping
-    keys through the aggregation (functionally dependent on doc_id, so
-    the groups are identical and no self-join against a second scan is
-    needed — the c1_curation lesson). Output
-    (doc_id, n_tokens, top_unigram_frac, dup_bigram_frac)."""
+    The whole operator is therefore a single scan projection with ZERO
+    exchanges (plan-asserted in pytest). The first cut carried the
+    row-local columns through an explode + two aggregations; Catalyst's
+    projection collapse re-sited the O(n log n) array expressions AFTER
+    the explode — once per TOKEN, O(n² log n) per doc and 8x the wall
+    at sf0.1 — which is why no row leaves the mapper at all now.
+    Output (doc_id, n_tokens, top_unigram_frac, dup_bigram_frac)."""
     toks = _tokens(F.col("text"))
     bigrams = F.expr(
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(toks[i-1], ' ', toks[i]))"
     )
-    exploded = docs.select(
-        "doc_id", toks.alias("toks")
-    ).select(
+    # longest equal-run in the sorted token array == max token count
+    top_count = F.aggregate(
+        F.array_sort(F.col("toks")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select("doc_id", toks.alias("toks")).select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
+        F.round(top_count / F.size("toks"), round_digits).alias(
+            "top_unigram_frac"
+        ),
         F.when(
             F.size("toks") > 1,
             F.round(
@@ -236,13 +260,4 @@ def repetition_profile(docs: DataFrame, round_digits: int = 6) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-        F.explode("toks").alias("tok"),
     )
-    per_tok = exploded.groupBy(
-        "doc_id", "n_tokens", "dup_bigram_frac", "tok"
-    ).agg(F.count("*").alias("c"))
-    return per_tok.groupBy("doc_id", "n_tokens", "dup_bigram_frac").agg(
-        F.round(F.max("c") / F.sum("c"), round_digits).alias(
-            "top_unigram_frac"
-        )
-    ).select("doc_id", "n_tokens", "top_unigram_frac", "dup_bigram_frac")
