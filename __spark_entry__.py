@@ -548,7 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files), then read EXACTLY batch 1's change rows from the delta
     # files added between snapshots 0 and 1 — cost scales with the
     # changes, not the table.
-    def _st9(spark: SparkSession, sf: str) -> DataFrame:
+    def _two_batch_lake(spark: SparkSession, sf: str, prefix: str):
+        """Replay the feed as two deterministic micro-batches (seq-parity
+        split, mtime-ordered files) into a fresh lake table; returns the
+        table with snapshots 0 (even half) and 1 (full feed applied)."""
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.replay_stream import (
@@ -556,7 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
-        work = tempfile.mkdtemp(prefix="cdc-incscan-")
+        work = tempfile.mkdtemp(prefix=prefix)
         staged = os.path.join(work, "feed")
         os.makedirs(staged)
         for i in (0, 1):
@@ -577,48 +580,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, staged, table, os.path.join(work, "ckpt"),
             max_files_per_trigger=1,
         )
-        return table.read_changes(0, 1).select(
-            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
-        )
+        return table
+
+    def _st9(spark: SparkSession, sf: str) -> DataFrame:
+        return _two_batch_lake(spark, sf, "cdc-incscan-").read_changes(
+            0, 1
+        ).select("id", "ts", "inc", "seq", "op", "ns", "content_sha")
 
     q["st9_incremental_scan"] = _st9
 
     # Snapshot time travel: the table as it stood after batch 0 only —
     # LWW final state of the even-seq half, tombstones dropped.
     def _st10(spark: SparkSession, sf: str) -> DataFrame:
-        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
-        from kafka_connect_mongo_spark.sinks.lake import LakeTable
-        from kafka_connect_mongo_spark.streaming.replay_stream import (
-            run_replay_stream,
-        )
-
-        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
-        work = tempfile.mkdtemp(prefix="cdc-ttravel-")
-        staged = os.path.join(work, "feed")
-        os.makedirs(staged)
-        for i in (0, 1):
-            tmp = os.path.join(work, f"half{i}")
-            raw.filter(F.col("seq") % 2 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = os.path.join(staged, f"f{i}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            t = 1_700_000_000 + i * 10
-            os.utime(dst, (t, t))
-        table = LakeTable(
-            spark, os.path.join(work, "lake"), n_buckets=16,
-            payload_col="object",
-        )
-        run_replay_stream(
-            spark, staged, table, os.path.join(work, "ckpt"),
-            max_files_per_trigger=1,
-        )
-        return table.read_as_of(0).select(
-            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
-        )
+        return _two_batch_lake(spark, sf, "cdc-ttravel-").read_as_of(
+            0
+        ).select("id", "ts", "inc", "seq", "op", "ns", "content_sha")
 
     q["st10_time_travel"] = _st10
+
+    # Changelog VIEW between two snapshots: the NET per-key change set
+    # (added | updated | deleted), robust to intermediate updates —
+    # what read_changes' raw rows are not.
+    def _st13(spark: SparkSession, sf: str) -> DataFrame:
+        return _two_batch_lake(spark, sf, "cdc-snapdiff-").snapshot_diff(
+            0, 1
+        ).select("id", "change", "ts", "inc", "seq", "ns", "content_sha")
+
+    q["st13_snapshot_diff"] = _st13
 
     # Bucket-pruned point lookup: the current row for 50 keys, reading
     # only the bucket dirs those keys hash to (Iceberg bucket-transform
@@ -1677,6 +1665,41 @@ r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM half)
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st13: net change set between snapshot 0 (even-seq half) and
+    # snapshot 1 (full feed). A key's side is 'alive' when its LWW
+    # winner is a non-delete with a payload; values coalesce newer-first
+    # (a deleted key reports the delete event's ts/seq).
+    o["st13_snapshot_diff"] = f"""
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn
+      FROM ({feed}) WHERE seq % 2 = 0),
+rall AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn
+      FROM ({feed})),
+a AS (SELECT id, ts, inc, seq, ns, object,
+             (op <> 'd' AND object IS NOT NULL) AS alive
+      FROM r0 WHERE rn = 1),
+b AS (SELECT id, ts, inc, seq, ns, object,
+             (op <> 'd' AND object IS NOT NULL) AS alive
+      FROM rall WHERE rn = 1),
+j AS (
+  SELECT coalesce(b.id, a.id) AS id,
+         CASE WHEN coalesce(b.alive, false) AND NOT coalesce(a.alive, false)
+                THEN 'added'
+              WHEN coalesce(a.alive, false) AND NOT coalesce(b.alive, false)
+                THEN 'deleted'
+              WHEN a.alive AND b.alive
+                   AND (a.ts <> b.ts OR a.inc <> b.inc OR a.seq <> b.seq)
+                THEN 'updated' END AS change,
+         coalesce(b.ts, a.ts) AS ts, coalesce(b.inc, a.inc) AS inc,
+         coalesce(b.seq, a.seq) AS seq, coalesce(b.ns, a.ns) AS ns,
+         coalesce(sha256(b.object->>'$.content'),
+                  sha256(a.object->>'$.content')) AS content_sha
+  FROM b FULL OUTER JOIN a ON b.id = a.id)
+SELECT id, change, ts, inc, seq, ns, content_sha
+FROM j WHERE change IS NOT NULL
 """.strip()
 
     # st12: LWW state of the 50 lexicographically-smallest feed ids,

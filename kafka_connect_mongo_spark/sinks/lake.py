@@ -615,6 +615,62 @@ class LakeTable:
             )
         return state_df.drop("_bucket")
 
+    def snapshot_diff(
+        self, from_batch: int | str, to_batch: int | str
+    ) -> DataFrame:
+        """NET key-level change set between two committed snapshots — the
+        changelog-VIEW semantics (Iceberg's create_changelog_view net
+        mode), complementing ``read_changes`` which returns the RAW
+        change rows: one output row per key whose current row differs,
+        tagged ``change`` = 'added' | 'updated' | 'deleted'. Robust to
+        any number of intermediate updates per key (only the net effect
+        surfaces), which raw delta rows are not.
+
+        Plan: the two merge-on-read states (tombstones INCLUDED, so a
+        delete is a visible row, not an absence) full-outer-joined on
+        the key. Both sides share the table's bucket layout, so on a
+        bucket-partitioned lake this join is co-partitioned; on raw
+        parquet Spark re-shuffles both sides at ≈ |keys| rows (the LWW
+        partial group-limit has already collapsed events). Column
+        values come from the newer snapshot when it has them (so a
+        deleted key reports the DELETE event's ts/seq), falling back to
+        the older one. Same retention contract as ``read_as_of``."""
+        a = self.read_as_of(from_batch, include_tombstones=True)
+        b = self.read_as_of(to_batch, include_tombstones=True)
+        cols = b.columns
+
+        def prep(df: DataFrame, tag: str) -> DataFrame:
+            alive = ~tombstone_cond(self._payload_col_in(df))
+            return df.select(
+                *[F.col(c).alias(f"{tag}{c}") for c in df.columns],
+                alive.alias(f"{tag}alive__"),
+            )
+
+        j = prep(b, "b__").join(
+            prep(a, "a__"),
+            F.col(f"b__{self.key}") == F.col(f"a__{self.key}"),
+            "full_outer",
+        )
+        alive_a = F.coalesce(F.col("a__alive__"), F.lit(False))
+        alive_b = F.coalesce(F.col("b__alive__"), F.lit(False))
+        ord_a = F.struct(*[F.col(f"a__{c}") for c in ("ts", "inc", "seq")])
+        ord_b = F.struct(*[F.col(f"b__{c}") for c in ("ts", "inc", "seq")])
+        change = (
+            F.when(alive_b & ~alive_a, F.lit("added"))
+            .when(alive_a & ~alive_b, F.lit("deleted"))
+            .when(alive_a & alive_b & (ord_a != ord_b), F.lit("updated"))
+        )
+        return (
+            j.select(
+                *[
+                    F.coalesce(F.col(f"b__{c}"), F.col(f"a__{c}")).alias(c)
+                    for c in cols
+                ],
+                change.alias("change"),
+            )
+            .filter(F.col("change").isNotNull())
+        )
+
     def read_changes(
         self, from_batch: int | str, to_batch: int | str
     ) -> DataFrame:

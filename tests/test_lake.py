@@ -164,6 +164,40 @@ def test_compact_sort_order_persists_and_orders_files(tmp_path, spark):
     assert t2.read().count() == 60
 
 
+def test_snapshot_diff_net_changes(tmp_path, spark):
+    """Changelog-view semantics: one NET row per changed key — added /
+    updated / deleted; unchanged keys and keys that appeared AND died
+    inside the interval produce nothing; a deleted key reports the
+    delete event's ordering columns."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4, payload_col="object")
+    t.upsert(
+        mk(spark, [
+            ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1}),  # stays
+            ev(100, 1, 1, "i", "t.a", key(2), {"_id": key(2), "v": 2}),  # updated
+            ev(100, 2, 2, "i", "t.a", key(3), {"_id": key(3), "v": 3}),  # deleted
+        ]),
+        0,
+    )
+    t.upsert(
+        mk(spark, [
+            ev(200, 0, 10, "u", "t.a", key(2), {"_id": key(2), "v": 22}),
+            ev(200, 1, 11, "u", "t.a", key(2), {"_id": key(2), "v": 23}),  # 2 updates -> 1 net row
+            ev(200, 2, 12, "d", "t.a", key(3), None),
+            ev(200, 3, 13, "i", "t.a", key(4), {"_id": key(4), "v": 4}),  # added
+            ev(200, 4, 14, "i", "t.a", key(5), {"_id": key(5), "v": 5}),  # added+deleted -> nothing
+            ev(200, 5, 15, "d", "t.a", key(5), None),
+        ]),
+        1,
+    )
+    got = {r["id"]: r for r in t.snapshot_diff(0, 1).collect()}
+    assert {k: r["change"] for k, r in got.items()} == {
+        key(2): "updated", key(3): "deleted", key(4): "added",
+    }
+    assert got[key(2)]["seq"] == 11  # net winner, not the intermediate
+    assert got[key(3)]["seq"] == 12  # the delete event's ordering
+    assert json.loads(got[key(2)]["object"])["v"] == 23
+
+
 def test_read_for_keys_prunes_buckets_and_matches_full_read(tmp_path, spark):
     """Point lookup reads ONLY the buckets its keys hash to (the
     bucket-transform data-skipping contract) and returns exactly the
