@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None) -> None:
     pp.add_argument("--shard-format", choices=("jsonl", "parquet"),
                     default="jsonl")
 
+    pdf = sub.add_parser(
+        "diff",
+        help="net per-key change set between two committed snapshots "
+        "(changelog view: added | updated | deleted)",
+    )
+    pdf.add_argument("--table", required=True, help="lake table root")
+    pdf.add_argument("--from", dest="from_batch", required=True)
+    pdf.add_argument("--to", dest="to_batch", required=True)
+    pdf.add_argument("--out", default=None,
+                     help="optional parquet path for the change rows")
+
     plk = sub.add_parser(
         "lookup",
         help="point lookup: current row(s) for the given keys, reading "
@@ -255,6 +266,28 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({
             "op": args.op, "out": args.out,
             "rows": spark.read.parquet(args.out).count(),
+        }))
+    elif args.cmd == "diff":
+        from pyspark.sql import functions as F
+
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        d = table.snapshot_diff(args.from_batch, args.to_batch)
+        if args.out:
+            d.write.mode("overwrite").parquet(args.out)
+            d = spark.read.parquet(args.out)
+        counts = {
+            r["change"]: r["n"]
+            for r in d.groupBy("change").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "table": args.table,
+            "from": str(args.from_batch), "to": str(args.to_batch),
+            "added": counts.get("added", 0),
+            "updated": counts.get("updated", 0),
+            "deleted": counts.get("deleted", 0),
+            **({"out": args.out} if args.out else {}),
         }))
     elif args.cmd == "lookup":
         from .sinks.lake import LakeTable

@@ -198,6 +198,39 @@ def test_snapshot_diff_net_changes(tmp_path, spark):
     assert json.loads(got[key(2)]["object"])["v"] == 23
 
 
+def test_cli_diff_counts(tmp_path, spark):
+    """Out-of-process `diff`: summary counts match snapshot_diff."""
+    import os
+    import subprocess
+    import sys
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    t.upsert(
+        mk(spark, [
+            ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)}),
+            ev(100, 1, 1, "i", "t.a", key(2), {"_id": key(2)}),
+        ]),
+        0,
+    )
+    t.upsert(
+        mk(spark, [
+            ev(200, 0, 10, "u", "t.a", key(2), {"_id": key(2), "v": 1}),
+            ev(200, 1, 11, "d", "t.a", key(1), None),
+            ev(200, 2, 12, "i", "t.a", key(3), {"_id": key(3)}),
+        ]),
+        1,
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "diff",
+         "--table", str(tmp_path / "lake"), "--from", "0", "--to", "1"],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (out["added"], out["updated"], out["deleted"]) == (1, 1, 1)
+
+
 def test_read_for_keys_prunes_buckets_and_matches_full_read(tmp_path, spark):
     """Point lookup reads ONLY the buckets its keys hash to (the
     bucket-transform data-skipping contract) and returns exactly the
