@@ -22,6 +22,23 @@ import json
 from .session import get_spark
 
 
+def _open_existing_table(spark, root: str):
+    """Open a lake table for a READ-ONLY command: a mistyped --table must
+    fail loudly, not let LakeTable's constructor create a fresh empty
+    table directory and then report confusing empty results."""
+    import os
+    import sys
+
+    from .sinks.lake import META_NAME, LakeTable
+
+    if not os.path.exists(os.path.join(root, META_NAME)):
+        print(f"error: no lake table at {root!r} (missing {META_NAME})",
+              file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+    return LakeTable(spark, root)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_spark")
     p.add_argument("--master", default=None, help="override spark master (else spark-submit's)")
@@ -270,9 +287,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "diff":
         from pyspark.sql import functions as F
 
-        from .sinks.lake import LakeTable
-
-        table = LakeTable(spark, args.table)
+        table = _open_existing_table(spark, args.table)
         d = table.snapshot_diff(args.from_batch, args.to_batch)
         if args.out:
             d.write.mode("overwrite").parquet(args.out)
@@ -290,31 +305,28 @@ def main(argv: list[str] | None = None) -> None:
             **({"out": args.out} if args.out else {}),
         }))
     elif args.cmd == "lookup":
-        from .sinks.lake import LakeTable
-
-        table = LakeTable(spark, args.table)
+        table = _open_existing_table(spark, args.table)
         keys = args.keys.split(",")
+        kb = table._keys_and_buckets(keys)  # hash once; reused by the read
         rows = [
             r.asDict(recursive=True)
             for r in table.read_for_keys(
-                keys, include_tombstones=args.tombstones
+                keys, include_tombstones=args.tombstones, _kb=kb
             ).collect()
         ]
         print(json.dumps({
             "table": args.table,
             "n_keys": len(keys),
-            "buckets_read": table._keys_and_buckets(keys)[1],
+            "buckets_read": kb[1],
             "n_buckets_total": table.n_buckets,
             "rows": rows,
         }, default=str))
     elif args.cmd == "snapshots":
         import os
 
-        from .sinks.lake import LakeTable
-
         out = []
         for root in args.table:
-            table = LakeTable(spark, root)
+            table = _open_existing_table(spark, root)
             snaps = []
             for s in table.meta["snapshots"]:
                 readable = "state" in s and all(

@@ -360,13 +360,28 @@ def export_shards(
         .partitionBy("shard")
     )
     (writer.json(out_dir) if fmt == "jsonl" else writer.parquet(out_dir))
+    # Manifest from the WRITTEN shards, not a second scan of the input:
+    # `docs` may be an unmaterialized pipeline (curate/dedup output), and
+    # re-deriving it would double the export's cost — while reading back
+    # also validates what actually landed on disk.
+    from .text import _tokens
+
+    spark = docs.sparkSession
+    written = (
+        spark.read.json(out_dir) if fmt == "jsonl"
+        else spark.read.parquet(out_dir)
+    )
+    per_shard = written.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
     manifest = {
         "n_shards": n_shards,
         "salt": salt,
         "format": fmt,
         "shards": {
             str(r["shard"]): {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
-            for r in shard_manifest(docs, n_shards, salt, id_col).collect()
+            for r in per_shard.collect()
         },
     }
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:

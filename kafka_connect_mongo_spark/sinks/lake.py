@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.lww import lww_collapse, tombstone_cond
+from ..operators.lww import ORDER_COLS, lww_collapse, tombstone_cond
 
 META_NAME = "_meta.json"
 LOCK_NAME = "_meta.lock"
@@ -521,16 +521,23 @@ class LakeTable:
             sorted({r["_bucket"] for r in rows}),
         )
 
-    def _paths_for_keys(self, keys: list) -> list[str]:
+    def _paths_for_keys(
+        self, keys: list | None = None, buckets: list[int] | None = None
+    ) -> list[str]:
+        if buckets is None:
+            buckets = self._keys_and_buckets(keys or [])[1]
         out: list[str] = []
-        for b in self._keys_and_buckets(keys)[1]:
+        for b in buckets:
             state = self.meta["buckets"].get(str(b))
             if state:
                 out.extend(self._bucket_paths(str(b), state))
         return out
 
     def read_for_keys(
-        self, keys: list, include_tombstones: bool = False
+        self,
+        keys: list,
+        include_tombstones: bool = False,
+        _kb: tuple[list, list[int]] | None = None,
     ) -> DataFrame:
         """Point/batch lookup: the current row for each requested key,
         reading ONLY the buckets those keys hash to — the Iceberg
@@ -550,12 +557,8 @@ class LakeTable:
             return self._empty()
         if any(k is None for k in keys):
             raise ValueError("read_for_keys: keys must be non-null")
-        typed, buckets = self._keys_and_buckets(keys)
-        paths: list[str] = []
-        for b in buckets:
-            state = self.meta["buckets"].get(str(b))
-            if state:
-                paths.extend(self._bucket_paths(str(b), state))
+        typed, buckets = _kb if _kb is not None else self._keys_and_buckets(keys)
+        paths = self._paths_for_keys(buckets=buckets)
         if not paths:
             return self._empty()
         df = (
@@ -637,12 +640,26 @@ class LakeTable:
         the older one. Same retention contract as ``read_as_of``."""
         a = self.read_as_of(from_batch, include_tombstones=True)
         b = self.read_as_of(to_batch, include_tombstones=True)
-        cols = b.columns
+        # The schema is add-only, but either side's FILES may predate
+        # later columns (the older snapshot usually; the newer one on a
+        # reverse diff): pad missing columns with typed nulls or the
+        # coalesce below would reference unresolved columns on a
+        # schema-evolved table.
+        cols = b.columns + [c for c in a.columns if c not in b.columns]
+        b_types = {f.name: f.dataType for f in a.schema.fields}
+        b_types.update({f.name: f.dataType for f in b.schema.fields})
 
         def prep(df: DataFrame, tag: str) -> DataFrame:
             alive = ~tombstone_cond(self._payload_col_in(df))
+            have = set(df.columns)
             return df.select(
-                *[F.col(c).alias(f"{tag}{c}") for c in df.columns],
+                *[
+                    (
+                        F.col(c) if c in have
+                        else F.lit(None).cast(b_types[c])
+                    ).alias(f"{tag}{c}")
+                    for c in cols
+                ],
                 alive.alias(f"{tag}alive__"),
             )
 
@@ -653,8 +670,8 @@ class LakeTable:
         )
         alive_a = F.coalesce(F.col("a__alive__"), F.lit(False))
         alive_b = F.coalesce(F.col("b__alive__"), F.lit(False))
-        ord_a = F.struct(*[F.col(f"a__{c}") for c in ("ts", "inc", "seq")])
-        ord_b = F.struct(*[F.col(f"b__{c}") for c in ("ts", "inc", "seq")])
+        ord_a = F.struct(*[F.col(f"a__{c}") for c in ORDER_COLS])
+        ord_b = F.struct(*[F.col(f"b__{c}") for c in ORDER_COLS])
         change = (
             F.when(alive_b & ~alive_a, F.lit("added"))
             .when(alive_a & ~alive_b, F.lit("deleted"))
@@ -739,7 +756,12 @@ class LakeTable:
         lever for secondary predicates the hash bucketing can't prune."""
         if sort_by:
             known = set(self.meta.get("columns") or [])
-            bad = [c for c in sort_by if known and c not in known]
+            if not known:
+                raise ValueError(
+                    "compact: cannot declare sort_by before the first "
+                    "commit establishes the table's columns"
+                )
+            bad = [c for c in sort_by if c not in known]
             if bad:
                 raise ValueError(
                     f"compact: sort_by column(s) {bad!r} not in table "

@@ -130,6 +130,8 @@ def test_compact_sort_order_persists_and_orders_files(tmp_path, spark):
                 ).equals(pdf.reset_index(drop=True)), (b, f)
 
     t = LakeTable(spark, root, n_buckets=2, max_deltas=1)
+    with pytest.raises(ValueError, match="before the first commit"):
+        t.compact(sort_by=("ns",))  # no committed schema to validate against
     t.upsert(
         mk(spark, [
             ev(100, i, i, "i", "t.a" if i % 3 else "t.b", key(i), {"_id": key(i)})
@@ -196,6 +198,17 @@ def test_snapshot_diff_net_changes(tmp_path, spark):
     assert got[key(2)]["seq"] == 11  # net winner, not the intermediate
     assert got[key(3)]["seq"] == 12  # the delete event's ordering
     assert json.loads(got[key(2)]["object"])["v"] == 23
+
+    # schema evolution across the interval: batch 2 adds a column the
+    # snapshot-0 files don't have — the diff must pad, not crash
+    extra = mk(spark, [
+        ev(300, 0, 20, "u", "t.a", key(4), {"_id": key(4), "v": 44}),
+    ]).withColumn("new_col", F.lit("n"))
+    t.upsert(extra, 2)
+    evolved = {r["id"]: r for r in t.snapshot_diff(0, 2).collect()}
+    assert evolved[key(4)]["change"] == "added"
+    assert evolved[key(4)]["new_col"] == "n"
+    assert evolved[key(2)]["new_col"] is None  # padded on the old side
 
 
 def test_cli_diff_counts(tmp_path, spark):
