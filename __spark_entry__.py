@@ -442,6 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=0.35, n_probes=64
     )
 
+    # Containment dedup (ExactSubstr family): docs whose filtered gram
+    # set is a subset of another's — truncations/elongations Jaccard
+    # under-scores.
+    q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
+        _docs(spark, sf), k=3, max_doc_freq=100
+    )
+
     # Near-dup CLUSTERING: pairs -> distributed connected components ->
     # canonical min-doc_id per cluster (what a dedup pass actually keys on).
     q["d7_neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
@@ -533,6 +540,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sel.quantile_quality_gate(_docs(spark, sf), quantile=0.25)
 
     q["c8_quality_quantile_gate"] = _c8
+
+    # Domain-level quality gate (C4/RefinedWeb): keep docs from sources
+    # whose integer-exact mean quality clears the threshold.
+    q["c10_source_gate"] = lambda spark, sf: sel.source_quality_gate(
+        _docs(spark, sf), min_avg_quality=0.723
+    )
 
     # Shard manifest: deterministic global shuffle + shard assignment
     # (training-shard export), summarized per shard.
@@ -1404,6 +1417,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
     o["d4_minhash_lsh"] = _sql_minhash(16, 4, 0.7)
 
+    # d9: containment over the SAME df-capped gram sets as d2 — a pair
+    # is emitted when the intersection covers one side's whole set.
+    o["d9_containment"] = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+grams0 AS (
+  SELECT DISTINCT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh0)),
+rare AS (SELECT h FROM grams0 GROUP BY h HAVING count(*) <= 100),
+grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (h)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS n_shared
+  FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, relation, n_shared FROM (
+  SELECT doc_a, doc_b,
+    CASE WHEN n_shared = sa.n AND sa.n = sb.n THEN 'equal'
+         WHEN n_shared = sa.n THEN 'a_in_b'
+         WHEN n_shared = sb.n THEN 'b_in_a' END AS relation,
+    n_shared
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id)
+WHERE relation IS NOT NULL
+""".strip()
+
     # streaming dedup must converge to EXACTLY the batch pipeline's pairs
     o["st6_streaming_dedup"] = _sql_minhash(16, 4, 0.7)
 
@@ -1868,6 +1914,33 @@ thr AS (
   END, 6) AS t
   FROM s8 GROUP BY n)
 SELECT doc_id, pred_lang, quality FROM s8, thr WHERE quality >= t
+""".strip()
+
+    # c10: domain gate — per-source mean over integer-exact micro-scores
+    # (order-independent sum), one final double division + round(6).
+    o["c10_source_gate"] = f"""
+WITH b AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS arr,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha_sp
+  FROM documents),
+r AS (
+  SELECT doc_id, source, len(arr) AS n_tok, n_chars,
+         round((n_chars - n_alpha_sp) / n_chars, 6) AS punct_ratio,
+         round(len(list_filter(arr, t -> list_contains({_STOP_SQL}, t))) / len(arr), 6) AS stop_ratio
+  FROM b),
+sc AS (
+  SELECT doc_id, source,
+         round(least(1.0, n_tok / 64.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+               + least(1.0, stop_ratio * 4) * 0.2, 6) AS quality
+  FROM r),
+si AS (SELECT *, CAST(round(quality * 1000000, 0) AS BIGINT) AS qmicro FROM sc),
+ps AS (
+  SELECT source, round(sum(qmicro) / (count(*) * 1000000.0), 6) AS source_quality
+  FROM si GROUP BY source)
+SELECT doc_id, si.source AS source, quality, source_quality
+FROM si JOIN ps ON si.source = ps.source
+WHERE source_quality >= 0.723
 """.strip()
 
     # st11: streaming curation accumulates EXACTLY the batch pipeline's

@@ -273,6 +273,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, k: int = 3, max_doc_freq: int = 100
+) -> DataFrame:
+    """Document-containment detection — the "remove contained/elongated
+    duplicates" pass of substring-level dedup (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*, §ExactSubstr; RefinedWeb
+    drops documents wholly contained in another). A doc X is CONTAINED in
+    doc Y when every one of X's distinct k-word shingles also occurs in Y
+    — truncations, quote-wrappers and boilerplate-extended copies that
+    Jaccard UNDER-scores (the union grows with the longer doc, so
+    ``ngram_jaccard_pairs`` misses a short doc swallowed by a long one).
+
+    Output: (doc_a, doc_b, relation, n_shared) with doc_a < doc_b and
+    relation ∈ {'equal', 'a_in_b', 'b_in_a'} — 'equal' when the two
+    filtered gram SETS coincide (exact or reordered-at-gram-granularity
+    duplicates), else which side is the subset.
+
+    Same machinery and scale shape as ``ngram_jaccard_pairs``: distinct
+    gram hashes per doc, **stop-gram cap** (grams in > ``max_doc_freq``
+    docs dropped BEFORE the join — bounds join fan-out at cap² per gram;
+    containment is then exact over the filtered sets, which is what you
+    want: being contained *modulo boilerplate* is still a duplicate),
+    equi-join on gram hash, one count aggregate, two slim size joins.
+    Docs whose grams are all stop-grams drop out entirely (inner joins)
+    — they cannot vacuously contain or be contained."""
+    grams = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
+        .select("doc_id", _h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("h")
+        )
+        grams = grams.join(rare, "h")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.h") == F.col("gb.h")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
+        .groupBy(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    na, nb = F.col("sa.n"), F.col("sb.n")
+    relation = (
+        F.when((F.col("n_shared") == na) & (na == nb), F.lit("equal"))
+        .when(F.col("n_shared") == na, F.lit("a_in_b"))
+        .when(F.col("n_shared") == nb, F.lit("b_in_a"))
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", relation.alias("relation"), "n_shared")
+        .filter(F.col("relation").isNotNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup CLUSTERING: pairs -> connected components -> canonical doc
 

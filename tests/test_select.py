@@ -294,3 +294,26 @@ def test_export_shards_deterministic_order_and_manifest(spark, tmp_path):
         ).collect()
     }
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_source_quality_gate_discriminates_and_is_partition_stable(spark, docs):
+    out = sel.source_quality_gate(docs, min_avg_quality=0.723)
+    pdf = out.toPandas()
+    kept_sources = set(pdf["source"])
+    all_sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    # the threshold separates: some sources pass, some fail
+    assert 0 < len(kept_sources) < len(all_sources)
+    assert (pdf["source_quality"] >= 0.723).all()
+    # whole-source semantics: a kept source keeps ALL its docs
+    per_src = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    got_per_src = pdf.groupby("source").size()
+    for src, n in got_per_src.items():
+        assert n == per_src[src]
+    # integer-exact mean: identical verdict under any partitioning
+    out7 = sel.source_quality_gate(docs.repartition(7), min_avg_quality=0.723)
+    assert {tuple(r) for r in out7.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_source_quality_gate_missing_column_raises(spark, docs):
+    with pytest.raises(ValueError, match="source_quality_gate"):
+        sel.source_quality_gate(docs.drop("source"))
