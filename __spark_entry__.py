@@ -621,6 +621,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st13_snapshot_diff"] = _st13
 
+    # Snapshot lifecycle end-to-end: roll the table back to snapshot 0
+    # (Iceberg rollback_to_snapshot), expire history down to the rollback
+    # commit, vacuum the now-unreferenced batch-1 files — the live read
+    # must be EXACTLY the even-half LWW state (st10's oracle).
+    def _st14(spark: SparkSession, sf: str) -> DataFrame:
+        t = _two_batch_lake(spark, sf, "cdc-rollback-")
+        t.rollback(0)
+        t.expire_snapshots(keep_last=1)
+        t.vacuum(older_than_seconds=0.0)
+        return t.read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st14_rollback"] = _st14
+
     # Bucket-pruned point lookup: the current row for 50 keys, reading
     # only the bucket dirs those keys hash to (Iceberg bucket-transform
     # data skipping; the engine-side form of the reference's
@@ -1712,6 +1727,10 @@ r AS (SELECT *, row_number() OVER (PARTITION BY id
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
 """.strip()
+
+    # st14: rollback + expire + vacuum must land the live table on
+    # exactly the snapshot-0 state — st10's even-half oracle verbatim.
+    o["st14_rollback"] = o["st10_time_travel"]
 
     # st13: net change set between snapshot 0 (even-seq half) and
     # snapshot 1 (full feed). A key's side is 'alive' when its LWW

@@ -144,6 +144,31 @@ def main(argv: list[str] | None = None) -> None:
                      help="include tombstone rows instead of hiding "
                      "deleted keys")
 
+    prb = sub.add_parser(
+        "rollback",
+        help="roll the table's live state back to a retained snapshot "
+        "(Iceberg rollback_to_snapshot; history preserved until "
+        "expire + vacuum)",
+    )
+    prb.add_argument("--table", required=True, help="lake table root")
+    prb.add_argument("--to-batch", required=True,
+                     help="batch id of the snapshot to restore")
+
+    pex = sub.add_parser(
+        "expire",
+        help="bound time-travel history (Iceberg expire_snapshots), "
+        "then reclaim unreferenced files (vacuum)",
+    )
+    pex.add_argument("--table", required=True, help="lake table root")
+    pex.add_argument("--keep-last", type=int, default=10,
+                     help="snapshots to retain (default 10)")
+    pex.add_argument("--older-than", type=float, default=3600.0,
+                     help="vacuum grace period in seconds: unreferenced "
+                     "files younger than this are kept (in-flight-writer "
+                     "safety; default 3600)")
+    pex.add_argument("--dry-run", action="store_true",
+                     help="report what vacuum would delete, delete nothing")
+
     psn = sub.add_parser(
         "snapshots",
         help="list a table's retained snapshots (batch id, buckets "
@@ -321,6 +346,16 @@ def main(argv: list[str] | None = None) -> None:
             "n_buckets_total": table.n_buckets,
             "rows": rows,
         }, default=str))
+    elif args.cmd == "rollback":
+        table = _open_existing_table(spark, args.table)
+        print(json.dumps(table.rollback(args.to_batch)))
+    elif args.cmd == "expire":
+        table = _open_existing_table(spark, args.table)
+        expired = table.expire_snapshots(keep_last=args.keep_last)
+        swept = table.vacuum(
+            older_than_seconds=args.older_than, dry_run=args.dry_run
+        )
+        print(json.dumps({"table": args.table, **expired, **swept}))
     elif args.cmd == "snapshots":
         import os
 

@@ -584,30 +584,10 @@ class LakeTable:
         readable while its files exist — compaction deletes superseded
         delta files, after which older snapshots raise a loud error
         instead of silently returning partial state."""
-        wanted = str(batch_id)
-        snap = next(
-            (s for s in self.meta["snapshots"] if s["batch_id"] == wanted), None
-        )
-        if snap is None:
-            have = [s["batch_id"] for s in self.meta["snapshots"]]
-            raise ValueError(
-                f"read_as_of: no snapshot for batch {wanted!r} "
-                f"(retained: {have})"
-            )
-        if "state" not in snap:
-            raise ValueError(
-                f"read_as_of: snapshot {wanted!r} predates time-travel "
-                f"support (no bucket state recorded)"
-            )
+        snap = self._snapshot_for(batch_id, "read_as_of")
         paths: list[str] = []
         for b, state in snap["state"].items():
             paths.extend(self._bucket_paths(b, state))
-        missing = [p for p in paths if not os.path.exists(p)]
-        if missing:
-            raise ValueError(
-                f"read_as_of: snapshot {wanted!r} expired — {len(missing)} "
-                f"file group(s) removed by compaction (first: {missing[0]!r})"
-            )
         if not paths:
             return self._empty()
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -774,3 +754,135 @@ class LakeTable:
         self._write_meta()
         for path in obsolete:
             shutil.rmtree(path, ignore_errors=True)
+
+    # -- snapshot lifecycle --------------------------------------------------
+
+    def _snapshot_for(self, batch_id: int | str, op: str) -> dict:
+        """Resolve a RETAINED, fully-on-disk snapshot or raise loudly —
+        the shared contract of read_as_of/rollback: never partial state."""
+        wanted = str(batch_id)
+        snap = next(
+            (s for s in self.meta["snapshots"] if s["batch_id"] == wanted), None
+        )
+        if snap is None:
+            have = [s["batch_id"] for s in self.meta["snapshots"]]
+            raise ValueError(
+                f"{op}: no snapshot for batch {wanted!r} (retained: {have})"
+            )
+        if "state" not in snap:
+            raise ValueError(
+                f"{op}: snapshot {wanted!r} predates time-travel support "
+                f"(no bucket state recorded)"
+            )
+        paths: list[str] = []
+        for b, state in snap["state"].items():
+            paths.extend(self._bucket_paths(b, state))
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"{op}: snapshot {wanted!r} expired — {len(missing)} "
+                f"file group(s) removed (first: {missing[0]!r})"
+            )
+        return snap
+
+    def rollback(self, batch_id: int | str) -> dict:
+        """Roll the CURRENT table state back to a retained snapshot —
+        Iceberg's ``rollback_to_snapshot``: the snapshot's bucket state
+        becomes the live state via a normal check-and-swap commit. No
+        data file is touched: history is preserved (the rollback itself
+        records a new snapshot, and the rolled-past commits stay
+        time-travel-readable until ``expire_snapshots`` + ``vacuum``
+        reclaim them), and a concurrent writer still loses the CAS.
+
+        Exactly-once note (the Iceberg-under-streaming behavior too):
+        the commit watermark is NOT rewound — rolled-back batch ids stay
+        'committed', so a replay of the bad batch is still skipped.
+        Corrected data must arrive under NEW batch ids; rewinding the
+        watermark would instead re-apply every retried batch twice on
+        the next restart."""
+        snap = self._snapshot_for(batch_id, "rollback")
+        self.meta["buckets"] = {
+            b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
+            for b, s in snap["state"].items()
+        }
+        marker = f"rollback-{snap['batch_id']}-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        return {
+            "rolled_back_to": snap["batch_id"],
+            "commit": marker,
+            "generation": self._generation,
+        }
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Bound time-travel history to the last ``keep_last`` commits
+        (Iceberg ``expire_snapshots``). Only the snapshot ENTRIES go —
+        data files shared with the live state stay; files now referenced
+        by NO retained snapshot are reclaimed by ``vacuum()``."""
+        if keep_last < 1:
+            raise ValueError(
+                f"expire_snapshots: keep_last must be >= 1, got {keep_last}"
+            )
+        n_before = len(self.meta["snapshots"])
+        self.meta["snapshots"] = self.meta["snapshots"][-keep_last:]
+        self._write_meta()
+        return {
+            "expired": n_before - len(self.meta["snapshots"]),
+            "retained": len(self.meta["snapshots"]),
+        }
+
+    def vacuum(
+        self, older_than_seconds: float = 3600.0, dry_run: bool = False
+    ) -> dict:
+        """Delete data file groups referenced by NEITHER the live bucket
+        state NOR any retained snapshot, plus crash-orphaned staging
+        dirs — Iceberg's ``remove_orphan_files`` (+ the file-reclaim half
+        of ``expire_snapshots``), possible in one pass here because the
+        meta is the sole reference tracker.
+
+        ``older_than_seconds`` is the orphan grace period (Iceberg's
+        ``older_than``, default 3 days there): an unreferenced-looking
+        group younger than this is skipped, because a concurrent writer
+        moves delta dirs in BEFORE its meta commit — without the grace
+        window a vacuum racing an upsert would delete its in-flight
+        files. Maintenance op: run it like ``compact``, from the single
+        maintenance writer."""
+        referenced = {os.path.abspath(p) for p in self._current_paths()}
+        for s in self.meta["snapshots"]:
+            for b, state in s.get("state", {}).items():
+                referenced.update(
+                    os.path.abspath(p) for p in self._bucket_paths(b, state)
+                )
+        now = time.time()
+        removed: list[str] = []
+        kept = 0
+
+        def _sweep(path: str) -> None:
+            nonlocal kept
+            try:
+                young = now - os.path.getmtime(path) < older_than_seconds
+            except OSError:
+                return  # vanished under us
+            if young:
+                kept += 1
+                return
+            removed.append(path)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+
+        data = os.path.join(self.root, "data")
+        if os.path.isdir(data):
+            for entry in sorted(os.listdir(data)):
+                if not entry.startswith("bucket="):
+                    continue
+                bdir = os.path.join(data, entry)
+                for group in sorted(os.listdir(bdir)):
+                    p = os.path.abspath(os.path.join(bdir, group))
+                    if p in referenced:
+                        kept += 1
+                    else:
+                        _sweep(p)
+        for entry in sorted(os.listdir(self.root)):
+            if entry.startswith("_staging-"):
+                _sweep(os.path.join(self.root, entry))
+        return {"removed": len(removed), "kept": kept, "dry_run": dry_run}

@@ -288,3 +288,40 @@ def test_cli_lookup_point_read(spark, corrupt_stream):
     got = {row["id"] for row in out["rows"]}
     assert got == {K[0], K[2]}  # absent key yields nothing
     assert set(out["buckets_read"]) <= set(range(out["n_buckets_total"]))
+
+
+def test_cli_rollback_and_expire(spark, tmp_path_factory):
+    """Out-of-process snapshot lifecycle: `rollback` rewinds the live
+    state to the chosen snapshot; `expire` bounds history and vacuums the
+    rolled-past files (grace window 0 for the test)."""
+    work = tmp_path_factory.mktemp("cli-rb")
+    lake = str(work / "lake")
+    t = LakeTable(spark, lake, n_buckets=2, payload_col="object")
+    for bid, (seq, key, v) in enumerate([(1, K[0], 1), (2, K[1], 2)]):
+        df = spark.createDataFrame(
+            [_row(100 * (bid + 1), seq, "i", key, json.dumps({"_id": key, "v": v}))],
+            schema=OPLOG_SCHEMA,
+        )
+        t.upsert(df, bid)
+    assert t.read().count() == 2
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "rollback",
+         "--table", lake, "--to-batch", "0"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rolled_back_to"] == "0"
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "expire",
+         "--table", lake, "--keep-last", "1", "--older-than", "0"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep["retained"] == 1 and rep["removed"] >= 1
+
+    fresh = LakeTable(spark, lake)
+    assert {x["id"] for x in fresh.read().collect()} == {K[0]}

@@ -629,3 +629,74 @@ def test_commit_lock_steals_stale_but_not_fresh(spark, tmp_path):
         stop.set()
         th.join()
         _os.unlink(lock)
+
+
+def test_rollback_expire_vacuum_lifecycle(spark, tmp_path):
+    """Snapshot lifecycle: rollback restores a retained snapshot as a NEW
+    commit (no files touched — later snapshots stay readable), replayed
+    batch ids stay committed (exactly-once is not rewound), and
+    expire + vacuum reclaim exactly the rolled-past files, honoring the
+    in-flight grace window."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    root = str(tmp_path / "rb")
+    t = LakeTable(spark, root, n_buckets=2, payload_col="object",
+                  max_deltas=100)
+
+    def batch(bid, rows):
+        df = spark.createDataFrame(
+            [(k, ts, 0, ts, op,
+              None if op == "d" else _json.dumps({"_id": k, "v": v}), "t.a")
+             for (k, ts, op, v) in rows],
+            "id string, ts long, inc int, seq long, op string, "
+            "object string, ns string",
+        )
+        t.upsert(df, bid)
+
+    batch(0, [("k1", 100, "i", 1), ("k2", 100, "i", 2)])
+    batch(1, [("k1", 200, "u", 10), ("k3", 200, "i", 3)])
+    batch(2, [("k2", 300, "d", None), ("k4", 300, "i", 4)])
+
+    def live():
+        return {r["id"]: r["ts"] for r in t.read().collect()}
+
+    state1 = {"k1": 200, "k2": 100, "k3": 200}
+    state2 = {"k1": 200, "k3": 200, "k4": 300}
+    assert live() == state2
+
+    info = t.rollback(1)
+    assert info["rolled_back_to"] == "1"
+    assert live() == state1                       # live state rewound
+    assert {r["id"]: r["ts"] for r in t.read_as_of(2).collect()} == state2
+    assert t.is_committed(2)                      # watermark NOT rewound
+    assert t.upsert(spark.createDataFrame(
+        [("k9", 999, 0, 999, "i", "{}", "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), 2)["skipped"]
+    # rollback is a real commit: a fresh handle sees the rewound state
+    fresh = LakeTable(spark, root)
+    assert {r["id"]: r["ts"] for r in fresh.read().collect()} == state1
+
+    # batch-2 files still referenced by snapshot 2 -> vacuum removes none
+    assert t.vacuum(older_than_seconds=0.0, dry_run=True)["removed"] == 0
+    t.expire_snapshots(keep_last=1)               # only the rollback commit
+    # grace window: unreferenced but YOUNG files are kept
+    assert t.vacuum(older_than_seconds=3600.0)["removed"] == 0
+    swept = t.vacuum(older_than_seconds=0.0)
+    assert swept["removed"] >= 1                  # batch-2-only groups gone
+    assert live() == state1                       # live state untouched
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.read_as_of(2)                           # history is truly expired
+
+    # the table keeps working after the lifecycle: new batch lands
+    batch(3, [("k5", 400, "i", 5)])
+    assert live() == {**state1, "k5": 400}
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.rollback(99)
+    with _pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
