@@ -805,6 +805,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a6_value_percentiles"] = _a6
 
+    # Schema-drift census: per (ns, top-level field) payload counts and
+    # first/last-seen feed interval — the registry's monitoring companion.
+    def _a8(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import field_census
+
+        return field_census(_feed(spark, sf))
+
+    q["a8_field_census"] = _a8
+
     def _f1(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.operators.temporal import funnel
 
@@ -1188,6 +1197,18 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
     o["a4_op_counts"] = (
         f"SELECT ns, op, count(*) AS n_events FROM ({feed}) GROUP BY ns, op"
     )
+
+    # a8: top-level JSON keys per valid payload, one aggregation.
+    # json_valid mirrors Spark's null-on-invalid json_object_keys.
+    o["a8_field_census"] = f"""
+WITH v AS (
+  SELECT ns, ts, object FROM ({feed})
+  WHERE object IS NOT NULL AND json_valid(object)),
+k AS (SELECT ns, ts, unnest(json_keys(object)) AS field FROM v)
+SELECT ns, field, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM k GROUP BY ns, field
+""".strip()
 
     o["x8_max_offset"] = f"""
 SELECT ns, ts::VARCHAR || ',' || inc::VARCHAR || ',' || id || ',1' AS offset

@@ -61,6 +61,9 @@ def main() -> None:
         "c5_pack_sequences",    # group shuffle + per-group window cumsum
         "d7_neardup_clusters",  # pairs -> connected components -> canonical ids
         "d8_incremental_neardup",  # daily batch vs persisted signature index
+        "d9_containment",       # subset detection over df-capped gram sets
+        "c10_source_gate",      # domain-level mean-quality gate (1 scan)
+        "a8_field_census",      # schema-drift census over the feed
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -73,3 +73,33 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.count("*").alias("n_events"),
     )
+
+
+def field_census(feed: DataFrame) -> DataFrame:
+    """Schema-drift census over the change feed: per (ns, field) — how
+    many payloads carry the field and the feed interval where it was
+    seen. The operational companion to the schema registry
+    (functions/schema_mapper.py): the registry says what the analyzed
+    table's columns ARE; the census says when each field appeared,
+    whether it is still being written, and how sparsely it occurs —
+    i.e. drift (SchemaMapper.kt:24-43's field walk, turned into a
+    monitoring artifact).
+
+    Shape: top-level JSON keys per payload (``json_object_keys`` —
+    JVM-side, no Python), explode, one map-side-combined aggregation.
+    Invalid-JSON payloads yield NULL key arrays and drop out (the same
+    tolerant-parse posture as X4); the error channel, not the census,
+    accounts for them. Output is all-integer (counts + min/max ts) —
+    deterministic under any partitioning."""
+    keys = (
+        feed.filter(F.col("object").isNotNull())
+        .select(
+            "ns", "ts",
+            F.explode(F.json_object_keys(F.col("object"))).alias("field"),
+        )
+    )
+    return keys.groupBy("ns", "field").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -37,3 +37,29 @@ def test_error_counts(mixed):
 def test_nothing_lost(mixed):
     good, bad = split_corrupt(mixed)
     assert good.count() + bad.count() == mixed.count()
+
+
+def test_field_census_drift_and_tolerance(spark):
+    """A field added mid-stream shows a later first_ts; a field that
+    stops being written keeps its last_ts; invalid JSON and null
+    payloads drop out (the X4 tolerant posture) instead of failing the
+    aggregation."""
+    from kafka_connect_mongo_spark.operators.metrics import field_census
+
+    rows = [
+        ("a.t", 100, '{"_id": "k1", "old": 1}'),
+        ("a.t", 200, '{"_id": "k2", "old": 2, "new_field": true}'),
+        ("a.t", 300, '{"_id": "k3", "new_field": false}'),
+        ("b.t", 100, "{broken json"),
+        ("b.t", 200, None),
+    ]
+    feed = spark.createDataFrame(rows, "ns string, ts int, object string")
+    got = {
+        (r["ns"], r["field"]): (r["n_events"], r["first_ts"], r["last_ts"])
+        for r in field_census(feed).collect()
+    }
+    assert got == {
+        ("a.t", "_id"): (3, 100, 300),
+        ("a.t", "old"): (2, 100, 200),        # dropped after ts 200
+        ("a.t", "new_field"): (2, 200, 300),  # appeared at ts 200
+    }
