@@ -814,6 +814,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a8_field_census"] = _a8
 
+    # SCD2 history: every payload version with its validity interval in
+    # the feed's ordering domain; tombstones close intervals (T6); the
+    # is_current rows are by construction the LWW final state.
+    def _h1(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.history import scd2_history
+
+        return scd2_history(
+            _feed(spark, sf).select("ts", "inc", "seq", "op", "ns", "id", "object")
+        )
+
+    q["h1_scd2_history"] = _h1
+
+    # Key-lifecycle census per namespace (versions per key, gone keys).
+    def _h2(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.history import churn_stats
+
+        return churn_stats(_feed(spark, sf))
+
+    q["h2_churn_stats"] = _h2
+
+    # Masking-SMT analog: scrub credential-shaped blobs / emails / IPs
+    # from live payloads before they land; counts + redacted-content sha
+    # in the same single scan.
+    def _p6(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.text import redact
+
+        live = (
+            _feed(spark, sf)
+            .filter((F.col("op") != "d") & F.col("object").isNotNull())
+            .select("seq", "id", "object")
+        )
+        return redact(live, text_col="object").select(
+            "seq",
+            "id",
+            "n_hex40",
+            "n_email",
+            "n_ipv4",
+            F.sha2(F.col("object_redacted"), 256).alias("redacted_sha"),
+        )
+
+    q["p6_payload_scrub"] = _p6
+
     def _f1(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.operators.temporal import funnel
 
@@ -1208,6 +1250,58 @@ k AS (SELECT ns, ts, unnest(json_keys(object)) AS field FROM v)
 SELECT ns, field, count(*) AS n_events,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM k GROUP BY ns, field
+""".strip()
+
+    # h1: SCD2 intervals via lead() over the per-(ns, id) total order;
+    # tombstone rows close intervals but emit no version.
+    o["h1_scd2_history"] = f"""
+WITH w AS (
+  SELECT ts, inc, seq, op, ns, id, object,
+         lead(ts) OVER win AS valid_to_ts,
+         lead(inc) OVER win AS valid_to_inc
+  FROM ({feed})
+  WINDOW win AS (PARTITION BY ns, id ORDER BY ts, inc, seq))
+SELECT ts, inc, seq, op, ns, id, object, valid_to_ts, valid_to_inc,
+       CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
+FROM w WHERE op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # h2: per-ns key lifecycle; last_op over the same zero-padded full
+    # ordering string as lww.ord_key_str. Sums cast back to BIGINT
+    # (DuckDB widens sum(BIGINT) to HUGEINT -> pandas float).
+    o["h2_churn_stats"] = f"""
+WITH pk AS (
+  SELECT ns, id, count(*) AS n_versions,
+         max_by(op, lpad(CAST(ts AS VARCHAR), 11, '0') ||
+                    lpad(CAST(inc AS VARCHAR), 11, '0') ||
+                    lpad(CAST(seq + 1 AS VARCHAR), 20, '0')) AS last_op
+  FROM ({feed}) GROUP BY ns, id)
+SELECT ns, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_versions) AS BIGINT) AS n_events,
+       round(avg(n_versions), 6) AS avg_versions,
+       CAST(max(n_versions) AS BIGINT) AS max_versions,
+       CAST(sum(CASE WHEN last_op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted_keys
+FROM pk GROUP BY ns
+""".strip()
+
+    # p6: sequential regexp rewrite in the same pattern order as
+    # pipelines.text.REDACT_PATTERNS; counts on the original text.
+    o["p6_payload_scrub"] = f"""
+WITH live AS (
+  SELECT seq, id, object FROM ({feed})
+  WHERE op <> 'd' AND object IS NOT NULL)
+SELECT seq, id,
+  CAST(len(regexp_extract_all(object, '[0-9a-f]{{40}}')) AS BIGINT) AS n_hex40,
+  CAST(len(regexp_extract_all(object,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(object,
+      '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+  sha256(regexp_replace(regexp_replace(regexp_replace(object,
+      '[0-9a-f]{{40}}', '[SECRET]', 'g'),
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '[SECRET]', 'g'),
+      '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[SECRET]', 'g')) AS redacted_sha
+FROM live
 """.strip()
 
     o["x8_max_offset"] = f"""

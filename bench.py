@@ -64,6 +64,9 @@ def main() -> None:
         "d9_containment",       # subset detection over df-capped gram sets
         "c10_source_gate",      # domain-level mean-quality gate (1 scan)
         "a8_field_census",      # schema-drift census over the feed
+        "h1_scd2_history",      # full version-interval history (1 shuffle)
+        "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
+        "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -1,0 +1,100 @@
+"""SCD2 history: the keep-every-version dual of the LWW sink.
+
+The reference applies the change stream destructively — each upsert
+overwrites the previous document, each delete removes it
+(``MongoSinkTask.kt:34-90``), so the sink holds only the FINAL state.
+The standard warehouse alternative is a slowly-changing-dimension
+type-2 history: every insert/update becomes a *version row* with a
+validity interval ``[valid_from, valid_to)`` in the feed's own ordering
+domain ``(ts, inc, seq)`` (``operators/lww.py``), closed by the next
+event for the same key; deletes and null payloads
+(``MongoSinkTask.kt:52-60``'s tombstone rule) close the live interval
+without opening one. The last open interval per key is ``is_current``
+— and the set of current rows is BY CONSTRUCTION the LWW final state
+(property-tested against ``lww_collapse`` + ``drop_tombstones``).
+
+Physical shape: ONE shuffle on the key, one within-partition sort,
+``lead()`` — the minimal plan for full-history materialization (every
+input row survives, so no group-limit can shrink the exchange; at
+100 TB the history lands in a key-bucketed lake table so the shuffle
+is also the table's clustering). No self-join against the history —
+the naive "join each event to its successor" is O(n^2) per hot key;
+``lead`` is O(n log n) per partition and carries no state beyond the
+sort buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators.lww import (
+    ORDER_COLS,
+    ord_key_str,
+    tombstone_cond,
+)
+
+
+def scd2_history(
+    feed: DataFrame,
+    key: str = "id",
+    ns_col: str | None = "ns",
+    payload_col: str | None = "object",
+) -> DataFrame:
+    """Per-key version intervals from a change feed.
+
+    Output = one row per NON-tombstone event, with:
+
+    - ``valid_to_ts`` / ``valid_to_inc`` — ordering coordinates of the
+      next event for the same key (tombstones included: a delete closes
+      the interval it follows), NULL while the version is still live;
+    - ``is_current`` (0/1) — 1 iff no later event exists for the key, so
+      a key whose last event is a delete has NO current row (T6).
+
+    Keys are scoped per namespace when ``ns_col`` is given (two
+    namespaces reusing an ``_id`` never interleave histories — the
+    reference scopes documents by ns the same way, ``OplogReader.kt``).
+    ``payload_col`` opts into the null-payload-means-delete rule exactly
+    as ``drop_tombstones`` does; pass ``None`` on feeds without a raw
+    payload column.
+    """
+    for c in (key, *ORDER_COLS, "op"):
+        if c not in feed.columns:
+            raise ValueError(f"scd2_history: column {c!r} missing from feed")
+    if payload_col is not None and payload_col not in feed.columns:
+        raise ValueError(f"scd2_history: payload column {payload_col!r} not in feed")
+    part = [ns_col, key] if ns_col is not None else [key]
+    w = Window.partitionBy(*part).orderBy(*[F.col(c) for c in ORDER_COLS])
+    nxt_ts, nxt_inc = F.lead("ts").over(w), F.lead("inc").over(w)
+    versions = feed.select(
+        *feed.columns,
+        nxt_ts.alias("valid_to_ts"),
+        nxt_inc.alias("valid_to_inc"),
+        F.when(nxt_ts.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+    return versions.filter(~tombstone_cond(payload_col))
+
+
+def churn_stats(feed: DataFrame, key: str = "id", ns_col: str = "ns") -> DataFrame:
+    """Per-namespace key-lifecycle census over the feed — the monitoring
+    companion to :func:`scd2_history` (as ``field_census`` is to the
+    schema registry): how many distinct keys, how many versions each
+    accumulates, and how many keys' LAST event is a delete (gone keys).
+
+    Two map-side-combined aggregations (events→keys, keys→ns); shuffle
+    volume |keys| then |ns|. ``last_op`` uses the full (ts, inc, seq)
+    ordering string (``lww.ord_key_str``) so the answer is deterministic
+    even on feeds that violate the BsonTimestamp per-key-uniqueness
+    contract (e.g. bootstrap rows sharing (T0, 0)).
+    """
+    per_key = feed.groupBy(ns_col, key).agg(
+        F.count("*").alias("n_versions"),
+        F.max_by("op", ord_key_str()).alias("last_op"),
+    )
+    return per_key.groupBy(ns_col).agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_versions").alias("n_events"),
+        F.round(F.avg("n_versions"), 6).alias("avg_versions"),
+        F.max("n_versions").alias("max_versions"),
+        F.sum(F.when(F.col("last_op") == "d", 1).otherwise(0)).alias("n_deleted_keys"),
+    )

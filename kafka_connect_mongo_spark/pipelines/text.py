@@ -196,6 +196,55 @@ def tfidf_top_terms(
     )
 
 
+#: Default secret/PII pattern registry. Every pattern is verified
+#: cross-engine (Java regex == RE2 match sets — no backreferences, no
+#: lookaround, no alternation whose leftmost-first vs leftmost-longest
+#: semantics could diverge): credential-shaped 40-hex blobs (SHA-1 /
+#: token shaped — NOT the 24-hex ObjectIds), emails, dotted-quad IPs.
+REDACT_PATTERNS: dict[str, str] = {
+    "hex40": "[0-9a-f]{40}",
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4": "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+}
+
+
+def redact(
+    rows: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[SECRET]",
+) -> DataFrame:
+    """Secret/PII scrub — the engine-side form of a Kafka Connect
+    masking SMT (the transform a deployment chains in front of the
+    reference's sink to keep credentials out of the lake), and the
+    standard pre-training redaction pass over a text corpus.
+
+    Adds, per pattern name: ``n_<name>`` (match count on the ORIGINAL
+    text) and one ``<text_col>_redacted`` column with every match of
+    every pattern replaced by ``token`` (patterns applied in dict
+    order — identical sequential-rewrite semantics in the oracle).
+    Pure Column expressions: one scan projection, zero exchanges, no
+    Python in the row path; counts ride along so the gate "how much
+    leaked" report is the same scan as the scrub itself.
+    """
+    if text_col not in rows.columns:
+        raise ValueError(f"redact: column {text_col!r} missing")
+    pats = REDACT_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("redact: empty pattern registry")
+    clashes = ({f"n_{n}" for n in pats} | {f"{text_col}_redacted"}) & set(rows.columns)
+    if clashes:
+        raise ValueError(f"redact: output columns collide with input: {sorted(clashes)}")
+    out = rows
+    scrubbed = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn(f"{text_col}_redacted", scrubbed)
+
+
 def repetition_profile(docs: DataFrame, round_digits: int = 6) -> DataFrame:
     """Gopher-style within-document repetition signals — the quality
     filters a web-corpus curation pass keys on (Rae et al. 2021 §A1.1:

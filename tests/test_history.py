@@ -1,0 +1,74 @@
+"""SCD2 history + churn census (operators/history.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators.history import churn_stats, scd2_history
+from kafka_connect_mongo_spark.operators.lww import drop_tombstones, top1_per_key
+
+FEED_SCHEMA = "ts int, inc int, seq long, op string, ns string, id string, object string"
+
+ROWS = [
+    # k1: insert, update, delete, re-insert (resurrection)
+    (100, 0, 0, "i", "a.t", "k1", '{"v": 1}'),
+    (200, 0, 1, "u", "a.t", "k1", '{"v": 2}'),
+    (300, 0, 2, "d", "a.t", "k1", None),
+    (400, 0, 3, "i", "a.t", "k1", '{"v": 3}'),
+    # k2: insert then null-payload update (tombstone by payload rule)
+    (100, 5, 4, "i", "a.t", "k2", '{"v": 9}'),
+    (150, 0, 5, "u", "a.t", "k2", None),
+    # k3: single live insert
+    (120, 0, 6, "i", "b.t", "k3", '{"v": 7}'),
+    # same _id as k1 in ANOTHER ns: histories must not interleave
+    (500, 0, 7, "i", "b.t", "k1", '{"v": 8}'),
+]
+
+
+@pytest.fixture()
+def feed(spark):
+    return spark.createDataFrame(ROWS, FEED_SCHEMA)
+
+
+def test_intervals_tombstones_resurrection(feed):
+    got = {
+        (r["ns"], r["id"], r["ts"]): (r["valid_to_ts"], r["is_current"])
+        for r in scd2_history(feed).collect()
+    }
+    assert got == {
+        ("a.t", "k1", 100): (200, 0),
+        ("a.t", "k1", 200): (300, 0),  # closed by the delete
+        ("a.t", "k1", 400): (None, 1),  # resurrected, current again
+        ("a.t", "k2", 100): (150, 0),  # closed by the null-payload update
+        ("b.t", "k3", 120): (None, 1),
+        ("b.t", "k1", 500): (None, 1),  # ns-scoped: a.t history untouched
+    }
+
+
+def test_current_rows_equal_lww_final_state(feed):
+    """is_current versions == ns-scoped LWW collapse + drop_tombstones,
+    by construction (same (ns, id) key scope as the history window)."""
+    current = scd2_history(feed).filter(F.col("is_current") == 1)
+    final = drop_tombstones(top1_per_key(feed, ["ns", "id"]), payload_col="object")
+    cols = ["ns", "id", "ts", "inc", "seq", "op", "object"]
+    assert sorted(map(tuple, current.select(*cols).collect())) == sorted(
+        map(tuple, final.select(*cols).collect())
+    )
+
+
+def test_scd2_validation(feed):
+    with pytest.raises(ValueError, match="missing from feed"):
+        scd2_history(feed.drop("inc"))
+    with pytest.raises(ValueError, match="payload column"):
+        scd2_history(feed, payload_col="nope")
+
+
+def test_churn_stats(feed):
+    got = {r["ns"]: r.asDict() for r in churn_stats(feed).collect()}
+    a = got["a.t"]
+    # k1: 4 versions, last op 'i'; k2: 2 versions, last payload-null 'u'
+    # (gone by payload rule but last_op counts only op='d' keys).
+    assert (a["n_keys"], a["n_events"], a["max_versions"]) == (2, 6, 4)
+    assert a["avg_versions"] == 3.0
+    assert a["n_deleted_keys"] == 0
+    b = got["b.t"]
+    assert (b["n_keys"], b["n_events"], b["n_deleted_keys"]) == (2, 2, 0)
