@@ -834,6 +834,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h2_churn_stats"] = _h2
 
+    # Incremental SCD2: build the history from the feed's first half,
+    # fold the second half in as a batch (ts-prefix split satisfies the
+    # loader's per-key ordering contract); the oracle is the FULL
+    # rebuild — incremental ≡ rebuild goes through the exact gate.
+    def _h3(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.history import (
+            scd2_apply_batch,
+            scd2_history,
+        )
+
+        feed = _feed(spark, sf).select("ts", "inc", "seq", "op", "ns", "id", "object")
+        mid = _mid_ts(sf)
+        hist = scd2_history(feed.filter(F.col("ts") <= mid))
+        return scd2_apply_batch(hist, feed.filter(F.col("ts") > mid))
+
+    q["h3_scd2_incremental"] = _h3
+
     # Masking-SMT analog: scrub credential-shaped blobs / emails / IPs
     # from live payloads before they land; counts + redacted-content sha
     # in the same single scan.
@@ -1265,6 +1282,9 @@ SELECT ts, inc, seq, op, ns, id, object, valid_to_ts, valid_to_inc,
        CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
 FROM w WHERE op <> 'd' AND object IS NOT NULL
 """.strip()
+
+    # h3: the incremental fold must equal the full rebuild exactly.
+    o["h3_scd2_incremental"] = o["h1_scd2_history"]
 
     # h2: per-ns key lifecycle; last_op over the same zero-padded full
     # ordering string as lww.ord_key_str. Sums cast back to BIGINT

@@ -66,6 +66,7 @@ def main() -> None:
         "a8_field_census",      # schema-drift census over the feed
         "h1_scd2_history",      # full version-interval history (1 shuffle)
         "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
+        "h3_scd2_incremental",  # batch fold into existing history
         "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
     ]
 

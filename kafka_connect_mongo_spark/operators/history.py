@@ -75,6 +75,62 @@ def scd2_history(
     return versions.filter(~tombstone_cond(payload_col))
 
 
+INTERVAL_COLS = ("valid_to_ts", "valid_to_inc", "is_current")
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str = "id",
+    ns_col: str | None = "ns",
+    payload_col: str | None = "object",
+) -> DataFrame:
+    """Fold one feed batch into an existing SCD2 history — the daily
+    loader form (the lifecycle twin of ``dedup.incremental_neardup``):
+    the history lives in the lake; each batch closes the open intervals
+    it supersedes and appends the new versions, WITHOUT re-reading the
+    closed history.
+
+    Only two slices are ever recomputed: the batch itself and the
+    CURRENT rows of keys the batch touches (closed intervals are final
+    by construction — a later event can never change them). Cost is
+    O(|batch| + |touched keys|), not O(|history|): the key semi/anti
+    joins are equi-joins on the history's own bucketing key (bucket-local
+    on a key-bucketed lake table; the batch key set is small, so AQE
+    broadcasts it), and the interval window runs over touched rows only.
+
+    Contract (the standard SCD2 loader contract): per key, batch events
+    must order at-or-after the history's current version in the feed's
+    (ts, inc, seq) domain. Late arrivals that belong INSIDE the closed
+    history require the full-rebuild path (:func:`scd2_history` over the
+    corrected feed) — an incremental fold cannot reopen finalized
+    intervals. Property-tested equal to the full rebuild on ordered
+    splits (any ts-prefix split of a feed satisfies the contract).
+    """
+    feed_cols = [c for c in history.columns if c not in INTERVAL_COLS]
+    missing = set(feed_cols) - set(batch.columns)
+    if missing:
+        raise ValueError(
+            f"scd2_apply_batch: batch is missing feed columns {sorted(missing)}"
+        )
+    for c in INTERVAL_COLS:
+        if c not in history.columns:
+            raise ValueError(f"scd2_apply_batch: history lacks {c!r} — not an SCD2 frame")
+    part = [ns_col, key] if ns_col is not None else [key]
+    bkeys = batch.select(*part).distinct()
+    current = history.filter(F.col("is_current") == 1)
+    kept_closed = history.filter(F.col("is_current") == 0)
+    kept_open = current.join(bkeys, part, "left_anti")
+    reopened = current.join(bkeys, part, "left_semi").select(*feed_cols)
+    recomputed = scd2_history(
+        reopened.unionByName(batch.select(*feed_cols)),
+        key=key,
+        ns_col=ns_col,
+        payload_col=payload_col,
+    )
+    return kept_closed.unionByName(kept_open).unionByName(recomputed)
+
+
 def churn_stats(feed: DataFrame, key: str = "id", ns_col: str = "ns") -> DataFrame:
     """Per-namespace key-lifecycle census over the feed — the monitoring
     companion to :func:`scd2_history` (as ``field_census`` is to the

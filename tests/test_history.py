@@ -72,3 +72,36 @@ def test_churn_stats(feed):
     assert a["n_deleted_keys"] == 0
     b = got["b.t"]
     assert (b["n_keys"], b["n_events"], b["n_deleted_keys"]) == (2, 2, 0)
+
+
+def _rowset(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+HIST_COLS = [
+    "ns", "id", "ts", "inc", "seq", "op", "object",
+    "valid_to_ts", "valid_to_inc", "is_current",
+]
+
+
+def test_apply_batch_equals_rebuild_at_every_split(spark, feed):
+    """Incremental fold ≡ full rebuild for EVERY ts-prefix split of the
+    fixture (covers: delete crossing the boundary, resurrection in the
+    batch, key absent from history, empty batch, empty history)."""
+    from kafka_connect_mongo_spark.operators.history import scd2_apply_batch
+
+    full = _rowset(scd2_history(feed), HIST_COLS)
+    for cut in [50, 100, 150, 200, 300, 400, 500, 600]:
+        hist = scd2_history(feed.filter(F.col("ts") <= cut))
+        got = scd2_apply_batch(hist, feed.filter(F.col("ts") > cut))
+        assert _rowset(got, HIST_COLS) == full, f"split at ts={cut}"
+
+
+def test_apply_batch_validation(spark, feed):
+    from kafka_connect_mongo_spark.operators.history import scd2_apply_batch
+
+    hist = scd2_history(feed)
+    with pytest.raises(ValueError, match="missing feed columns"):
+        scd2_apply_batch(hist, feed.drop("object"))
+    with pytest.raises(ValueError, match="not an SCD2 frame"):
+        scd2_apply_batch(feed, feed)
