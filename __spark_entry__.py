@@ -561,30 +561,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files), then read EXACTLY batch 1's change rows from the delta
     # files added between snapshots 0 and 1 — cost scales with the
     # changes, not the table.
-    def _two_batch_lake(spark: SparkSession, sf: str, prefix: str):
-        """Replay the feed as two deterministic micro-batches (seq-parity
-        split, mtime-ordered files) into a fresh lake table; returns the
-        table with snapshots 0 (even half) and 1 (full feed applied)."""
+    def _stage_feed_files(spark: SparkSession, sf: str, prefix: str, conds):
+        """Stage the feed as one mtime-ordered file per condition (batch
+        order = file mtime order under maxFilesPerTrigger=1); returns
+        (work_dir, staged_feed_dir)."""
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
-        from kafka_connect_mongo_spark.sinks.lake import LakeTable
-        from kafka_connect_mongo_spark.streaming.replay_stream import (
-            run_replay_stream,
-        )
 
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
         work = tempfile.mkdtemp(prefix=prefix)
         staged = os.path.join(work, "feed")
         os.makedirs(staged)
-        for i in (0, 1):
+        for i, cond in enumerate(conds):
             tmp = os.path.join(work, f"half{i}")
-            raw.filter(F.col("seq") % 2 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
             dst = os.path.join(staged, f"f{i}.parquet")
             os.replace(os.path.join(tmp, part), dst)
-            t = 1_700_000_000 + i * 10  # batch order = file mtime order
+            t = 1_700_000_000 + i * 10
             os.utime(dst, (t, t))
+        return work, staged
+
+    def _two_batch_lake(spark: SparkSession, sf: str, prefix: str):
+        """Replay the feed as two deterministic micro-batches (seq-parity
+        split, mtime-ordered files) into a fresh lake table; returns the
+        table with snapshots 0 (even half) and 1 (full feed applied)."""
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        work, staged = _stage_feed_files(
+            spark, sf, prefix,
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
         table = LakeTable(
             spark, os.path.join(work, "lake"), n_buckets=16,
             payload_col="object",
@@ -635,6 +644,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["st14_rollback"] = _st14
+
+    # Streaming SCD2 maintenance: the CDC stream folds each micro-batch
+    # into the merge-on-read history (closed facts + LWW current view);
+    # the reconstructed history must equal the batch rebuild exactly
+    # (shares h1's oracle). ts-prefix split satisfies the loader's
+    # per-key cross-batch ordering contract.
+    def _st15(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.history_stream import (
+            run_history_stream,
+        )
+
+        mid = _mid_ts(sf)
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-histstream-",
+            [F.col("ts") <= mid, F.col("ts") > mid],
+        )
+        hist = run_history_stream(spark, staged, os.path.join(work, "hist"))
+        return hist.select(
+            "ts", "inc", "seq", "op", "ns", "id", "object",
+            "valid_to_ts", "valid_to_inc", "is_current",
+        )
+
+    q["st15_streaming_scd2"] = _st15
 
     # Bucket-pruned point lookup: the current row for 50 keys, reading
     # only the bucket dirs those keys hash to (Iceberg bucket-transform
@@ -1283,8 +1315,10 @@ SELECT ts, inc, seq, op, ns, id, object, valid_to_ts, valid_to_inc,
 FROM w WHERE op <> 'd' AND object IS NOT NULL
 """.strip()
 
-    # h3: the incremental fold must equal the full rebuild exactly.
+    # h3/st15: incremental fold and streaming maintenance must both
+    # equal the full rebuild exactly.
     o["h3_scd2_incremental"] = o["h1_scd2_history"]
+    o["st15_streaming_scd2"] = o["h1_scd2_history"]
 
     # h2: per-ns key lifecycle; last_op over the same zero-padded full
     # ordering string as lww.ord_key_str. Sums cast back to BIGINT

@@ -79,6 +79,7 @@ def main() -> None:
         "st7_streaming_sessions",
         "st8_session_window",
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup
+        "st15_streaming_scd2",  # streaming SCD2 fold (MoR history write)
     ]
 
     def run_noop(df) -> None:

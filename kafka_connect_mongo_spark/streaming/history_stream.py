@@ -1,0 +1,157 @@
+"""Streaming SCD2 maintenance: the CDC stream folds each micro-batch
+into a merge-on-read history table.
+
+The batch operator (``operators/history.scd2_apply_batch``) rewrites
+only the touched keys' CURRENT rows; this module gives that fold a
+streaming sink with the repo's idempotent write discipline
+(``streaming/dedup_stream.py``): every per-batch artifact lands under a
+``batch_id=`` partition with OVERWRITE, so a mid-batch crash + retry
+replaces the failed attempt instead of duplicating it.
+
+Layout under ``work_dir``:
+
+- ``closed/batch_id={n}/`` — interval rows FINALIZED by batch n.
+  Append-only facts: a version row is closed by exactly one batch
+  (after closing it is never recomputed), so partitions are disjoint
+  and the union over partitions is the closed history.
+- ``current/batch_id={n}/`` — the OPEN rows of the keys batch n
+  touched, plus ``_gone`` markers for touched keys left with no live
+  version (last event a tombstone). The read side resolves per key by
+  max batch_id — LWW over commit order, the same merge-on-read
+  discipline as ``sinks/lake.py`` with batch_id as the commit sequence;
+  at scale this directory is the delta set an LSM compaction folds.
+
+Reads reconstruct: closed facts ∪ resolved current view. Equality with
+the batch rebuild (``scd2_history`` over the whole feed) goes through
+the driver's exact-value gate — ``st15`` shares ``h1``'s oracle SQL.
+Cross-batch contract is the SCD2 loader contract (per key, later
+batches carry later events); the file source's mtime ordering plus any
+time-prefix staging satisfies it, and retries are safe because the
+probe of ``current/`` excludes the probing batch's own partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..operators.history import scd2_history
+from ..operators.lww import top1_per_key
+from ..sources.oplog import clean_feed_cond
+
+FEED_COLS = ["ts", "inc", "seq", "op", "ns", "id", "object"]
+_MARKER_TYPES = {
+    "ts": "int",
+    "inc": "int",
+    "seq": "long",
+    "op": "string",
+    "object": "string",
+}
+
+
+def _has_partitions(d: str) -> bool:
+    return os.path.isdir(d) and any(e.startswith("batch_id=") for e in os.listdir(d))
+
+
+def _resolve_current(
+    spark: SparkSession, current_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Per-key latest entry across batch partitions; ``_gone`` markers
+    drop the key. ``exclude_batch`` skips a half-committed retry's own
+    partition (partition-pruned filter)."""
+    if not _has_partitions(current_dir):
+        return None
+    df = spark.read.parquet(current_dir)
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch)
+    latest = top1_per_key(df, ["ns", "id"], desc_cols=("batch_id",))
+    return latest.filter(~F.col("_gone")).select(*FEED_COLS)
+
+
+def read_history(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Reconstruct the full SCD2 history (same schema as
+    ``scd2_history``: feed columns + interval columns)."""
+    closed_dir = os.path.join(work_dir, "closed")
+    cur = _resolve_current(spark, os.path.join(work_dir, "current"))
+    parts = []
+    if _has_partitions(closed_dir):
+        parts.append(
+            spark.read.parquet(closed_dir).select(
+                *FEED_COLS, "valid_to_ts", "valid_to_inc", "is_current"
+            )
+        )
+    if cur is not None:
+        parts.append(
+            cur.select(
+                *FEED_COLS,
+                F.lit(None).cast("int").alias("valid_to_ts"),
+                F.lit(None).cast("int").alias("valid_to_inc"),
+                F.lit(1).alias("is_current"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "ts int, inc int, seq long, op string, ns string, id string, "
+            "object string, valid_to_ts int, valid_to_inc int, is_current int",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_history_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream feed files through incremental SCD2 maintenance; returns
+    the reconstructed history after the stream drains (availableNow)."""
+    closed_dir = os.path.join(work_dir, "closed")
+    current_dir = os.path.join(work_dir, "current")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
+        cur = _resolve_current(spark, current_dir, exclude_batch=batch_id)
+        bkeys = batch.select("ns", "id").distinct()
+        events = batch
+        if cur is not None:
+            # only touched keys' open rows re-enter the interval window
+            events = cur.join(bkeys, ["ns", "id"], "left_semi").unionByName(batch)
+        recomputed = scd2_history(events).persist()
+        try:
+            new_cur = recomputed.filter(F.col("is_current") == 1)
+            gone = bkeys.join(new_cur, ["ns", "id"], "left_anti").select(
+                "ns",
+                "id",
+                *[F.lit(None).cast(t).alias(c) for c, t in _MARKER_TYPES.items()],
+                F.lit(True).alias("_gone"),
+            )
+            recomputed.filter(F.col("is_current") == 0).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(closed_dir, f"batch_id={batch_id}"))
+            new_cur.select(*FEED_COLS, F.lit(False).alias("_gone")).unionByName(
+                gone.select(*FEED_COLS, "_gone")
+            ).write.mode("overwrite").parquet(
+                os.path.join(current_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            recomputed.unpersist()
+
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(feed_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_history(spark, work_dir)

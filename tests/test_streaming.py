@@ -459,3 +459,91 @@ def test_curation_stream_resume_and_retry_equals_batch(spark, tmp_path_factory):
     # idle re-run: decisions are append-only, nothing duplicates
     again = run_curation_stream(spark, staged, str(work / "cur"))
     assert again.count() == len(got)
+
+
+def test_history_stream_equals_rebuild_with_crash_retry(spark, tmp_path_factory):
+    """Streaming SCD2 fold == batch rebuild across a ts-split two-file
+    feed (delete crossing the batch boundary, resurrection in batch 1,
+    key untouched by batch 1); then a mid-batch crash of batch 1
+    (closed + current partitions written, checkpoint NOT committed) is
+    retried and must converge to the identical history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.operators.history import scd2_history
+    from kafka_connect_mongo_spark.streaming.history_stream import (
+        read_history,
+        run_history_stream,
+    )
+
+    rows = [
+        # (ts, inc, seq, op, ns, id, object, from_migrate, initial_import)
+        (100, 0, 0, "i", "a.t", "k1", '{"v": 1}', None, False),
+        (200, 0, 1, "u", "a.t", "k1", '{"v": 2}', None, False),
+        (110, 0, 2, "i", "a.t", "k2", '{"v": 9}', None, False),
+        (120, 0, 3, "i", "b.t", "k3", '{"v": 7}', None, False),
+        (130, 0, 4, "i", "a.t", "km", '{"v": 0}', True, False),  # fromMigrate: dropped
+        # ---- batch boundary at ts 250 ----
+        (300, 0, 5, "d", "a.t", "k1", None, None, False),        # closes k1 across batches
+        (400, 0, 6, "i", "a.t", "k1", '{"v": 3}', None, False),  # resurrection
+        (310, 0, 7, "u", "a.t", "k2", None, None, False),        # null payload: gone
+    ]
+    feed = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    expected = sorted(
+        map(
+            tuple,
+            scd2_history(
+                feed.filter(~F.coalesce("from_migrate", F.lit(False)))
+                .select("ts", "inc", "seq", "op", "ns", "id", "object")
+            ).collect(),
+        )
+    )
+
+    def stage(workname):
+        work = tmp_path_factory.mktemp(workname)
+        staged = str(work / "feed")
+        os.makedirs(staged)
+        for i, cond in enumerate([F.col("ts") <= 250, F.col("ts") > 250]):
+            tmp = str(work / f"half{i}")
+            feed.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        return work, staged
+
+    # clean run
+    work, staged = stage("hist-stream")
+    got = run_history_stream(spark, staged, str(work / "hist"))
+    assert sorted(map(tuple, got.collect())) == expected
+
+    # crash-retry run: commit batch 0, then fake batch 1's failed attempt
+    work2, staged2 = stage("hist-crash")
+    hist2 = str(work2 / "hist")
+    all_files = sorted(os.listdir(staged2))
+    held = os.path.join(str(work2), all_files[1])
+    os.replace(os.path.join(staged2, all_files[1]), held)  # hide f1
+    run_history_stream(spark, staged2, hist2)
+    garbage = spark.createDataFrame(
+        [(1, 1, 999, "i", "z.z", "zz", "{}", 2, 2, 0)],
+        "ts int, inc int, seq long, op string, ns string, id string, "
+        "object string, valid_to_ts int, valid_to_inc int, is_current int",
+    )
+    garbage.write.mode("overwrite").parquet(
+        os.path.join(hist2, "closed", "batch_id=1")
+    )
+    spark.createDataFrame(
+        [(2, 0, 998, "i", "z.z", "zy", "{}", False)],
+        "ts int, inc int, seq long, op string, ns string, id string, "
+        "object string, _gone boolean",
+    ).write.mode("overwrite").parquet(
+        os.path.join(hist2, "current", "batch_id=1")
+    )
+    os.replace(held, os.path.join(staged2, all_files[1]))  # f1 arrives; retry
+    got2 = run_history_stream(spark, staged2, hist2)
+    assert sorted(map(tuple, got2.collect())) == expected
+    # every version row appears exactly once
+    assert got2.count() == got2.select("seq").distinct().count()
+    assert read_history(spark, hist2).filter(F.col("ns") == "z.z").count() == 0
