@@ -883,6 +883,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h3_scd2_incremental"] = _h3
 
+    # Point-in-time table state answered from the history alone (the
+    # history-table dual of lake time travel): versions live at
+    # end-of-second mid_ts.
+    def _h4(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.history import (
+            history_asof,
+            scd2_history,
+        )
+
+        feed = _feed(spark, sf).select("ts", "inc", "seq", "op", "ns", "id", "object")
+        return history_asof(scd2_history(feed), _mid_ts(sf))
+
+    q["h4_history_asof"] = _h4
+
     # Masking-SMT analog: scrub credential-shaped blobs / emails / IPs
     # from live payloads before they land; counts + redacted-content sha
     # in the same single scan.
@@ -1319,6 +1333,12 @@ FROM w WHERE op <> 'd' AND object IS NOT NULL
     # equal the full rebuild exactly.
     o["h3_scd2_incremental"] = o["h1_scd2_history"]
     o["st15_streaming_scd2"] = o["h1_scd2_history"]
+
+    # h4: point-in-time filter over the rebuilt history.
+    o["h4_history_asof"] = (
+        f"SELECT * FROM ({o['h1_scd2_history']}) WHERE ts <= {mid} "
+        f"AND (valid_to_ts IS NULL OR valid_to_ts > {mid})"
+    )
 
     # h2: per-ns key lifecycle; last_op over the same zero-padded full
     # ordering string as lww.ord_key_str. Sums cast back to BIGINT

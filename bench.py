@@ -67,6 +67,7 @@ def main() -> None:
         "h1_scd2_history",      # full version-interval history (1 shuffle)
         "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
         "h3_scd2_incremental",  # batch fold into existing history
+        "h4_history_asof",      # point-in-time state from the history
         "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
     ]
 

@@ -78,12 +78,19 @@ def scd2_history(
 INTERVAL_COLS = ("valid_to_ts", "valid_to_inc", "is_current")
 
 
+class LateDataError(ValueError):
+    """A batch carried events ordering BEFORE a key's current version —
+    the incremental fold would silently diverge from the full rebuild
+    (closed intervals cannot be reopened). Repair = full rebuild."""
+
+
 def scd2_apply_batch(
     history: DataFrame,
     batch: DataFrame,
     key: str = "id",
     ns_col: str | None = "ns",
     payload_col: str | None = "object",
+    strict: bool = False,
 ) -> DataFrame:
     """Fold one feed batch into an existing SCD2 history — the daily
     loader form (the lifecycle twin of ``dedup.incremental_neardup``):
@@ -106,6 +113,15 @@ def scd2_apply_batch(
     corrected feed) — an incremental fold cannot reopen finalized
     intervals. Property-tested equal to the full rebuild on ordered
     splits (any ts-prefix split of a feed satisfies the contract).
+
+    ``strict=True`` verifies the contract instead of assuming it: one
+    extra aggregate+join over the TOUCHED keys only (min batch ord vs
+    the reopened current row's ord) and an eager count — raises
+    :class:`LateDataError` with the violating key count rather than
+    returning a silently-diverged history. Off by default because it
+    forces an extra driver-side action per fold; turn it on at batch
+    boundaries you don't control (backfills, replays from mixed
+    sources).
     """
     feed_cols = [c for c in history.columns if c not in INTERVAL_COLS]
     missing = set(feed_cols) - set(batch.columns)
@@ -122,6 +138,22 @@ def scd2_apply_batch(
     kept_closed = history.filter(F.col("is_current") == 0)
     kept_open = current.join(bkeys, part, "left_anti")
     reopened = current.join(bkeys, part, "left_semi").select(*feed_cols)
+    if strict:
+        first_batch = batch.groupBy(*part).agg(
+            F.min(ord_key_str()).alias("_batch_min")
+        )
+        late = (
+            reopened.select(*part, ord_key_str().alias("_cur"))
+            .join(first_batch, part)
+            .filter(F.col("_batch_min") < F.col("_cur"))
+        )
+        n_late = late.count()
+        if n_late:
+            raise LateDataError(
+                f"scd2_apply_batch: batch orders before the current version "
+                f"for {n_late} key(s); incremental fold would diverge — "
+                f"rebuild with scd2_history over the corrected feed"
+            )
     recomputed = scd2_history(
         reopened.unionByName(batch.select(*feed_cols)),
         key=key,
@@ -129,6 +161,28 @@ def scd2_apply_batch(
         payload_col=payload_col,
     )
     return kept_closed.unionByName(kept_open).unionByName(recomputed)
+
+
+def history_asof(history: DataFrame, ts: int) -> DataFrame:
+    """Table state AS OF end-of-second ``ts``, answered from the SCD2
+    history alone — no feed re-scan, no replay: a version is live iff it
+    started at-or-before ``ts`` and was not yet superseded
+    (``valid_to_ts > ts``, with ``valid_to_ts == ts`` meaning a
+    same-second successor already replaced it). The history-table dual
+    of the lake's snapshot time travel (``sinks/lake.py read_as_of``):
+    that one needs the commit whose batch boundary matches the wanted
+    time; this one answers ANY point in the feed's own time domain.
+
+    Pure filter — on a history stored with ``is_current`` partitioning
+    or valid_from/valid_to row-group stats (``compact(sort_by=...)``),
+    the scan prunes to the intervals spanning ``ts``."""
+    for c in ("ts", "valid_to_ts"):
+        if c not in history.columns:
+            raise ValueError(f"history_asof: column {c!r} missing — not an SCD2 frame")
+    return history.filter(
+        (F.col("ts") <= ts)
+        & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > ts))
+    )
 
 
 def churn_stats(feed: DataFrame, key: str = "id", ns_col: str = "ns") -> DataFrame:

@@ -105,3 +105,43 @@ def test_apply_batch_validation(spark, feed):
         scd2_apply_batch(hist, feed.drop("object"))
     with pytest.raises(ValueError, match="not an SCD2 frame"):
         scd2_apply_batch(feed, feed)
+
+
+def test_history_asof_equals_prefix_lww(spark, feed):
+    """Point-in-time read from the history == LWW final state of the
+    time-truncated feed, at every cut (including mid-interval points
+    and a cut where a key is deleted-then-resurrected later)."""
+    from kafka_connect_mongo_spark.operators.history import history_asof
+
+    hist = scd2_history(feed)
+    cols = ["ns", "id", "ts", "inc", "seq", "op", "object"]
+    for cut in [50, 100, 120, 150, 250, 300, 350, 400, 500]:
+        live = history_asof(hist, cut)
+        expect = drop_tombstones(
+            top1_per_key(feed.filter(F.col("ts") <= cut), ["ns", "id"]),
+            payload_col="object",
+        )
+        assert _rowset(live, cols) == _rowset(expect, cols), f"as-of ts={cut}"
+    with pytest.raises(ValueError, match="not an SCD2 frame"):
+        history_asof(feed, 100)
+
+
+def test_apply_batch_strict_detects_late_data(spark, feed):
+    """strict=True raises LateDataError when the batch orders before a
+    key's current version; the well-ordered fold still passes strict."""
+    from kafka_connect_mongo_spark.operators.history import (
+        LateDataError,
+        scd2_apply_batch,
+    )
+
+    hist = scd2_history(feed.filter(F.col("ts") <= 250))
+    ok = feed.filter(F.col("ts") > 250)
+    # well-ordered batch passes under strict
+    full = _rowset(scd2_history(feed), HIST_COLS)
+    assert _rowset(scd2_apply_batch(hist, ok, strict=True), HIST_COLS) == full
+    # a late event for k1 (ts 150 < its current version's ts 200)
+    late = spark.createDataFrame(
+        [(150, 0, 99, "u", "a.t", "k1", '{"v": 99}')], FEED_SCHEMA
+    )
+    with pytest.raises(LateDataError, match="1 key"):
+        scd2_apply_batch(hist, late.unionByName(ok), strict=True)
