@@ -177,6 +177,26 @@ def main(argv: list[str] | None = None) -> None:
     psn.add_argument("--table", action="append", default=[], required=True,
                      help="lake table root (repeatable)")
 
+    phs = sub.add_parser(
+        "history",
+        help="SCD2 version history over a change feed: build (full "
+        "rebuild) | fold (incremental batch into an existing history; "
+        "immutable — writes a NEW history root) | asof (point-in-time "
+        "state from the history alone)",
+    )
+    phs.add_argument("op", choices=("build", "fold", "asof"))
+    phs.add_argument("--history", required=True,
+                     help="history parquet root (build: written; fold/asof: read)")
+    phs.add_argument("--oplog", default=None,
+                     help="feed path (build: full feed; fold: the new batch)")
+    phs.add_argument("--out", default=None,
+                     help="fold: new history root (required); asof: optional parquet out")
+    phs.add_argument("--asof-ts", type=int, default=None,
+                     help="asof: feed-domain timestamp (end-of-second semantics)")
+    phs.add_argument("--strict", action="store_true",
+                     help="fold: verify the loader ordering contract "
+                     "(exit with LateDataError instead of diverging)")
+
     ph = sub.add_parser(
         "healthcheck",
         help="probe stream health from the engine's own artifacts "
@@ -309,6 +329,59 @@ def main(argv: list[str] | None = None) -> None:
             "op": args.op, "out": args.out,
             "rows": spark.read.parquet(args.out).count(),
         }))
+    elif args.cmd == "history":
+        from pyspark.sql import functions as F
+
+        from .operators.history import (
+            FEED_HISTORY_COLS,
+            history_asof,
+            scd2_apply_batch,
+            scd2_history,
+        )
+        from .sources.oplog import read_oplog
+
+        def _feed_cols(path):
+            return read_oplog(spark, path).select(*FEED_HISTORY_COLS)
+
+        if args.op == "build":
+            if not args.oplog:
+                p.error("history build requires --oplog")
+            hist = scd2_history(_feed_cols(args.oplog))
+            hist.write.mode("overwrite").parquet(args.history)
+            hist = spark.read.parquet(args.history)
+            print(json.dumps({
+                "op": "build", "history": args.history,
+                "rows": hist.count(),
+                "current": hist.filter(F.col("is_current") == 1).count(),
+            }))
+        elif args.op == "fold":
+            if not (args.oplog and args.out):
+                p.error("history fold requires --oplog and --out")
+            hist = spark.read.parquet(args.history)
+            new = scd2_apply_batch(
+                hist, _feed_cols(args.oplog), strict=args.strict
+            )
+            new.write.mode("overwrite").parquet(args.out)
+            new = spark.read.parquet(args.out)
+            print(json.dumps({
+                "op": "fold", "history": args.out,
+                "rows": new.count(),
+                "current": new.filter(F.col("is_current") == 1).count(),
+            }))
+        else:  # asof
+            if args.asof_ts is None:
+                p.error("history asof requires --asof-ts")
+            live = history_asof(
+                spark.read.parquet(args.history), args.asof_ts
+            )
+            if args.out:
+                live.write.mode("overwrite").parquet(args.out)
+                live = spark.read.parquet(args.out)
+            print(json.dumps({
+                "op": "asof", "ts": args.asof_ts, "rows": live.count(),
+            }))
+        spark.stop()
+        return
     elif args.cmd == "diff":
         from pyspark.sql import functions as F
 

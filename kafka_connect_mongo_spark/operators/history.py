@@ -77,6 +77,10 @@ def scd2_history(
 
 INTERVAL_COLS = ("valid_to_ts", "valid_to_inc", "is_current")
 
+#: The clean-feed columns a history is built from (shared by the CLI and
+#: the streaming fold).
+FEED_HISTORY_COLS = ["ts", "inc", "seq", "op", "ns", "id", "object"]
+
 
 class LateDataError(ValueError):
     """A batch carried events ordering BEFORE a key's current version —

@@ -38,11 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import OPLOG_SCHEMA
+from ..operators.history import FEED_HISTORY_COLS as FEED_COLS
 from ..operators.history import scd2_history
 from ..operators.lww import top1_per_key
 from ..sources.oplog import clean_feed_cond
-
-FEED_COLS = ["ts", "inc", "seq", "op", "ns", "id", "object"]
 _MARKER_TYPES = {
     "ts": "int",
     "inc": "int",

@@ -145,3 +145,42 @@ def test_apply_batch_strict_detects_late_data(spark, feed):
     )
     with pytest.raises(LateDataError, match="1 key"):
         scd2_apply_batch(hist, late.unionByName(ok), strict=True)
+
+
+def test_cli_history_build_fold_asof(spark, feed, tmp_path):
+    """Out-of-process CLI lifecycle: build from batch 0, strict-fold
+    batch 1 into a NEW history root, as-of read — counts match the
+    in-process operators exactly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from kafka_connect_mongo_spark.operators.history import history_asof
+
+    full = feed.withColumn(
+        "from_migrate", F.lit(None).cast("boolean")
+    ).withColumn("initial_import", F.lit(False))
+    f0, f1 = str(tmp_path / "b0"), str(tmp_path / "b1")
+    full.filter(F.col("ts") <= 250).write.parquet(f0)
+    full.filter(F.col("ts") > 250).write.parquet(f1)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def run(args):
+        out = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli", *args],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    h0, h1 = str(tmp_path / "h0"), str(tmp_path / "h1")
+    r0 = run(["history", "build", "--oplog", f0, "--history", h0])
+    assert r0["rows"] == scd2_history(feed.filter(F.col("ts") <= 250)).count()
+    r1 = run(["history", "fold", "--history", h0, "--oplog", f1,
+              "--out", h1, "--strict"])
+    expected = scd2_history(feed)
+    assert r1["rows"] == expected.count()
+    assert r1["current"] == expected.filter(F.col("is_current") == 1).count()
+    r2 = run(["history", "asof", "--history", h1, "--asof-ts", "250"])
+    assert r2["rows"] == history_asof(expected, 250).count()
