@@ -103,6 +103,44 @@ def read_history(spark: SparkSession, work_dir: str) -> DataFrame:
     return out
 
 
+def compact_history(spark: SparkSession, work_dir: str) -> dict:
+    """Fold the accumulated per-batch deltas into one base partition —
+    the LSM maintenance step the layout docstring promises: ``current/``
+    collapses to its RESOLVED view (one row per live key, ``_gone``
+    markers dropped — nothing older remains for them to shadow) under
+    the highest committed batch_id, so later batches keep winning the
+    LWW-by-commit read; ``closed/`` partitions merge into one (closed
+    rows are final facts — their batch_id only matters for retry
+    idempotence of an in-flight batch).
+
+    Offline maintenance, like the lake's ``compact`` CLI: run only on a
+    DRAINED stream (availableNow terminated) — folding a half-committed
+    batch's partitions would break that batch's overwrite-on-retry.
+    Returns before/after partition counts; read equality is the test's
+    oracle."""
+    import shutil
+
+    stats = {}
+    for sub in ("current", "closed"):
+        d = os.path.join(work_dir, sub)
+        if not _has_partitions(d):
+            stats[sub] = {"partitions_before": 0, "partitions_after": 0}
+            continue
+        parts = [e for e in os.listdir(d) if e.startswith("batch_id=")]
+        max_id = max(int(e.split("=", 1)[1]) for e in parts)
+        if sub == "current":
+            base = _resolve_current(spark, d).withColumn("_gone", F.lit(False))
+        else:
+            base = spark.read.parquet(d).drop("batch_id")
+        tmp = d + ".compact-tmp"
+        base.write.mode("overwrite").parquet(tmp)
+        for e in parts:
+            shutil.rmtree(os.path.join(d, e))
+        os.replace(tmp, os.path.join(d, f"batch_id={max_id}"))
+        stats[sub] = {"partitions_before": len(parts), "partitions_after": 1}
+    return stats
+
+
 def run_history_stream(
     spark: SparkSession,
     feed_path: str,

@@ -127,6 +127,9 @@ def main() -> None:
         ),
         "t8_unigram_lm": lambda d, e: tx.unigram_lm_score(d),
         "t10_repetition": lambda d, e: tx.repetition_profile(d),
+        # keep text_redacted flowing (dropping it would let Catalyst
+        # prune the regexp_replace work entirely)
+        "t11_redact": lambda d, e: tx.redact(d).drop("text"),
         "c9_shard_manifest": lambda d, e: sp.shard_manifest(d, n_shards=64),
         "t5_topk_quality": lambda d, e: sel.topk_per_group(
             tx.lang_id(tx.quality_score(d, keep=("text",)), keep=("quality",)),

@@ -547,3 +547,64 @@ def test_history_stream_equals_rebuild_with_crash_retry(spark, tmp_path_factory)
     # every version row appears exactly once
     assert got2.count() == got2.select("seq").distinct().count()
     assert read_history(spark, hist2).filter(F.col("ns") == "z.z").count() == 0
+
+
+def test_history_stream_compaction_then_continue(spark, tmp_path_factory):
+    """compact_history folds the per-batch delta partitions into one
+    base; the read is unchanged, and a LATER batch folded after
+    compaction still wins the LWW-by-commit read (batch counter stays
+    ahead of the compacted base's id)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.operators.history import scd2_history
+    from kafka_connect_mongo_spark.streaming.history_stream import (
+        compact_history,
+        run_history_stream,
+    )
+
+    rows = [
+        (100, 0, 0, "i", "a.t", "k1", '{"v": 1}', None, False),
+        (110, 0, 1, "i", "a.t", "k2", '{"v": 9}', None, False),
+        # batch 1 (ts 200-299)
+        (200, 0, 2, "u", "a.t", "k1", '{"v": 2}', None, False),
+        (210, 0, 3, "d", "a.t", "k2", None, None, False),
+        # batch 2 (ts 300+), folded AFTER compaction
+        (300, 0, 4, "u", "a.t", "k1", '{"v": 3}', None, False),
+        (310, 0, 5, "i", "a.t", "k2", '{"v": 10}', None, False),  # resurrect
+    ]
+    feed = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    work = tmp_path_factory.mktemp("hist-compact")
+    staged = str(work / "feed")
+    os.makedirs(staged)
+
+    def stage_file(i, cond):
+        tmp = str(work / f"half{i}")
+        feed.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(staged, f"f{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    hist = str(work / "hist")
+    stage_file(0, F.col("ts") < 200)
+    stage_file(1, (F.col("ts") >= 200) & (F.col("ts") < 300))
+    run_history_stream(spark, staged, hist)
+
+    before = sorted(map(tuple, run_history_stream(spark, staged, hist).collect()))
+    stats = compact_history(spark, hist)
+    assert stats["current"]["partitions_before"] == 2
+    assert stats["current"]["partitions_after"] == 1
+    after = sorted(map(tuple, run_history_stream(spark, staged, hist).collect()))
+    assert after == before  # compaction changes layout, never the read
+
+    stage_file(2, F.col("ts") >= 300)
+    got = run_history_stream(spark, staged, hist)
+    expected = scd2_history(
+        feed.select("ts", "inc", "seq", "op", "ns", "id", "object")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
