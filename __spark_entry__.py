@@ -846,6 +846,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a8_field_census"] = _a8
 
+    # HLL distinct sketch: per-ns approximate key cardinality from a
+    # mergeable fixed-size register table (the 10^10-scale form of A3's
+    # exact countDistinct), reported against the exact count so the
+    # query itself documents the sketch's accuracy.
+    def _a9(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import hll_distinct
+
+        feed_df = _feed(spark, sf)
+        est = hll_distinct(feed_df, key="id", group_cols=("ns",), p=9)
+        exact = feed_df.groupBy("ns").agg(F.countDistinct("id").alias("n_exact"))
+        return est.join(exact, "ns").select(
+            "ns",
+            "n_registers",
+            "est_distinct",
+            "n_exact",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                / F.col("n_exact")
+                * 100,
+                2,
+            ).alias("rel_err_pct"),
+        )
+
+    q["a9_hll_distinct"] = _a9
+
     # SCD2 history: every payload version with its validity interval in
     # the feed's ordering domain; tombstones close intervals (T6); the
     # is_current rows are by construction the LWW final state.
@@ -1313,6 +1338,39 @@ k AS (SELECT ns, ts, unnest(json_keys(object)) AS field FROM v)
 SELECT ns, field, count(*) AS n_events,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM k GROUP BY ns, field
+""".strip()
+
+    # a9: HLL registers replicated bit-for-bit (same md5 60-bit hash,
+    # low-9-bit register, integer leading-zero rank via bin-length; the
+    # harmonic denominator summed as exact 2^(52-r) integers). The only
+    # floats are the single-expression estimate (identical double
+    # literal numerator embedded in both engines) and the final rounds.
+    from kafka_connect_mongo_spark.operators.metrics import hll_alpha
+
+    _hll_c = repr(hll_alpha(512) * 512 * 512 * float(1 << 52))
+    o["a9_hll_distinct"] = f"""
+WITH h AS (
+  SELECT ns,
+         CAST(CAST(concat('0x', substr(md5('hll-v1' || id), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM ({feed})),
+r AS (SELECT ns, h & 511 AS reg,
+             max(CASE WHEN (h >> 9) = 0 THEN 52
+                 ELSE 52 - length(bin(h >> 9)) END) AS r
+      FROM h GROUP BY ns, h & 511),
+sk AS (SELECT ns, sum(CAST(power(2, 52 - r) AS BIGINT)) AS s_hit,
+              count(*) AS m_hit
+       FROM r GROUP BY ns),
+e AS (SELECT ns, m_hit AS n_registers,
+        round(CASE WHEN (512 - m_hit) > 0
+                    AND {_hll_c} / (s_hit + (512 - m_hit) * {1 << 52}) <= 1280.0
+              THEN 512.0 * ln(512.0 / (512 - m_hit))
+              ELSE {_hll_c} / (s_hit + (512 - m_hit) * {1 << 52}) END, 3)
+          AS est_distinct
+      FROM sk),
+x AS (SELECT ns, count(DISTINCT id) AS n_exact FROM ({feed}) GROUP BY ns)
+SELECT e.ns, n_registers, est_distinct, n_exact,
+       round(abs(est_distinct - n_exact) / n_exact * 100, 2) AS rel_err_pct
+FROM e JOIN x ON e.ns = x.ns
 """.strip()
 
     # h1: SCD2 intervals via lead() over the per-(ns, id) total order;

@@ -75,6 +75,108 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+#: salt for the HLL register hash — versioned so a persisted sketch is
+#: never merged with one built from a different hash.
+HLL_SALT = "hll-v1"
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, key: str = "id", group_cols: tuple[str, ...] = ("ns",), p: int = 9
+) -> DataFrame:
+    """Per-group HyperLogLog register table — the MERGEABLE sketch state.
+
+    The scale-first answer to A3's ``countDistinct``: at 10^10 keys an
+    exact distinct is a full shuffle of every key; the HLL register
+    table is a fixed ``m = 2**p`` rows per group, built with ONE
+    map-side-combined aggregation (``groupBy(group, register).max(rho)``
+    partial-aggregates before the exchange, so the shuffle carries at
+    most ``m`` rows per group per partition, independent of row count).
+    Register tables from disjoint batches/streams merge by the same
+    ``max`` — the sketch a streaming source would checkpoint alongside
+    its offsets (``MongoSourceOffset.kt:23-26``'s resume state, but for
+    cardinality monitoring).
+
+    Everything is integer-exact and engine-portable: the hash is the
+    same first-15-hex-digits-of-md5 trick the sampling/sharding family
+    uses (``pipelines/select.sample_hash``), the register index is the
+    low ``p`` bits, and the leading-zero rank ``rho`` of the remaining
+    ``W = 60 - p`` bits is ``W + 1 - length(bin(w))`` — no floating
+    point anywhere, so a DuckDB oracle reproduces the registers bit for
+    bit.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll precision p must be in [4, 16], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(HLL_SALT), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, h.bitwiseAND(F.lit(m - 1)).alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = ("ns",), p: int = 9
+) -> DataFrame:
+    """Collapse an HLL register table into per-group cardinality
+    estimates.
+
+    The harmonic-mean denominator ``sum(2^-r)`` is summed as EXACT
+    integers scaled by ``2^(W+1)`` (each term ``2^(W+1-r)`` is a whole
+    number; W+1 <= 52 so ``pow(2, k)`` is an exact double cast to
+    long) — float summation order never touches the result, so the
+    estimate is deterministic under any partitioning and reproducible
+    cross-engine. The only floats are the final one-expression estimate
+    and the small-range linear-counting branch (``m * ln(m/zeros)``
+    when the raw estimate is below 2.5m), rounded to 3 decimals.
+    """
+    m = 1 << p
+    scale = (60 - p) + 1
+    alpha = hll_alpha(m)
+    sk = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(scale) - F.col("r")).cast("long")
+        ).alias("s_hit"),
+        F.count("*").alias("m_hit"),
+    )
+    zeros = F.lit(m) - F.col("m_hit")
+    s_total = F.col("s_hit") + zeros * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / s_total
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return sk.select(
+        *group_cols,
+        F.col("m_hit").alias("n_registers"),
+        F.round(est, 3).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key: str = "id", group_cols: tuple[str, ...] = ("ns",), p: int = 9
+) -> DataFrame:
+    """A9: per-group approximate distinct via a deterministic HLL sketch
+    (registers + estimate in one pipeline; see ``hll_registers``)."""
+    return hll_estimate(hll_registers(df, key, group_cols, p), group_cols, p)
+
+
 def field_census(feed: DataFrame) -> DataFrame:
     """Schema-drift census over the change feed: per (ns, field) — how
     many payloads carry the field and the feed interval where it was

@@ -1,0 +1,98 @@
+"""HLL distinct sketch (A9): register exactness vs a pure-Python
+reference, merge-by-max semantics, partitioning independence, and the
+accuracy the estimator is supposed to deliver."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators.metrics import (
+    HLL_SALT,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+P = 9
+M = 1 << P
+WIDTH = 60 - P
+
+
+def _ref_registers(keys):
+    """Sequential reference: same md5 60-bit hash, low-p register, rank
+    of the first set bit in the remaining 51."""
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5((HLL_SALT + k).encode()).hexdigest()[:15], 16)
+        j, w = h & (M - 1), h >> P
+        rho = WIDTH + 1 if w == 0 else WIDTH + 1 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def _keys(n, tag="k"):
+    return [f"{tag}-{i:08d}" for i in range(n)]
+
+
+def test_registers_match_python_reference(spark):
+    keys = _keys(500)
+    df = spark.createDataFrame([(k,) for k in keys], "id string").withColumn(
+        "ns", F.lit("a.t")
+    )
+    got = {
+        r["reg"]: r["r"] for r in hll_registers(df, "id", ("ns",), P).collect()
+    }
+    assert got == _ref_registers(keys)
+
+
+def test_merge_by_max_equals_union_sketch(spark):
+    a, b = _keys(800, "a"), _keys(800, "b")
+    overlap = a[:200]  # b's stream also carries some of a's keys
+    mk = lambda ks: spark.createDataFrame([(k,) for k in ks], "id string").withColumn(
+        "ns", F.lit("x.y")
+    )
+    ra = hll_registers(mk(a), "id", ("ns",), P)
+    rb = hll_registers(mk(b + overlap), "id", ("ns",), P)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("ns", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    direct = hll_registers(mk(a + b + overlap), "id", ("ns",), P)
+    assert {(r["reg"], r["r"]) for r in merged.collect()} == {
+        (r["reg"], r["r"]) for r in direct.collect()
+    }
+    est_m = hll_estimate(merged, ("ns",), P).collect()[0]["est_distinct"]
+    est_d = hll_estimate(direct, ("ns",), P).collect()[0]["est_distinct"]
+    assert est_m == est_d
+
+
+def test_partitioning_independent(spark):
+    df = spark.createDataFrame([(k,) for k in _keys(3000)], "id string").withColumn(
+        "ns", F.lit("a.t")
+    )
+    e1 = hll_distinct(df.repartition(1), "id", ("ns",), P).collect()[0]
+    e7 = hll_distinct(df.repartition(7, "id"), "id", ("ns",), P).collect()[0]
+    assert e1["est_distinct"] == e7["est_distinct"]
+    assert e1["n_registers"] == e7["n_registers"]
+
+
+def test_accuracy_and_duplicate_insensitivity(spark):
+    n = 20_000
+    base = spark.createDataFrame([(k,) for k in _keys(n)], "id string").withColumn(
+        "ns", F.lit("a.t")
+    )
+    # duplicates must not move the sketch at all
+    dup = base.unionByName(base.limit(5_000))
+    est = hll_distinct(dup, "id", ("ns",), P).collect()[0]["est_distinct"]
+    est_clean = hll_distinct(base, "id", ("ns",), P).collect()[0]["est_distinct"]
+    assert est == est_clean
+    # 1.04/sqrt(512) ~ 4.6% standard error; 15% is > 3 sigma
+    assert abs(est - n) / n < 0.15
+
+
+def test_bad_precision_raises(spark):
+    df = spark.createDataFrame([("k",)], "id string")
+    with pytest.raises(ValueError, match="precision"):
+        hll_registers(df, "id", (), 3)
