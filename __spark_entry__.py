@@ -63,6 +63,10 @@ _ANALYZED_LAKE: dict[str, str] = {}
 #: (see s7e_ann_ivf_indexed).
 _IVF_INDEX: dict[str, str] = {}
 
+#: sf_dir -> path of a persisted bucket-partitioned inverted token index
+#: (see s10_index_search / s11_bm25_topk).
+_SEARCH_INDEX: dict[str, str] = {}
+
 # ---------------------------------------------------------------------------
 # Spark-side table helpers
 
@@ -1031,6 +1035,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7d_knn_join"] = _knn
 
+    # Full-text retrieval: persisted inverted token index (postings
+    # partitioned by term hash bucket), conjunctive search and BM25
+    # ranking probe only their terms' bucket directories.
+    def _search_index(spark: SparkSession, sf: str) -> str:
+        from kafka_connect_mongo_spark.pipelines import search as srch
+
+        path = _SEARCH_INDEX.get(sf)
+        if path is None or not os.path.exists(path + ".meta.json"):
+            path = os.path.join(tempfile.mkdtemp(prefix="cdc-sidx-"), "index")
+            srch.build_search_index(_docs(spark, sf), path, n_buckets=16)
+            _SEARCH_INDEX[sf] = path
+        return path
+
+    def _s10(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines import search as srch
+
+        terms = ["dup", "merge", "vector"]
+        path = _search_index(spark, sf)
+        return srch.search_all(
+            srch.read_postings_for_terms(spark, path, terms), terms
+        )
+
+    q["s10_index_search"] = _s10
+
+    def _s11(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines import search as srch
+
+        terms = ["dup", "spark", "window"]
+        path = _search_index(spark, sf)
+        return srch.bm25_topk(
+            srch.read_postings_for_terms(spark, path, terms),
+            srch.read_corpus_stats(spark, path),
+            terms,
+            k=10,
+        )
+
+    q["s11_bm25_topk"] = _s11
+
     from kafka_connect_mongo_spark.pipelines import select as sel
 
     q["d6_stratified_sample"] = lambda spark, sf: sel.stratified_sample(
@@ -1864,6 +1906,53 @@ cand AS (
 SELECT query_id, vec_id, score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
   FROM cand) WHERE rn <= 5
+""".strip()
+
+    # s10/s11: same tokenization, postings, and fixed-point BM25 math as
+    # pipelines/search.py; float constants embedded as Python reprs so
+    # both engines parse the identical doubles, and every per-doc score
+    # is summed as fixed-point longs (order-independent).
+    from kafka_connect_mongo_spark.pipelines.search import (
+        BM25_B,
+        BM25_K1,
+        SCORE_SCALE,
+    )
+
+    _postings_sql = """
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         FROM documents),
+p AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+""".strip()
+
+    o["s10_index_search"] = f"""
+WITH {_postings_sql}
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM p WHERE term IN ('dup', 'merge', 'vector')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
+""".strip()
+
+    _k1, _k1p1, _b, _omb = (
+        repr(BM25_K1),
+        repr(BM25_K1 + 1.0),
+        repr(BM25_B),
+        repr(1.0 - BM25_B),
+    )
+    o["s11_bm25_topk"] = f"""
+WITH {_postings_sql},
+d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+q AS (SELECT p.doc_id, p.term, p.tf, d.dl
+      FROM p JOIN d USING (doc_id)
+      WHERE p.term IN ('dup', 'spark', 'window')),
+dfs AS (SELECT term, count(*) AS df FROM q GROUP BY term),
+c AS (SELECT q.doc_id,
+        CAST(round(((ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+          * (q.tf * {_k1p1}))
+          / (q.tf + {_k1} * ({_omb} + {_b} * (q.dl / (st.sum_dl / st.n_docs)))))
+          * {float(SCORE_SCALE)!r}) AS BIGINT) AS fp
+      FROM q JOIN dfs USING (term) CROSS JOIN st)
+SELECT doc_id, round(sum(fp) / {float(SCORE_SCALE)!r}, 6) AS score
+FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """.strip()
 
     quality_sql = f"""

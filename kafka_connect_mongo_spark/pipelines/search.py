@@ -1,0 +1,220 @@
+"""Full-text retrieval over the documents corpus: persisted inverted
+token index, conjunctive (AND) search, and BM25 ranking.
+
+The retrieval side of training-data curation: "find every document
+containing these terms" (contamination audits, targeted inspection) and
+"rank the corpus against this query" (quality-biased retrieval,
+near-duplicate triage). No reference counterpart — the connector stops
+at the topic (SURVEY.md §2.13); this is the operator family a corpus
+owner needs next to the dedup/decontamination pipelines (which share
+the gram/posting discipline: ``pipelines/splits.build_gram_index``).
+
+Scale shape:
+- The index build is the classic one-exchange inverted index: one text
+  scan → explode → map-side-combined ``(doc_id, term)`` count. The
+  expensive ``regexp_extract_all`` projection feeds ONLY the generator
+  (never a sibling column), so Catalyst's projection collapse cannot
+  re-site it per exploded row — the t10 incident (PLANS.md).
+- Postings persist partitioned by ``pmod(xxhash64(term), n_buckets)``;
+  a probe hashes its query terms with the same expression and reads
+  only those bucket directories (the lake's bucket-transform
+  data-skipping, applied to terms instead of keys), with the residual
+  ``term IN (...)`` filter pushed to parquet row-group stats.
+- Query-time joins are against per-term aggregates of the PROBED
+  postings — at most |query| rows, so the broadcast is bounded by the
+  query, never by the corpus (the t8/t9 lesson: no forced broadcast of
+  anything corpus-sized).
+- BM25 contributions are fixed-point longs (micro-units) before the
+  per-doc sum, so float summation order never touches the score and
+  the DuckDB oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: search tokenization: lower-cased alphanumeric runs — identical
+#: semantics in Java regex (Spark) and DuckDB's RE2.
+SEARCH_TOKEN_RE = "[a-z0-9]+"
+
+#: fixed-point scale for order-independent BM25 score summation.
+SCORE_SCALE = 1_000_000
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings ``(doc_id, term, tf, dl)`` from one text
+    scan. ``dl`` (document token length) is recovered as a window sum of
+    ``tf`` AFTER the postings aggregation — never carried through the
+    explode as a sibling of the generator (projection-collapse hazard,
+    see module docstring)."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(SEARCH_TOKEN_RE), 0
+    )
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """One-row corpus statistics (n_docs, sum_dl) from the postings —
+    token-bearing documents only, consistent with the postings
+    themselves on both engines."""
+    return postings.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("sum_dl"),
+    )
+
+
+def build_search_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index: postings parquet PARTITIONED BY
+    the term's hash bucket (probes read only their terms' directories),
+    corpus stats beside it (``<path>.stats``), and the layout metadata
+    (``<path>.meta.json``) a probe needs to hash terms the same way."""
+    postings = doc_postings(docs, id_col, text_col)
+    postings.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
+    corpus_stats(postings).write.mode("overwrite").parquet(path + ".stats")
+    with open(path + ".meta.json", "w") as fh:
+        json.dump({"n_buckets": n_buckets, "token_re": SEARCH_TOKEN_RE}, fh)
+
+
+def read_postings_for_terms(
+    spark: SparkSession, path: str, terms: list[str]
+) -> DataFrame:
+    """Bucket-pruned probe: hash the query terms with the writer's own
+    ``xxhash64`` expression (one tiny local job — no Python
+    reimplementation to drift out of sync, the ``lake.read_for_keys``
+    discipline), read ONLY those bucket directories, push the residual
+    ``term IN (...)`` filter to the parquet scan."""
+    if not terms:
+        raise ValueError("read_postings_for_terms: empty term list")
+    with open(path + ".meta.json") as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in tdf.select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("b")
+            ).collect()
+        }
+    )
+    paths = [
+        p
+        for b in buckets
+        if os.path.exists(p := os.path.join(path, f"bucket={b}"))
+    ]
+    if not paths:
+        return (
+            spark.read.parquet(path).filter(F.lit(False)).drop("bucket")
+        )
+    return (
+        spark.read.parquet(*paths)
+        .filter(F.col("term").isin(terms))
+    )
+
+
+def read_corpus_stats(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path + ".stats")
+
+
+def search_all(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive (AND) search: documents containing EVERY query term,
+    with the total query-term frequency. One filter + one aggregation —
+    with a persisted index the filter is the bucket-pruned probe."""
+    if not terms:
+        raise ValueError("search_all: empty term list")
+    return (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "total_tf")
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k: rank documents against a bag-of-terms query.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the Lucene form —
+    always positive), ``contrib = idf * tf*(k1+1) / (tf + k1*((1-b) +
+    b*dl/avgdl))``. Physical shape: the probed postings are filtered to
+    the query terms; ``df`` comes from a per-term aggregate of that
+    probe (<= |query| rows, broadcast bounded by the query); each
+    contribution is rounded into fixed-point micro-units BEFORE the
+    per-doc sum so the score is order-independent; top-k via
+    (score desc, doc_id) with a limit — WindowGroupLimit-class partial
+    top-k, never a global sort of the corpus."""
+    if not terms:
+        raise ValueError("bm25_topk: empty term list")
+    q = postings.filter(F.col("term").isin(terms))
+    dfs = q.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        q.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "contrib_fp",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+                )
+                * F.lit(float(SCORE_SCALE)),
+                0,
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib_fp") / F.lit(float(SCORE_SCALE)), 6).alias(
+                "score"
+            )
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

@@ -1,0 +1,108 @@
+"""Inverted-index retrieval (s10/s11): postings vs a sequential
+reference, conjunctive-search semantics, bucket-pruned probe equivalence
++ pruning, and BM25 ranking behavior."""
+
+import os
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.pipelines.search import (
+    SEARCH_TOKEN_RE,
+    bm25_topk,
+    build_search_index,
+    corpus_stats,
+    doc_postings,
+    read_corpus_stats,
+    read_postings_for_terms,
+    search_all,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog the dog barks"),
+    (2, "cat dog cat dog cat"),
+    (3, "Mat! mat? MAT."),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_postings_match_reference(docs):
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_postings(docs).collect()
+    }
+    want = {}
+    for doc_id, text in DOCS:
+        toks = re.findall(SEARCH_TOKEN_RE, text.lower())
+        for term, tf in Counter(toks).items():
+            want[(doc_id, term)] = (tf, len(toks))
+    assert got == want
+    # empty doc contributes no postings and no stats row
+    st = corpus_stats(doc_postings(docs)).collect()[0]
+    assert st["n_docs"] == 4 and st["sum_dl"] == 6 + 5 + 5 + 3
+
+
+def test_search_all_conjunctive(docs):
+    p = doc_postings(docs)
+    got = {r["doc_id"]: r["total_tf"] for r in search_all(p, ["cat", "mat"]).collect()}
+    assert got == {0: 2}  # doc 3 has mat only, doc 2 cat only
+    assert search_all(p, ["cat", "barks"]).count() == 0
+    with pytest.raises(ValueError, match="empty term"):
+        search_all(p, [])
+
+
+def test_indexed_probe_prunes_and_matches(docs, tmp_path):
+    path = str(tmp_path / "idx")
+    build_search_index(docs, path, n_buckets=8)
+    terms = ["cat", "mat"]
+    spark = docs.sparkSession
+    probed = read_postings_for_terms(spark, path, terms)
+    # the probe must touch only the query terms' bucket directories
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    want_buckets = {
+        f"bucket={r['b']}"
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(8)).alias("b")
+        ).collect()
+    }
+    touched = {f.split("/")[-2] for f in probed.inputFiles()}
+    assert touched <= want_buckets and touched
+    all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert len(all_buckets) > len(want_buckets)  # pruning is real
+    # and the pruned probe answers identically to the brute scan
+    brute = {
+        tuple(r) for r in search_all(doc_postings(docs), terms).collect()
+    }
+    via_index = {tuple(r) for r in search_all(probed, terms).collect()}
+    assert via_index == brute
+
+
+def test_bm25_ranking(docs, tmp_path):
+    path = str(tmp_path / "idx")
+    build_search_index(docs, path, n_buckets=4)
+    spark = docs.sparkSession
+    stats = read_corpus_stats(spark, path)
+
+    def top(terms, k=10):
+        p = read_postings_for_terms(spark, path, terms)
+        return bm25_topk(p, stats, terms, k=k).collect()
+
+    # single term: only matching docs appear, higher-tf-shorter doc first
+    r = top(["cat"])
+    assert [x["doc_id"] for x in r] == [2, 0]
+    assert r[0]["score"] > r[1]["score"] > 0
+    # rare term dominates: doc 1 is the only one with 'barks'
+    r = top(["barks", "the"])
+    assert r[0]["doc_id"] == 1
+    # k limit respected
+    assert len(top(["the", "cat", "dog", "mat"], k=2)) == 2
+    with pytest.raises(ValueError, match="empty term"):
+        bm25_topk(doc_postings(docs), stats, [])
