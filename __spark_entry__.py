@@ -649,6 +649,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st14_rollback"] = _st14
 
+    # GDPR key scrub: a deterministic ~3% deletion list (md5-bucket of
+    # the key) is physically erased — every version, every snapshot —
+    # and the surviving table must equal the final LWW state minus the
+    # scrubbed keys.
+    def _st16(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.select import sample_hash
+
+        t = _two_batch_lake(spark, sf, "cdc-scrub-")
+        victims = [
+            r["id"]
+            for r in _feed(spark, sf)
+            .select("id")
+            .distinct()
+            .filter(sample_hash(F.col("id"), "scrub-v1") < 300)
+            .collect()
+        ]
+        t.scrub_keys(victims)
+        return t.read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st16_key_scrub"] = _st16
+
     # Streaming SCD2 maintenance: the CDC stream folds each micro-batch
     # into the merge-on-read history (closed facts + LWW current view);
     # the reconstructed history must equal the batch rebuild exactly
@@ -2067,6 +2090,17 @@ FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
     # st14: rollback + expire + vacuum must land the live table on
     # exactly the snapshot-0 state — st10's even-half oracle verbatim.
     o["st14_rollback"] = o["st10_time_travel"]
+
+    # st16: final LWW state minus the scrubbed deletion list (same
+    # salted md5 bucket expression as the Spark-side victim selection).
+    o["st16_key_scrub"] = f"""
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM ({feed}))
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+  AND CAST(CAST(concat('0x', substr(md5('scrub-v1' || id), 1, 15)) AS UBIGINT)
+      % 10000 AS BIGINT) >= 300
+""".strip()
 
     # st13: net change set between snapshot 0 (even-seq half) and
     # snapshot 1 (full feed). A key's side is 'alive' when its LWW

@@ -144,6 +144,19 @@ def main(argv: list[str] | None = None) -> None:
                      help="include tombstone rows instead of hiding "
                      "deleted keys")
 
+    psc = sub.add_parser(
+        "scrub",
+        help="GDPR erasure: physically remove EVERY version of the given "
+        "keys (bucket-pruned rewrite + snapshot expiry + vacuum); prints "
+        "the audit receipt",
+    )
+    psc.add_argument("--table", required=True, help="lake table root")
+    psc.add_argument("--keys", required=True,
+                     help="comma-separated deletion list")
+    psc.add_argument("--keep-history", action="store_true",
+                     help="keep time-travel snapshots (NOT a complete "
+                     "erasure: superseded files may retain the keys)")
+
     prb = sub.add_parser(
         "rollback",
         help="roll the table's live state back to a retained snapshot "
@@ -419,6 +432,12 @@ def main(argv: list[str] | None = None) -> None:
             "n_buckets_total": table.n_buckets,
             "rows": rows,
         }, default=str))
+    elif args.cmd == "scrub":
+        table = _open_existing_table(spark, args.table)
+        receipt = table.scrub_keys(
+            args.keys.split(","), expire_history=not args.keep_history
+        )
+        print(json.dumps({"table": args.table, **receipt}))
     elif args.cmd == "rollback":
         table = _open_existing_table(spark, args.table)
         print(json.dumps(table.rollback(args.to_batch)))

@@ -755,6 +755,99 @@ class LakeTable:
         for path in obsolete:
             shutil.rmtree(path, ignore_errors=True)
 
+    def scrub_keys(
+        self,
+        keys: list,
+        expire_history: bool = True,
+        vacuum_grace_seconds: float = 0.0,
+    ) -> dict:
+        """GDPR-style erasure: physically remove EVERY version of the
+        given keys — current rows, superseded delta versions, and (with
+        ``expire_history``) the time-travel snapshots that could still
+        serve them. A CDC tombstone (``op='d'``, MongoSinkTask.kt:52-60)
+        only HIDES a key from merge-on-read; a right-to-be-forgotten
+        request needs the bytes gone from storage.
+
+        Physical shape: the deletion list hashes to buckets with the
+        writer's own expression (``_keys_and_buckets``), and ONLY those
+        buckets are rewritten (base ∪ deltas → anti-filter → new base
+        generation) — at 10^10 rows a 50-key erasure touches
+        ~50/``n_buckets`` of the table, the same pruning as
+        ``read_for_keys``; every other key's full version history is
+        preserved byte for byte (no LWW collapse, no tombstone purge —
+        this is erasure, not compaction). The rewrite commits through
+        the normal check-and-swap, then prior snapshots are expired and
+        unreferenced file groups vacuumed (erasure necessarily truncates
+        time travel — Iceberg's expire+remove_orphan_files discipline).
+        Maintenance op: run from the single maintenance writer, like
+        ``compact`` (the immediate-vacuum grace default assumes no
+        concurrent upsert is staging files).
+
+        Returns an audit receipt: buckets rewritten, version rows
+        erased, snapshots expired, file groups removed."""
+        if not keys:
+            raise ValueError("scrub_keys: empty deletion list")
+        typed, buckets = self._keys_and_buckets(keys)
+        if not typed:
+            return {
+                "buckets_rewritten": 0,
+                "versions_scrubbed": 0,
+                "snapshots_expired": 0,
+                "files_removed": 0,
+            }
+        obsolete: list[str] = []
+        affected: list[int] = []
+        scrubbed = 0
+        for b in buckets:
+            state = self.meta["buckets"].get(str(b))
+            if not state:
+                continue
+            paths = self._bucket_paths(str(b), state)
+            if not paths:
+                continue
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            hit = df.filter(F.col(self.key).isin(typed)).count()
+            if hit == 0:
+                continue  # nothing to erase here — leave the files alone
+            scrubbed += hit
+            kept = df.filter(~F.col(self.key).isin(typed))
+            order = self.meta.get("sort_order")
+            if order:
+                present = [c for c in order if c in kept.columns]
+                if present:
+                    kept = kept.sortWithinPartitions(*present)
+            gen = (state["base"] or 0) + 1
+            staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
+            kept.write.mode("overwrite").parquet(staging)
+            if not any(f.startswith("part-") for f in os.listdir(staging)):
+                shutil.rmtree(staging, ignore_errors=True)
+                self.meta["buckets"][str(b)] = {"base": None, "deltas": []}
+            else:
+                dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(staging, dst)
+                self.meta["buckets"][str(b)] = {"base": gen, "deltas": []}
+            obsolete.extend(paths)
+            affected.append(b)
+        n_expired = 0
+        if expire_history:
+            # every pre-scrub snapshot references pre-rewrite file groups
+            # for the affected buckets — retaining any would keep the
+            # scrubbed rows readable via read_as_of.
+            n_expired = len(self.meta["snapshots"])
+            self.meta["snapshots"] = []
+        self._record_commit(f"scrub-g{self._generation + 1}", affected)
+        self._write_meta()
+        for path in obsolete:
+            shutil.rmtree(path, ignore_errors=True)
+        swept = self.vacuum(older_than_seconds=vacuum_grace_seconds)
+        return {
+            "buckets_rewritten": len(affected),
+            "versions_scrubbed": scrubbed,
+            "snapshots_expired": n_expired,
+            "files_removed": len(obsolete) + swept["removed"],
+        }
+
     # -- snapshot lifecycle --------------------------------------------------
 
     def _snapshot_for(self, batch_id: int | str, op: str) -> dict:

@@ -700,3 +700,123 @@ def test_rollback_expire_vacuum_lifecycle(spark, tmp_path):
         t.rollback(99)
     with _pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
+
+
+def test_scrub_keys_erases_every_version(spark, tmp_path):
+    """GDPR erasure: every version of the scrubbed keys is physically
+    gone from every file under the table root; every OTHER key's full
+    version history and the untouched buckets' files are preserved;
+    time travel to pre-scrub snapshots is truncated."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8, payload_col="object")
+    t.upsert(
+        mk(spark, [ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": i})
+                   for i in range(32)]),
+        0,
+    )
+    t.upsert(
+        mk(spark, [ev(200, i, 100 + i, "u", "t.a", key(i), {"_id": key(i), "v": -i})
+                   for i in range(8)]
+           + [ev(200, 99, 199, "d", "t.a", key(8), None)]),
+        1,
+    )
+    victims = [key(1), key(3)]
+    before_paths = set(t._current_paths())
+    touched_buckets = set(t._keys_and_buckets(victims)[1])
+
+    receipt = t.scrub_keys(victims)
+    assert receipt["versions_scrubbed"] == 4  # insert + update for each
+    assert receipt["buckets_rewritten"] == len(touched_buckets)
+    assert receipt["snapshots_expired"] == 2
+
+    # gone from reads, even with tombstones visible
+    live = {r["id"] for r in t.read().collect()}
+    assert not (set(victims) & live) and key(2) in live
+    assert not (
+        set(victims)
+        & {r["id"] for r in t.read(include_tombstones=True).collect()}
+    )
+    # gone from EVERY file on disk (including superseded groups)
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "lake" / "data" / "**" / "*.parquet"),
+                       recursive=True)
+    allrows = spark.read.option("mergeSchema", "true").parquet(*files)
+    assert allrows.filter(F.col("id").isin(victims)).count() == 0
+    # other keys keep BOTH versions; unaffected buckets byte-identical paths
+    assert allrows.filter(F.col("id") == key(2)).count() == 2
+    kept_paths = {
+        p for p in before_paths
+        if int(p.split("bucket=")[1].split("/")[0]) not in touched_buckets
+    }
+    assert kept_paths < set(t._current_paths()) | kept_paths
+    for p in kept_paths:
+        assert __import__("os").path.exists(p)
+    # pre-scrub time travel is truncated (loud), the scrub commit remains
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read_as_of(0)
+    assert any(
+        s["batch_id"].startswith("scrub-") for s in t.meta["snapshots"]
+    )
+    # fresh handle sees the scrubbed state; re-upsert of a victim works
+    t2 = LakeTable(spark, str(tmp_path / "lake"))
+    assert t2.read().filter(F.col("id").isin(victims)).count() == 0
+    t2.upsert(
+        mk(spark, [ev(300, 0, 300, "i", "t.a", key(1), {"_id": key(1), "v": 7})]),
+        2,
+    )
+    assert t2.read().filter(F.col("id") == key(1)).count() == 1
+
+    with pytest.raises(ValueError, match="empty deletion list"):
+        t2.scrub_keys([])
+
+
+def test_scrub_absent_key_rewrites_nothing_but_truncates_history(spark, tmp_path):
+    """Scrubbing a key the current state doesn't hold rewrites no bucket
+    (receipt zeros) but still expires snapshots — superseded groups a
+    snapshot references could hold versions the live state no longer
+    shows."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4, payload_col="object")
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(0), {"_id": key(0), "v": 0})]), 0
+    )
+    before = set(t._current_paths())
+    receipt = t.scrub_keys([key(999)])
+    assert receipt["buckets_rewritten"] == 0
+    assert receipt["versions_scrubbed"] == 0
+    assert receipt["snapshots_expired"] == 1
+    assert set(t._current_paths()) == before
+    assert t.read().count() == 1
+
+
+def test_cli_scrub_receipt(tmp_path, spark):
+    """Out-of-process `scrub`: prints the audit receipt; the key is gone
+    from a subsequent out-of-process lookup."""
+    import os
+    import subprocess
+    import sys
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    t.upsert(
+        mk(spark, [
+            ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)}),
+            ev(100, 1, 1, "i", "t.a", key(2), {"_id": key(2)}),
+        ]),
+        0,
+    )
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "scrub",
+         "--table", str(tmp_path / "lake"), "--keys", key(1)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["versions_scrubbed"] == 1 and out["buckets_rewritten"] == 1
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "lookup",
+         "--table", str(tmp_path / "lake"), "--keys", f"{key(1)},{key(2)}"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    assert {x["id"] for x in rows} == {key(2)}
