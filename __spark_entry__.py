@@ -520,6 +520,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c6_mix_weights"] = _c6
 
+    # The mixture EXECUTED: c6's weights applied as a deterministic
+    # id-local hash gate; per-domain kept doc/token counts.
+    def _c11(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import apply_mix
+
+        mixed = apply_mix(
+            _docs(spark, sf), {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.1}
+        )
+        return mixed.groupBy(F.col("lang").alias("domain")).agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+        )
+
+    q["c11_domain_mix"] = _c11
+
     # Incremental decontamination: a deterministic "daily batch" (every
     # 20th doc perturbed, d8's fixture shape) probed against the
     # persisted train-gram index — train text never re-read.
@@ -2256,6 +2273,33 @@ SELECT domain, n_docs, n_tokens,
                                WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
                                ELSE 0.0 END / (n_tokens / all_tokens)), 6) AS weight
 FROM per, tot
+""".strip()
+
+    # c11: c6's weight formula verbatim, converted to basis points with
+    # floor(w*10000 + 0.5) (IEEE-reproducible), gating the same salted
+    # md5 bucket as the Spark side.
+    o["c11_domain_mix"] = """
+WITH per AS (
+  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_tokens) AS all_tokens FROM per),
+w AS (
+  SELECT domain,
+    CAST(floor(round(least(1.0, CASE domain
+        WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+        WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+        ELSE 0.0 END / (n_tokens / all_tokens)), 6) * 10000 + 0.5) AS BIGINT)
+      AS bp
+  FROM per, tot),
+kept AS (
+  SELECT d.lang AS domain, len(regexp_split_to_array(d.text, '\\s+')) AS t
+  FROM documents d JOIN w ON w.domain = d.lang
+  WHERE CAST(CAST(concat('0x', substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        AS UBIGINT) % 10000 AS BIGINT) < w.bp)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(t) AS BIGINT) AS n_tokens_kept
+FROM kept GROUP BY domain
 """.strip()
 
     # c8: corpus-relative quality gate — Spark's exact percentile

@@ -283,6 +283,48 @@ def mix_weights(
     )
 
 
+def apply_mix(
+    docs: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """c11: MATERIALIZE the domain mixture — compute the per-domain
+    downsampling weights from the measured token shares
+    (``mix_weights``) and apply them in the same pass as a deterministic
+    hash gate, yielding the actual mixed corpus (DoReMi/Pile-style
+    reweighting, executed instead of reported).
+
+    The weights table is O(|domains|) — collected driver-side as the
+    model artifact (the bounded-collect discipline of the IVF
+    centroids, never a corpus-sized collect); the gate itself is a
+    row-local CASE + salted md5 bucket (``select.sample_hash``), so the
+    sampling pass adds ZERO exchanges to the corpus scan and a doc's
+    keep/drop decision never changes under repartitioning, retries, or
+    corpus growth (id-local, like the split/shard family). The weight →
+    basis-point conversion is ``floor(w * 10000 + 0.5)`` — plain IEEE
+    double ops, reproducible in any engine (Python's half-to-even
+    ``round`` is NOT)."""
+    from math import floor
+
+    from .select import RATE_DENOM, sample_hash
+
+    w = mix_weights(docs, targets, domain_col)
+    rate_bp = {
+        r["domain"]: int(floor(r["weight"] * RATE_DENOM + 0.5))
+        for r in w.collect()
+    }
+    gate = None
+    for dom, bp in sorted(rate_bp.items()):
+        gate = (
+            F.when(F.col(domain_col) == dom, F.lit(bp))
+            if gate is None
+            else gate.when(F.col(domain_col) == dom, F.lit(bp))
+        )
+    gate = gate.otherwise(F.lit(0)) if gate is not None else F.lit(0)
+    return docs.filter(sample_hash(F.col("doc_id"), salt) < gate)
+
+
 def shard_assignments(
     docs: DataFrame,
     n_shards: int = 64,

@@ -98,3 +98,33 @@ def test_split_is_pure_function_of_bucket(spark, ids):
             "test" if r["_b"] < 3000 else "val" if r["_b"] < 5000 else "train"
         )
         assert r["split"] == expect
+
+
+def test_apply_mix_gate_semantics(spark):
+    """c11: an over-target domain is downsampled to ~its weight, an
+    at-target domain keeps everything, an untargeted domain drops
+    entirely, and every decision is id-local (stable under
+    repartitioning)."""
+    from kafka_connect_mongo_spark.pipelines.splits import apply_mix, mix_weights
+
+    rows = [(i, "w " * 9, "big") for i in range(2000)] + [
+        (10_000 + i, "w " * 9, "small") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    targets = {"big": 0.5, "small": 0.5}
+    mixed = apply_mix(docs, targets)
+    got = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    w = {r["domain"]: r["weight"] for r in mix_weights(docs, targets).collect()}
+    # small is under target -> weight capped at 1, kept in full
+    assert w["small"] == 1.0 and got["small"] == 200
+    # big is downsampled to ~weight (hash gate is uniform, 2000 draws)
+    assert abs(got["big"] / 2000 - w["big"]) < 0.05
+    # untargeted domain vanishes
+    none_kept = apply_mix(docs, {"small": 1.0})
+    assert {r["lang"] for r in none_kept.select("lang").distinct().collect()} == {"small"}
+    # id-local: identical keep-set under different partitioning
+    a = {r["doc_id"] for r in mixed.collect()}
+    b = {r["doc_id"] for r in apply_mix(docs.repartition(13), targets).collect()}
+    assert a == b
