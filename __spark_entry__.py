@@ -689,6 +689,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st16_key_scrub"] = _st16
 
+    # Streaming cardinality monitoring: per-batch HLL registers merged
+    # by register-wise max — the accumulated estimate must equal the
+    # batch sketch (a9) EXACTLY (max is associative + idempotent), so
+    # st17 shares a9's oracle verbatim.
+    def _st17(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.hll_stream import (
+            run_hll_stream,
+        )
+
+        clean = (
+            F.coalesce(F.col("from_migrate"), F.lit(False)) == F.lit(False)
+        ) & F.col("op").isin("i", "u", "d")
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-hllstream-",
+            [clean & (F.col("seq") % 2 == 0), clean & (F.col("seq") % 2 == 1)],
+        )
+        est = run_hll_stream(spark, staged, os.path.join(work, "hll"))
+        exact = (
+            _feed(spark, sf)
+            .groupBy("ns")
+            .agg(F.countDistinct("id").alias("n_exact"))
+        )
+        return est.join(exact, "ns").select(
+            "ns",
+            "n_registers",
+            "est_distinct",
+            "n_exact",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                / F.col("n_exact")
+                * 100,
+                2,
+            ).alias("rel_err_pct"),
+        )
+
+    q["st17_streaming_hll"] = _st17
+
     # Streaming SCD2 maintenance: the CDC stream folds each micro-batch
     # into the merge-on-read history (closed facts + LWW current view);
     # the reconstructed history must equal the batch rebuild exactly
@@ -1113,6 +1150,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s11_bm25_topk"] = _s11
 
+    # Incremental index maintenance: index half the corpus, fold the
+    # other half in WITHOUT re-reading the first (O(|batch|) append) —
+    # the updated index must answer exactly like a full rebuild
+    # (shares s10's oracle verbatim).
+    def _s12(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines import search as srch
+
+        terms = ["dup", "merge", "vector"]
+        docs = _docs(spark, sf)
+        path = os.path.join(tempfile.mkdtemp(prefix="cdc-sidx-inc-"), "index")
+        srch.build_search_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        srch.update_search_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        return srch.search_all(
+            srch.read_postings_for_terms(spark, path, terms), terms
+        )
+
+    q["s12_incremental_index"] = _s12
+
     from kafka_connect_mongo_spark.pipelines import select as sel
 
     q["d6_stratified_sample"] = lambda spark, sf: sel.stratified_sample(
@@ -1454,6 +1511,9 @@ SELECT e.ns, n_registers, est_distinct, n_exact,
        round(abs(est_distinct - n_exact) / n_exact * 100, 2) AS rel_err_pct
 FROM e JOIN x ON e.ns = x.ns
 """.strip()
+
+    # st17: the streamed register merge is exactly the batch sketch.
+    o["st17_streaming_hll"] = o["a9_hll_distinct"]
 
     # h1: SCD2 intervals via lead() over the per-(ns, id) total order;
     # tombstone rows close intervals but emit no version.
@@ -1970,6 +2030,10 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM p WHERE term IN ('dup', 'merge', 'vector')
 GROUP BY doc_id HAVING count(DISTINCT term) = 3
 """.strip()
+
+    # s12: the incrementally-updated index answers exactly like a full
+    # rebuild — s10's oracle verbatim.
+    o["s12_incremental_index"] = o["s10_index_search"]
 
     _k1, _k1p1, _b, _omb = (
         repr(BM25_K1),

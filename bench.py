@@ -69,6 +69,10 @@ def main() -> None:
         "h3_scd2_incremental",  # batch fold into existing history
         "h4_history_asof",      # point-in-time state from the history
         "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
+        "a9_hll_distinct",      # mergeable HLL register sketch + estimate
+        "s10_index_search",     # bucket-pruned conjunctive probe of the inverted index
+        "s11_bm25_topk",        # BM25 ranking over the probed postings
+        "c11_domain_mix",       # mixture weights executed as an id-local gate
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per
@@ -81,6 +85,7 @@ def main() -> None:
         "st8_session_window",
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup
         "st15_streaming_scd2",  # streaming SCD2 fold (MoR history write)
+        "st16_key_scrub",       # full-feed MERGE + bucket-pruned GDPR erasure
     ]
 
     def run_noop(df) -> None:

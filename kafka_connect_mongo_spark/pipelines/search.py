@@ -101,6 +101,37 @@ def build_search_index(
         json.dump({"n_buckets": n_buckets, "token_re": SEARCH_TOKEN_RE}, fh)
 
 
+def update_search_index(
+    docs_batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance: append ONLY the new documents'
+    postings into the bucket partitions and fold their counts into the
+    stats row — the indexed corpus is never re-read (the d8/c7
+    persisted-index lifecycle discipline, applied to retrieval). Daily
+    ingest at 100 TB is an O(|batch|) tokenize + one partitioned append.
+
+    Contract: the batch's doc_ids are NEW to the index (the same
+    incremental-ingest contract as ``dedup.incremental_neardup``);
+    re-indexing an updated document requires erasing its old postings
+    first."""
+    with open(path + ".meta.json") as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    postings = doc_postings(docs_batch, id_col, text_col)
+    postings.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+    ).write.partitionBy("bucket").mode("append").parquet(path)
+    spark = docs_batch.sparkSession
+    add = corpus_stats(postings).collect()[0]
+    old = spark.read.parquet(path + ".stats").collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] + add["n_docs"], old["sum_dl"] + add["sum_dl"])],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(path + ".stats")
+
+
 def read_postings_for_terms(
     spark: SparkSession, path: str, terms: list[str]
 ) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Streaming cardinality monitoring: per-batch HLL registers accumulated
+into a persisted sketch table.
+
+The streaming form of a9 (``operators/metrics.hll_registers``): each
+micro-batch computes its own fixed-size register table (one map-side-
+combined aggregation over the batch — never a re-scan of history) and
+writes it under a ``batch_id``-keyed partition with OVERWRITE (the
+``dedup_stream`` idempotent-retry discipline: a retried batch replaces
+its own partition, so a mid-batch crash cannot double-write). The
+accumulated sketch is the register-wise MAX across all batch partitions,
+taken at read time — and because max is associative, commutative, AND
+idempotent, the merged estimate is EXACTLY the batch pipeline's estimate
+over the union of all batches, regardless of batch boundaries, replay,
+or arrival order. That equality is the correctness oracle (st17 shares
+a9's oracle verbatim).
+
+Scale: state is O(groups × 2^p) rows total (a few KB per namespace) —
+the cardinality monitor a 10^10-event stream can afford, where the
+exact ``countDistinct`` it replaces is a full shuffle of every key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metrics import hll_estimate, hll_registers
+
+
+def read_hll_registers(
+    spark: SparkSession, work_dir: str, group_cols: tuple[str, ...] = ("ns",)
+) -> DataFrame:
+    """The accumulated register table: max over every batch's sketch."""
+    regs_dir = os.path.join(work_dir, "regs")
+    if not (
+        os.path.isdir(regs_dir)
+        and any(e.startswith("batch_id=") for e in os.listdir(regs_dir))
+    ):
+        cols = ", ".join(f"{c} string" for c in group_cols)
+        return spark.createDataFrame([], f"{cols}, reg long, r int")
+    return (
+        spark.read.parquet(regs_dir)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    key: str = "id",
+    group_cols: tuple[str, ...] = ("ns",),
+    p: int = 9,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream the feed through per-batch register sketches; returns the
+    merged per-group cardinality estimates."""
+    regs_dir = os.path.join(work_dir, "regs")
+    schema = spark.read.parquet(feed_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(
+            batch_df.select(key, *group_cols), key, group_cols, p
+        ).write.mode("overwrite").parquet(
+            os.path.join(regs_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_estimate(
+        read_hll_registers(spark, work_dir, group_cols), group_cols, p
+    )

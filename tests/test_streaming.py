@@ -608,3 +608,92 @@ def test_history_stream_compaction_then_continue(spark, tmp_path_factory):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_hll_stream_equals_batch_sketch_with_crash_retry(spark, tmp_path_factory):
+    """st17: the accumulated register merge equals the batch sketch
+    exactly — across batch splits, a resumed stream, and a retried batch
+    whose failed attempt already wrote (garbage) registers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.operators.metrics import hll_distinct
+    from kafka_connect_mongo_spark.streaming.hll_stream import run_hll_stream
+
+    work = tmp_path_factory.mktemp("hll-stream")
+    staged = str(work / "feed")
+    rows = [(f"k-{i:06d}", "a.t" if i % 3 else "b.t") for i in range(4000)]
+    feed = spark.createDataFrame(rows, "id string, ns string")
+
+    feed.filter(F.col("id") < "k-002000").coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    run_hll_stream(spark, staged, str(work / "hll"))
+
+    # second file arrives; a FAILED attempt of its batch wrote garbage
+    # registers under the batch partition (no checkpoint commit)
+    feed.filter(F.col("id") >= "k-002000").coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    spark.createDataFrame(
+        [("a.t", 0, 52), ("zzz.fake", 1, 52)], "ns string, reg long, r int"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(work / "hll"), "regs", "batch_id=1")
+    )
+
+    est = run_hll_stream(spark, staged, str(work / "hll"))
+    got = {(r["ns"], r["n_registers"], r["est_distinct"]) for r in est.collect()}
+    want = {
+        (r["ns"], r["n_registers"], r["est_distinct"])
+        for r in hll_distinct(feed, "id", ("ns",)).collect()
+    }
+    assert got == want  # garbage overwritten; merge == batch sketch
+
+    # replaying the whole stream into the same work dir changes nothing
+    # (max-merge is idempotent)
+    est2 = run_hll_stream(spark, staged, str(work / "hll"))
+    assert {tuple(r) for r in est2.collect()} == {tuple(r) for r in est.collect()}
+
+
+def test_incremental_search_index_equals_rebuild(spark, tmp_path_factory):
+    """s12: fold a new batch into the inverted index (corpus not
+    re-read); every probe — conjunctive and BM25 — answers exactly like
+    a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.search import (
+        bm25_topk,
+        build_search_index,
+        read_corpus_stats,
+        read_postings_for_terms,
+        search_all,
+        update_search_index,
+    )
+
+    work = tmp_path_factory.mktemp("sidx-inc")
+    rows = [
+        (i, f"alpha beta w{i % 7} gamma " + ("delta " * (i % 3)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = str(work / "inc")
+    full = str(work / "full")
+    build_search_index(docs.filter(F.col("doc_id") % 2 == 0), inc, n_buckets=8)
+    update_search_index(docs.filter(F.col("doc_id") % 2 == 1), inc)
+    build_search_index(docs, full, n_buckets=8)
+
+    terms = ["alpha", "delta"]
+    got_s = {tuple(r) for r in search_all(
+        read_postings_for_terms(spark, inc, terms), terms).collect()}
+    want_s = {tuple(r) for r in search_all(
+        read_postings_for_terms(spark, full, terms), terms).collect()}
+    assert got_s == want_s and got_s
+
+    got_b = [tuple(r) for r in bm25_topk(
+        read_postings_for_terms(spark, inc, terms),
+        read_corpus_stats(spark, inc), terms, k=5).collect()]
+    want_b = [tuple(r) for r in bm25_topk(
+        read_postings_for_terms(spark, full, terms),
+        read_corpus_stats(spark, full), terms, k=5).collect()]
+    assert got_b == want_b and len(got_b) == 5
