@@ -952,6 +952,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a9_hll_distinct"] = _a9
 
+    # Histogram quantile sketch: bounded-state per-group p50/p95 from a
+    # 256-bin equi-width histogram (two map-side aggs; shuffle <=
+    # |groups|*bins rows), reported against A6's exact percentiles as a
+    # fraction of the group range so the query documents the
+    # <= range/bins error bound holding.
+    def _a10(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import (
+            quantile_histogram,
+            value_percentiles,
+        )
+
+        ev = _events(spark, sf)
+        est = quantile_histogram(ev, "value", ("event_type",), 256, (0.5, 0.95))
+        wide = est.groupBy("event_type", "n_events", "vmin", "vmax").agg(
+            F.max(F.when(F.col("q") == F.lit(0.5), F.col("est_q"))).alias("hist_p50"),
+            F.max(F.when(F.col("q") == F.lit(0.95), F.col("est_q"))).alias("hist_p95"),
+        )
+        exact = value_percentiles(ev).select("event_type", "p50", "p95")
+        span = F.col("vmax") - F.col("vmin")
+
+        def err(est_c: str, exact_c: str):
+            return F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)).otherwise(
+                F.round(F.abs(F.col(est_c) - F.col(exact_c)) / span * 100, 3)
+            )
+
+        return wide.join(exact, "event_type").select(
+            "event_type",
+            "n_events",
+            "hist_p50",
+            "p50",
+            "hist_p95",
+            "p95",
+            err("hist_p50", "p50").alias("err50_pct_range"),
+            err("hist_p95", "p95").alias("err95_pct_range"),
+        )
+
+    q["a10_quantile_sketch"] = _a10
+
     # SCD2 history: every payload version with its validity interval in
     # the feed's ordering domain; tombstones close intervals (T6); the
     # is_current rows are by construction the LWW final state.
@@ -1515,6 +1553,7 @@ FROM e JOIN x ON e.ns = x.ns
     # st17: the streamed register merge is exactly the batch sketch.
     o["st17_streaming_hll"] = o["a9_hll_distinct"]
 
+
     # h1: SCD2 intervals via lead() over the per-(ns, id) total order;
     # tombstone rows close intervals but emit no version.
     o["h1_scd2_history"] = f"""
@@ -1725,6 +1764,57 @@ cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROU
 SELECT cnt.event_type, round(p50.pv, 6) AS p50, round(p95.pv, 6) AS p95, cnt.n_events
 FROM cnt JOIN p50 ON cnt.event_type = p50.event_type
          JOIN p95 ON cnt.event_type = p95.event_type
+""".strip()
+
+    # a10: equi-width histogram quantile, operation-for-operation the same
+    # IEEE double expressions as quantile_histogram (bin index, cumulative
+    # long counts, within-bin linear interpolation), plus A6's exact-
+    # percentile replication for the error columns.
+    o["a10_quantile_sketch"] = f"""
+WITH bounds AS (
+  SELECT event_type, min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax,
+         CAST(count(value) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type),
+binned AS (
+  SELECT e.event_type, b.vmin, b.vmax, b.n_events,
+         CASE WHEN b.vmax = b.vmin THEN CAST(0 AS BIGINT)
+              ELSE LEAST(CAST(floor((CAST(e.value AS DOUBLE) - b.vmin) / ((b.vmax - b.vmin) / 256.0)) AS BIGINT),
+                         CAST(255 AS BIGINT)) END AS bin
+  FROM events e JOIN bounds b USING (event_type)),
+hist AS (
+  SELECT event_type, vmin, vmax, n_events, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY event_type, vmin, vmax, n_events, bin),
+cum AS (
+  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum FROM hist),
+picked AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+    FROM (SELECT cum.*, qq.q FROM cum
+          CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS q UNION ALL SELECT CAST(0.95 AS DOUBLE)) qq
+          WHERE CAST(cum AS DOUBLE) >= q * CAST(n_events AS DOUBLE)) s) t
+  WHERE rn = 1),
+est AS (
+  SELECT event_type, q, n_events, vmin, vmax,
+         round(CASE WHEN vmax = vmin THEN vmin
+               ELSE vmin + (CAST(bin AS DOUBLE)
+                            + (q * CAST(n_events AS DOUBLE) - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE))
+                           * ((vmax - vmin) / 256.0) END, 6) AS est_q
+  FROM picked),
+wide AS (
+  SELECT event_type, n_events, vmin, vmax,
+         max(CASE WHEN q = CAST(0.5 AS DOUBLE) THEN est_q END) AS hist_p50,
+         max(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN est_q END) AS hist_p95
+  FROM est GROUP BY event_type, n_events, vmin, vmax),
+p50 AS ({pct.format(p=0.5)}),
+p95 AS ({pct.format(p=0.95)})
+SELECT w.event_type, w.n_events, w.hist_p50, round(p50.pv, 6) AS p50,
+       w.hist_p95, round(p95.pv, 6) AS p95,
+       CASE WHEN w.vmax = w.vmin THEN 0.0
+            ELSE round(abs(w.hist_p50 - round(p50.pv, 6)) / (w.vmax - w.vmin) * 100, 3) END AS err50_pct_range,
+       CASE WHEN w.vmax = w.vmin THEN 0.0
+            ELSE round(abs(w.hist_p95 - round(p95.pv, 6)) / (w.vmax - w.vmin) * 100, 3) END AS err95_pct_range
+FROM wide w JOIN p50 ON w.event_type = p50.event_type
+            JOIN p95 ON w.event_type = p95.event_type
 """.strip()
 
     # cohort = first active day; offset = days since cohort, distinct users

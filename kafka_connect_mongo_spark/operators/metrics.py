@@ -10,7 +10,7 @@ count, ``MongoSourceTaskTest.kt:192-193``, A3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,4 +204,122 @@ def field_census(feed: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """A10: bounded-state per-group quantile estimates from an equi-width
+    histogram — the sketch dual of ``value_percentiles`` (A6).
+
+    A6's ``F.percentile`` is exact but pays the inherent price of
+    exactness at 10^10 rows: every value shuffles to its group and
+    sorts. This estimator touches the data with TWO map-side-combined
+    aggregations and nothing else:
+
+    1. bounds: per-group (min, max, count) — |groups| rows;
+    2. bin counts: each row's bin index is a row-local Column expression
+       against the joined bounds; ``groupBy(group, bin)`` partial-
+       aggregates before the exchange, so the shuffle carries at most
+       ``|groups| * bins`` rows per partition, independent of n.
+
+    The bounds join is NOT hint-forced (the t8/t9 lesson): the bounds
+    table is one row per group, so AQE broadcasts it when small and
+    degrades to a shuffle join if a pathological grouping makes it
+    large. The quantile itself is linear interpolation inside the first
+    bin whose cumulative count reaches ``q*n`` (uniform-within-bin
+    assumption), picked via row_number + WindowGroupLimit over the
+    ≤ ``|groups| * bins * |quantiles|`` exploded cumulative rows —
+    driver never sees data.
+
+    Error is bounded by construction: the estimate lands inside the
+    right bin, so |est - exact| <= (max-min)/bins — the A10 query
+    reports the measured error against A6's exact values as a fraction
+    of the group's range to document exactly that.
+
+    Determinism: bin counts and cumulative sums are exact longs; the
+    only floats are the bin-index expression and the final one-line
+    interpolation, both fixed-shape IEEE double expressions a DuckDB
+    oracle replicates operation for operation — no float SUMMATION
+    anywhere, so the result is identical under any partitioning (the
+    same discipline as ``hll_estimate``). Mergeability: bin-count
+    tables built from disjoint batches against the SAME frozen bounds
+    add by (group, bin) — the accumulation form a streaming monitor
+    would checkpoint; this one-shot form derives bounds from the same
+    pass for self-contained use.
+
+    Output (long format): ``*group_cols, q, est_q, n_events, vmin,
+    vmax`` — one row per group x quantile.
+
+    Reference anchor: the progress/metrics channel
+    (``OplogReader.kt:74-82``) turned into a distribution monitor, the
+    way A9 turned A3's distinct count into a sketch.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    g = list(group_cols)
+    missing = [c for c in (*g, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing columns: {missing} (have {df.columns})")
+
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*g).agg(
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.count(value_col).alias("n_events"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(bins))
+    # bin index rides the scan projection row-locally; bounds columns ride
+    # the aggregation as grouping keys (one value per group — no extra
+    # group cardinality, no second join back).
+    binned = df.join(bounds, g).select(
+        *g,
+        "vmin",
+        "vmax",
+        "n_events",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long"))
+        .otherwise(F.least(F.floor((v - F.col("vmin")) / width), F.lit(bins - 1).cast("long")))
+        .alias("bin"),
+    )
+    hist = binned.groupBy(*g, "vmin", "vmax", "n_events", "bin").agg(
+        F.count("*").alias("c")
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy(*g).orderBy("bin"))
+    )
+    expl = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(qq)) for qq in quantiles]))
+    )
+    target = F.col("q") * F.col("n_events").cast("double")
+    pick_w = Window.partitionBy(*g, "q").orderBy("bin")
+    picked = (
+        expl.filter(F.col("cum").cast("double") >= target)
+        .withColumn("_rn", F.row_number().over(pick_w))
+        .filter(F.col("_rn") == 1)
+    )
+    est = F.col("vmin") + (
+        F.col("bin").cast("double")
+        + (target - (F.col("cum") - F.col("c")).cast("double")) / F.col("c").cast("double")
+    ) * width
+    return picked.select(
+        *g,
+        "q",
+        F.round(
+            F.when(F.col("vmax") == F.col("vmin"), F.col("vmin")).otherwise(est), 6
+        ).alias("est_q"),
+        "n_events",
+        "vmin",
+        "vmax",
     )

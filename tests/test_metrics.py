@@ -96,3 +96,128 @@ def test_bad_precision_raises(spark):
     df = spark.createDataFrame([("k",)], "id string")
     with pytest.raises(ValueError, match="precision"):
         hll_registers(df, "id", (), 3)
+
+
+# ---------------------------------------------------------------- a10
+
+
+def _qh_df(spark, rows):
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+def test_quantile_histogram_error_bound(spark):
+    """Estimates land within one bin width of the exact percentile —
+    the estimator's defining guarantee."""
+    import random
+
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+
+    rng = random.Random(7)
+    rows = [("a", rng.uniform(0, 1000)) for _ in range(2000)] + [
+        ("b", rng.gauss(50, 10)) for _ in range(1500)
+    ]
+    df = _qh_df(spark, rows)
+    bins = 128
+    est = {
+        (r["grp"], r["q"]): (r["est_q"], r["vmin"], r["vmax"])
+        for r in quantile_histogram(df, "value", ("grp",), bins, (0.5, 0.95)).collect()
+    }
+    exact = {
+        r["grp"]: (r["p50"], r["p95"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(est) == {("a", 0.5), ("a", 0.95), ("b", 0.5), ("b", 0.95)}
+    for (grp, q), (e, vmin, vmax) in est.items():
+        ex = exact[grp][0 if q == 0.5 else 1]
+        assert abs(e - ex) <= (vmax - vmin) / bins + 1e-9, (grp, q, e, ex)
+
+
+def test_quantile_histogram_partition_independent(spark):
+    import random
+
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+
+    rng = random.Random(11)
+    rows = [("g", rng.uniform(-5, 5)) for _ in range(999)]
+    df = _qh_df(spark, rows)
+    a = quantile_histogram(df.repartition(1), "value", ("grp",), 64, (0.25, 0.75)).collect()
+    b = quantile_histogram(df.repartition(13), "value", ("grp",), 64, (0.25, 0.75)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quantile_histogram_merge_by_bin_sum(spark):
+    """Bin-count tables from disjoint batches against FROZEN bounds add
+    by (group, bin) — the accumulation discipline the docstring
+    promises. Verified by replicating the binning on a frozen bounds
+    table and checking half+half == whole."""
+    import random
+
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+
+    rng = random.Random(3)
+    rows = [("g", rng.uniform(0, 100)) for _ in range(800)]
+    # freeze bounds by injecting sentinel min/max rows into both halves
+    lo, hi = ("g", 0.0), ("g", 100.0)
+    h1 = _qh_df(spark, [lo, hi] + rows[:400])
+    h2 = _qh_df(spark, [lo, hi] + rows[400:])
+    whole = _qh_df(spark, [lo, hi, lo, hi] + rows)
+
+    def hist(df):
+        out = {}
+        for r in (
+            quantile_histogram(df, "value", ("grp",), 32, (1.0,))
+            .select("vmin", "vmax")
+            .collect()
+        ):
+            assert (r["vmin"], r["vmax"]) == (0.0, 100.0)
+        from pyspark.sql import functions as SF
+
+        width = 100.0 / 32
+        binned = df.select(
+            SF.least(SF.floor(SF.col("value") / SF.lit(width)), SF.lit(31)).alias("bin")
+        )
+        for r in binned.groupBy("bin").count().collect():
+            out[r["bin"]] = r["count"]
+        return out
+
+    ha, hb, hw = hist(h1), hist(h2), hist(whole)
+    merged = {b: ha.get(b, 0) + hb.get(b, 0) for b in set(ha) | set(hb)}
+    assert merged == hw
+
+
+def test_quantile_histogram_degenerate_and_validation(spark):
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+
+    # constant group: every estimate is the constant, zero error
+    df = _qh_df(spark, [("c", 42.0)] * 10)
+    out = quantile_histogram(df, "value", ("grp",), 16, (0.5, 0.95)).collect()
+    assert all(r["est_q"] == 42.0 for r in out)
+    with pytest.raises(ValueError, match="bins"):
+        quantile_histogram(df, "value", ("grp",), 1, (0.5,))
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_histogram(df, "value", ("grp",), 16, ())
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_histogram(df, "value", ("grp",), 16, (0.0,))
+    with pytest.raises(ValueError, match="missing columns"):
+        quantile_histogram(df, "nope", ("grp",), 16, (0.5,))
+
+
+def test_quantile_histogram_plan_bounded(spark):
+    """The plan partial-aggregates both phases map-side and never forces
+    a broadcast of the bounds table (AQE decides)."""
+    import random
+
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+
+    rng = random.Random(5)
+    df = _qh_df(spark, [("g%d" % (i % 3), rng.uniform(0, 1)) for i in range(300)])
+    est = quantile_histogram(df, "value", ("grp",), 64, (0.5,))
+    plan = est._jdf.queryExecution().toString()
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    # WindowGroupLimit partial top-1 absorbs the picked-bin argmin map-side
+    assert "WindowGroupLimit" in plan, plan
