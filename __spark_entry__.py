@@ -990,6 +990,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a10_quantile_sketch"] = _a10
 
+    # Count-min frequency sketch: d x w counter matrix (one map-side agg
+    # after a d-way explode; shuffle <= d*w rows), point-queried for the
+    # exact top-10 users so the query documents the overestimate
+    # guarantee (n_est >= n_exact, excess bounded by n/w).
+    def _a11(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        ev = _events(spark, sf)
+        d, w = 4, 2048
+        sketch = cms_sketch(ev, "user_id", d, w)
+        top = (
+            ev.groupBy(F.col("user_id").cast("string").alias("k"))
+            .agg(F.count("*").alias("n_exact"))
+            .orderBy(F.desc("n_exact"), F.asc("k"))
+            .limit(10)
+        )
+        est = cms_estimate(sketch, top, "k", d, w)
+        return top.join(est, "k").select(
+            F.col("k").alias("user_id"),
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+
+    q["a11_freq_sketch"] = _a11
+
     # SCD2 history: every payload version with its validity interval in
     # the feed's ordering domain; tombstones close intervals (T6); the
     # is_current rows are by construction the LWW final state.
@@ -1815,6 +1844,32 @@ SELECT w.event_type, w.n_events, w.hist_p50, round(p50.pv, 6) AS p50,
             ELSE round(abs(w.hist_p95 - round(p95.pv, 6)) / (w.vmax - w.vmin) * 100, 3) END AS err95_pct_range
 FROM wide w JOIN p50 ON w.event_type = p50.event_type
             JOIN p95 ON w.event_type = p95.event_type
+""".strip()
+
+    # a11: the same md5 hash family, counter matrix, and min-of-d point
+    # query as cms_sketch/cms_estimate — all exact longs.
+    _cms_h = (
+        "CAST(CAST(concat('0x', substr(md5('cms-v1-' || CAST({d} AS VARCHAR) || '-' || {k}), 1, 15))"
+        " AS UBIGINT) AS BIGINT) % 2048"
+    )
+    o["a11_freq_sketch"] = f"""
+WITH depths AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(depth)),
+sk AS (
+  SELECT depth, {_cms_h.format(d='depth', k='CAST(e.user_id AS VARCHAR)')} AS col,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN depths GROUP BY 1, 2),
+top AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1 ORDER BY n_exact DESC, k ASC LIMIT 10),
+probe AS (
+  SELECT top.k, top.n_exact, depth,
+         {_cms_h.format(d='depth', k='top.k')} AS col
+  FROM top CROSS JOIN depths),
+est AS (
+  SELECT p.k, p.n_exact, min(coalesce(sk.c, CAST(0 AS BIGINT))) AS n_est
+  FROM probe p LEFT JOIN sk ON p.depth = sk.depth AND p.col = sk.col
+  GROUP BY p.k, p.n_exact)
+SELECT k AS user_id, n_exact, n_est, n_est - n_exact AS overcount FROM est
 """.strip()
 
     # cohort = first active day; offset = days since cohort, distinct users

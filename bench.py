@@ -71,6 +71,7 @@ def main() -> None:
         "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
         "a9_hll_distinct",      # mergeable HLL register sketch + estimate
         "a10_quantile_sketch",  # bounded-state histogram quantiles vs exact
+        "a11_freq_sketch",      # count-min matrix + top-10 point queries
         "s10_index_search",     # bucket-pruned conjunctive probe of the inverted index
         "s11_bm25_topk",        # BM25 ranking over the probed postings
         "c11_domain_mix",       # mixture weights executed as an id-local gate

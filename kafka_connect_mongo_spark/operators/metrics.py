@@ -323,3 +323,91 @@ def quantile_histogram(
         "vmin",
         "vmax",
     )
+
+
+#: salt for the count-min hash family — versioned like HLL_SALT so a
+#: persisted sketch is never merged with one built from different hashes.
+CMS_SALT = "cms-v1"
+
+
+def cms_position(key: F.Column, depth: F.Column, w: int) -> F.Column:
+    """Row-``depth`` counter column for ``key``: first-15-hex-digits-of-
+    md5 60-bit hash (the family's shared engine-portable hash, see
+    ``pipelines/select.sample_hash``) of ``salt-depth-key``, mod w."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(CMS_SALT + "-"),
+                    depth.cast("string"),
+                    F.lit("-"),
+                    key.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(w)
+
+
+def cms_sketch(df: DataFrame, key: str = "id", d: int = 4, w: int = 2048) -> DataFrame:
+    """A11: count-min frequency sketch — the MERGEABLE counter matrix.
+
+    Completes the sketch triad with ``hll_registers`` (cardinality, A9)
+    and ``quantile_histogram`` (quantiles, A10): fixed ``d x w`` state
+    answering "how often does key k occur" within a provable
+    OVERestimate (est >= exact always; excess bounded by n/w per the
+    count-min guarantee), at 10^10 rows where an exact per-key count is
+    a full key shuffle.
+
+    Shape: each row contributes one increment per hash row — the
+    ``d``-way explode multiplies rows BEFORE the hash is computed
+    (the hash depends on depth, so there is no expensive projection
+    shared with the Generate — the t10 CollapseProject hazard does not
+    apply), then ONE map-side-combined aggregation: the exchange
+    carries at most ``d*w`` counter rows per partition, independent of
+    input size. All arithmetic is exact longs — deterministic under any
+    partitioning, reproducible in the DuckDB oracle bit for bit.
+
+    Merge: counter tables from disjoint batches ADD by (depth, col) —
+    the accumulation a streaming monitor checkpoints (batch_id-keyed
+    overwrite partitions make retries idempotent, the dedup_stream
+    discipline, since sum — unlike A9's max — is not idempotent).
+
+    Reference anchor: the per-namespace progress counters
+    (``OplogReader.kt:74-82``) generalized to per-KEY frequency at a
+    state size that never grows.
+    """
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    if key not in df.columns:
+        raise ValueError(f"missing column {key!r} (have {df.columns})")
+    rows = df.select(F.col(key).cast("string").alias("k"))
+    expl = rows.select(
+        "k", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth")
+    )
+    return expl.groupBy(
+        "depth", cms_position(F.col("k"), F.col("depth"), w).alias("col")
+    ).agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str = "k", d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: min over the d
+    counters the key hashes to (absent counter = 0). Join cost is
+    bounded by the PROBE (|keys| x d rows against the d*w-row sketch),
+    never the corpus — the same query-bounded-join posture as BM25."""
+    probes = keys.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth"),
+    ).select("k", "depth", cms_position(F.col("k"), F.col("depth"), w).alias("col"))
+    joined = probes.join(sketch, ["depth", "col"], "left").select(
+        "k", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    return joined.groupBy("k").agg(F.min("c").alias("n_est"))

@@ -221,3 +221,88 @@ def test_quantile_histogram_plan_bounded(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
     # WindowGroupLimit partial top-1 absorbs the picked-bin argmin map-side
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------- a11
+
+
+def _cms_ref_pos(key, depth, w):
+    h = int(hashlib.md5(f"cms-v1-{depth}-{key}".encode()).hexdigest()[:15], 16)
+    return h % w
+
+
+def test_cms_positions_match_python_reference(spark):
+    from kafka_connect_mongo_spark.operators.metrics import cms_sketch
+
+    keys = [f"u{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "id string")
+    d, w = 3, 64
+    got = {
+        (r["depth"], r["col"]): r["c"] for r in cms_sketch(df, "id", d, w).collect()
+    }
+    ref: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for i in range(d):
+            p = (i, _cms_ref_pos(k, i, w))
+            ref[p] = ref.get(p, 0) + 1
+    assert got == ref
+
+
+def test_cms_overestimate_and_exact_when_wide(spark):
+    from kafka_connect_mongo_spark.operators.metrics import cms_estimate, cms_sketch
+
+    import random
+
+    rng = random.Random(13)
+    # zipf-ish: key u0 hot, long tail
+    rows = [(f"u{min(int(rng.paretovariate(1.2)), 40)}",) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "id string")
+    exact = {r["id"]: r["cnt"] for r in df.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    keys = spark.createDataFrame([(k,) for k in exact], "k string")
+    d, w = 4, 512
+    est = {
+        r["k"]: r["n_est"]
+        for r in cms_estimate(cms_sketch(df, "id", d, w), keys, "k", d, w).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k], (k, e, exact[k])
+    # wide sketch (no collisions at this cardinality): exact recovery
+    d2, w2 = 4, 1 << 16
+    est2 = {
+        r["k"]: r["n_est"]
+        for r in cms_estimate(cms_sketch(df, "id", d2, w2), keys, "k", d2, w2).collect()
+    }
+    assert est2 == exact
+
+
+def test_cms_merge_by_sum_and_partition_independence(spark):
+    from kafka_connect_mongo_spark.operators.metrics import cms_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id string")
+    d, w = 4, 128
+    whole = {(r["depth"], r["col"]): r["c"] for r in cms_sketch(df, "id", d, w).collect()}
+    whole_r = {
+        (r["depth"], r["col"]): r["c"]
+        for r in cms_sketch(df.repartition(11), "id", d, w).collect()
+    }
+    assert whole == whole_r
+    h1 = spark.createDataFrame(rows[:500], "id string")
+    h2 = spark.createDataFrame(rows[500:], "id string")
+    a = {(r["depth"], r["col"]): r["c"] for r in cms_sketch(h1, "id", d, w).collect()}
+    b = {(r["depth"], r["col"]): r["c"] for r in cms_sketch(h2, "id", d, w).collect()}
+    merged = {p: a.get(p, 0) + b.get(p, 0) for p in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_cms_validation(spark):
+    from kafka_connect_mongo_spark.operators.metrics import cms_sketch
+
+    df = spark.createDataFrame([("x",)], "id string")
+    with pytest.raises(ValueError, match="d must"):
+        cms_sketch(df, "id", 0, 64)
+    with pytest.raises(ValueError, match="w must"):
+        cms_sketch(df, "id", 4, 1)
+    with pytest.raises(ValueError, match="missing column"):
+        cms_sketch(df, "nope", 4, 64)
