@@ -726,6 +726,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st17_streaming_hll"] = _st17
 
+    # Streaming quantile monitor: bounds frozen by a profile pass, then
+    # per-batch bin counts under batch_id-keyed overwrite partitions;
+    # the sum-merged histogram's estimates equal the one-shot a10
+    # pipeline exactly (shares a10's oracle verbatim).
+    def _st18(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import value_percentiles
+        from kafka_connect_mongo_spark.pipelines.select import sample_hash
+        from kafka_connect_mongo_spark.streaming.quantile_stream import (
+            freeze_bounds,
+            run_quantile_stream,
+        )
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-qstream-")
+        staged = os.path.join(work, "events")
+        os.makedirs(staged)
+        parity = sample_hash(F.col("event_id")) % 2
+        for i in range(2):
+            tmp = os.path.join(work, f"half{i}")
+            ev.filter(parity == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
+        mon = os.path.join(work, "mon")
+        freeze_bounds(ev, mon, "value", ("event_type",))
+        est = run_quantile_stream(
+            spark, staged, mon, "value", ("event_type",), 256, (0.5, 0.95)
+        )
+        wide = est.groupBy("event_type", "n_events", "vmin", "vmax").agg(
+            F.max(F.when(F.col("q") == F.lit(0.5), F.col("est_q"))).alias("hist_p50"),
+            F.max(F.when(F.col("q") == F.lit(0.95), F.col("est_q"))).alias("hist_p95"),
+        )
+        exact = value_percentiles(ev).select("event_type", "p50", "p95")
+        span = F.col("vmax") - F.col("vmin")
+
+        def err(est_c: str, exact_c: str):
+            return F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)).otherwise(
+                F.round(F.abs(F.col(est_c) - F.col(exact_c)) / span * 100, 3)
+            )
+
+        return wide.join(exact, "event_type").select(
+            "event_type",
+            "n_events",
+            "hist_p50",
+            "p50",
+            "hist_p95",
+            "p95",
+            err("hist_p50", "p50").alias("err50_pct_range"),
+            err("hist_p95", "p95").alias("err95_pct_range"),
+        )
+
+    q["st18_streaming_quantiles"] = _st18
+
     # Streaming SCD2 maintenance: the CDC stream folds each micro-batch
     # into the merge-on-read history (closed facts + LWW current view);
     # the reconstructed history must equal the batch rebuild exactly
@@ -1871,6 +1926,9 @@ est AS (
   GROUP BY p.k, p.n_exact)
 SELECT k AS user_id, n_exact, n_est, n_est - n_exact AS overcount FROM est
 """.strip()
+
+    # st18: the sum-merged streamed histogram is exactly the batch sketch.
+    o["st18_streaming_quantiles"] = o["a10_quantile_sketch"]
 
     # cohort = first active day; offset = days since cohort, distinct users
     o["c2_cohort_retention"] = """

@@ -88,6 +88,7 @@ def main() -> None:
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup
         "st15_streaming_scd2",  # streaming SCD2 fold (MoR history write)
         "st16_key_scrub",       # full-feed MERGE + bucket-pruned GDPR erasure
+        "st18_streaming_quantiles",  # frozen-bounds histogram fold (sum-merge)
     ]
 
     def run_noop(df) -> None:

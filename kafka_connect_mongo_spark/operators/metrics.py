@@ -274,30 +274,66 @@ def quantile_histogram(
     if missing:
         raise ValueError(f"missing columns: {missing} (have {df.columns})")
 
+    bounds = histogram_bounds(df, value_col, group_cols)
+    hist = histogram_bin_counts(df, bounds, value_col, group_cols, bins)
+    return histogram_quantile_estimate(hist, bounds, group_cols, bins, quantiles)
+
+
+def histogram_bounds(
+    df: DataFrame, value_col: str = "value", group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Per-group (vmin, vmax) for the equi-width histogram — the FROZEN
+    part of the sketch: bin tables are only mergeable against identical
+    bounds, so a streaming monitor freezes this table up front
+    (profile/snapshot pass) and every batch bins against it."""
     v = F.col(value_col).cast("double")
-    bounds = df.groupBy(*g).agg(
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.count(value_col).alias("n_events"),
-    )
+    return df.groupBy(*group_cols).agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+
+
+def histogram_bin_counts(
+    df: DataFrame,
+    bounds: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    bins: int = 256,
+) -> DataFrame:
+    """Per-(group, bin) counts against the given frozen bounds — the
+    MERGEABLE state: disjoint batches add by (group, bin). One map-side-
+    combined aggregation; the bin index is a row-local Column expression
+    against the joined bounds (|groups| rows — AQE decides the join
+    strategy, no hint)."""
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(bins))
-    # bin index rides the scan projection row-locally; bounds columns ride
-    # the aggregation as grouping keys (one value per group — no extra
-    # group cardinality, no second join back).
-    binned = df.join(bounds, g).select(
+    binned = df.join(bounds, g).filter(v.isNotNull()).select(
         *g,
-        "vmin",
-        "vmax",
-        "n_events",
         F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long"))
         .otherwise(F.least(F.floor((v - F.col("vmin")) / width), F.lit(bins - 1).cast("long")))
         .alias("bin"),
     )
-    hist = binned.groupBy(*g, "vmin", "vmax", "n_events", "bin").agg(
-        F.count("*").alias("c")
-    )
-    cum = hist.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy(*g).orderBy("bin"))
+    return binned.groupBy(*g, "bin").agg(F.count("*").alias("c"))
+
+
+def histogram_quantile_estimate(
+    hist: DataFrame,
+    bounds: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile estimates from a (merged) bin-count table + its frozen
+    bounds: linear interpolation inside the first bin whose cumulative
+    count reaches ``q*n`` (n = sum of the group's bin counts), picked
+    via row_number + WindowGroupLimit over ≤ |groups|*bins*|quantiles|
+    exploded rows. Same fixed-shape IEEE double arithmetic as the
+    one-shot form — identical inputs give bit-identical estimates."""
+    g = list(group_cols)
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(bins))
+    totals = hist.groupBy(*g).agg(F.sum("c").alias("n_events"))
+    cum = (
+        hist.join(bounds, g)
+        .join(totals, g)
+        .withColumn("cum", F.sum("c").over(Window.partitionBy(*g).orderBy("bin")))
     )
     expl = cum.withColumn(
         "q", F.explode(F.array(*[F.lit(float(qq)) for qq in quantiles]))

@@ -1,0 +1,119 @@
+"""Streaming distribution monitoring: per-batch histogram bin counts
+accumulated into a persisted sketch against FROZEN bounds.
+
+The streaming form of a10 (``operators/metrics.quantile_histogram``),
+completing the streamed-sketch pair with ``hll_stream`` (st17). The
+bounds table is frozen BEFORE the stream starts (a profile pass over the
+initial snapshot — ``freeze_bounds``); each micro-batch then computes
+only its own (group, bin) counts against those bounds (one map-side-
+combined aggregation over the batch, never a re-scan of history) and
+writes them under a ``batch_id``-keyed partition with OVERWRITE (the
+``dedup_stream`` idempotent-retry discipline — required here because the
+merge operation is SUM, which unlike st17's register max is NOT
+idempotent: a blind append after a mid-batch crash would double-count,
+an overwritten partition cannot).
+
+The accumulated sketch is the (group, bin)-wise SUM across batch
+partitions at read time; sum is associative and commutative, and the
+bin index is row-local given frozen bounds, so the merged histogram —
+and therefore every quantile estimate — is EXACTLY the one-shot
+pipeline's over the union of all batches, regardless of batch
+boundaries or replay. That equality is the correctness oracle (st18
+shares a10's oracle verbatim, with the wrapper freezing bounds from the
+same full table the one-shot derives them from).
+
+Scale: state is O(groups × bins) rows total regardless of stream
+length — the latency/SLO distribution monitor a 10^10-event stream can
+afford, where the exact per-group percentile it replaces re-sorts the
+full history every evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metrics import (
+    histogram_bin_counts,
+    histogram_bounds,
+    histogram_quantile_estimate,
+)
+
+
+def freeze_bounds(
+    df: DataFrame,
+    work_dir: str,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> str:
+    """Profile pass: persist the per-group (vmin, vmax) the stream will
+    bin against. Returns the bounds path."""
+    path = os.path.join(work_dir, "bounds")
+    histogram_bounds(df, value_col, group_cols).write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_histogram(
+    spark: SparkSession, work_dir: str, group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """The accumulated bin-count table: sum over every batch's counts."""
+    hist_dir = os.path.join(work_dir, "hist")
+    if not (
+        os.path.isdir(hist_dir)
+        and any(e.startswith("batch_id=") for e in os.listdir(hist_dir))
+    ):
+        cols = ", ".join(f"{c} string" for c in group_cols)
+        return spark.createDataFrame([], f"{cols}, bin long, c long")
+    return (
+        spark.read.parquet(hist_dir)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def run_quantile_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream the feed through per-batch bin counts against the frozen
+    bounds (``freeze_bounds`` must have run for this work_dir); returns
+    the merged per-group quantile estimates."""
+    bounds_path = os.path.join(work_dir, "bounds")
+    if not os.path.isdir(bounds_path):
+        raise ValueError(
+            f"no frozen bounds at {bounds_path} — run freeze_bounds first "
+            "(bin tables are only mergeable against identical bounds)"
+        )
+    bounds = spark.read.parquet(bounds_path)
+    hist_dir = os.path.join(work_dir, "hist")
+    schema = spark.read.parquet(feed_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_bin_counts(
+            batch_df, bounds, value_col, group_cols, bins
+        ).write.mode("overwrite").parquet(
+            os.path.join(hist_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return histogram_quantile_estimate(
+        read_histogram(spark, work_dir, group_cols), bounds, group_cols, bins, quantiles
+    )

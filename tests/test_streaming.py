@@ -697,3 +697,62 @@ def test_incremental_search_index_equals_rebuild(spark, tmp_path_factory):
         read_postings_for_terms(spark, full, terms),
         read_corpus_stats(spark, full), terms, k=5).collect()]
     assert got_b == want_b and len(got_b) == 5
+
+
+def test_quantile_stream_equals_batch_sketch_with_crash_retry(spark, tmp_path_factory):
+    """st18: the sum-merged streamed histogram equals the one-shot
+    quantile_histogram exactly — across batch splits, a resumed stream,
+    and a retried batch whose failed attempt already wrote garbage bin
+    counts (sum-merge is NOT idempotent, so this only holds because the
+    batch partition is OVERWRITTEN, never appended)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.operators.metrics import quantile_histogram
+    from kafka_connect_mongo_spark.streaming.quantile_stream import (
+        freeze_bounds,
+        run_quantile_stream,
+    )
+
+    work = tmp_path_factory.mktemp("q-stream")
+    staged = str(work / "feed")
+    mon = str(work / "mon")
+    rng = random.Random(19)
+    rows = [
+        (f"e{i:06d}", "a" if i % 3 else "b", rng.uniform(0, 500.0)) for i in range(4000)
+    ]
+    feed = spark.createDataFrame(rows, "event_id string, grp string, value double")
+
+    # bounds frozen from the FULL corpus profile (what the one-shot uses)
+    freeze_bounds(feed, mon, "value", ("grp",))
+
+    feed.filter(F.col("event_id") < "e002000").coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    run_quantile_stream(spark, staged, mon, "value", ("grp",), 64, (0.5, 0.9))
+
+    # second file arrives; a FAILED attempt of its batch wrote garbage
+    # bin counts under the batch partition (no checkpoint commit)
+    feed.filter(F.col("event_id") >= "e002000").coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    spark.createDataFrame(
+        [("a", 0, 10_000), ("zzz", 1, 10_000)], "grp string, bin long, c long"
+    ).write.mode("overwrite").parquet(os.path.join(mon, "hist", "batch_id=1"))
+
+    est = run_quantile_stream(spark, staged, mon, "value", ("grp",), 64, (0.5, 0.9))
+    want = quantile_histogram(feed, "value", ("grp",), 64, (0.5, 0.9))
+    assert sorted(map(tuple, est.collect())) == sorted(map(tuple, want.collect()))
+
+    # replay changes nothing: committed batches are not re-fired, and a
+    # re-fired batch would overwrite its own partition with identical counts
+    est2 = run_quantile_stream(spark, staged, mon, "value", ("grp",), 64, (0.5, 0.9))
+    assert sorted(map(tuple, est2.collect())) == sorted(map(tuple, est.collect()))
+
+    # missing bounds is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frozen bounds"):
+        run_quantile_stream(spark, staged, str(work / "nope"), "value", ("grp",))
