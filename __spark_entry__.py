@@ -1074,6 +1074,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a11_freq_sketch"] = _a11
 
+    # Theta/KMV set-overlap sketch: train/test gram-contamination
+    # ESTIMATE at sketch cost (k-min hashes per split; intersection /
+    # Jaccard from the retained samples) — the set-algebra member of
+    # the sketch family (A9 can union but never intersect).
+    def _a12(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import split_overlap_sketch
+
+        return split_overlap_sketch(
+            _docs(spark, sf), val_frac=0.1, test_frac=0.1, k_gram=3, k_sketch=256
+        )
+
+    q["a12_split_overlap"] = _a12
+
     # SCD2 history: every payload version with its validity interval in
     # the feed's ordering domain; tombstones close intervals (T6); the
     # is_current rows are by construction the LWW final state.
@@ -2475,6 +2488,79 @@ hit AS (SELECT doc_id, count(*) AS n_contaminated FROM test_g
 SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
 FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""".strip()
+
+    o["a12_split_overlap"] = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+    CASE WHEN {_split_bucket} < 1000 THEN 'test'
+         WHEN {_split_bucket} < 2000 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents),
+toks AS (SELECT split, regexp_split_to_array(text, '\\s+') AS arr
+         FROM tagged WHERE split IN ('test', 'train')),
+sh0 AS (
+  SELECT split,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+grams AS (
+  SELECT split,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) % 1000000007 AS BIGINT) AS h
+  FROM (SELECT split, unnest(shingles) AS g FROM sh0)),
+th AS (
+  SELECT DISTINCT split,
+    CAST(CAST(concat('0x', substr(md5('theta-v1' || CAST(h AS VARCHAR)), 1, 15))
+         AS UBIGINT) AS BIGINT) AS h
+  FROM grams),
+sk AS (
+  SELECT split, h FROM (
+    SELECT split, h, row_number() OVER (PARTITION BY split ORDER BY h) AS rn FROM th)
+  WHERE rn <= 256),
+stats AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_sk,
+         CAST(CASE WHEN count(*) < 256 THEN 1152921504606846976
+              ELSE max(h) END AS BIGINT) AS theta_s
+  FROM sk GROUP BY split),
+pairs AS (
+  SELECT a.split AS set_a, b.split AS set_b,
+         a.n_sk AS n_a_sketch, b.n_sk AS n_b_sketch,
+         a.theta_s AS th_a, b.theta_s AS th_b,
+         least(a.theta_s, b.theta_s) AS theta
+  FROM stats a JOIN stats b ON a.split < b.split),
+common AS (
+  SELECT p.set_a, p.set_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sk x ON x.split = p.set_a
+  JOIN sk y ON y.split = p.set_b AND y.h = x.h
+  WHERE x.h < p.theta
+  GROUP BY p.set_a, p.set_b),
+usample AS (
+  SELECT p.set_a, p.set_b, CAST(count(DISTINCT s.h) AS BIGINT) AS n_union_sample
+  FROM pairs p JOIN sk s ON s.split IN (p.set_a, p.set_b)
+  WHERE s.h < p.theta
+  GROUP BY p.set_a, p.set_b)
+SELECT p.set_a, p.set_b, CAST(256 AS BIGINT) AS k,
+  p.n_a_sketch, p.n_b_sketch, p.theta,
+  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+  round(CASE WHEN p.n_a_sketch >= 256
+        THEN CAST(p.n_a_sketch - 1 AS DOUBLE) * 1152921504606846976.0
+             / CAST(p.th_a AS DOUBLE)
+        ELSE CAST(p.n_a_sketch AS DOUBLE) END, 3) AS est_a,
+  round(CASE WHEN p.n_b_sketch >= 256
+        THEN CAST(p.n_b_sketch - 1 AS DOUBLE) * 1152921504606846976.0
+             / CAST(p.th_b AS DOUBLE)
+        ELSE CAST(p.n_b_sketch AS DOUBLE) END, 3) AS est_b,
+  round(CAST(COALESCE(c.n_common, 0) AS DOUBLE) * 1152921504606846976.0
+        / CAST(p.theta AS DOUBLE), 3) AS est_inter,
+  round(CASE WHEN COALESCE(u.n_union_sample, 0) > 0
+        THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(u.n_union_sample AS DOUBLE)
+        ELSE 0.0 END, 6) AS est_jaccard
+FROM pairs p
+LEFT JOIN common c ON c.set_a = p.set_a AND c.set_b = p.set_b
+LEFT JOIN usample u ON u.set_a = p.set_a AND u.set_b = p.set_b
 """.strip()
 
     o["c7_incremental_contamination"] = """

@@ -447,3 +447,178 @@ def cms_estimate(
         "k", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )
     return joined.groupBy("k").agg(F.min("c").alias("n_est"))
+
+
+#: salt for the theta/KMV hash — versioned like HLL_SALT/CMS_SALT so a
+#: persisted sketch is never combined with one built from another hash.
+THETA_SALT = "theta-v1"
+
+#: the theta hash is uniform in [0, 2^60) (15 hex digits of md5).
+THETA_SPACE = 1 << 60
+
+
+def theta_hash(elem: F.Column) -> F.Column:
+    """60-bit salted element hash for the theta/KMV sketch — the
+    family's shared first-15-hex-digits-of-md5 trick (see
+    ``pipelines/select.sample_hash``), engine-portable and
+    integer-exact."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(THETA_SALT), elem.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def theta_sketch(
+    df: DataFrame, set_col: str, elem_col: str, k: int = 256
+) -> DataFrame:
+    """A12 state: per-set KMV/theta sketch — the k SMALLEST distinct
+    element hashes of each set, as rows ``(set, h)``.
+
+    Completes the sketch quartet (A9 cardinality, A10 quantiles, A11
+    frequency) with the one thing none of them can do: SET ALGEBRA.
+    HLL registers union fine but cannot intersect; the KMV sample CAN
+    (Dasu/Beyer KMV, the theta-sketch family): keep each set's k
+    minimum hashes, and any intersection/union/Jaccard between sets is
+    estimable from the retained samples alone — the
+    contamination-ESTIMATION answer where ``splits.contamination`` is
+    the exact join (estimate overlap first at sketch cost, pay the full
+    gram join only where the sketch says it matters).
+
+    Shape: distinct (set, h) via ONE map-side-combined aggregation
+    (the exchange carries distinct hashes, not rows), then the k-min
+    per set is a rank-1..k window — Spark pushes a partial
+    WindowGroupLimit below the exchange, so each map task emits at most
+    k rows per set, independent of set size. State is ≤ k rows per set;
+    sketches from disjoint batches merge by union + re-take-k-min (same
+    operation, so the sketch is mergeable the way A9's max and A11's
+    sum are).
+
+    Everything is integer-exact: the hash is 60-bit md5-derived
+    (``theta_hash``), distinct kills ties, so rank order — and
+    therefore the sketch — is deterministic under any partitioning and
+    bit-for-bit reproducible in the DuckDB oracle.
+    """
+    if k < 2:
+        raise ValueError(f"theta sketch k must be >= 2, got {k}")
+    for c in (set_col, elem_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column {c!r} (have {df.columns})")
+    w = Window.partitionBy(set_col).orderBy("h")
+    return (
+        df.select(F.col(set_col), theta_hash(F.col(elem_col)).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def theta_overlap(sketch: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Pairwise set-overlap estimates from a theta sketch: one row per
+    unordered set pair ``(set_a < set_b)`` with distinct-cardinality
+    estimates for each side, the intersection, and Jaccard.
+
+    Estimator (standard KMV/theta): a SATURATED sketch (n_sketch = k)
+    retains everything below its k-th smallest hash ``theta_s``, i.e. a
+    fixed-rate sample of the hash space, so ``est = (k-1) *
+    SPACE/theta_s``; an UNSATURATED sketch retains the whole set and is
+    exact. For a pair, ``theta = min(theta_a, theta_b)`` and the
+    retained hashes below theta from both sketches form a uniform
+    sample of the UNION — common hashes below theta scale by
+    ``SPACE/theta`` to estimate the intersection, and Jaccard is the
+    direct sample ratio. When both sketches are unsaturated, theta =
+    SPACE and every estimate degrades to the exact value by
+    construction.
+
+    Cost is sketch-sized, never corpus-sized: per-set stats are one
+    ≤ k-rows-per-set aggregate; the common-hash count is a self-join of
+    ≤ k-row samples; the pair matrix is |sets|². All estimate columns
+    are a single division of exact integers (rounded), so results are
+    deterministic cross-engine.
+
+    The sketch is PERSISTED here before fan-out: four branches (stats,
+    both sides of the common self-join, the union sample) consume it,
+    and without the persist each re-evaluates the full upstream corpus
+    scan — the c1_curation double-scan lesson. Persisting is safe by
+    construction: the sketch is bounded state (≤ k rows per set),
+    never corpus-sized.
+    """
+    from pyspark import StorageLevel
+
+    sketch = sketch.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = sketch.groupBy(set_col).agg(
+        F.count("*").cast("long").alias("n_sk"),
+        F.max("h").alias("h_max"),
+    )
+    theta_s = F.when(F.col("n_sk") < k, F.lit(THETA_SPACE)).otherwise(F.col("h_max"))
+    stats = stats.select(set_col, "n_sk", theta_s.alias("theta_s"))
+
+    a = stats.select(
+        F.col(set_col).alias("set_a"),
+        F.col("n_sk").alias("n_a_sketch"),
+        F.col("theta_s").alias("th_a"),
+    )
+    b = stats.select(
+        F.col(set_col).alias("set_b"),
+        F.col("n_sk").alias("n_b_sketch"),
+        F.col("theta_s").alias("th_b"),
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b")).withColumn(
+        "theta", F.least("th_a", "th_b")
+    )
+
+    sa = sketch.select(F.col(set_col).alias("set_a"), "h")
+    sb = sketch.select(F.col(set_col).alias("set_b"), "h")
+    common = (
+        sa.join(sb, "h")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .join(pairs.select("set_a", "set_b", "theta"), ["set_a", "set_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    below = sketch.select(F.col(set_col).alias("s"), "h")
+    n_below = (
+        pairs.select("set_a", "set_b", "theta")
+        .join(below, (F.col("s") == F.col("set_a")) | (F.col("s") == F.col("set_b")))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("set_a", "set_b")
+        .agg(F.countDistinct("h").cast("long").alias("n_union_sample"))
+    )
+
+    space = float(THETA_SPACE)
+
+    def _est(n: F.Column, th: F.Column, saturated: F.Column) -> F.Column:
+        return F.round(
+            F.when(saturated, (n - F.lit(1)).cast("double") * F.lit(space) / th.cast("double"))
+            .otherwise(n.cast("double")),
+            3,
+        )
+
+    out = (
+        pairs.join(common, ["set_a", "set_b"], "left")
+        .join(n_below, ["set_a", "set_b"], "left")
+        .na.fill({"n_common": 0, "n_union_sample": 0})
+    )
+    return out.select(
+        "set_a",
+        "set_b",
+        F.lit(k).cast("long").alias("k"),
+        "n_a_sketch",
+        "n_b_sketch",
+        "theta",
+        "n_common",
+        _est(F.col("n_a_sketch"), F.col("th_a"), F.col("n_a_sketch") >= k).alias("est_a"),
+        _est(F.col("n_b_sketch"), F.col("th_b"), F.col("n_b_sketch") >= k).alias("est_b"),
+        F.round(
+            F.col("n_common").cast("double") * F.lit(space) / F.col("theta").cast("double"),
+            3,
+        ).alias("est_inter"),
+        F.round(
+            F.when(F.col("n_union_sample") > 0,
+                   F.col("n_common").cast("double") / F.col("n_union_sample").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("est_jaccard"),
+    )

@@ -160,6 +160,42 @@ def split_contamination(
     )
 
 
+def split_overlap_sketch(
+    docs: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    k_gram: int = 3,
+    k_sketch: int = 512,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Sketch-cost contamination ESTIMATE between the train and test
+    splits: theta/KMV set overlap over the distinct k-gram universe
+    (``operators.metrics.theta_sketch``) instead of C4's exact gram
+    join. One row (train, test) with cardinality / intersection /
+    Jaccard estimates.
+
+    The 100 TB posture: the exact check shuffles every distinct gram
+    hash; the sketch folds each split to ≤ ``k_sketch`` retained hashes
+    (rank-k window with a map-side partial WindowGroupLimit) so the
+    overlap question costs one corpus scan + a sketch-sized join —
+    run it per eval refresh, and pay C4's exact join only when the
+    estimate is non-trivial. Same single-scan slim gram table as
+    ``split_contamination`` (text read once, never in an exchange)."""
+    from ..operators.metrics import theta_overlap, theta_sketch
+
+    tagged = train_val_test_split(docs, val_frac, test_frac, salt)
+    grams = (
+        tagged.filter(F.col("split").isin("train", "test"))
+        .select(
+            "split",
+            F.explode(_shingles(F.col("text"), k_gram)).alias("shingle"),
+        )
+        .select("split", (_h60(F.col("shingle")) % MOD_P).alias("h"))
+    )
+    sk = theta_sketch(grams, set_col="split", elem_col="h", k=k_sketch)
+    return theta_overlap(sk, set_col="split", k=k_sketch)
+
+
 def incremental_contamination(
     new_docs: DataFrame,
     train_gram_index: DataFrame,

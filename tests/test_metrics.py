@@ -306,3 +306,99 @@ def test_cms_validation(spark):
         cms_sketch(df, "id", 4, 1)
     with pytest.raises(ValueError, match="missing column"):
         cms_sketch(df, "nope", 4, 64)
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV set-overlap sketch (A12)
+# ---------------------------------------------------------------------------
+
+from kafka_connect_mongo_spark.operators.metrics import (  # noqa: E402
+    THETA_SALT,
+    THETA_SPACE,
+    theta_overlap,
+    theta_sketch,
+)
+
+
+def _sets_df(spark, sets: dict[str, list[str]]):
+    rows = [(s, e) for s, elems in sets.items() for e in elems]
+    return spark.createDataFrame(rows, "s string, e string")
+
+
+def _ref_kmin(elems, k):
+    hs = sorted(
+        {int(hashlib.md5((THETA_SALT + e).encode()).hexdigest()[:15], 16) for e in elems}
+    )
+    return hs[:k]
+
+
+def test_theta_sketch_matches_python_reference(spark):
+    elems = _keys(500, "t")
+    sk = theta_sketch(_sets_df(spark, {"a": elems}), "s", "e", k=64).collect()
+    assert sorted(r["h"] for r in sk) == _ref_kmin(elems, 64)
+
+
+def test_theta_sketch_merge_and_partition_independence(spark):
+    a, b = _keys(600, "m"), _keys(600, "n")
+    overlap = a[:150]
+    k = 128
+    sa = theta_sketch(_sets_df(spark, {"x": a}), "s", "e", k)
+    sb = theta_sketch(_sets_df(spark, {"x": b + overlap}), "s", "e", k)
+    # merge = union + re-take-k-min (the same operation as the sketch)
+    from pyspark.sql import Window
+
+    merged = (
+        sa.unionByName(sb)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("s").orderBy("h")))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    direct = theta_sketch(_sets_df(spark, {"x": a + b + overlap}), "s", "e", k)
+    assert {r["h"] for r in merged.collect()} == {r["h"] for r in direct.collect()}
+    df = _sets_df(spark, {"x": a, "y": b})
+    s1 = theta_sketch(df.repartition(1), "s", "e", k)
+    s7 = theta_sketch(df.repartition(7, "e"), "s", "e", k)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s7.collect()))
+
+
+def test_theta_overlap_exact_when_unsaturated(spark):
+    # k > |universe|: the sketch retains everything, every estimate is exact.
+    a = _keys(300, "u")
+    b = a[:120] + _keys(200, "v")
+    ov = theta_overlap(
+        theta_sketch(_sets_df(spark, {"a": a, "b": b}), "s", "e", k=4096),
+        "s",
+        k=4096,
+    ).collect()[0]
+    assert ov["theta"] == THETA_SPACE
+    assert ov["n_a_sketch"] == 300 and ov["n_b_sketch"] == 320
+    assert ov["est_a"] == 300.0 and ov["est_b"] == 320.0
+    assert ov["n_common"] == 120 and ov["est_inter"] == 120.0
+    assert ov["est_jaccard"] == round(120 / 500, 6)
+
+
+def test_theta_overlap_estimates_within_bound(spark):
+    # saturated sketches: estimates within ~5/sqrt(k) of exact.
+    import math
+
+    k = 256
+    a = _keys(4000, "w")
+    b = a[:1000] + _keys(3000, "z")
+    ov = theta_overlap(
+        theta_sketch(_sets_df(spark, {"a": a, "b": b}), "s", "e", k), "s", k
+    ).collect()[0]
+    tol = 5.0 / math.sqrt(k)
+    assert abs(ov["est_a"] - 4000) / 4000 < tol
+    assert abs(ov["est_b"] - 4000) / 4000 < tol
+    assert abs(ov["est_inter"] - 1000) / 1000 < 3 * tol
+    exact_j = 1000 / 7000
+    assert abs(ov["est_jaccard"] - exact_j) / exact_j < 3 * tol
+
+
+def test_theta_validation(spark):
+    df = _sets_df(spark, {"a": ["x"]})
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        theta_sketch(df, "s", "e", k=1)
+    with pytest.raises(ValueError, match="missing column"):
+        theta_sketch(df, "s", "nope", k=8)
