@@ -1311,6 +1311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), {"en": 0.5, "de": 0.1}, default_rate=0.02
     ).select("doc_id", "lang")
 
+    q["d10_weighted_sample"] = lambda spark, sf: sel.weighted_sample(
+        _docs(spark, sf).select(
+            "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+        ),
+        n=120,
+        weight_col="w",
+    ).select("doc_id", "lang")
+
     q["t5_quality_topk"] = lambda spark, sf: sel.topk_per_group(
         tx.quality_score(_docs(spark, sf)).join(
             _docs(spark, sf).select("doc_id", "lang"), "doc_id"
@@ -2298,6 +2306,19 @@ FROM r
 SELECT doc_id, lang FROM documents
 WHERE CAST(CAST(concat('0x', substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)
       < CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 5000 ELSE 200 END
+""".strip()
+
+    # d10: Efraimidis-Spirakis A-ES weighted sampling without replacement —
+    # key = ln(u)/w with u the salted 60-bit md5 hash mapped into (0, 1];
+    # top-n keys. Same expression tree as pipelines/select.weighted_sample.
+    o["d10_weighted_sample"] = """
+WITH k AS (
+  SELECT doc_id, lang,
+         ln((CAST(concat('0x', substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 1)
+            / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+)
+SELECT doc_id, lang FROM k ORDER BY wkey DESC, doc_id LIMIT 120
 """.strip()
 
     o["t5_quality_topk"] = f"""

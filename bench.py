@@ -62,6 +62,7 @@ def main() -> None:
         "d7_neardup_clusters",  # pairs -> connected components -> canonical ids
         "d8_incremental_neardup",  # daily batch vs persisted signature index
         "d9_containment",       # subset detection over df-capped gram sets
+        "d10_weighted_sample",  # A-ES weighted top-n (TakeOrderedAndProject)
         "c10_source_gate",      # domain-level mean-quality gate (1 scan)
         "a8_field_census",      # schema-drift census over the feed
         "h1_scd2_history",      # full version-interval history (1 shuffle)

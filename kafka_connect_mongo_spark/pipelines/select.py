@@ -62,6 +62,66 @@ def stratified_sample(
     return docs.filter(sample_hash(F.col("doc_id"), salt) < rate_bp)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: n rows drawn
+    with probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the n largest
+    keys), with the uniform u derived from the family's salted md5 hash
+    instead of ``rand()``. The mixture-sampling primitive (draw a
+    token-budget sample where weight = n_chars / token count / domain
+    weight) with the same reproducibility contract as
+    ``stratified_sample``: stable across runs, engines, partitionings
+    and re-sharding, and refreshing the corpus never re-rolls the dice
+    for unchanged rows.
+
+    Ranking uses the monotone-equivalent key ``ln(u)/w`` (u in (0, 1],
+    so both forms order identically; the log form never underflows for
+    extreme weights). Ties are broken by ``id_col`` — u itself is
+    60-bit-hash distinct short of an md5 collision.
+
+    Scale shape: ONE scan, no shuffle — ``orderBy(key).limit(n)``
+    compiles to TakeOrderedAndProject (per-partition top-n, merge of
+    n-row heads), never a global sort; plan-asserted in pytest. The
+    weight must be positive: a non-positive weight raises at run time
+    inside the row expression (loud, per the funnel/asof validation
+    standard) rather than silently skewing the draw."""
+    if n < 1:
+        raise ValueError(f"weighted_sample: n must be >= 1, got {n}")
+    for c in (weight_col, id_col):
+        if c not in docs.columns:
+            raise ValueError(f"weighted_sample: missing column {c!r} (have {docs.columns})")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: non-positive weight in {weight_col!r} for "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return (
+        docs.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_wkey")
+    )
+
+
 def topk_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, tiebreak_col: str = "doc_id"
 ) -> DataFrame:

@@ -33,6 +33,61 @@ def test_stratified_sample_is_stable_under_repartition(spark, docs):
     assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
 
 
+def test_weighted_sample_matches_reference_and_is_partition_stable(spark, docs):
+    """A-ES weighted sampling: the selected set equals a sequential
+    reference computing the identical salted-hash key, and never moves
+    under repartitioning (no rand() anywhere)."""
+    import hashlib
+    import math
+
+    w = docs.select("doc_id", F.col("n_chars").cast("double").alias("w"))
+    out = sel.weighted_sample(w, n=50, weight_col="w")
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert len(got) == 50
+
+    rows = w.collect()
+
+    def key(doc_id, weight):
+        h = int(
+            hashlib.md5(f"wsample-v1{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(1 << 60)
+        return math.log(u) / weight
+
+    ranked = sorted(rows, key=lambda r: (-key(r["doc_id"], r["w"]), r["doc_id"]))
+    want = {r["doc_id"] for r in ranked[:50]}
+    assert got == want
+
+    again = sel.weighted_sample(w.repartition(7), n=50, weight_col="w")
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == got
+
+
+def test_weighted_sample_favors_heavy_rows_and_plans_as_topn(spark):
+    """Weight proportionality (heavy rows dominate the draw) and the
+    100 TB contract: orderBy().limit(n) compiles to TakeOrderedAndProject
+    (per-partition top-n merge), never a global sort exchange."""
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1050)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = sel.weighted_sample(df, n=40, weight_col="w")
+    heavy = out.filter("doc_id < 50").count()
+    # 50 rows hold 100x weight each (~83% of total mass); a uniform draw
+    # would pick ~2 of them in 40 — deterministic fixture gives >> that
+    assert heavy >= 25
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_weighted_sample_validates_loudly(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 0.0)], "doc_id long, w double")
+    with pytest.raises(ValueError, match="n must be"):
+        sel.weighted_sample(df, n=0, weight_col="w")
+    with pytest.raises(ValueError, match="missing column"):
+        sel.weighted_sample(df, n=1, weight_col="nope")
+    with pytest.raises(Exception, match="non-positive weight"):
+        sel.weighted_sample(df, n=2, weight_col="w").collect()
+
+
 def test_topk_per_group(spark, docs):
     scored = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("score"))
     out = sel.topk_per_group(scored, "lang", "score", k=3)
