@@ -1319,6 +1319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weight_col="w",
     ).select("doc_id", "lang")
 
+    q["d11_weighted_sample_per_group"] = lambda spark, sf: (
+        sel.weighted_sample_per_group(
+            _docs(spark, sf).select(
+                "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+            ),
+            n=25,
+            weight_col="w",
+            group_col="lang",
+        ).select("doc_id", "lang")
+    )
+
     q["t5_quality_topk"] = lambda spark, sf: sel.topk_per_group(
         tx.quality_score(_docs(spark, sf)).join(
             _docs(spark, sf).select("doc_id", "lang"), "doc_id"
@@ -2319,6 +2330,19 @@ WITH k AS (
   FROM documents
 )
 SELECT doc_id, lang FROM k ORDER BY wkey DESC, doc_id LIMIT 120
+""".strip()
+
+    # d11: the per-group (stratified) dual — same A-ES key, row_number
+    # within each lang.
+    o["d11_weighted_sample_per_group"] = """
+WITH k AS (
+  SELECT doc_id, lang,
+         ln((CAST(concat('0x', substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 1)
+            / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn FROM k)
+SELECT doc_id, lang FROM r WHERE rn <= 25
 """.strip()
 
     o["t5_quality_topk"] = f"""

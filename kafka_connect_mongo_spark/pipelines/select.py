@@ -62,6 +62,39 @@ def stratified_sample(
     return docs.filter(sample_hash(F.col("doc_id"), salt) < rate_bp)
 
 
+def _aes_key(
+    docs: DataFrame, weight_col: str, id_col: str, salt: str
+) -> F.Column:
+    """Efraimidis–Spirakis A-ES ranking key ``ln(u)/w`` with the uniform
+    u derived from the family's salted md5 hash (60 bits → (0, 1]) —
+    deterministic, partition-stable, engine-portable. Non-positive
+    weights raise inside the row expression (loud, per the funnel/asof
+    validation standard) rather than silently skewing the draw."""
+    if weight_col not in docs.columns or id_col not in docs.columns:
+        missing = [c for c in (weight_col, id_col) if c not in docs.columns]
+        raise ValueError(
+            f"weighted_sample: missing column {missing[0]!r} (have {docs.columns})"
+        )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: non-positive weight in {weight_col!r} for "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     n: int,
@@ -93,32 +126,52 @@ def weighted_sample(
     standard) rather than silently skewing the draw."""
     if n < 1:
         raise ValueError(f"weighted_sample: n must be >= 1, got {n}")
-    for c in (weight_col, id_col):
-        if c not in docs.columns:
-            raise ValueError(f"weighted_sample: missing column {c!r} (have {docs.columns})")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key = F.when(
-        F.col(weight_col) > 0, F.log(u) / F.col(weight_col).cast("double")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"weighted_sample: non-positive weight in {weight_col!r} for "),
-                F.col(id_col).cast("string"),
-            )
-        )
-    )
+    key = _aes_key(docs, weight_col, id_col, salt)
     return (
         docs.withColumn("_wkey", key)
         .orderBy(F.col("_wkey").desc(), F.col(id_col))
         .limit(n)
         .drop("_wkey")
+    )
+
+
+def weighted_sample_per_group(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement:
+    n rows PER ``group_col`` value, probability proportional to
+    ``weight_col`` within the group — the stratified dual of
+    ``weighted_sample`` (e.g. a fixed-size weighted draw per language /
+    per source domain when assembling a mixture). Same A-ES key and the
+    same reproducibility contract: stable across runs, engines,
+    partitionings and re-sharding; unchanged rows never re-roll.
+
+    Scale shape: ``row_number`` over (group, key DESC) — Spark's
+    WindowGroupLimit rewrite runs a partial top-n per input partition
+    BEFORE the exchange, so the single shuffle carries ≤ n rows per
+    group per map partition, never the corpus; the skewed-group cost is
+    absorbed map-side exactly like the LWW collapse (operators/lww.py).
+    Plan-asserted in pytest."""
+    if n < 1:
+        raise ValueError(f"weighted_sample: n must be >= 1, got {n}")
+    if group_col not in docs.columns:
+        raise ValueError(
+            f"weighted_sample: missing column {group_col!r} (have {docs.columns})"
+        )
+    key = _aes_key(docs, weight_col, id_col, salt)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_wkey").desc(), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_wkey", key)
+        .withColumn("_wrn", F.row_number().over(w))
+        .filter(F.col("_wrn") <= n)
+        .drop("_wkey", "_wrn")
     )
 
 

@@ -78,6 +78,58 @@ def test_weighted_sample_favors_heavy_rows_and_plans_as_topn(spark):
     assert "Sort " not in plan  # no global sort stage
 
 
+def test_weighted_sample_per_group_matches_reference(spark, docs):
+    """Per-group A-ES: exactly n per group, equal to the sequential
+    reference ranking within each group, partition-stable."""
+    import hashlib
+    import math
+
+    w = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    out = sel.weighted_sample_per_group(w, n=10, weight_col="w", group_col="lang")
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+
+    def key(doc_id, weight):
+        h = int(hashlib.md5(f"wsample-v1{doc_id}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / float(1 << 60)) / weight
+
+    want = set()
+    by_lang: dict[str, list] = {}
+    for r in w.collect():
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        ranked = sorted(rows, key=lambda r: (-key(r["doc_id"], r["w"]), r["doc_id"]))
+        want |= {(lang, r["doc_id"]) for r in ranked[: min(10, len(rows))]}
+    assert got == want
+
+    again = sel.weighted_sample_per_group(
+        w.repartition(7), n=10, weight_col="w", group_col="lang"
+    )
+    assert {(r["lang"], r["doc_id"]) for r in again.collect()} == got
+
+
+def test_weighted_sample_per_group_plans_window_group_limit(spark):
+    """100 TB contract: the row_number filter rewrites to WindowGroupLimit
+    (partial per-partition top-n before the one exchange), so a skewed
+    group never ships the corpus through the shuffle."""
+    rows = [(i, "g%d" % (i % 3), float(i % 97 + 1)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = sel.weighted_sample_per_group(df, n=5, weight_col="w", group_col="g")
+    assert out.groupBy("g").count().filter("count != 5").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side partial top-n before the exchange
+
+
+def test_weighted_sample_per_group_validates_loudly(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "doc_id long, g string, w double")
+    with pytest.raises(ValueError, match="n must be"):
+        sel.weighted_sample_per_group(df, n=0, weight_col="w", group_col="g")
+    with pytest.raises(ValueError, match="missing column"):
+        sel.weighted_sample_per_group(df, n=1, weight_col="w", group_col="nope")
+
+
 def test_weighted_sample_validates_loudly(spark):
     df = spark.createDataFrame([(1, 2.0), (2, 0.0)], "doc_id long, w double")
     with pytest.raises(ValueError, match="n must be"):
