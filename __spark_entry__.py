@@ -430,6 +430,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st5_first_seen"] = _st5
 
+    def _st19(spark: SparkSession, sf: str) -> DataFrame:
+        # Cross-table consistent snapshot read: the feed is applied in two
+        # batches split at the deterministic mid timestamp; batch 1
+        # reaches ONLY code.docs (a simulated crash mid-fanout), so
+        # current reads would mix stream positions. read_consistent pins
+        # both tables to the shared cut (= batch 0): code.docs rolls back
+        # via its retained snapshot, code.repos reads current — the union
+        # equals the LWW state of everything at ts <= mid, exactly.
+        from functools import reduce
+
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import prepare_batch
+        from kafka_connect_mongo_spark.streaming.router import read_consistent
+
+        feed = _feed(spark, sf)
+        mid = _mid_ts(sf)
+        work = tempfile.mkdtemp(prefix="cdc-consistent-")
+        tables = {
+            ns: LakeTable(
+                spark, os.path.join(work, ns.replace(".", "_")),
+                n_buckets=8, payload_col="object",
+            )
+            for ns in ("code.docs", "code.repos")
+        }
+        for ns, t in tables.items():
+            t.upsert(
+                prepare_batch(
+                    feed.filter((F.col("ns") == ns) & (F.col("ts") <= mid))
+                ),
+                0,
+            )
+        tables["code.docs"].upsert(
+            prepare_batch(
+                feed.filter((F.col("ns") == "code.docs") & (F.col("ts") > mid))
+            ),
+            1,
+        )  # crash before the code.repos fan-out: tables now disagree
+        cut, views = read_consistent(tables)
+        assert cut == 0
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [v.select("id", "ns", "content_sha") for v in views.values()],
+        )
+
+    q["st19_consistent_read"] = _st19
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -2010,6 +2056,15 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 SELECT id, ns, 'cdc_' || replace(ns, '.', '_') AS table_name,
        sha256(object->>'$.content') AS content_sha
 FROM ({final})
+""".strip()
+
+    # st19: consistent cut = batch 0 = everything at ts <= mid, both ns —
+    # the batch-1 rows applied to code.docs must NOT appear.
+    o["st19_consistent_read"] = f"""
+SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed}) WHERE ts <= {mid}
+) WHERE rn = 1 AND op <> 'd'
 """.strip()
 
     o["st5_first_seen"] = f"""

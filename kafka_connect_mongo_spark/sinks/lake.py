@@ -571,6 +571,40 @@ class LakeTable:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
 
+    def read_as_of_watermark(
+        self, cut: int, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Read the table's state at a GLOBAL stream watermark: the last
+        committed snapshot whose numeric batch id is ≤ ``cut`` (marker
+        commits like the bootstrap flag belong to whatever numeric batch
+        preceded them in commit order). The building block of
+        cross-table consistent reads (router.read_consistent): batch ids
+        are shared across routed tables, so pinning every table to the
+        same cut yields one transactionally-consistent cross-table cut
+        even when a crash landed a batch in some tables but not others.
+
+        A table whose own watermark is ≤ ``cut`` is already AT the cut —
+        plain current read, no snapshot resolution (the common case:
+        zero overhead when nothing lags). Same retention contract as
+        ``read_as_of``: an expired snapshot raises loudly."""
+        if self.meta["committed_watermark"] <= cut:
+            return self.read(include_tombstones=include_tombstones)
+        best: dict | None = None
+        for snap in self.meta["snapshots"]:
+            try:
+                if int(snap["batch_id"]) > cut:
+                    break
+            except ValueError:
+                pass  # marker commit: belongs to the preceding numeric batch
+            best = snap
+        if best is None:
+            have = [s["batch_id"] for s in self.meta["snapshots"]]
+            raise ValueError(
+                f"read_as_of_watermark: no retained snapshot at or before "
+                f"batch {cut} (retained: {have})"
+            )
+        return self.read_as_of(best["batch_id"], include_tombstones=include_tombstones)
+
     def read_as_of(
         self, batch_id: int | str, include_tombstones: bool = False
     ) -> DataFrame:

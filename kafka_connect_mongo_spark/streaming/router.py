@@ -115,6 +115,49 @@ class NamespaceRouter:
         ) as pool:
             return list(pool.map(one, ns_list))
 
+    def read_consistent(
+        self, include_tombstones: bool = False
+    ) -> tuple[int, dict[str, DataFrame]]:
+        """See module-level :func:`read_consistent`."""
+        if not self.tables:
+            raise ValueError("read_consistent: router has no open tables")
+        return read_consistent(self.tables, include_tombstones=include_tombstones)
+
+
+def consistent_cut(tables: dict[str, LakeTable]) -> int:
+    """The transactionally-consistent GLOBAL watermark across routed
+    tables: the minimum committed numeric batch id. Batch ids are shared
+    across the fan-out (one Structured Streaming ``foreachBatch`` id per
+    micro-batch), so every table has applied every batch ≤ this cut and
+    no table's state at the cut contains a later batch."""
+    if not tables:
+        raise ValueError("consistent_cut: no tables")
+    return min(int(t.meta["committed_watermark"]) for t in tables.values())
+
+
+def read_consistent(
+    tables: dict[str, LakeTable], include_tombstones: bool = False
+) -> tuple[int, dict[str, DataFrame]]:
+    """Cross-table consistent snapshot read — the multi-collection dual
+    of Iceberg's per-table time travel. A crash (or a lagging table
+    thread) can land micro-batch k in some namespaces' tables but not
+    others; reading each table's CURRENT state then joins rows from
+    different points in the stream. This pins every table to the same
+    global cut = min committed batch id: tables at the cut read
+    directly (zero overhead — the steady-state path), tables ahead of
+    it resolve their retained snapshot at the cut
+    (``LakeTable.read_as_of_watermark``).
+
+    Returns ``(cut, {ns: DataFrame})``. Metadata-only planning — no
+    data is read until the returned frames execute, so the cut is
+    atomic-by-construction: it is computed once from the metas, and
+    snapshot file lists are immutable."""
+    cut = consistent_cut(tables)
+    return cut, {
+        ns: t.read_as_of_watermark(cut, include_tombstones=include_tombstones)
+        for ns, t in sorted(tables.items())
+    }
+
 
 def run_routed_stream(
     spark: SparkSession,

@@ -52,3 +52,61 @@ def test_router_allowlist_restricts_routing(spark, tmp_path):
     stats = router.apply_batch(batch, 0)
     assert [s["ns"] for s in stats] == ["db.a"]
     assert set(router.tables) == {"db.a"}
+
+
+def _mini_batch(spark, rows):
+    return spark.createDataFrame(rows, schema=OPLOG_SCHEMA).select(
+        "id", "ts", "inc", "seq", "op", "ns", "object"
+    )
+
+
+def test_read_consistent_pins_tables_to_min_committed_batch(spark, tmp_path):
+    """A crash that lands batch 1 in db.a but not db.b leaves CURRENT
+    reads transactionally inconsistent; read_consistent pins both tables
+    to the shared cut (= min committed batch id), rolling db.a back to
+    its batch-0 snapshot while db.b reads directly (the zero-overhead
+    steady-state path)."""
+    k1, k2 = "1" * 24, "2" * 24
+    b0 = [
+        (100, 0, 0, "i", "db.a", k1, json.dumps({"_id": k1, "v": 1}), None, None),
+        (100, 0, 1, "i", "db.b", k2, json.dumps({"_id": k2, "v": 1}), None, None),
+    ]
+    b1_a_only = [
+        (200, 0, 2, "u", "db.a", k1, json.dumps({"_id": k1, "v": 2}), None, None),
+    ]
+    router = NamespaceRouter(spark, str(tmp_path / "lake"), n_buckets=2)
+    router.apply_batch(_mini_batch(spark, b0), 0)
+    router.apply_batch(_mini_batch(spark, b1_a_only), 1)  # db.b misses batch 1
+
+    cur_a = json.loads(router.tables["db.a"].read().collect()[0]["object"])
+    assert cur_a["v"] == 2  # current read is AHEAD of db.b
+
+    cut, views = router.read_consistent()
+    assert cut == 0
+    got_a = json.loads(views["db.a"].collect()[0]["object"])
+    got_b = json.loads(views["db.b"].collect()[0]["object"])
+    assert got_a["v"] == 1  # rolled back to the cut
+    assert got_b["v"] == 1
+
+    # once db.b catches up the cut advances and both read current
+    router.apply_batch(
+        _mini_batch(
+            spark,
+            [(200, 0, 3, "u", "db.b", k2, json.dumps({"_id": k2, "v": 2}), None, None)],
+        ),
+        1,
+    )
+    cut2, views2 = router.read_consistent()
+    assert cut2 == 1
+    assert json.loads(views2["db.a"].collect()[0]["object"])["v"] == 2
+    assert json.loads(views2["db.b"].collect()[0]["object"])["v"] == 2
+
+
+def test_read_consistent_validates_loudly(spark, tmp_path):
+    from kafka_connect_mongo_spark.streaming.router import consistent_cut
+
+    router = NamespaceRouter(spark, str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="no open tables"):
+        router.read_consistent()
+    with pytest.raises(ValueError, match="no tables"):
+        consistent_cut({})
