@@ -476,6 +476,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st19_consistent_read"] = _st19
 
+    def _mv1(spark: SparkSession, sf: str) -> DataFrame:
+        # Incremental materialized-view maintenance: per-repo live-doc
+        # count + content bytes, maintained by FOLDING the pre/post-image
+        # changelog of batch 1 into the view built at batch 0 — the base
+        # table is never re-aggregated. Oracle = the same aggregate over
+        # the final LWW state, so a hash match proves fold == rebuild
+        # (group moves, deletes and integer sums included).
+        from kafka_connect_mongo_spark.operators import mv
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import prepare_batch
+
+        feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
+        mid = _mid_ts(sf)
+        work = tempfile.mkdtemp(prefix="cdc-mv-")
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
+        )
+        table.upsert(prepare_batch(feed.filter(F.col("ts") <= mid)), 0)
+        table.upsert(prepare_batch(feed.filter(F.col("ts") > mid)), 1)
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "repo", F.get_json_object("object", "$.repo")
+            ).withColumn(
+                "content_len",
+                F.length(F.get_json_object("object", "$.content")).cast("long"),
+            )
+
+        kw = dict(count_col="n_docs", sum_cols={"sum_chars": "content_len"})
+        mv0 = mv.build_mv(project(table.read_as_of(0)), ["repo"], **kw)
+        return mv.fold_changelog(
+            mv0, project(table.changelog_rows(0, 1)), ["repo"], **kw
+        )
+
+    q["mv1_incremental_view"] = _mv1
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -2056,6 +2092,19 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 SELECT id, ns, 'cdc_' || replace(ns, '.', '_') AS table_name,
        sha256(object->>'$.content') AS content_sha
 FROM ({final})
+""".strip()
+
+    # mv1: the incrementally-maintained view must equal the defining
+    # aggregate over the FINAL LWW state (code.docs only, deletes out).
+    o["mv1_incremental_view"] = f"""
+SELECT object->>'$.repo' AS repo,
+       count(*) AS n_docs,
+       CAST(sum(length(object->>'$.content')) AS BIGINT) AS sum_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed}) WHERE ns = 'code.docs'
+) WHERE rn = 1 AND op <> 'd'
+GROUP BY 1
 """.strip()
 
     # st19: consistent cut = batch 0 = everything at ts <= mid, both ns —

@@ -90,6 +90,8 @@ def main() -> None:
         "st15_streaming_scd2",  # streaming SCD2 fold (MoR history write)
         "st16_key_scrub",       # full-feed MERGE + bucket-pruned GDPR erasure
         "st18_streaming_quantiles",  # frozen-bounds histogram fold (sum-merge)
+        "st19_consistent_read",  # two-table MERGE + cut-pinned snapshot read
+        "mv1_incremental_view",  # MERGE + changelog fold into the grouped view
     ]
 
     def run_noop(df) -> None:

@@ -652,6 +652,29 @@ class LakeTable:
         values come from the newer snapshot when it has them (so a
         deleted key reports the DELETE event's ts/seq), falling back to
         the older one. Same retention contract as ``read_as_of``."""
+        j, cols, alive_a, alive_b, ord_a, ord_b = self._diff_joined(
+            from_batch, to_batch
+        )
+        change = (
+            F.when(alive_b & ~alive_a, F.lit("added"))
+            .when(alive_a & ~alive_b, F.lit("deleted"))
+            .when(alive_a & alive_b & (ord_a != ord_b), F.lit("updated"))
+        )
+        return (
+            j.select(
+                *[
+                    F.coalesce(F.col(f"b__{c}"), F.col(f"a__{c}")).alias(c)
+                    for c in cols
+                ],
+                change.alias("change"),
+            )
+            .filter(F.col("change").isNotNull())
+        )
+
+    def _diff_joined(self, from_batch: int | str, to_batch: int | str):
+        """Shared core of snapshot_diff/changelog_rows: the two
+        merge-on-read states full-outer-joined on the key, with
+        per-side liveness flags and LWW ordering structs."""
         a = self.read_as_of(from_batch, include_tombstones=True)
         b = self.read_as_of(to_batch, include_tombstones=True)
         # The schema is add-only, but either side's FILES may predate
@@ -686,20 +709,50 @@ class LakeTable:
         alive_b = F.coalesce(F.col("b__alive__"), F.lit(False))
         ord_a = F.struct(*[F.col(f"a__{c}") for c in ORDER_COLS])
         ord_b = F.struct(*[F.col(f"b__{c}") for c in ORDER_COLS])
-        change = (
-            F.when(alive_b & ~alive_a, F.lit("added"))
-            .when(alive_a & ~alive_b, F.lit("deleted"))
-            .when(alive_a & alive_b & (ord_a != ord_b), F.lit("updated"))
+        return j, cols, alive_a, alive_b, ord_a, ord_b
+
+    def changelog_rows(
+        self, from_batch: int | str, to_batch: int | str
+    ) -> DataFrame:
+        """Pre/post-IMAGE changelog between two committed snapshots —
+        Iceberg's ``create_changelog_view`` row shape: for each net-changed
+        key, the OLD row tagged ``update_pre``/``deleted`` and/or the NEW
+        row tagged ``update_post``/``added``. This is the form downstream
+        incremental maintenance needs (``operators/mv.py``): a pre-image
+        retracts the old contribution, a post-image asserts the new one —
+        ``snapshot_diff`` (net, new-values-only) cannot retract an updated
+        row's old group.
+
+        Plan: the SAME single full-outer join as snapshot_diff; each
+        joined key emits its 0-2 images through one array+explode (the
+        per-element structs are cheap projections, so the
+        CollapseProject-across-Generate hazard documented for t10 does
+        not apply). Cost scales with |changed keys|, never the table."""
+        j, cols, alive_a, alive_b, ord_a, ord_b = self._diff_joined(
+            from_batch, to_batch
         )
-        return (
-            j.select(
-                *[
-                    F.coalesce(F.col(f"b__{c}"), F.col(f"a__{c}")).alias(c)
-                    for c in cols
-                ],
-                change.alias("change"),
-            )
-            .filter(F.col("change").isNotNull())
+        changed = ord_a != ord_b
+        pre = F.when(
+            alive_a & (~alive_b | changed),
+            F.struct(
+                F.struct(*[F.col(f"a__{c}").alias(c) for c in cols]).alias("row"),
+                F.when(alive_b, F.lit("update_pre"))
+                .otherwise(F.lit("deleted"))
+                .alias("change"),
+            ),
+        )
+        post = F.when(
+            alive_b & (~alive_a | changed),
+            F.struct(
+                F.struct(*[F.col(f"b__{c}").alias(c) for c in cols]).alias("row"),
+                F.when(alive_a, F.lit("update_post"))
+                .otherwise(F.lit("added"))
+                .alias("change"),
+            ),
+        )
+        images = F.filter(F.array(pre, post), lambda x: x.isNotNull())
+        return j.select(F.explode(images).alias("img")).select(
+            "img.row.*", "img.change"
         )
 
     def read_changes(

@@ -1,0 +1,139 @@
+"""Pre/post-image changelog (LakeTable.changelog_rows) + incremental
+materialized-view maintenance (operators/mv.py).
+
+The load-bearing invariant: folding the changelog into the view built at
+snapshot A yields EXACTLY the view built at snapshot B — including
+updates that move a row between groups (retract old group, assert new),
+deletes that empty a group (group disappears), and integer sums."""
+
+import json
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators import mv
+from kafka_connect_mongo_spark.sinks.lake import LakeTable
+from tests.test_lake import ev, key, mk
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    return LakeTable(spark, str(tmp_path / "lake"), n_buckets=4, payload_col="object")
+
+
+def _project(df):
+    """The view's input projection, applied identically to a table state
+    and to its changelog (the group/measure live inside the payload)."""
+    return df.withColumn(
+        "g", F.get_json_object("object", "$.g")
+    ).withColumn("v", F.get_json_object("object", "$.v").cast("long"))
+
+
+def test_changelog_rows_emits_pre_and_post_images(table, spark):
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "g": "a", "v": 10}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "g": "a", "v": 5}),
+        ev(100, 0, 2, "i", "t.a", key(3), {"_id": key(3), "g": "b", "v": 7}),
+    ]
+    b1 = [
+        ev(200, 0, 3, "u", "t.a", key(1), {"_id": key(1), "g": "b", "v": 11}),
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+        ev(200, 0, 5, "u", "t.a", key(3), {"_id": key(3), "g": "b", "v": 9}),
+        ev(200, 0, 6, "i", "t.a", key(4), {"_id": key(4), "g": "a", "v": 1}),
+    ]
+    table.upsert(mk(spark, b0), 0)
+    table.upsert(mk(spark, b1), 1)
+    rows = table.changelog_rows(0, 1).collect()
+    got = {
+        (r["id"], r["change"]): json.loads(r["object"]) if r["object"] else None
+        for r in rows
+    }
+    assert len(rows) == len(got) == 6
+    assert got[(key(1), "update_pre")]["g"] == "a"
+    assert got[(key(1), "update_post")] == {"_id": key(1), "g": "b", "v": 11}
+    assert got[(key(2), "deleted")]["v"] == 5  # pre-image carries OLD values
+    assert got[(key(3), "update_pre")]["v"] == 7
+    assert got[(key(3), "update_post")]["v"] == 9
+    assert got[(key(4), "added")]["v"] == 1
+
+
+def test_fold_equals_rebuild_with_group_moves_and_deletes(table, spark):
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "g": "a", "v": 10}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "g": "a", "v": 5}),
+        ev(100, 0, 2, "i", "t.a", key(3), {"_id": key(3), "g": "b", "v": 7}),
+    ]
+    b1 = [
+        ev(200, 0, 3, "u", "t.a", key(1), {"_id": key(1), "g": "b", "v": 11}),
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+        ev(200, 0, 5, "i", "t.a", key(4), {"_id": key(4), "g": "c", "v": 1}),
+    ]
+    table.upsert(mk(spark, b0), 0)
+    table.upsert(mk(spark, b1), 1)
+    mv0 = mv.build_mv(
+        _project(table.read_as_of(0)), ["g"], count_col="n", sum_cols={"sv": "v"}
+    )
+    folded = mv.fold_changelog(
+        mv0,
+        _project(table.changelog_rows(0, 1)),
+        ["g"],
+        count_col="n",
+        sum_cols={"sv": "v"},
+    )
+    got = {r["g"]: (r["n"], r["sv"]) for r in folded.collect()}
+    # group a: k1 moved out, k2 deleted -> gone entirely; b: k1 in, k3 stays
+    assert got == {"b": (2, 18), "c": (1, 1)}
+    rebuilt = mv.build_mv(
+        _project(table.read()), ["g"], count_col="n", sum_cols={"sv": "v"}
+    )
+    assert got == {r["g"]: (r["n"], r["sv"]) for r in rebuilt.collect()}
+
+
+def test_fold_equals_rebuild_property_random_workload(table, spark):
+    rnd = random.Random(42)
+    seq = 0
+
+    def batch(ts):
+        nonlocal seq
+        rows = []
+        for k in rnd.sample(range(30), 18):
+            op = rnd.choice(["i", "u", "u", "d"])
+            body = (
+                None
+                if op == "d"
+                else {"_id": key(k), "g": rnd.choice("abcd"), "v": rnd.randrange(100)}
+            )
+            rows.append(ev(ts, 0, seq, op, "t.a", key(k), body))
+            seq += 1
+        return rows
+
+    table.upsert(mk(spark, batch(100)), 0)
+    table.upsert(mk(spark, batch(200)), 1)
+    kw = dict(count_col="n", sum_cols={"sv": "v"})
+    folded = mv.fold_changelog(
+        mv.build_mv(_project(table.read_as_of(0)), ["g"], **kw),
+        _project(table.changelog_rows(0, 1)),
+        ["g"],
+        **kw,
+    )
+    rebuilt = mv.build_mv(_project(table.read()), ["g"], **kw)
+    as_map = lambda df: {r["g"]: (r["n"], r["sv"]) for r in df.collect()}
+    assert as_map(folded) == as_map(rebuilt)
+
+
+def test_mv_validates_loudly(spark):
+    df = spark.createDataFrame([("a", 1, "added")], "g string, v long, change string")
+    with pytest.raises(ValueError, match="group_cols"):
+        mv.build_mv(df, [])
+    with pytest.raises(ValueError, match="missing column"):
+        mv.build_mv(df, ["g"], sum_cols={"sv": "nope"})
+    good_mv = mv.build_mv(df, ["g"], count_col="n", sum_cols={"sv": "v"})
+    with pytest.raises(ValueError, match="missing column"):
+        mv.fold_changelog(good_mv.drop("sv"), df, ["g"], count_col="n", sum_cols={"sv": "v"})
+    with pytest.raises(ValueError, match="collides"):
+        mv.build_mv(df, ["g"], count_col="g")
+    bad = spark.createDataFrame([("a", 1, "bogus")], "g string, v long, change string")
+    with pytest.raises(Exception, match="unknown change tag"):
+        mv.fold_changelog(good_mv, bad, ["g"], count_col="n", sum_cols={"sv": "v"}).collect()
