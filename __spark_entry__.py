@@ -512,6 +512,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mv1_incremental_view"] = _mv1
 
+    def _st20(spark: SparkSession, sf: str) -> DataFrame:
+        # Streaming MV maintenance: the same view as mv1, maintained
+        # continuously — per micro-batch MERGE + changelog fold into
+        # batch_id-keyed signed-delta partitions (overwrite-on-retry;
+        # sum-merge read). Shares mv1's oracle: the streamed view must
+        # equal the defining aggregate over the final LWW state.
+        from kafka_connect_mongo_spark.streaming import mv_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-mv-stream-")
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "repo", F.get_json_object("object", "$.repo")
+            ).withColumn(
+                "content_len",
+                F.length(F.get_json_object("object", "$.content")).cast("long"),
+            )
+
+        return mv_stream.run_mv_stream(
+            spark,
+            gen.oplog_path(sf),
+            work,
+            project,
+            ["repo"],
+            count_col="n_docs",
+            sum_cols={"sum_chars": "content_len"},
+            namespace="code.docs",
+            max_files_per_trigger=2,
+        )
+
+    q["st20_streaming_mv"] = _st20
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -2106,6 +2138,9 @@ FROM (
 ) WHERE rn = 1 AND op <> 'd'
 GROUP BY 1
 """.strip()
+
+    # st20: the streaming maintenance of the same view — identical oracle.
+    o["st20_streaming_mv"] = o["mv1_incremental_view"]
 
     # st19: consistent cut = batch 0 = everything at ts <= mid, both ns —
     # the batch-1 rows applied to code.docs must NOT appear.

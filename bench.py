@@ -92,6 +92,7 @@ def main() -> None:
         "st18_streaming_quantiles",  # frozen-bounds histogram fold (sum-merge)
         "st19_consistent_read",  # two-table MERGE + cut-pinned snapshot read
         "mv1_incremental_view",  # MERGE + changelog fold into the grouped view
+        "st20_streaming_mv",    # streamed MV: per-batch delta partitions
     ]
 
     def run_noop(df) -> None:

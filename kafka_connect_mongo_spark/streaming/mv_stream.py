@@ -1,0 +1,181 @@
+"""Streaming materialized-view maintenance: the CDC stream keeps a
+grouped aggregate in sync per micro-batch via the changelog fold
+(``operators/mv.py``) — the streaming form of ``mv1``.
+
+Design: merge-on-read, like every sink in this repo. Each micro-batch
+
+1. MERGEs into the backing lake table (``sinks/lake.py``, exactly-once
+   by batch id), then
+2. derives its pre/post-image changelog against the PREVIOUS committed
+   snapshot (``LakeTable.changelog_rows``) and writes the batch's SIGNED
+   DELTA AGGREGATE — (group, Δcount, Δsums) — under
+   ``deltas/batch_id={n}/`` with OVERWRITE.
+
+The view read is ``sum`` over all delta partitions (filter count > 0):
+integer sums commute and associate, so the merge-on-read total equals
+the one-shot rebuild exactly — the same mergeability argument as the
+sketch family (a9-a11), with the batch_id-keyed partition OVERWRITE
+carrying retry idempotence (sum is not idempotent, so a blind append
+after a mid-batch crash would double-count; the overwrite replaces the
+failed attempt — the st18 discipline, crash-retry pytest).
+
+Why deltas and not read-modify-write of one MV file: the delta write is
+append-shaped (no read of prior state in the hot path — the changelog
+join touches only the batch's keys), partitions are independently
+retryable, and ``compact_mv`` folds them into one base exactly like the
+lake's LSM compaction when the partition count grows.
+
+Scale: per batch, the changelog join costs |batch keys| against the
+table's bucket-pruned snapshots, the delta aggregate shuffles ≤
+|touched groups| rows, and the read side scans |batches| × |groups|
+tiny partitions until compaction folds them — the base table is never
+re-aggregated after bootstrap.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..operators import mv
+from ..sinks.lake import LakeTable
+from ..sources.oplog import clean_feed_cond
+from .replay_stream import prepare_batch
+
+
+def _prev_committed(table: LakeTable, batch_id: int) -> int:
+    """Largest committed NUMERIC batch id < batch_id, or -1. Derived
+    from the meta (not just watermark-1): on a retry the watermark
+    already includes batch_id itself."""
+    prev = -1
+    for s in table.meta["snapshots"]:
+        try:
+            bid = int(s["batch_id"])
+        except ValueError:
+            continue
+        if bid < batch_id:
+            prev = max(prev, bid)
+    return prev
+
+
+def run_mv_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    project: Callable[[DataFrame], DataFrame],
+    group_cols: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+    n_buckets: int = 8,
+    namespace: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the feed (availableNow), maintaining lake table + view;
+    returns the final view. ``project`` maps lake rows (and changelog
+    rows — same shape plus ``change``) to group/measure columns."""
+    sum_cols = sum_cols or {}
+    table = LakeTable(
+        spark,
+        os.path.join(work_dir, "lake"),
+        n_buckets=n_buckets,
+        payload_col="object",
+    )
+    deltas_dir = os.path.join(work_dir, "deltas")
+    kw = dict(count_col=count_col, sum_cols=sum_cols)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        clean = batch.filter(clean_feed_cond())
+        if namespace is not None:
+            clean = clean.filter(F.col("ns") == namespace)
+        prev = _prev_committed(table, int(batch_id))
+        table.upsert(prepare_batch(clean), batch_id)
+        if prev < 0:
+            # first batch: everything is an insert — the delta IS the
+            # defining aggregate over the batch's snapshot state
+            delta = mv.build_mv(
+                project(table.read_as_of(batch_id)), group_cols, **kw
+            )
+        else:
+            images = project(table.changelog_rows(prev, batch_id))
+            delta = images.groupBy(*group_cols).agg(
+                *mv._measures(count_col, sum_cols, mv.changelog_weight())
+            )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(deltas_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_mv(spark, work_dir, group_cols, count_col=count_col, sum_cols=sum_cols)
+
+
+def read_mv(
+    spark: SparkSession,
+    work_dir: str,
+    group_cols: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Merge-on-read view: sum the per-batch signed deltas, drop emptied
+    groups. Only COMMITTED partitions exist (overwrite-on-retry), so
+    this is exact at any point between batches."""
+    sum_cols = sum_cols or {}
+    deltas_dir = os.path.join(work_dir, "deltas")
+    measures = [count_col] + sorted(sum_cols)
+    if not os.path.isdir(deltas_dir) or not any(
+        e.startswith("batch_id=") for e in os.listdir(deltas_dir)
+    ):
+        schema = ", ".join([f"`{c}` string" for c in group_cols])
+        return spark.createDataFrame(
+            [], schema + ", " + ", ".join(f"`{m}` long" for m in measures)
+        )
+    df = spark.read.parquet(deltas_dir)
+    out = df.groupBy(*group_cols).agg(
+        *[F.sum(m).cast("long").alias(m) for m in measures]
+    )
+    return out.filter(F.col(count_col) > 0)
+
+
+def compact_mv(
+    spark: SparkSession,
+    work_dir: str,
+    group_cols: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+) -> dict:
+    """Fold all delta partitions into one base partition keyed by the
+    highest batch id — the LSM maintenance step. Offline only (drained
+    stream), like ``compact_history``: folding a half-committed batch's
+    partition would break that batch's overwrite-on-retry."""
+    deltas_dir = os.path.join(work_dir, "deltas")
+    parts = sorted(
+        e for e in os.listdir(deltas_dir) if e.startswith("batch_id=")
+    )
+    if len(parts) <= 1:
+        return {"before": len(parts), "after": len(parts)}
+    folded = read_mv(
+        spark, work_dir, group_cols, count_col=count_col, sum_cols=sum_cols
+    )
+    top = parts[-1]
+    tmp = os.path.join(work_dir, "deltas_compact_tmp")
+    folded.write.mode("overwrite").parquet(os.path.join(tmp, top))
+    import shutil
+
+    old = work_dir + "/deltas_old"
+    os.rename(deltas_dir, old)
+    os.rename(tmp, deltas_dir)
+    shutil.rmtree(old)
+    return {"before": len(parts), "after": 1}

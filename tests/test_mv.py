@@ -7,6 +7,7 @@ updates that move a row between groups (retract old group, assert new),
 deletes that empty a group (group disappears), and integer sums."""
 
 import json
+import os
 import random
 
 import pytest
@@ -137,3 +138,72 @@ def test_mv_validates_loudly(spark):
     bad = spark.createDataFrame([("a", 1, "bogus")], "g string, v long, change string")
     with pytest.raises(Exception, match="unknown change tag"):
         mv.fold_changelog(good_mv, bad, ["g"], count_col="n", sum_cols={"sv": "v"}).collect()
+
+
+# --- streaming maintenance -------------------------------------------------
+
+
+def _proj_repo(df):
+    return df.withColumn(
+        "repo", F.get_json_object("object", "$.repo")
+    ).withColumn(
+        "content_len",
+        F.length(F.get_json_object("object", "$.content")).cast("long"),
+    )
+
+
+_MV_KW = dict(count_col="n_docs", sum_cols={"sum_chars": "content_len"})
+
+
+def test_streaming_mv_equals_rebuild(spark, gen_paths, tmp_path_factory):
+    """Multi-batch streamed maintenance == one-shot defining aggregate
+    over the final table state; compaction preserves the view."""
+    from kafka_connect_mongo_spark.streaming import mv_stream
+
+    op_path, _ = gen_paths
+    work = str(tmp_path_factory.mktemp("mv-stream"))
+    view = mv_stream.run_mv_stream(
+        spark, op_path, work, _proj_repo, ["repo"],
+        namespace="code.docs", max_files_per_trigger=1, **_MV_KW,
+    )
+    got = {r["repo"]: (r["n_docs"], r["sum_chars"]) for r in view.collect()}
+
+    table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=8)
+    want_df = mv.build_mv(_proj_repo(table.read()), ["repo"], **_MV_KW)
+    want = {r["repo"]: (r["n_docs"], r["sum_chars"]) for r in want_df.collect()}
+    assert got == want and len(got) > 1
+
+    stats = mv_stream.compact_mv(spark, work, ["repo"], **_MV_KW)
+    assert stats["after"] == 1 and stats["before"] > 1
+    after = mv_stream.read_mv(spark, work, ["repo"], **_MV_KW)
+    assert {r["repo"]: (r["n_docs"], r["sum_chars"]) for r in after.collect()} == want
+
+
+def test_streaming_mv_overwrites_half_committed_batch(spark, gen_paths, tmp_path_factory):
+    """Crash-retry idempotence: a garbage partition planted for a batch
+    whose checkpoint never committed must be REPLACED by the re-fired
+    batch (sum-merge is not idempotent — a blind append would
+    double-count; the st18 discipline)."""
+    from kafka_connect_mongo_spark.streaming import mv_stream
+
+    op_path, _ = gen_paths
+    work = str(tmp_path_factory.mktemp("mv-crash"))
+    # plant a half-committed first attempt of batch 0
+    garbage = spark.createDataFrame(
+        [("org-99/phantom", 10**6, 10**9)], "repo string, n_docs long, sum_chars long"
+    )
+    garbage.write.mode("overwrite").parquet(
+        os.path.join(work, "deltas", "batch_id=0")
+    )
+    view = mv_stream.run_mv_stream(
+        spark, op_path, work, _proj_repo, ["repo"],
+        namespace="code.docs", max_files_per_trigger=None, **_MV_KW,
+    )
+    repos = {r["repo"] for r in view.collect()}
+    assert "org-99/phantom" not in repos
+
+    table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=8)
+    want_df = mv.build_mv(_proj_repo(table.read()), ["repo"], **_MV_KW)
+    assert {r["repo"]: (r["n_docs"], r["sum_chars"]) for r in view.collect()} == {
+        r["repo"]: (r["n_docs"], r["sum_chars"]) for r in want_df.collect()
+    }
