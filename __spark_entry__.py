@@ -544,6 +544,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st20_streaming_mv"] = _st20
 
+    def _t11(spark: SparkSession, sf: str) -> DataFrame:
+        # Dead-letter round-trip: deterministically mangle ~1% of payloads
+        # (seq % 97 == 13 → "CORRUPT>" prefix), replay with the quarantine
+        # channel (corrupt rows parked, never merged), then requeue with
+        # the repair — final state must equal the UNMANGLED feed's LWW
+        # state exactly, proving no event was lost or double-applied and
+        # no stale requeue clobbered a newer row.
+        from kafka_connect_mongo_spark.operators.errors import requeue_quarantine
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-dlq-")
+        raw = spark.read.parquet(gen.oplog_path(sf))
+        mangle = (
+            F.col("op").isin("i", "u")
+            & F.col("object").isNotNull()
+            & (F.col("seq") % 97 == 13)
+        )
+        raw.withColumn(
+            "object",
+            F.when(mangle, F.concat(F.lit("CORRUPT>"), F.col("object"))).otherwise(
+                F.col("object")
+            ),
+        ).repartition(4).write.parquet(os.path.join(work, "feed"))
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
+        )
+        dlq = os.path.join(work, "dlq")
+        run_replay_stream(
+            spark,
+            os.path.join(work, "feed"),
+            table,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=None,
+            quarantine_dir=dlq,
+        )
+        requeue_quarantine(
+            spark,
+            dlq,
+            table,
+            repair=lambda df: df.withColumn(
+                "object", F.regexp_replace("object", "^CORRUPT>", "")
+            ),
+        )
+        return table.read().select("id", "ns", "content_sha")
+
+    q["t11_dlq_requeue"] = _t11
+
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
@@ -2141,6 +2189,15 @@ GROUP BY 1
 
     # st20: the streaming maintenance of the same view — identical oracle.
     o["st20_streaming_mv"] = o["mv1_incremental_view"]
+
+    # t11: after quarantine + repaired requeue the table equals the
+    # UNMANGLED feed's LWW state (feed-only replay, no bootstrap).
+    o["t11_dlq_requeue"] = f"""
+SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed})
+) WHERE rn = 1 AND op <> 'd'
+""".strip()
 
     # st19: consistent cut = batch 0 = everything at ts <= mid, both ns —
     # the batch-1 rows applied to code.docs must NOT appear.

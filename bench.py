@@ -93,6 +93,7 @@ def main() -> None:
         "st19_consistent_read",  # two-table MERGE + cut-pinned snapshot read
         "mv1_incremental_view",  # MERGE + changelog fold into the grouped view
         "st20_streaming_mv",    # streamed MV: per-batch delta partitions
+        "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
     ]
 
     def run_noop(df) -> None:

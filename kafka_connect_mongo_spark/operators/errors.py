@@ -48,3 +48,50 @@ def error_counts(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
     )
+
+
+def requeue_quarantine(
+    spark,
+    quarantine_dir: str,
+    table,
+    repair=None,
+    batch_id: str = "requeue-0",
+) -> dict:
+    """Dead-letter REPLAY: merge parked rows back into the table once a
+    repair exists — the retry half the reference defers
+    (MongoSinkTask.kt:85-88 ``@todo retry``), made safe here by the LWW
+    MERGE: a requeued event carries its ORIGINAL (ts, inc, seq), so it
+    can never clobber a newer row no matter how late it re-enters —
+    out-of-order safety is the ordering domain's job (T5), not the
+    operator's.
+
+    ``repair`` is an optional DataFrame→DataFrame transform (e.g. strip
+    a known-bad prefix, fix an encoding) applied before re-validation;
+    rows that STILL fail parsing stay parked untouched (the operator
+    never consumes the DLQ destructively — re-run with a better repair).
+    Idempotent: the upsert commits under ``batch_id``, so a re-run with
+    the same id is skipped by the exactly-once watermark.
+
+    Scale: the DLQ holds |corrupt rows| (≈ 0 in steady state), so this
+    whole path is off the hot feed; the upsert prunes to the touched
+    buckets like any batch."""
+    import os
+
+    from ..streaming.replay_stream import prepare_batch
+
+    if not os.path.isdir(quarantine_dir) or not any(
+        e.startswith("batch_id=") for e in os.listdir(quarantine_dir)
+    ):
+        return {"n_requeued": 0, "n_still_bad": 0, "skipped": False}
+    parked = spark.read.parquet(quarantine_dir).drop("batch_id")
+    if repair is not None:
+        parked = repair(parked)
+    good, still_bad = split_corrupt(parked)
+    n_good = good.count()
+    n_bad = still_bad.count()
+    stats = table.upsert(prepare_batch(good), batch_id) if n_good else {}
+    return {
+        "n_requeued": n_good,
+        "n_still_bad": n_bad,
+        "skipped": bool(stats.get("skipped", False)),
+    }

@@ -108,6 +108,7 @@ def run_replay_stream(
     namespace: str | None = None,
     max_files_per_trigger: int | None = 2,
     metrics_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Replay the change feed into ``table`` with exactly-once semantics.
 
@@ -115,6 +116,13 @@ def run_replay_stream(
     in rate-limited micro-batches, then stops — re-invoking with the same
     checkpoint continues from the last committed offset (resume test:
     T4). Returns summary stats.
+
+    ``quarantine_dir`` opts into the dead-letter channel: rows whose
+    payload fails JSON parsing are PARKED there (batch_id-keyed partition
+    OVERWRITE — idempotent on retry) instead of merged, and can re-enter
+    the table later via ``operators/errors.requeue_quarantine`` once a
+    repair exists. Off by default: the reference's basic mode ships the
+    raw payload through unparsed, so un-opted tables keep those rows.
     """
     if snapshot_path:
         bootstrap(spark, table, snapshot_path)
@@ -122,7 +130,15 @@ def run_replay_stream(
     applied: list[dict] = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prepared = prepare_batch(batch_df)
+        merged = batch_df  # metrics below stay over the FULL batch
+        if quarantine_dir is not None:
+            from ..operators.errors import split_corrupt
+
+            merged, bad = split_corrupt(batch_df)
+            bad.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch_id={batch_id}")
+            )
+        prepared = prepare_batch(merged)
         stats = table.upsert(prepared, batch_id)
         applied.append(stats)
         if metrics_dir and not stats.get("skipped"):
