@@ -53,6 +53,8 @@ def main(argv: list[str] | None = None) -> None:
     ps.add_argument("--buckets", type=int, default=256)
     ps.add_argument("--max-files-per-trigger", type=int, default=8)
     ps.add_argument("--metrics", default=None)
+    ps.add_argument("--quarantine", default=None,
+                    help="dead-letter dir: park unparseable payloads instead of merging")
 
     pe = sub.add_parser("export", help="one-shot initial import (ExportReader analog)")
     pe.add_argument("--snapshot", required=True)
@@ -210,6 +212,27 @@ def main(argv: list[str] | None = None) -> None:
                      help="fold: verify the loader ordering contract "
                      "(exit with LateDataError instead of diverging)")
 
+    prq = sub.add_parser(
+        "requeue",
+        help="replay the dead-letter quarantine into the table after a repair "
+        "(idempotent batch; stale rows lose by LWW)",
+    )
+    prq.add_argument("--quarantine", required=True, help="dead-letter dir")
+    prq.add_argument("--table", required=True, help="lake table root")
+    prq.add_argument("--strip-prefix", default=None,
+                     help="repair: remove this literal prefix from payloads")
+    prq.add_argument("--batch-id", default="requeue-0",
+                     help="commit id (reuse = exactly-once skip)")
+
+    pcr = sub.add_parser(
+        "consistent-read",
+        help="cross-table consistent snapshot read of a routed lake: pin every "
+        "table to cut = min committed batch id",
+    )
+    pcr.add_argument("--root", required=True, help="parent dir of the per-ns tables")
+    pcr.add_argument("--out", default=None,
+                     help="optional parquet out root (one subdir per table)")
+
     ph = sub.add_parser(
         "healthcheck",
         help="probe stream health from the engine's own artifacts "
@@ -239,6 +262,7 @@ def main(argv: list[str] | None = None) -> None:
             namespace=args.namespace,
             max_files_per_trigger=args.max_files_per_trigger,
             metrics_dir=args.metrics,
+            quarantine_dir=args.quarantine,
         )
         print(json.dumps(stats))
     elif args.cmd == "export":
@@ -468,6 +492,46 @@ def main(argv: list[str] | None = None) -> None:
                 })
             out.append({"table": root, "snapshots": snaps})
         print(json.dumps(out))
+    elif args.cmd == "requeue":
+        from pyspark.sql import functions as F
+
+        from .operators.errors import requeue_quarantine
+
+        table = _open_existing_table(spark, args.table)
+        repair = None
+        if args.strip_prefix is not None:
+            import re
+
+            pat = "^" + re.escape(args.strip_prefix)
+            repair = lambda df: df.withColumn(  # noqa: E731
+                "object", F.regexp_replace("object", pat, "")
+            )
+        stats = requeue_quarantine(
+            spark, args.quarantine, table, repair=repair, batch_id=args.batch_id
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "consistent-read":
+        import os
+
+        from .sinks.lake import LakeTable
+        from .streaming.router import read_consistent
+
+        tables = {
+            d: LakeTable(spark, os.path.join(args.root, d))
+            for d in sorted(os.listdir(args.root))
+            if os.path.exists(os.path.join(args.root, d, "_meta.json"))
+        }
+        cut, views = read_consistent(tables)
+        report = {"cut": cut, "tables": {}}
+        for name, df in views.items():
+            if args.out:
+                dest = os.path.join(args.out, name)
+                df.write.mode("overwrite").parquet(dest)
+                df = spark.read.parquet(dest)
+            report["tables"][name] = {"rows": df.count()}
+            if args.out:
+                report["tables"][name]["out"] = os.path.join(args.out, name)
+        print(json.dumps(report))
     elif args.cmd == "healthcheck":
         import os
         import sys

@@ -112,3 +112,46 @@ def test_quarantine_and_requeue_roundtrip(spark, tmp_path):
 
     s2 = requeue_quarantine(spark, dlq, table, repair=fix)
     assert s2["skipped"] is True    # same batch id: exactly-once
+
+
+def test_cli_stream_quarantine_and_requeue(spark, tmp_path):
+    """Out-of-process DLQ lifecycle: stream --quarantine parks corrupt
+    payloads; requeue --strip-prefix merges them back; final state equals
+    the clean-feed replay."""
+    import os
+    import subprocess
+    import sys
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    k1 = "a" * 24
+    rows = [
+        (100, 0, 0, "i", "t.a", k1, "CORRUPT>" + json.dumps({"_id": k1, "v": 1}), None, False),
+        (200, 0, 1, "u", "t.a", k1, json.dumps({"_id": k1, "v": 2}), None, False),
+        (100, 0, 2, "i", "t.a", "b" * 24, "CORRUPT>" + json.dumps({"_id": "b" * 24, "v": 9}), None, False),
+    ]
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(rows, schema=OPLOG_SCHEMA).write.parquet(feed)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    base = [sys.executable, "-m", "kafka_connect_mongo_spark.cli"]
+    tdir, dlq = str(tmp_path / "lake"), str(tmp_path / "dlq")
+    r = subprocess.run(
+        base + ["stream", "--oplog", feed, "--table", tdir, "--checkpoint",
+                str(tmp_path / "ckpt"), "--buckets", "2", "--quarantine", dlq],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    table = LakeTable(spark, tdir)
+    assert table.read().count() == 1  # only k1's clean update merged
+
+    r2 = subprocess.run(
+        base + ["requeue", "--quarantine", dlq, "--table", tdir,
+                "--strip-prefix", "CORRUPT>"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats["n_requeued"] == 2 and stats["n_still_bad"] == 0
+    table = LakeTable(spark, tdir)  # fresh meta after out-of-process commit
+    state = {r["id"]: json.loads(r["object"]) for r in table.read().collect()}
+    assert state[k1]["v"] == 2 and state["b" * 24]["v"] == 9

@@ -110,3 +110,39 @@ def test_read_consistent_validates_loudly(spark, tmp_path):
         router.read_consistent()
     with pytest.raises(ValueError, match="no tables"):
         consistent_cut({})
+
+
+def test_cli_consistent_read(spark, tmp_path):
+    """consistent-read CLI pins a partially-advanced routed lake to the
+    shared cut and can materialize the pinned views."""
+    import subprocess
+    import sys
+
+    k1, k2 = "1" * 24, "2" * 24
+    b0 = [
+        (100, 0, 0, "i", "db.a", k1, json.dumps({"_id": k1, "v": 1}), None, None),
+        (100, 0, 1, "i", "db.b", k2, json.dumps({"_id": k2, "v": 1}), None, None),
+    ]
+    b1 = [(200, 0, 2, "u", "db.a", k1, json.dumps({"_id": k1, "v": 2}), None, None)]
+    router = NamespaceRouter(spark, str(tmp_path / "lake"), n_buckets=2)
+    router.apply_batch(_mini_batch(spark, b0), 0)
+    router.apply_batch(_mini_batch(spark, b1), 1)  # db.b misses batch 1
+
+    import os
+
+    out = str(tmp_path / "pinned")
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "consistent-read",
+         "--root", str(tmp_path / "lake"), "--out", out],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["cut"] == 0
+    assert all(t["rows"] == 1 for t in report["tables"].values())
+    a_dir = next(d for d in os.listdir(out) if "db_a" in d)
+    got = json.loads(
+        spark.read.parquet(os.path.join(out, a_dir)).collect()[0]["object"]
+    )
+    assert got["v"] == 1  # pinned BELOW the crashed batch
