@@ -882,9 +882,15 @@ class LakeTable:
                 "snapshots_expired": 0,
                 "files_removed": 0,
             }
-        obsolete: list[str] = []
-        affected: list[int] = []
-        scrubbed = 0
+        # TWO Spark jobs total, however many buckets the deletion list
+        # hashes to (a serial per-bucket loop is 2x|buckets| jobs whose
+        # scheduling overhead dominates — measured 166 s -> ~10 s at
+        # sf0.1 x 16 buckets): job 1 counts hits per bucket, job 2
+        # rewrites every hit bucket in one partitioned write. Rows
+        # re-derive their bucket with the writer's own expression
+        # (_with_bucket), so attribution can never drift from layout.
+        candidate_paths: list[str] = []
+        candidate_states: dict[int, list[str]] = {}
         for b in buckets:
             state = self.meta["buckets"].get(str(b))
             if not state:
@@ -892,30 +898,56 @@ class LakeTable:
             paths = self._bucket_paths(str(b), state)
             if not paths:
                 continue
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            hit = df.filter(F.col(self.key).isin(typed)).count()
-            if hit == 0:
-                continue  # nothing to erase here — leave the files alone
-            scrubbed += hit
-            kept = df.filter(~F.col(self.key).isin(typed))
+            candidate_states[b] = paths
+            candidate_paths.extend(paths)
+        obsolete: list[str] = []
+        affected: list[int] = []
+        scrubbed = 0
+        if candidate_paths:
+            df = self._with_bucket(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *candidate_paths
+                )
+            )
+            hits = {
+                r["_bucket"]: r["n"]
+                for r in df.filter(F.col(self.key).isin(typed))
+                .groupBy("_bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            affected = sorted(b for b in candidate_states if hits.get(b, 0))
+            scrubbed = sum(hits.get(b, 0) for b in affected)
+        if affected:
+            kept = df.filter(F.col("_bucket").isin(affected)).filter(
+                ~F.col(self.key).isin(typed)
+            )
             order = self.meta.get("sort_order")
-            if order:
-                present = [c for c in order if c in kept.columns]
-                if present:
-                    kept = kept.sortWithinPartitions(*present)
-            gen = (state["base"] or 0) + 1
+            present = [
+                c for c in (order or []) if c in kept.columns and c != "_bucket"
+            ]
+            kept = kept.repartition(F.col("_bucket")).sortWithinPartitions(
+                "_bucket", *present
+            )
             staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-            kept.write.mode("overwrite").parquet(staging)
-            if not any(f.startswith("part-") for f in os.listdir(staging)):
-                shutil.rmtree(staging, ignore_errors=True)
-                self.meta["buckets"][str(b)] = {"base": None, "deltas": []}
-            else:
-                dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(staging, dst)
-                self.meta["buckets"][str(b)] = {"base": gen, "deltas": []}
-            obsolete.extend(paths)
-            affected.append(b)
+            kept.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            for b in affected:
+                state = self.meta["buckets"][str(b)]
+                src = os.path.join(staging, f"_bucket={b}")
+                if not os.path.isdir(src) or not any(
+                    f.startswith("part-") for f in os.listdir(src)
+                ):
+                    # every version in this bucket belonged to scrubbed
+                    # keys: no base generation, just forget the bucket.
+                    self.meta["buckets"][str(b)] = {"base": None, "deltas": []}
+                else:
+                    gen = (state["base"] or 0) + 1
+                    dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.replace(src, dst)
+                    self.meta["buckets"][str(b)] = {"base": gen, "deltas": []}
+                obsolete.extend(candidate_states[b])
+            shutil.rmtree(staging, ignore_errors=True)
         n_expired = 0
         if expire_history:
             # every pre-scrub snapshot references pre-rewrite file groups
