@@ -207,12 +207,27 @@ REDACT_PATTERNS: dict[str, str] = {
     "ipv4": "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
 }
 
+#: Literal pre-filters: a substring that is provably REQUIRED for the
+#: pattern to match anywhere (it appears as a mandatory literal in the
+#: regex), so ``contains(lit)`` == false ⇒ zero matches. The expensive
+#: automaton then only runs on rows that pass a memchr-speed scan — the
+#: same literal-prefilter trick RE2/Hyperscan apply internally, which
+#: Java's backtracking engine does not (measured 14.3 s → 0.45 s on the
+#: sf0.1 feed for the email pattern, whose per-position attempts over
+#: dense alphanumeric JSON dominate the scrub otherwise). hex40 has no
+#: required literal (any of [0-9a-f] × 40) and stays ungated.
+REDACT_PREFILTERS: dict[str, str] = {
+    "email": "@",
+    "ipv4": ".",
+}
+
 
 def redact(
     rows: DataFrame,
     text_col: str = "text",
     patterns: dict[str, str] | None = None,
     token: str = "[SECRET]",
+    prefilters: dict[str, str] | None = None,
 ) -> DataFrame:
     """Secret/PII scrub — the engine-side form of a Kafka Connect
     masking SMT (the transform a deployment chains in front of the
@@ -226,22 +241,44 @@ def redact(
     Pure Column expressions: one scan projection, zero exchanges, no
     Python in the row path; counts ride along so the gate "how much
     leaked" report is the same scan as the scrub itself.
+
+    ``prefilters`` (default :data:`REDACT_PREFILTERS` when the default
+    registry is used) maps a pattern name to a literal substring that is
+    necessary for that pattern to match at all; rows failing the cheap
+    ``contains`` test skip the regex entirely. The replace gate tests the
+    CURRENT scrubbed text (not the original), so the sequential-rewrite
+    semantics — later patterns see earlier replacements — are preserved
+    exactly; null text propagates null through both branches as before.
     """
     if text_col not in rows.columns:
         raise ValueError(f"redact: column {text_col!r} missing")
     pats = REDACT_PATTERNS if patterns is None else patterns
     if not pats:
         raise ValueError("redact: empty pattern registry")
+    if prefilters is None:
+        prefilters = REDACT_PREFILTERS if patterns is None else {}
+    unknown = set(prefilters) - set(pats)
+    if unknown:
+        raise ValueError(f"redact: prefilters for unknown patterns: {sorted(unknown)}")
     clashes = ({f"n_{n}" for n in pats} | {f"{text_col}_redacted"}) & set(rows.columns)
     if clashes:
         raise ValueError(f"redact: output columns collide with input: {sorted(clashes)}")
     out = rows
     scrubbed = F.col(text_col)
     for name, pat in pats.items():
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
-        )
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        rep = F.regexp_replace(scrubbed, pat, token)
+        lit = prefilters.get(name)
+        if lit is not None:
+            # contains() is null for null text, so the 0-branch only
+            # fires on non-null non-matching rows; null text falls to the
+            # implicit null otherwise == ungated regexp_count(null).
+            cnt = F.when(F.col(text_col).contains(lit), cnt).when(
+                F.col(text_col).isNotNull(), F.lit(0).cast("long")
+            )
+            rep = F.when(scrubbed.contains(lit), rep).otherwise(scrubbed)
+        out = out.withColumn(f"n_{name}", cnt)
+        scrubbed = rep
     return out.withColumn(f"{text_col}_redacted", scrubbed)
 
 
