@@ -595,7 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- training-data pipeline -------------------------------------------
     q["d1_dedup_exact"] = lambda spark, sf: dd.exact_dedup(_docs(spark, sf))
     q["d2_ngram_jaccard"] = lambda spark, sf: dd.ngram_jaccard_pairs(
-        _docs(spark, sf), k=3, threshold=0.5
+        _docs(spark, sf), k=3, threshold=0.5,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     q["d3_simhash32"] = lambda spark, sf: dd.simhash32(_docs(spark, sf))
     q["d3b_simhash_neardup"] = lambda spark, sf: dd.simhash_neardup_pairs(
@@ -612,7 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set is a subset of another's — truncations/elongations Jaccard
     # under-scores.
     q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
-        _docs(spark, sf), k=3, max_doc_freq=100
+        _docs(spark, sf), k=3, max_doc_freq=100,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
     # Near-dup CLUSTERING: pairs -> distributed connected components ->

@@ -223,8 +223,51 @@ def simhash_neardup_pairs(
     )
 
 
+def _rare_grams(
+    docs: DataFrame,
+    k: int,
+    max_doc_freq: int | None,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_id, gram-hash) pairs with the stop-gram cap applied,
+    PERSISTED. The slim table feeds three consumers (per-doc sizes and
+    both sides of the self-join); unpersisted, each consumer re-ran the
+    text scan + shingle explode + distinct — the dominant cost. The
+    document-frequency cap is a window count over the gram hash (one
+    shuffle, no groupBy+join back), identical filtered set. The persisted
+    table is two longs per gram — the same deliberate materialization
+    trade as the MinHash/SimHash signature tables above.
+
+    ``min_parallelism`` (opt-in, same contract as ``curate``): a source
+    with fewer splits than this serializes the shingle explode on one
+    core; the floor redistributes the text once before it. At corpus
+    scale the input has thousands of splits and the gate never fires."""
+    from pyspark.sql.window import Window
+
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        docs = docs.repartition(min_parallelism)
+    grams = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
+        .select("doc_id", _h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        grams = (
+            grams.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("df") <= max_doc_freq)
+            .drop("df")
+        )
+    return grams.persist()
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, max_doc_freq: int = 100
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via self-join on shared gram hash,
     |∩| / (|A| + |B| - |∩|) ≥ threshold.
@@ -238,19 +281,7 @@ def ngram_jaccard_pairs(
     of all-pairs similarity joins. Boilerplate-only overlap is exactly
     what near-dup detection wants to ignore anyway. MinHash+LSH above
     stays the 100 TB default; this is the exact small/medium-scale path."""
-    grams = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
-        .select("doc_id", _h60(F.col("g")).alias("h"))
-        .distinct()
-    )
-    if max_doc_freq is not None:
-        rare = (
-            grams.groupBy("h")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("h")
-        )
-        grams = grams.join(rare, "h")
+    grams = _rare_grams(docs, k, max_doc_freq, min_parallelism)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("ga"), grams.alias("gb")
     inter = (
@@ -274,7 +305,10 @@ def ngram_jaccard_pairs(
 
 
 def containment_pairs(
-    docs: DataFrame, k: int = 3, max_doc_freq: int = 100
+    docs: DataFrame,
+    k: int = 3,
+    max_doc_freq: int = 100,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Document-containment detection — the "remove contained/elongated
     duplicates" pass of substring-level dedup (Lee et al., *Deduplicating
@@ -298,19 +332,7 @@ def containment_pairs(
     equi-join on gram hash, one count aggregate, two slim size joins.
     Docs whose grams are all stop-grams drop out entirely (inner joins)
     — they cannot vacuously contain or be contained."""
-    grams = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("g"))
-        .select("doc_id", _h60(F.col("g")).alias("h"))
-        .distinct()
-    )
-    if max_doc_freq is not None:
-        rare = (
-            grams.groupBy("h")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("h")
-        )
-        grams = grams.join(rare, "h")
+    grams = _rare_grams(docs, k, max_doc_freq, min_parallelism)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("ga"), grams.alias("gb")
     inter = (
