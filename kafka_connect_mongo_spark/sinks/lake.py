@@ -606,7 +606,10 @@ class LakeTable:
         return self.read_as_of(best["batch_id"], include_tombstones=include_tombstones)
 
     def read_as_of(
-        self, batch_id: int | str, include_tombstones: bool = False
+        self,
+        batch_id: int | str,
+        include_tombstones: bool = False,
+        keys: DataFrame | None = None,
     ) -> DataFrame:
         """Snapshot time travel: read the table exactly as it stood when
         ``batch_id`` committed (the Iceberg `VERSION AS OF` semantics on
@@ -617,7 +620,15 @@ class LakeTable:
         Retention contract (same as any lake vacuum): a snapshot is
         readable while its files exist — compaction deletes superseded
         delta files, after which older snapshots raise a loud error
-        instead of silently returning partial state."""
+        instead of silently returning partial state.
+
+        ``keys`` (optional): a DataFrame containing the key column —
+        restricts the read to those keys via a semi-join pushed BELOW
+        the LWW collapse (exact: the collapse is per-key, so dropping
+        other keys' version rows changes nothing for the kept ones).
+        The window then sorts only the touched keys' versions instead
+        of the whole table — the lever that keeps per-micro-batch
+        changelog maintenance O(batch), not O(table)."""
         snap = self._snapshot_for(batch_id, "read_as_of")
         paths: list[str] = []
         for b, state in snap["state"].items():
@@ -625,6 +636,8 @@ class LakeTable:
         if not paths:
             return self._empty()
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if keys is not None:
+            df = df.join(keys.select(self.key), self.key, "leftsemi")
         state_df = lww_collapse(df, key=self.key)
         if not include_tombstones:
             state_df = state_df.filter(
@@ -671,12 +684,17 @@ class LakeTable:
             .filter(F.col("change").isNotNull())
         )
 
-    def _diff_joined(self, from_batch: int | str, to_batch: int | str):
+    def _diff_joined(
+        self,
+        from_batch: int | str,
+        to_batch: int | str,
+        keys: DataFrame | None = None,
+    ):
         """Shared core of snapshot_diff/changelog_rows: the two
         merge-on-read states full-outer-joined on the key, with
         per-side liveness flags and LWW ordering structs."""
-        a = self.read_as_of(from_batch, include_tombstones=True)
-        b = self.read_as_of(to_batch, include_tombstones=True)
+        a = self.read_as_of(from_batch, include_tombstones=True, keys=keys)
+        b = self.read_as_of(to_batch, include_tombstones=True, keys=keys)
         # The schema is add-only, but either side's FILES may predate
         # later columns (the older snapshot usually; the newer one on a
         # reverse diff): pad missing columns with typed nulls or the
@@ -712,7 +730,10 @@ class LakeTable:
         return j, cols, alive_a, alive_b, ord_a, ord_b
 
     def changelog_rows(
-        self, from_batch: int | str, to_batch: int | str
+        self,
+        from_batch: int | str,
+        to_batch: int | str,
+        keys: DataFrame | None = None,
     ) -> DataFrame:
         """Pre/post-IMAGE changelog between two committed snapshots —
         Iceberg's ``create_changelog_view`` row shape: for each net-changed
@@ -727,9 +748,16 @@ class LakeTable:
         joined key emits its 0-2 images through one array+explode (the
         per-element structs are cheap projections, so the
         CollapseProject-across-Generate hazard documented for t10 does
-        not apply). Cost scales with |changed keys|, never the table."""
+        not apply).
+
+        ``keys``: optional restriction to a key set (see ``read_as_of``).
+        A maintenance loop that knows which keys the interval's batches
+        wrote passes them here — any key NOT in the batches has byte-equal
+        state in both snapshots and nets zero images, so the restriction
+        is lossless while making the diff's window + join cost O(touched
+        keys' versions) instead of O(table) per micro-batch."""
         j, cols, alive_a, alive_b, ord_a, ord_b = self._diff_joined(
-            from_batch, to_batch
+            from_batch, to_batch, keys=keys
         )
         changed = ord_a != ord_b
         pre = F.when(

@@ -25,11 +25,12 @@ join touches only the batch's keys), partitions are independently
 retryable, and ``compact_mv`` folds them into one base exactly like the
 lake's LSM compaction when the partition count grows.
 
-Scale: per batch, the changelog join costs |batch keys| against the
-table's bucket-pruned snapshots, the delta aggregate shuffles ≤
-|touched groups| rows, and the read side scans |batches| × |groups|
-tiny partitions until compaction folds them — the base table is never
-re-aggregated after bootstrap.
+Scale: per batch, the changelog is restricted to the keys the batch
+wrote (``changelog_rows(keys=...)`` — untouched keys net zero images,
+so the snapshot collapse + diff join cost O(batch), not O(table)), the
+delta aggregate shuffles ≤ |touched groups| rows, and the read side
+scans |batches| × |groups| tiny partitions until compaction folds them
+— the base table is never re-aggregated after bootstrap.
 """
 
 from __future__ import annotations
@@ -92,7 +93,8 @@ def run_mv_stream(
         if namespace is not None:
             clean = clean.filter(F.col("ns") == namespace)
         prev = _prev_committed(table, int(batch_id))
-        table.upsert(prepare_batch(clean), batch_id)
+        prepared = prepare_batch(clean)
+        table.upsert(prepared, batch_id)
         if prev < 0:
             # first batch: everything is an insert — the delta IS the
             # defining aggregate over the batch's snapshot state
@@ -100,7 +102,14 @@ def run_mv_stream(
                 project(table.read_as_of(batch_id)), group_cols, **kw
             )
         else:
-            images = project(table.changelog_rows(prev, batch_id))
+            # restrict the snapshot diff to the keys THIS batch wrote:
+            # untouched keys net zero images, so the changelog stays
+            # O(batch) instead of two O(table) snapshot collapses.
+            images = project(
+                table.changelog_rows(
+                    prev, batch_id, keys=prepared.select(table.key)
+                )
+            )
             delta = images.groupBy(*group_cols).agg(
                 *mv._measures(count_col, sum_cols, mv.changelog_weight())
             )

@@ -60,6 +60,37 @@ def test_changelog_rows_emits_pre_and_post_images(table, spark):
     assert got[(key(4), "added")]["v"] == 1
 
 
+def test_changelog_rows_key_restriction_is_lossless(table, spark):
+    """changelog_rows(keys=<batch-written keys>) equals the unrestricted
+    changelog (untouched keys net zero images), and a tighter key set
+    excludes exactly the other keys' images — the O(batch) maintenance
+    contract the MV stream relies on."""
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "g": "a", "v": 10}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "g": "a", "v": 5}),
+        ev(100, 0, 2, "i", "t.a", key(3), {"_id": key(3), "g": "b", "v": 7}),
+    ]
+    b1 = [
+        ev(200, 0, 3, "u", "t.a", key(1), {"_id": key(1), "g": "b", "v": 11}),
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+    ]
+    table.upsert(mk(spark, b0), 0)
+    table.upsert(mk(spark, b1), 1)
+    batch_keys = mk(spark, b1).select("id")
+    full = sorted(
+        (r["id"], r["change"]) for r in table.changelog_rows(0, 1).collect()
+    )
+    restricted = sorted(
+        (r["id"], r["change"])
+        for r in table.changelog_rows(0, 1, keys=batch_keys).collect()
+    )
+    assert restricted == full
+    one = table.changelog_rows(
+        0, 1, keys=mk(spark, b1[:1]).select("id")
+    ).collect()
+    assert {r["id"] for r in one} == {key(1)}
+
+
 def test_fold_equals_rebuild_with_group_moves_and_deletes(table, spark):
     b0 = [
         ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "g": "a", "v": 10}),
