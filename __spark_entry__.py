@@ -1425,6 +1425,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7e_ann_ivf_indexed"] = _ann_ivf_indexed
 
+    # Incremental index maintenance: build the IVF index on 4/5 of the
+    # corpus, APPEND the held-out 1/5 against the persisted quantizer
+    # (centroids fixed — FAISS add-after-train semantics; corpus already
+    # in the index never re-read), then probe. The probe must see
+    # appended vectors exactly as if they were indexed at build time.
+    def _ann_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-ivfapp-")
+        path = os.path.join(work, "index")
+        sim.build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 2), path, n_centroids=16
+        )
+        sim.append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 5 == 2))
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivf_indexed(spark, path, qvec, k=10, n_probe=4)
+
+    q["s7f_ann_ivf_append"] = _ann_ivf_append
+
     # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
     # queries and corpus co-shuffle by cell, no query×corpus product.
     def _knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -2432,6 +2453,37 @@ ORDER BY score DESC, a.vec_id LIMIT 10
 
     # persisted-index probe = identical IVF semantics to s7c
     o["s7e_ann_ivf_indexed"] = o["s7c_ann_topk_ivf"]
+
+    # s7f: same IVF semantics, but the quantizer is the first-16 of the
+    # BUILD subset (vec_id % 5 != 2); every vector — built or appended —
+    # assigns against those centroids, so the oracle is s7c's query with
+    # the cents CTE restricted to the build split.
+    o["s7f_ann_ivf_append"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base
+          WHERE vec_id < 16 AND vec_id % 5 <> 2),
+scored AS (
+  SELECT b.vec_id, b.e, c.cent_id,
+         round(list_inner_product(b.e, c.ce) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+  FROM base b, cents c),
+assign AS (
+  SELECT vec_id, e, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+qcells AS (
+  SELECT cent_id AS cell FROM cents, q
+  ORDER BY round(list_inner_product(ce, qe) /
+                 (sqrt(list_inner_product(ce, ce)) * sqrt(list_inner_product(qe, qe))), 6) DESC,
+           cent_id
+  LIMIT 4)
+SELECT a.vec_id,
+       round(list_inner_product(a.e, q.qe) /
+             (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS score
+FROM assign a JOIN qcells ON a.cell = qcells.cell, q
+ORDER BY score DESC, a.vec_id LIMIT 10
+""".strip()
 
     o["s7d_knn_join"] = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

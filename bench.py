@@ -94,6 +94,7 @@ def main() -> None:
         "mv1_incremental_view",  # MERGE + changelog fold into the grouped view
         "st20_streaming_mv",    # streamed MV: per-batch delta partitions
         "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
+        "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
     ]
 
     def run_noop(df) -> None:

@@ -595,6 +595,38 @@ def build_ivf_index(
     ).mode("overwrite").parquet(path)
 
 
+def append_ivf_index(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+) -> None:
+    """Incremental IVF maintenance — the daily-ingest lifecycle twin of
+    ``d8`` (incremental near-dup vs a persisted signature index) and
+    ``c7`` (incremental decontamination vs a persisted gram index), for
+    the ANN side: assign ONLY the new vectors against the PERSISTED
+    quantizer and append them into their cells' partition directories.
+
+    The centroids stay fixed — standard IVF append semantics (FAISS
+    ``add`` after ``train``): the quantizer is the model artifact,
+    retraining is an explicit index REBUILD, not an append. Cost is
+    O(|new| · n_centroids) row-local work + one partitioned write of
+    |new| rows; the corpus already in the index is never read or
+    rewritten, and probes keep their pruning (a probe reads only its
+    cells' directories — appended files ride along inside them).
+
+    Append-only contract: a vec_id already present is NOT deduplicated
+    (that would cost a full index read); CDC-style replace/delete of
+    vectors is a rebuild or a tombstone layer, deliberately out of
+    scope here."""
+    cents_rows = (
+        spark.read.parquet(index_path + ".centroids").orderBy("cell").collect()
+    )
+    cents = [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cents_rows]
+    ivf_assign(new_embeddings, len(cents), centroids=cents).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(index_path)
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_path: str,
