@@ -1446,6 +1446,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7f_ann_ivf_append"] = _ann_ivf_append
 
+    # Index-lifecycle delete: build the full index, physically erase
+    # every vec_id % 7 == 3 (only their cells rewritten — the scrub
+    # discipline), probe. Deleted vectors must be unfindable; the
+    # quantizer is untouched (FAISS remove_ids semantics).
+    def _ann_ivf_delete(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-ivfdel-")
+        path = os.path.join(work, "index")
+        sim.build_ivf_index(emb, path, n_centroids=16)
+        doomed = [
+            int(r["vec_id"])
+            for r in emb.filter(F.col("vec_id") % 7 == 3)
+            .select("vec_id")
+            .collect()
+        ]
+        sim.delete_from_ivf_index(spark, path, doomed)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivf_indexed(spark, path, qvec, k=10, n_probe=4)
+
+    q["s7g_ann_ivf_delete"] = _ann_ivf_delete
+
     # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
     # queries and corpus co-shuffle by cell, no query×corpus product.
     def _knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -2467,6 +2491,36 @@ scored AS (
          round(list_inner_product(b.e, c.ce) /
                (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
   FROM base b, cents c),
+assign AS (
+  SELECT vec_id, e, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+qcells AS (
+  SELECT cent_id AS cell FROM cents, q
+  ORDER BY round(list_inner_product(ce, qe) /
+                 (sqrt(list_inner_product(ce, ce)) * sqrt(list_inner_product(qe, qe))), 6) DESC,
+           cent_id
+  LIMIT 4)
+SELECT a.vec_id,
+       round(list_inner_product(a.e, q.qe) /
+             (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS score
+FROM assign a JOIN qcells ON a.cell = qcells.cell, q
+ORDER BY score DESC, a.vec_id LIMIT 10
+""".strip()
+
+    # s7g: the full-corpus quantizer (vec_id < 16) ranks cells and
+    # assigns, but deleted vectors (vec_id % 7 == 3) are erased from the
+    # cells before the probe — IVF semantics over the survivors only.
+    o["s7g_ann_ivf_delete"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+scored AS (
+  SELECT b.vec_id, b.e, c.cent_id,
+         round(list_inner_product(b.e, c.ce) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+  FROM base b, cents c
+  WHERE b.vec_id % 7 <> 3),
 assign AS (
   SELECT vec_id, e, cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn

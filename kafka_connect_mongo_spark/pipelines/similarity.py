@@ -627,6 +627,75 @@ def append_ivf_index(
     ).mode("append").parquet(index_path)
 
 
+def delete_from_ivf_index(
+    spark,
+    index_path: str,
+    vec_ids: list,
+) -> dict:
+    """Physical deletion from the persisted IVF index — the GDPR-erasure
+    dual of ``append_ivf_index``, completing the index lifecycle
+    (build / train / append / delete / probe). The quantizer is
+    untouched (FAISS ``remove_ids`` semantics: deleting vectors never
+    retrains — even a centroid-seed vector's deletion only removes it
+    from its CELL; the centroid stays a valid cluster prototype).
+
+    Same two-job discipline as ``LakeTable.scrub_keys`` (a per-cell loop
+    would be 2 jobs x |cells| of scheduling overhead): one job counts
+    hits per cell directory, one partitioned write rewrites ONLY the hit
+    cells; untouched cells' files are never read again nor rewritten.
+    Returns the audit receipt {cells_rewritten, vectors_removed}.
+
+    Unlike the lake's scrub this swap is NOT crash-atomic (no meta
+    generation — the index is a derived, rebuildable artifact; a torn
+    delete is repaired by re-running it or rebuilding the index), which
+    is the standard secondary-index durability contract."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    ids = [int(v) for v in vec_ids]
+    if not ids:
+        return {"cells_rewritten": 0, "vectors_removed": 0}
+    df = spark.read.parquet(index_path)
+    hits = {
+        int(r["cell"]): int(r["n"])
+        for r in df.filter(F.col("vec_id").isin(ids))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not hits:
+        return {"cells_rewritten": 0, "vectors_removed": 0}
+    cells = sorted(hits)
+    kept = df.filter(F.col("cell").isin(cells)).filter(
+        ~F.col("vec_id").isin(ids)
+    )
+    staging = index_path + ".delete-staging"
+    kept.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(staging)
+    for c in cells:
+        dst = _os.path.join(index_path, f"cell={c}")
+        src = _os.path.join(staging, f"cell={c}")
+        for f in _glob.glob(_os.path.join(dst, "part-*")):
+            _os.remove(f)
+        if _os.path.isdir(src):
+            for f in _os.listdir(src):
+                if f.startswith("part-"):
+                    _os.replace(
+                        _os.path.join(src, f), _os.path.join(dst, f)
+                    )
+    _shutil.rmtree(staging, ignore_errors=True)
+    # The swap bypassed Spark's writers, so the shared FileStatusCache
+    # still lists the removed part files — drop it or the next probe
+    # fails with FILE_NOT_EXIST on the rewritten cells.
+    spark.catalog.refreshByPath(index_path)
+    return {
+        "cells_rewritten": len(cells),
+        "vectors_removed": sum(hits.values()),
+    }
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_path: str,
