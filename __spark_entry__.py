@@ -1470,6 +1470,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7g_ann_ivf_delete"] = _ann_ivf_delete
 
+    def _pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+        # PQ compression + ADC scan (similarity.pq_*): vectors encoded to
+        # m=8 4-bit-ish codes against the first-16 subvector codebook;
+        # top-10 by the asymmetric-distance lookup sum, floats never read
+        # at query time. Oracle computes the SAME codes and lut.
+        emb = _emb(spark, sf)
+        book = sim.pq_codebook(emb, m=8, ksub=16)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        enc = sim.pq_encode(emb, book)
+        return sim.pq_adc_topk(enc, qvec, book, k=10)
+
+    q["s8_pq_adc_topk"] = _pq_adc
+
+    def _pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+        # PQ deployment path: ADC shortlist (compressed scan) -> exact
+        # squared-L2 re-rank of the 100 shortlisted rows only.
+        emb = _emb(spark, sf)
+        book = sim.pq_codebook(emb, m=8, ksub=16)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.pq_adc_rerank_topk(emb, qvec, book, k=10, shortlist=100)
+
+    q["s8b_pq_rerank"] = _pq_rerank
+
     # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
     # queries and corpus co-shuffle by cell, no query×corpus product.
     def _knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -2537,6 +2566,61 @@ SELECT a.vec_id,
              (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS score
 FROM assign a JOIN qcells ON a.cell = qcells.cell, q
 ORDER BY score DESC, a.vec_id LIMIT 10
+""".strip()
+
+    # s8: the oracle computes the SAME PQ pipeline — subvector slices,
+    # first-16 codebook, rounded squared-L2 argmin codes (row_number over
+    # (d, cid) = array_position-of-first-min), query lut, ADC sum.
+    o["s8_pq_adc_topk"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+vecsub AS (SELECT vec_id, j, e[j*8+1 : j*8+8] AS sv FROM base, subs),
+cents AS (SELECT vec_id AS cid, j, sv AS cv FROM vecsub WHERE vec_id < 16),
+dists AS (
+  SELECT v.vec_id, v.j, c.cid,
+         round(list_aggregate(list_transform(list_zip(v.sv, c.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 6) AS d
+  FROM vecsub v JOIN cents c ON v.j = c.j),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (SELECT j, cid, d FROM dists WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, round(sum(l.d), 4) AS adist
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+  GROUP BY c.vec_id)
+SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 10
+""".strip()
+
+    # s8b: ADC shortlist (the s8 pipeline at k=100, subdists rounded to
+    # 6) -> exact squared-L2 re-rank of the shortlist only.
+    o["s8b_pq_rerank"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+vecsub AS (SELECT vec_id, j, e[j*8+1 : j*8+8] AS sv FROM base, subs),
+cents AS (SELECT vec_id AS cid, j, sv AS cv FROM vecsub WHERE vec_id < 16),
+dists AS (
+  SELECT v.vec_id, v.j, c.cid,
+         round(list_aggregate(list_transform(list_zip(v.sv, c.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 6) AS d
+  FROM vecsub v JOIN cents c ON v.j = c.j),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (SELECT j, cid, d FROM dists WHERE vec_id = 0),
+shortlist AS (
+  SELECT c.vec_id, round(sum(l.d), 6) AS adist
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+  GROUP BY c.vec_id
+  ORDER BY adist, c.vec_id LIMIT 100),
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_aggregate(list_transform(list_zip(b.e, q.qe),
+             x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 4) AS dist
+FROM base b JOIN shortlist s ON b.vec_id = s.vec_id, q
+ORDER BY dist, b.vec_id LIMIT 10
 """.strip()
 
     o["s7d_knn_join"] = """

@@ -51,6 +51,7 @@ def main() -> None:
         "s7_ann_cosine_topk",
         "s7c_ann_topk_ivf",     # IVF build + probe + exact re-score
         "s7e_ann_ivf_indexed",  # steady state: partition-pruned probe of the persisted index
+        "s8_pq_adc_topk",       # PQ compression + row-local ADC scan
         "t2_quality_score",
         "t10_repetition",       # Gopher repetition signals (1 scan)
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end

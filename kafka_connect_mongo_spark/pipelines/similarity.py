@@ -728,3 +728,234 @@ def ann_topk_ivf_indexed(
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization): compressed vectors + ADC scan
+#
+# The memory half of the FAISS-style ANN stack (IVF above is the pruning
+# half): each D-dim vector is split into m subvectors; each subvector is
+# replaced by the id of its nearest subcentroid in an independent
+# per-subspace codebook of ksub entries. A 64-dim float corpus (256 B/row)
+# becomes m small ints (m bytes at ksub<=256) — at 100 TB the difference
+# between a scan that reads 25 TB of floats and one that reads ~0.8 TB of
+# codes. Queries score compressed vectors WITHOUT decompressing via ADC
+# (asymmetric distance computation): a per-query lookup table of
+# query-subvector -> subcentroid distances (m x ksub doubles, a driver-side
+# literal like the IVF quantizer) turns each row's distance into m array
+# lookups + a fixed-order sum — row-local scan projection, zero exchange,
+# top-k via TakeOrderedAndProject.
+#
+# Default codebook = the first-ksub vectors' subvectors (the same
+# deterministic recall-only simplification as the untrained IVF quantizer,
+# replicable exactly by the DuckDB oracle); trained=True fits per-subspace
+# k-means on the bounded deterministic sample (recall measured in
+# BENCH/IVF_RECALL.md; layout-identical, so every reader works unchanged).
+
+
+def _sq_l2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance, left-fold in array order (oracle-matching)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    trained: bool = False,
+    n_iters: int = 10,
+    max_sample: int = 4096,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Fit/collect the PQ codebook: ``codebook[j][c]`` = subcentroid ``c``
+    of subspace ``j`` (a list of D/m doubles). O(m * ksub * D/m) = O(ksub*D)
+    driver-side — the model artifact, corpus-size independent.
+
+    Untrained (default, oracle-exact): subcentroids are the first-``ksub``
+    vectors' subvectors. Trained: independent per-subspace Lloyd's k-means
+    (squared-L2) on the deterministic hash-ordered sample, same fitting
+    discipline as ``train_ivf_centroids`` — fixed seed, fixed iterations,
+    partitioning-independent."""
+    first = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .filter(F.col("vec_id") < ksub)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not first:
+        raise ValueError("pq_codebook: empty embeddings")
+    dim = len(first[0]["e"])
+    if dim % m:
+        raise ValueError(f"pq_codebook: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    if not trained:
+        if len(first) < ksub:
+            raise ValueError(
+                f"pq_codebook: need vec_id 0..{ksub - 1} present, "
+                f"got {len(first)} rows"
+            )
+        return [
+            [[float(v) for v in r["e"][j * sub : (j + 1) * sub]] for r in first]
+            for j in range(m)
+        ]
+    sample_rows = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
+        .limit(max_sample)
+        .collect()
+    )
+    if len(sample_rows) < ksub:
+        raise ValueError(
+            f"pq_codebook: sample ({len(sample_rows)}) smaller than ksub ({ksub})"
+        )
+    x = np.array([r["e"] for r in sample_rows], dtype="float64")
+    book: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # deterministic farthest-point init on squared L2
+        chosen = [0]
+        d2 = ((xs - xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, ksub):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((xs - xs[nxt]) ** 2).sum(axis=1))
+        c = xs[chosen].copy()
+        for _ in range(n_iters):
+            dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)
+            for cc in range(ksub):
+                members = xs[assign == cc]
+                if len(members):
+                    c[cc] = members.mean(axis=0)
+        book.append([[float(v) for v in c[cc]] for cc in range(ksub)])
+    return book
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ-encode every vector: (vec_id, codes array<int>) where
+    ``codes[j]`` = argmin over the subspace-``j`` codebook of the rounded
+    squared-L2 distance, ties to the smallest code id (``array_position``
+    returns the FIRST min; the codebook array is code-ascending — the same
+    total order as the oracle's ``row_number() OVER (ORDER BY d, cid)``).
+
+    Plan: ROW-LOCAL — the codebook is a driver-side literal, so all
+    m x ksub subdistances and the m argmins are Column expressions in the
+    scan projection: no join, no aggregate, ZERO exchange. At 100 TB this
+    is the one-pass compression job; its output is m bytes/row."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    code_cols = []
+    for j in range(m):
+        sv = F.slice(F.col("e"), j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.round(
+                    _sq_l2(sv, F.array(*[F.lit(float(v)) for v in cent])),
+                    round_digits,
+                )
+                for cent in codebook[j]
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return base.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    round_digits: int = 4,
+    sub_round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k over PQ codes: approximate distance = fixed-order sum of
+    ``lut[j][codes[j]]`` where ``lut`` is the query-to-subcentroid
+    squared-L2 table (m x ksub doubles, computed driver-side in the SAME
+    left-fold order as ``pq_encode``'s distances and embedded as a
+    literal). Output (vec_id, adist) — smallest approximate distance
+    first, vec_id tie-break.
+
+    Plan: one row-local projection over the CODES (the floats are never
+    read — the compression payoff), TakeOrderedAndProject for the top-k:
+    no shuffle, no join. Recall is the standard PQ property (quantization
+    error moves ranks); correctness vs the oracle is exact because the
+    oracle computes the SAME codes and the SAME lut."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    if len(query) != m * sub:
+        raise ValueError(
+            f"pq_adc_topk: query dim {len(query)} != m*sub = {m * sub}"
+        )
+    lut = []
+    for j in range(m):
+        qs = [float(v) for v in query[j * sub : (j + 1) * sub]]
+        row = []
+        for cent in codebook[j]:
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc = acc + (x - y) * (x - y)
+            row.append(round(acc, sub_round_digits))
+        lut.append(row)
+    adist = F.lit(0.0).cast("double")
+    for j in range(m):
+        lut_j = F.array(*[F.lit(v) for v in lut[j]])
+        adist = adist + F.element_at(lut_j, F.element_at("codes", j + 1) + 1)
+    return (
+        encoded.select("vec_id", F.round(adist, round_digits).alias("adist"))
+        .orderBy(F.col("adist").asc(), "vec_id")
+        .limit(k)
+    )
+
+
+def pq_adc_rerank_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The PQ deployment path: ADC over the compressed codes shortlists
+    ``shortlist`` candidates, exact squared-L2 re-scores ONLY those rows.
+    Output (vec_id, dist) — exact distances, approximate candidate set
+    (recall governed by the shortlist size; BENCH/IVF_RECALL.md measures
+    it at shortlist=100).
+
+    Plan: the compressed scan produces the shortlist via
+    TakeOrderedAndProject (no shuffle); the shortlist — an O(shortlist)
+    row set — BROADCASTs back onto the float corpus as a semi-join, so
+    the expensive float read touches the corpus once with a pushed-down
+    join filter and re-scores ``shortlist`` rows. At 100 TB: one cheap
+    codes scan + one pruned float lookup, never a full float scan."""
+    enc = pq_encode(embeddings, codebook)
+    cand = pq_adc_topk(
+        enc, query, codebook, k=shortlist, round_digits=6
+    ).select("vec_id")
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    return (
+        base.join(F.broadcast(cand), "vec_id", "semi")
+        .select(
+            "vec_id",
+            F.round(_sq_l2(F.col("e"), qcol), round_digits).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+        .limit(k)
+    )
