@@ -854,6 +854,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st14_rollback"] = _st14
 
+    # Bucket-layout evolution (Iceberg partition-spec evolution) across a
+    # stream restart: batch 0 lands under the 8-bucket creation layout;
+    # the operator evolves the table to 32 buckets (metadata-only — zero
+    # bytes rewritten); the restarted stream re-delivers batch 0 (skipped
+    # by the idempotent watermark) and applies batch 1 under the new
+    # layout; migrate_layout() then folds the old layout in. The final
+    # read must be EXACTLY the full-feed LWW state — evolution and
+    # migration are invisible to correctness.
+    def _st21(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-evolve-",
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
+        f1 = os.path.join(staged, "f1.parquet")
+        parked = os.path.join(work, "f1.parked")
+        stat = os.stat(f1)
+        os.replace(f1, parked)  # batch 1 not yet arrived
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=8,
+            payload_col="object",
+        )
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt1"),
+            max_files_per_trigger=1,
+        )
+        table.evolve_bucket_layout(32)
+        os.replace(parked, f1)
+        os.utime(f1, (stat.st_atime, stat.st_mtime))
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt2"),
+            max_files_per_trigger=1,
+        )
+        table.migrate_layout()
+        return table.read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st21_bucket_evolution"] = _st21
+
     # GDPR key scrub: a deterministic ~3% deletion list (md5-bucket of
     # the key) is physically erased — every version, every snapshot —
     # and the surviving table must equal the final LWW state minus the
@@ -2844,6 +2888,15 @@ FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
     # st14: rollback + expire + vacuum must land the live table on
     # exactly the snapshot-0 state — st10's even-half oracle verbatim.
     o["st14_rollback"] = o["st10_time_travel"]
+
+    # st21: layout evolution + migration are storage-layout-only — the
+    # final read is the plain full-feed LWW state, tombstones dropped.
+    o["st21_bucket_evolution"] = f"""
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM ({feed}))
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
 
     # st16: final LWW state minus the scrubbed deletion list (same
     # salted md5 bucket expression as the Spark-side victim selection).

@@ -97,6 +97,7 @@ def main() -> None:
         "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
+        "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
     ]
 
     def run_noop(df) -> None:

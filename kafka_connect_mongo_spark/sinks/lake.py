@@ -194,6 +194,10 @@ class LakeTable:
             self.n_buckets = self.meta["n_buckets"]
             self.payload_col = self.meta["payload_col"]
             self._generation = int(self.meta.get("generation", 0))
+            # Tables written before bucket-layout evolution existed have
+            # no creation_n_buckets: every bucket key is plain and belongs
+            # to the (sole) creation layout.
+            self.meta.setdefault("creation_n_buckets", self.n_buckets)
         else:
             os.makedirs(os.path.join(root, "data"), exist_ok=True)
             self.n_buckets = n_buckets
@@ -203,6 +207,7 @@ class LakeTable:
                 "format": 3,
                 "generation": 0,
                 "n_buckets": n_buckets,
+                "creation_n_buckets": n_buckets,
                 "key": key,
                 "payload_col": payload_col,
                 "committed_watermark": -1,
@@ -271,11 +276,58 @@ class LakeTable:
             except OSError:
                 pass
 
-    def _bucket_dir(self, bucket: int) -> str:
-        return os.path.join(self.root, "data", f"bucket={bucket}")
+    # -- bucket layouts (partition-spec evolution) ----------------------------
+    #
+    # A bucket-state key in ``meta["buckets"]`` is either a plain ``"b"``
+    # (the CREATION layout, dir ``data/bucket=b``) or ``"N:b"`` (an evolved
+    # layout of N buckets, dir ``data/layout=N/bucket=b``). The Iceberg
+    # partition-spec-evolution discipline: ``evolve_bucket_layout(new_n)``
+    # changes where NEW writes land without touching a single existing
+    # byte; reads union every live layout (LWW collapse is layout-blind);
+    # key lookups hash the key once PER LAYOUT so pruning survives the
+    # transition; ``migrate_layout()`` folds old-layout data into the
+    # current layout when the operator wants single-layout pruning back.
+
+    def _layout_of(self, bucket_key: str) -> tuple[int, int]:
+        """(layout n_buckets, bucket id) for a bucket-state key."""
+        if ":" in bucket_key:
+            n, b = bucket_key.split(":", 1)
+            return int(n), int(b)
+        return int(self.meta["creation_n_buckets"]), int(bucket_key)
+
+    def _bucket_key(self, bucket: int, n: int | None = None) -> str:
+        """Meta key for bucket ``bucket`` of layout ``n`` (default: the
+        current write layout). The creation layout keeps plain keys, so
+        an un-evolved table's meta is byte-identical to older builds —
+        and evolving BACK to the creation count reuses the original
+        dirs (same hash function ⇒ same layout, correctly merged)."""
+        n = self.n_buckets if n is None else n
+        if n == self.meta["creation_n_buckets"]:
+            return str(bucket)
+        return f"{n}:{bucket}"
+
+    def _live_layouts(self) -> list[int]:
+        """Distinct bucket counts with live data, current layout first."""
+        seen = {self.n_buckets}
+        out = [self.n_buckets]
+        for k in self.meta["buckets"]:
+            n, _ = self._layout_of(k)
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        return out
+
+    def _bucket_dir(self, bucket_key: str | int) -> str:
+        """Data dir for a bucket-state key (int accepted for back-compat:
+        a plain creation-layout bucket id)."""
+        key = str(bucket_key)
+        n, b = self._layout_of(key)
+        if ":" in key:
+            return os.path.join(self.root, "data", f"layout={n}", f"bucket={b}")
+        return os.path.join(self.root, "data", f"bucket={b}")
 
     def _bucket_paths(self, bucket: str, state: dict) -> list[str]:
-        d = self._bucket_dir(int(bucket))
+        d = self._bucket_dir(bucket)
         paths = []
         if state.get("base") is not None:
             paths.append(os.path.join(d, f"gen={state['base']}"))
@@ -342,9 +394,13 @@ class LakeTable:
 
     # -- MERGE ---------------------------------------------------------------
 
-    def _with_bucket(self, df: DataFrame) -> DataFrame:
+    def _with_bucket(self, df: DataFrame, n: int | None = None) -> DataFrame:
         return df.withColumn(
-            "_bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
+            "_bucket",
+            F.pmod(
+                F.xxhash64(F.col(self.key)),
+                F.lit(self.n_buckets if n is None else n),
+            ).cast("int"),
         )
 
     def _stage_partitioned(self, df: DataFrame) -> str:
@@ -375,7 +431,7 @@ class LakeTable:
         collapsed = self._with_bucket(lww_collapse(batch, key=self.key))
         staging = self._stage_partitioned(collapsed)
 
-        # Move each staged bucket dir in as a new delta.
+        # Move each staged bucket dir in as a new delta (current layout).
         affected: list[int] = []
         delta_name = f"delta-{uuid.uuid4().hex[:8]}"
         for entry in sorted(os.listdir(staging)):
@@ -383,10 +439,11 @@ class LakeTable:
                 continue
             b = int(entry.split("=", 1)[1])
             affected.append(b)
-            dst = os.path.join(self._bucket_dir(b), delta_name)
-            os.makedirs(self._bucket_dir(b), exist_ok=True)
+            bkey = self._bucket_key(b)
+            dst = os.path.join(self._bucket_dir(bkey), delta_name)
+            os.makedirs(self._bucket_dir(bkey), exist_ok=True)
             os.replace(os.path.join(staging, entry), dst)
-            state = self.meta["buckets"].setdefault(str(b), {"base": None, "deltas": []})
+            state = self.meta["buckets"].setdefault(bkey, {"base": None, "deltas": []})
             state["deltas"] = state["deltas"] + [delta_name]
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -442,7 +499,7 @@ class LakeTable:
             shutil.rmtree(staging, ignore_errors=True)
             self.meta["buckets"][b] = {"base": None, "deltas": []}
             return old_paths
-        dst = os.path.join(self._bucket_dir(int(b)), f"gen={gen}")
+        dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
         shutil.rmtree(dst, ignore_errors=True)  # crash-orphaned gen dir
         os.replace(staging, dst)
         self.meta["buckets"][b] = {"base": gen, "deltas": []}
@@ -489,16 +546,20 @@ class LakeTable:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
         return state.drop("_bucket")
 
-    def _keys_and_buckets(self, keys: list) -> tuple[list, list[int]]:
-        """(typed key values, bucket ids they hash to), computed with the
-        SAME ``pmod(xxhash64(key), n_buckets)`` expression the writer
-        uses (one tiny local job over the literal keys — no Python
-        reimplementation of xxhash64 to drift out of sync). Key values
-        are cast THROUGH the table's committed key type first:
-        xxhash64('42') != xxhash64(42), so hashing the caller's raw
-        values (CLI strings, say) would silently probe the wrong
+    def _keys_and_buckets(self, keys: list) -> tuple[list, list[str]]:
+        """(typed key values, bucket-state KEYS they hash to — across
+        every live layout), computed with the SAME
+        ``pmod(xxhash64(key), n)`` expression the writer uses (one tiny
+        local job over the literal keys — no Python reimplementation of
+        xxhash64 to drift out of sync; all layouts hashed in the one
+        job). Key values are cast THROUGH the table's committed key type
+        first: xxhash64('42') != xxhash64(42), so hashing the caller's
+        raw values (CLI strings, say) would silently probe the wrong
         buckets — and the typed values are what the read filter must
-        compare with, for the same reason."""
+        compare with, for the same reason. After a layout evolution a
+        key's versions may live in one bucket PER layout; probing each
+        layout's bucket keeps the lookup pruned (|keys| x |layouts|
+        dirs, still ≪ the table) with zero rewrite at evolution time."""
         if self.meta["schema"] is None:
             return [], []
         schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
@@ -506,23 +567,32 @@ class LakeTable:
             (f.dataType for f in schema.fields if f.name == self.key),
             T.StringType(),
         )
+        layouts = self._live_layouts()
         kdf = self.spark.createDataFrame(
             [(str(k),) for k in keys], "__k string"
         ).select(F.col("__k").cast(ktype).alias(self.key))
-        rows = self._with_bucket(kdf).collect()
+        rows = kdf.select(
+            self.key,
+            *[
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(n))
+                .cast("int")
+                .alias(f"_b{n}")
+                for n in layouts
+            ],
+        ).collect()
         bad = [keys[i] for i, r in enumerate(rows) if r[self.key] is None]
         if bad:
             raise ValueError(
                 f"read_for_keys: key(s) {bad!r} not castable to the "
                 f"table's key type {ktype.simpleString()}"
             )
-        return (
-            [r[self.key] for r in rows],
-            sorted({r["_bucket"] for r in rows}),
-        )
+        bucket_keys = {
+            self._bucket_key(r[f"_b{n}"], n) for r in rows for n in layouts
+        }
+        return [r[self.key] for r in rows], sorted(bucket_keys)
 
     def _paths_for_keys(
-        self, keys: list | None = None, buckets: list[int] | None = None
+        self, keys: list | None = None, buckets: list[str] | None = None
     ) -> list[str]:
         if buckets is None:
             buckets = self._keys_and_buckets(keys or [])[1]
@@ -821,7 +891,7 @@ class LakeTable:
                     f"interval's deltas no longer exist as files"
                 )
             lo_deltas = set(lo_state.get("deltas", []))
-            d = self._bucket_dir(int(b))
+            d = self._bucket_dir(b)
             paths.extend(
                 os.path.join(d, name)
                 for name in hi_state.get("deltas", [])
@@ -870,6 +940,108 @@ class LakeTable:
         for path in obsolete:
             shutil.rmtree(path, ignore_errors=True)
 
+    def evolve_bucket_layout(self, new_n_buckets: int) -> dict:
+        """Partition-spec evolution (Iceberg's ``ALTER TABLE ... REPLACE
+        PARTITION FIELD bucket(N, id) WITH bucket(M, id)``): change the
+        bucket count for FUTURE writes without touching a single
+        existing byte. The pain this solves at 10^10 rows: the bucket
+        count chosen at table creation is wrong a year later (buckets
+        too fat to compact in one task, or so many that small batches
+        write confetti files), and a full-table rewrite to fix it costs
+        a table scan. After evolution:
+
+        - existing bucket dirs stay where they are, tagged with their
+          layout (plain keys = creation layout, ``N:b`` = evolved);
+        - reads union every live layout — the LWW collapse is
+          layout-blind, so correctness is unaffected;
+        - key lookups hash each key once per live layout and probe
+          |keys| x |layouts| dirs — pruning survives the transition;
+        - ``migrate_layout()`` (incremental, optional) folds old-layout
+          data into the current layout when single-layout pruning is
+          worth the rewrite.
+
+        Metadata-only: commits via the normal check-and-swap."""
+        if new_n_buckets < 1:
+            raise ValueError(
+                f"evolve_bucket_layout: n_buckets must be >= 1, got "
+                f"{new_n_buckets}"
+            )
+        if new_n_buckets == self.n_buckets:
+            raise ValueError(
+                f"evolve_bucket_layout: table already writes layout "
+                f"{new_n_buckets}"
+            )
+        old = self.n_buckets
+        self.n_buckets = new_n_buckets
+        self.meta["n_buckets"] = new_n_buckets
+        marker = f"evolve-{old}to{new_n_buckets}-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        return {
+            "commit": marker,
+            "from_n_buckets": old,
+            "to_n_buckets": new_n_buckets,
+            "live_layouts": self._live_layouts(),
+        }
+
+    def migrate_layout(self) -> dict:
+        """Fold every NON-current-layout bucket into the current layout —
+        the background rewrite that restores single-layout pruning after
+        ``evolve_bucket_layout``. One job: old-layout rows re-hash with
+        the current layout's bucket expression and land as ONE new delta
+        across the current layout's buckets (the normal LSM maintenance
+        then compacts them in); old-layout dirs are dropped after the
+        meta commit. Rows keep their (ts, inc, seq) — merge-on-read LWW
+        makes the move invisible to readers at every instant: before the
+        commit both copies... neither exists twice (the meta swap is the
+        atomic cutover). Cost is O(old-layout bytes), incremental per
+        call only in the sense that untouched CURRENT-layout data is
+        never read; call it from the maintenance writer like compact."""
+        legacy = [
+            bkey
+            for bkey in self.meta["buckets"]
+            if self._layout_of(bkey)[0] != self.n_buckets
+        ]
+        if not legacy:
+            return {"migrated_buckets": 0, "rows_moved": 0}
+        paths: list[str] = []
+        for bkey in legacy:
+            paths.extend(self._bucket_paths(bkey, self.meta["buckets"][bkey]))
+        obsolete = list(paths)
+        moved = 0
+        if paths:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            staged = self._with_bucket(df.drop("_bucket"))
+            staging = self._stage_partitioned(staged)
+            delta_name = f"delta-migrate-{uuid.uuid4().hex[:8]}"
+            for entry in sorted(os.listdir(staging)):
+                if not entry.startswith("_bucket="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                bkey = self._bucket_key(b)
+                dst = os.path.join(self._bucket_dir(bkey), delta_name)
+                os.makedirs(self._bucket_dir(bkey), exist_ok=True)
+                os.replace(os.path.join(staging, entry), dst)
+                state = self.meta["buckets"].setdefault(
+                    bkey, {"base": None, "deltas": []}
+                )
+                state["deltas"] = state["deltas"] + [delta_name]
+                moved += 1
+            shutil.rmtree(staging, ignore_errors=True)
+        for bkey in legacy:
+            del self.meta["buckets"][bkey]
+        marker = f"migrate-layout-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        # Old-layout files are NOT deleted here: retained snapshots still
+        # reference them for time travel. expire_snapshots() + vacuum()
+        # reclaim them under the normal retention contract.
+        return {
+            "migrated_buckets": len(legacy),
+            "rows_moved_groups": moved,
+            "legacy_file_groups_awaiting_vacuum": len(obsolete),
+        }
+
     def scrub_keys(
         self,
         keys: list,
@@ -915,66 +1087,91 @@ class LakeTable:
         # scheduling overhead dominates — measured 166 s -> ~10 s at
         # sf0.1 x 16 buckets): job 1 counts hits per bucket, job 2
         # rewrites every hit bucket in one partitioned write. Rows
-        # re-derive their bucket with the writer's own expression
-        # (_with_bucket), so attribution can never drift from layout.
-        candidate_paths: list[str] = []
-        candidate_states: dict[int, list[str]] = {}
-        for b in buckets:
-            state = self.meta["buckets"].get(str(b))
+        # re-derive their bucket with the writer's own hash expression
+        # FOR THE LAYOUT THEIR FILES LIVE IN (after an evolution a key
+        # may have versions in one bucket per layout; each is rewritten
+        # in place under its own layout), so attribution can never
+        # drift from layout.
+        candidate_states: dict[str, list[str]] = {}
+        per_layout: dict[int, list[str]] = {}
+        for bkey in buckets:
+            state = self.meta["buckets"].get(str(bkey))
             if not state:
                 continue
-            paths = self._bucket_paths(str(b), state)
+            paths = self._bucket_paths(str(bkey), state)
             if not paths:
                 continue
-            candidate_states[b] = paths
-            candidate_paths.extend(paths)
+            candidate_states[bkey] = paths
+            per_layout.setdefault(self._layout_of(bkey)[0], []).extend(paths)
         obsolete: list[str] = []
-        affected: list[int] = []
+        affected: list[str] = []
         scrubbed = 0
-        if candidate_paths:
-            df = self._with_bucket(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *candidate_paths
+        df = None
+        if per_layout:
+            frames = []
+            for n, paths in sorted(per_layout.items()):
+                frames.append(
+                    self._with_bucket(
+                        self.spark.read.option("mergeSchema", "true").parquet(
+                            *paths
+                        ),
+                        n=n,
+                    ).withColumn("_layout", F.lit(n))
                 )
-            )
+            df = frames[0]
+            for fr in frames[1:]:
+                df = df.unionByName(fr, allowMissingColumns=True)
             hits = {
-                r["_bucket"]: r["n"]
+                (r["_layout"], r["_bucket"]): r["n"]
                 for r in df.filter(F.col(self.key).isin(typed))
-                .groupBy("_bucket")
+                .groupBy("_layout", "_bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            affected = sorted(b for b in candidate_states if hits.get(b, 0))
-            scrubbed = sum(hits.get(b, 0) for b in affected)
-        if affected:
-            kept = df.filter(F.col("_bucket").isin(affected)).filter(
-                ~F.col(self.key).isin(typed)
+            affected = sorted(
+                bkey
+                for bkey in candidate_states
+                if hits.get(self._layout_of(bkey), 0)
             )
+            scrubbed = sum(hits.get(self._layout_of(b), 0) for b in affected)
+        if affected:
+            hit_pairs = [self._layout_of(b) for b in affected]
+            pair_cond = F.lit(False)
+            for n, b in hit_pairs:
+                pair_cond = pair_cond | (
+                    (F.col("_layout") == n) & (F.col("_bucket") == b)
+                )
+            kept = df.filter(pair_cond).filter(~F.col(self.key).isin(typed))
             order = self.meta.get("sort_order")
             present = [
-                c for c in (order or []) if c in kept.columns and c != "_bucket"
+                c
+                for c in (order or [])
+                if c in kept.columns and c not in ("_bucket", "_layout")
             ]
-            kept = kept.repartition(F.col("_bucket")).sortWithinPartitions(
-                "_bucket", *present
-            )
+            kept = kept.repartition(
+                F.col("_layout"), F.col("_bucket")
+            ).sortWithinPartitions("_layout", "_bucket", *present)
             staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-            kept.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-            for b in affected:
-                state = self.meta["buckets"][str(b)]
-                src = os.path.join(staging, f"_bucket={b}")
+            kept.write.mode("overwrite").partitionBy("_layout", "_bucket").parquet(
+                staging
+            )
+            for bkey in affected:
+                n, b = self._layout_of(bkey)
+                state = self.meta["buckets"][str(bkey)]
+                src = os.path.join(staging, f"_layout={n}", f"_bucket={b}")
                 if not os.path.isdir(src) or not any(
                     f.startswith("part-") for f in os.listdir(src)
                 ):
                     # every version in this bucket belonged to scrubbed
                     # keys: no base generation, just forget the bucket.
-                    self.meta["buckets"][str(b)] = {"base": None, "deltas": []}
+                    self.meta["buckets"][str(bkey)] = {"base": None, "deltas": []}
                 else:
                     gen = (state["base"] or 0) + 1
-                    dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
+                    dst = os.path.join(self._bucket_dir(bkey), f"gen={gen}")
                     shutil.rmtree(dst, ignore_errors=True)
                     os.replace(src, dst)
-                    self.meta["buckets"][str(b)] = {"base": gen, "deltas": []}
-                obsolete.extend(candidate_states[b])
+                    self.meta["buckets"][str(bkey)] = {"base": gen, "deltas": []}
+                obsolete.extend(candidate_states[bkey])
             shutil.rmtree(staging, ignore_errors=True)
         n_expired = 0
         if expire_history:
@@ -1110,18 +1307,26 @@ class LakeTable:
             if not dry_run:
                 shutil.rmtree(path, ignore_errors=True)
 
-        data = os.path.join(self.root, "data")
-        if os.path.isdir(data):
-            for entry in sorted(os.listdir(data)):
+        def _sweep_bucket_dirs(parent: str) -> None:
+            nonlocal kept
+            for entry in sorted(os.listdir(parent)):
                 if not entry.startswith("bucket="):
                     continue
-                bdir = os.path.join(data, entry)
+                bdir = os.path.join(parent, entry)
                 for group in sorted(os.listdir(bdir)):
                     p = os.path.abspath(os.path.join(bdir, group))
                     if p in referenced:
                         kept += 1
                     else:
                         _sweep(p)
+
+        data = os.path.join(self.root, "data")
+        if os.path.isdir(data):
+            _sweep_bucket_dirs(data)
+            # evolved layouts live under data/layout=N/bucket=b
+            for entry in sorted(os.listdir(data)):
+                if entry.startswith("layout="):
+                    _sweep_bucket_dirs(os.path.join(data, entry))
         for entry in sorted(os.listdir(self.root)):
             if entry.startswith("_staging-"):
                 _sweep(os.path.join(self.root, entry))

@@ -721,7 +721,9 @@ def test_scrub_keys_erases_every_version(spark, tmp_path):
     )
     victims = [key(1), key(3)]
     before_paths = set(t._current_paths())
-    touched_buckets = set(t._keys_and_buckets(victims)[1])
+    touched_buckets = {
+        t._layout_of(b)[1] for b in t._keys_and_buckets(victims)[1]
+    }
 
     receipt = t.scrub_keys(victims)
     assert receipt["versions_scrubbed"] == 4  # insert + update for each
@@ -820,3 +822,155 @@ def test_cli_scrub_receipt(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
     assert {x["id"] for x in rows} == {key(2)}
+
+
+# ---------------------------------------------------------------------------
+# Bucket-layout evolution (partition-spec evolution)
+
+
+def test_evolve_layout_read_equivalence(tmp_path, spark):
+    """Evolving the bucket count mid-stream changes NOTHING about the
+    merge-on-read result: inserts, updates and deletes spanning the
+    layout boundary collapse identically to a never-evolved twin."""
+    b1 = mk(spark, [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": 1})
+        for i in range(20)
+    ])
+    b2 = mk(spark,
+        [ev(200, i, 100 + i, "u", "t.a", key(i), {"_id": key(i), "v": 2})
+         for i in range(5)]
+        + [ev(200, 50 + i, 200 + i, "d", "t.a", key(10 + i), None)
+           for i in range(3)]
+        + [ev(200, 80 + i, 300 + i, "i", "t.a", key(100 + i),
+              {"_id": key(100 + i), "v": 9})
+           for i in range(4)],
+    )
+
+    t = LakeTable(spark, str(tmp_path / "evolved"), n_buckets=4)
+    t.upsert(b1, 0)
+    info = t.evolve_bucket_layout(16)
+    assert info["live_layouts"] == [16, 4]
+    t.upsert(b2, 1)
+
+    twin = LakeTable(spark, str(tmp_path / "twin"), n_buckets=4)
+    twin.upsert(b1, 0)
+    twin.upsert(b2, 1)
+
+    got = {(r["id"], r["v"]) for r in t.read().select("id", F.get_json_object("object", "$.v").alias("v")).collect()}
+    want = {(r["id"], r["v"]) for r in twin.read().select("id", F.get_json_object("object", "$.v").alias("v")).collect()}
+    assert got == want and len(got) == 21  # 20 - 3 deleted + 4 new
+
+    # old-layout dirs untouched (metadata-only evolution), new writes in layout=16
+    import os
+    assert os.path.isdir(str(tmp_path / "evolved" / "data" / "layout=16"))
+    # stale-resurrect guard still holds across layouts
+    late = mk(spark, [ev(150, 0, 50, "u", "t.a", key(10), {"_id": key(10), "v": "stale"})])
+    t.upsert(late, 2)
+    assert t.read().filter(F.col("id") == key(10)).count() == 0
+
+
+def test_evolve_layout_lookup_prunes_per_layout(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lk"), n_buckets=4)
+    t.upsert(mk(spark, [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": 1})
+        for i in range(30)
+    ]), 0)
+    t.evolve_bucket_layout(8)
+    t.upsert(mk(spark, [
+        ev(200, i, 100 + i, "u", "t.a", key(i), {"_id": key(i), "v": 2})
+        for i in range(0, 30, 3)
+    ]), 1)
+    # one key -> at most one bucket per live layout
+    typed, bkeys = t._keys_and_buckets([key(3)])
+    assert len(bkeys) <= 2
+    layouts = {t._layout_of(b)[0] for b in bkeys}
+    assert layouts <= {4, 8}
+    rows = t.read_for_keys([key(3)]).collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]["object"])["v"] == 2
+    # pruned paths are a strict subset of the full table's paths
+    assert len(t._paths_for_keys([key(3)])) < len(t._current_paths())
+
+
+def test_migrate_layout_restores_single_layout(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "mig"), n_buckets=4)
+    t.upsert(mk(spark, [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": 1})
+        for i in range(25)
+    ]), 0)
+    t.evolve_bucket_layout(8)
+    t.upsert(mk(spark, [
+        ev(200, 0, 100, "u", "t.a", key(0), {"_id": key(0), "v": 2}),
+    ]), 1)
+    before = {(r["id"], r["ts"]) for r in t.read().select("id", "ts").collect()}
+    pre_snap = "1"
+
+    res = t.migrate_layout()
+    assert res["migrated_buckets"] > 0
+    assert all(t._layout_of(k)[0] == 8 for k in t.meta["buckets"])
+    after = {(r["id"], r["ts"]) for r in t.read().select("id", "ts").collect()}
+    assert after == before
+
+    # time travel to a pre-migration snapshot still works (files retained)
+    assert t.read_as_of(pre_snap).count() == 25
+    # retention reclaims the legacy files: expire + vacuum, then loud error
+    t.expire_snapshots(keep_last=1)
+    swept = t.vacuum(older_than_seconds=0.0)
+    assert swept["removed"] >= res["legacy_file_groups_awaiting_vacuum"]
+    with pytest.raises(ValueError, match="no snapshot|expired"):
+        t.read_as_of(pre_snap).count()
+    # reads and lookups unaffected after vacuum
+    assert t.read().count() == 25
+    assert t.read_for_keys([key(0)]).count() == 1
+    # idempotent: nothing left to migrate
+    assert t.migrate_layout()["migrated_buckets"] == 0
+
+
+def test_evolve_layout_validation(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "v"), n_buckets=4)
+    with pytest.raises(ValueError, match="already writes"):
+        t.evolve_bucket_layout(4)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.evolve_bucket_layout(0)
+
+
+def test_scrub_keys_across_layouts(tmp_path, spark):
+    """A key with versions in BOTH layouts is fully erased; bystander
+    keys keep every version."""
+    t = LakeTable(spark, str(tmp_path / "sc"), n_buckets=4)
+    t.upsert(mk(spark, [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": 1})
+        for i in range(10)
+    ]), 0)
+    t.evolve_bucket_layout(8)
+    t.upsert(mk(spark, [
+        ev(200, 0, 100, "u", "t.a", key(3), {"_id": key(3), "v": 2}),
+        ev(200, 1, 101, "u", "t.a", key(4), {"_id": key(4), "v": 2}),
+    ]), 1)
+    receipt = t.scrub_keys([key(3)], vacuum_grace_seconds=0.0)
+    assert receipt["versions_scrubbed"] == 2  # one version per layout
+    assert t.read().filter(F.col("id") == key(3)).count() == 0
+    # every byte gone, not just hidden: no file row mentions the key
+    paths = t._current_paths()
+    remaining = spark.read.option("mergeSchema", "true").parquet(*paths)
+    assert remaining.filter(F.col("id") == key(3)).count() == 0
+    assert t.read().count() == 9
+    assert json.loads(
+        t.read_for_keys([key(4)]).collect()[0]["object"]
+    )["v"] == 2
+
+
+def test_evolve_back_to_creation_count_reuses_layout(tmp_path, spark):
+    """4 -> 8 -> 4: plain keys resume (same hash = same layout), reads
+    stay correct across all three eras."""
+    t = LakeTable(spark, str(tmp_path / "rt"), n_buckets=4)
+    t.upsert(mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0)
+    t.evolve_bucket_layout(8)
+    t.upsert(mk(spark, [ev(200, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 1})]), 1)
+    t.evolve_bucket_layout(4)
+    t.upsert(mk(spark, [ev(300, 0, 2, "u", "t.a", key(1), {"_id": key(1), "v": 2})]), 2)
+    assert t.read().count() == 2
+    assert json.loads(
+        t.read_for_keys([key(1)]).collect()[0]["object"]
+    )["v"] == 2
+    assert sorted(t._live_layouts()) == [4, 8]
