@@ -101,6 +101,19 @@ def main(argv: list[str] | None = None) -> None:
                     "sort order for rewritten bases (row-group stat "
                     "pruning on these columns)")
 
+    pev = sub.add_parser(
+        "evolve",
+        help="bucket-layout (partition-spec) evolution: change the bucket "
+        "count for future writes with zero data rewrite; --migrate folds "
+        "old-layout data into the current layout",
+    )
+    pev.add_argument("--table", required=True, help="lake table root")
+    pev.add_argument("--buckets", type=int, default=None,
+                     help="new bucket count for future writes")
+    pev.add_argument("--migrate", action="store_true",
+                     help="fold every non-current-layout bucket into the "
+                     "current layout (single delta write)")
+
     pp = sub.add_parser(
         "pipeline",
         help="training-data pipeline ops over a documents table "
@@ -318,6 +331,19 @@ def main(argv: list[str] | None = None) -> None:
                 "n_buckets": table.n_buckets,
                 "rows": table.read(include_tombstones=True).count(),
             })
+        print(json.dumps(out))
+    elif args.cmd == "evolve":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        out = {"table": args.table}
+        if args.buckets is None and not args.migrate:
+            raise SystemExit("evolve: pass --buckets and/or --migrate")
+        if args.buckets is not None:
+            out["evolve"] = table.evolve_bucket_layout(args.buckets)
+        if args.migrate:
+            out["migrate"] = table.migrate_layout()
+        out["live_layouts"] = table._live_layouts()
         print(json.dumps(out))
     elif args.cmd == "pipeline":
         docs = spark.read.parquet(args.docs)

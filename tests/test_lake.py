@@ -974,3 +974,38 @@ def test_evolve_back_to_creation_count_reuses_layout(tmp_path, spark):
         t.read_for_keys([key(1)]).collect()[0]["object"]
     )["v"] == 2
     assert sorted(t._live_layouts()) == [4, 8]
+
+
+def test_cli_evolve_and_migrate(tmp_path, spark):
+    """Out-of-process `evolve`: layout change + migrate, then lookup
+    still finds the key (probing the current layout only)."""
+    import os
+    import subprocess
+    import sys
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    t.upsert(
+        mk(spark, [
+            ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)}),
+            ev(100, 1, 1, "i", "t.a", key(2), {"_id": key(2)}),
+        ]),
+        0,
+    )
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "evolve",
+         "--table", str(tmp_path / "lake"), "--buckets", "8", "--migrate"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["evolve"]["to_n_buckets"] == 8
+    assert out["live_layouts"] == [8]
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "lookup",
+         "--table", str(tmp_path / "lake"), "--keys", key(1)],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    assert {x["id"] for x in rows} == {key(1)}
