@@ -898,6 +898,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st21_bucket_evolution"] = _st21
 
+    # Safe type widening (Iceberg schema-evolution promotions): batch 0
+    # writes a metric column as INT, batch 1 widens it to LONG. The
+    # commit casts narrow batches up, reads apply the committed (wide)
+    # schema to pre-widening files (parquet page up-cast), and the final
+    # state must equal the plain LWW oracle with the wide values.
+    def _st22(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+        feed = _feed(spark, sf).select("id", "ts", "inc", "seq", "op", "ns")
+        work = tempfile.mkdtemp(prefix="cdc-widen-")
+        t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        t.upsert(
+            feed.filter(F.col("seq") % 2 == 0).withColumn(
+                "metric", (F.col("seq") % 1000).cast("int")
+            ),
+            0,
+        )
+        t.upsert(
+            feed.filter(F.col("seq") % 2 == 1).withColumn(
+                "metric", (F.col("seq") % 1000 + 2**40).cast("long")
+            ),
+            1,
+        )
+        return t.read().select("id", "ts", "inc", "seq", "op", "ns", "metric")
+
+    q["st22_type_widening"] = _st22
+
     # GDPR key scrub: a deterministic ~3% deletion list (md5-bucket of
     # the key) is physically erased — every version, every snapshot —
     # and the surviving table must equal the final LWW state minus the
@@ -2896,6 +2923,18 @@ WITH r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM ({feed}))
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st22: widening is value-preserving — the final state is the plain
+    # LWW oracle with metric = seq%1000 (+2^40 on odd-seq, long-typed).
+    o["st22_type_widening"] = f"""
+WITH u AS (SELECT id, ts, inc, seq, op, ns,
+           CAST(CASE WHEN seq % 2 = 1 THEN seq % 1000 + 1099511627776
+                ELSE seq % 1000 END AS BIGINT) AS metric
+           FROM ({feed})),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, metric FROM r WHERE rn = 1 AND op <> 'd'
 """.strip()
 
     # st16: final LWW state minus the scrubbed deletion list (same

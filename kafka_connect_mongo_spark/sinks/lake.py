@@ -33,10 +33,13 @@ Hudi / an LSM tree):
   comparison instead of resurrecting the row. ``compact()`` purges them
   once no older data can arrive.
 
-- **Schema evolution**: add-only column merge (parquet ``mergeSchema`` at
-  read; the typed schema is persisted in the meta file at first commit and
-  grown add-only), mirroring SchemaMapper's add-only schema merge
-  (``SchemaMapper.kt:199-235``).
+- **Schema evolution**: add-only column merge PLUS safe type widening
+  (int-chain → long, float → double — the Iceberg promotions). The typed
+  schema is persisted in the meta at first commit; batches cast up to it
+  at write, reads apply it explicitly (pre-widening files up-cast page by
+  page; files predating a column yield typed nulls), incompatible changes
+  and key-column retyping raise before a byte lands. Mirrors
+  SchemaMapper's add-only schema merge (``SchemaMapper.kt:199-235``).
 
 - **Idempotence bookkeeping is bounded**: numeric batch ids (Structured
   Streaming's monotone ``foreachBatch`` ids) commit a single high-water
@@ -377,20 +380,83 @@ class LakeTable:
             }]
         )[-50:]
 
-    def _merge_schema(self, df: DataFrame) -> None:
-        """Persist/grow the typed schema add-only (ADVICE: an empty-table
-        read must yield the same types as a populated one)."""
+    #: safe type promotions (Iceberg's schema-evolution rules): an
+    #: integral column may widen along this chain, float may widen to
+    #: double. Anything else is an incompatible evolution and must fail
+    #: LOUDLY at write time — the alternative is mixed parquet files
+    #: that break every future read.
+    _INT_CHAIN = ("byte", "short", "integer", "long")
+
+    @classmethod
+    def _widen(cls, a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """The narrower-to-wider promotion of two types, or None if the
+        pair is not safely promotable."""
+        if a == b:
+            return a
+        if a.typeName() in cls._INT_CHAIN and b.typeName() in cls._INT_CHAIN:
+            return (
+                a
+                if cls._INT_CHAIN.index(a.typeName())
+                >= cls._INT_CHAIN.index(b.typeName())
+                else b
+            )
+        if {a.typeName(), b.typeName()} == {"float", "double"}:
+            return T.DoubleType()
+        return None
+
+    def _merge_schema(self, df: DataFrame) -> T.StructType:
+        """Persist/grow the typed schema: add-only columns (ADVICE: an
+        empty-table read must yield the same types as a populated one)
+        plus SAFE type widening (int-chain → long, float → double — the
+        Iceberg promotions). A widened column narrows no existing file:
+        reads use the meta schema explicitly, and the parquet reader
+        up-casts narrow pages in place. Incompatible type changes, and
+        ANY retyping of the key column (xxhash64(int 42) !=
+        xxhash64(long 42) — a retyped key would re-bucket the table),
+        raise before a byte is written. Returns the merged schema."""
         incoming = [f for f in df.schema.fields if f.name != "_bucket"]
         if self.meta["schema"] is None:
             merged = T.StructType(incoming)
         else:
             merged = T.StructType.fromJson(json.loads(self.meta["schema"]))
-            have = {f.name for f in merged.fields}
+            have = {f.name: f.dataType for f in merged.fields}
             for f in incoming:
                 if f.name not in have:
                     merged = merged.add(f)
+                    continue
+                old = have[f.name]
+                if old == f.dataType:
+                    continue
+                wide = self._widen(old, f.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"incompatible schema evolution for column "
+                        f"{f.name!r}: table has {old.simpleString()}, "
+                        f"batch has {f.dataType.simpleString()} (only "
+                        f"add-only columns and safe widenings "
+                        f"int→long / float→double are supported)"
+                    )
+                if wide != old:
+                    if f.name == self.key:
+                        raise ValueError(
+                            f"cannot widen key column {self.key!r} "
+                            f"({old.simpleString()} → "
+                            f"{wide.simpleString()}): xxhash64 hashes "
+                            f"int and long differently, so a retyped "
+                            f"key re-buckets the table — rewrite into "
+                            f"a new table instead"
+                        )
+                    merged = T.StructType(
+                        [
+                            T.StructField(g.name, wide, g.nullable)
+                            if g.name == f.name
+                            else g
+                            for g in merged.fields
+                        ]
+                    )
         self.meta["schema"] = json.dumps(merged.jsonValue())
         self.meta["columns"] = sorted(f.name for f in merged.fields)
+        return merged
 
     # -- MERGE ---------------------------------------------------------------
 
@@ -428,7 +494,24 @@ class LakeTable:
             if c not in batch.columns:
                 raise ValueError(f"batch missing required column {c!r}")
 
-        collapsed = self._with_bucket(lww_collapse(batch, key=self.key))
+        collapsed = lww_collapse(batch, key=self.key)
+        # Merge the schema BEFORE staging: a widened column (int→long,
+        # float→double) casts the batch up to the table type so the
+        # written file already matches the committed schema; an
+        # incompatible evolution raises here, before a byte lands.
+        merged = self._merge_schema(collapsed)
+        target = {f.name: f.dataType for f in merged.fields}
+        have = {f.name: f.dataType for f in collapsed.schema.fields}
+        if any(have[c] != target[c] for c in have):
+            collapsed = collapsed.select(
+                *[
+                    F.col(c).cast(target[c]).alias(c)
+                    if have[c] != target[c]
+                    else F.col(c)
+                    for c in collapsed.columns
+                ]
+            )
+        collapsed = self._with_bucket(collapsed)
         staging = self._stage_partitioned(collapsed)
 
         # Move each staged bucket dir in as a new delta (current layout).
@@ -450,7 +533,6 @@ class LakeTable:
         # LSM-style maintenance: collapse buckets whose delta chain got long.
         compacted, obsolete = self._compact_full_buckets()
 
-        self._merge_schema(collapsed)
         self._record_commit(batch_id, affected)
         self._write_meta()
 
@@ -479,7 +561,7 @@ class LakeTable:
         old_paths = self._bucket_paths(b, state)
         if not old_paths:
             return []
-        df = self.spark.read.option("mergeSchema", "true").parquet(*old_paths)
+        df = self._read_parquet(old_paths)
         merged = lww_collapse(df, key=self.key)
         if purge_tombstones:
             merged = merged.filter(~tombstone_cond(self._payload_col_in(merged)))
@@ -516,6 +598,21 @@ class LakeTable:
 
     # -- reads ---------------------------------------------------------------
 
+    def _read_parquet(self, paths: list[str]) -> DataFrame:
+        """Read data file groups under the table's COMMITTED schema.
+
+        An explicit read schema (not ``mergeSchema``) is what makes
+        schema evolution total: files predating a column yield typed
+        nulls, and files predating a WIDENING are up-cast page-by-page
+        by the parquet reader (int32 pages read as long, float as
+        double) — ``mergeSchema`` would instead refuse the int/long file
+        mix outright. Falls back to mergeSchema only before the first
+        commit persists a schema (no committed files exist then)."""
+        if self.meta["schema"] is not None:
+            schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def _payload_col_in(self, df: DataFrame) -> str | None:
         """The table's DECLARED payload column, if this frame carries it
         (pre-evolution files may not — treat those rows as op-only)."""
@@ -540,7 +637,7 @@ class LakeTable:
         paths = self._current_paths()
         if not paths:
             return self._empty()
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_parquet(paths)
         state = lww_collapse(df, key=self.key)
         if not include_tombstones:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
@@ -631,11 +728,7 @@ class LakeTable:
         paths = self._paths_for_keys(buckets=buckets)
         if not paths:
             return self._empty()
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
-            .filter(F.col(self.key).isin(typed))
-        )
+        df = self._read_parquet(paths).filter(F.col(self.key).isin(typed))
         state = lww_collapse(df, key=self.key)
         if not include_tombstones:
             state = state.filter(~tombstone_cond(self._payload_col_in(state)))
@@ -705,7 +798,7 @@ class LakeTable:
             paths.extend(self._bucket_paths(b, state))
         if not paths:
             return self._empty()
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_parquet(paths)
         if keys is not None:
             df = df.join(keys.select(self.key), self.key, "leftsemi")
         state_df = lww_collapse(df, key=self.key)
@@ -905,9 +998,7 @@ class LakeTable:
             )
         if not paths:
             return self._empty()
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *paths
-        ).drop("_bucket")
+        return self._read_parquet(paths).drop("_bucket")
 
     def compact(self, sort_by: tuple[str, ...] | None = None) -> None:
         """Full compaction: every bucket → single base generation, tombstone
@@ -1010,8 +1101,8 @@ class LakeTable:
         obsolete = list(paths)
         moved = 0
         if paths:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            staged = self._with_bucket(df.drop("_bucket"))
+            df = self._read_parquet(paths)
+            staged = self._with_bucket(df)
             staging = self._stage_partitioned(staged)
             delta_name = f"delta-migrate-{uuid.uuid4().hex[:8]}"
             for entry in sorted(os.listdir(staging)):
@@ -1111,12 +1202,8 @@ class LakeTable:
             frames = []
             for n, paths in sorted(per_layout.items()):
                 frames.append(
-                    self._with_bucket(
-                        self.spark.read.option("mergeSchema", "true").parquet(
-                            *paths
-                        ),
-                        n=n,
-                    ).withColumn("_layout", F.lit(n))
+                    self._with_bucket(self._read_parquet(paths), n=n)
+                    .withColumn("_layout", F.lit(n))
                 )
             df = frames[0]
             for fr in frames[1:]:

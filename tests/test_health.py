@@ -287,7 +287,11 @@ def test_cli_lookup_point_read(spark, corrupt_stream):
     assert out["n_keys"] == 3
     got = {row["id"] for row in out["rows"]}
     assert got == {K[0], K[2]}  # absent key yields nothing
-    assert set(out["buckets_read"]) <= set(range(out["n_buckets_total"]))
+    # bucket-state KEYS (layout-qualified after an evolution; plain ids
+    # on this un-evolved table) — all within the current layout's range
+    assert {
+        int(b.split(":")[-1]) for b in out["buckets_read"]
+    } <= set(range(out["n_buckets_total"]))
 
 
 def test_cli_rollback_and_expire(spark, tmp_path_factory):

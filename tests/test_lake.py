@@ -1009,3 +1009,102 @@ def test_cli_evolve_and_migrate(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
     assert {x["id"] for x in rows} == {key(1)}
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: safe type widening (Iceberg promotions)
+
+
+def test_type_widening_int_to_long_and_float_to_double(tmp_path, spark):
+    """A batch that widens a column (int→long, float→double) commits the
+    wide type; files written before the widening are up-cast at read
+    (explicit committed schema, not mergeSchema — which refuses the
+    int/long file mix outright)."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})])
+        .withColumn("n", F.lit(7).cast("int"))
+        .withColumn("x", F.lit(1.5).cast("float")),
+        0,
+    )
+    t.upsert(
+        mk(spark, [ev(200, 0, 1, "i", "t.a", key(2), {"_id": key(2)})])
+        .withColumn("n", F.lit(2**40).cast("long"))
+        .withColumn("x", F.lit(2.5).cast("double")),
+        1,
+    )
+    out = t.read()
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["n"] == "bigint" and types["x"] == "double"
+    vals = {r["id"]: (r["n"], r["x"]) for r in out.collect()}
+    assert vals[key(1)] == (7, 1.5) and vals[key(2)] == (2**40, 2.5)
+    # narrow-then-wide ALSO casts the batch: a later narrow batch writes wide
+    t.upsert(
+        mk(spark, [ev(300, 0, 2, "i", "t.a", key(3), {"_id": key(3)})])
+        .withColumn("n", F.lit(3).cast("int"))
+        .withColumn("x", F.lit(3.5).cast("float")),
+        2,
+    )
+    out2 = LakeTable(spark, str(tmp_path / "lake")).read()  # reopened handle
+    assert {f.name: f.dataType.simpleString() for f in out2.schema.fields}[
+        "n"
+    ] == "bigint"
+    assert out2.count() == 3
+    # compaction rewrites everything wide and stays readable
+    t.compact()
+    assert t.read().count() == 3
+
+
+def test_type_widening_survives_point_lookup_and_time_travel(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})])
+        .withColumn("n", F.lit(5).cast("int")),
+        0,
+    )
+    t.upsert(
+        mk(spark, [ev(200, 0, 1, "i", "t.a", key(2), {"_id": key(2)})])
+        .withColumn("n", F.lit(2**35).cast("long")),
+        1,
+    )
+    r = t.read_for_keys([key(1)]).collect()
+    assert r[0]["n"] == 5
+    # snapshot 0's files are narrow; the committed (wide) schema reads them
+    asof = t.read_as_of(0).collect()
+    assert len(asof) == 1 and asof[0]["n"] == 5
+
+
+def test_incompatible_evolution_raises_before_write(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})])
+        .withColumn("n", F.lit(1).cast("int")),
+        0,
+    )
+    paths_before = set(t._current_paths())
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        t.upsert(
+            mk(spark, [ev(200, 0, 1, "i", "t.a", key(2), {"_id": key(2)})])
+            .withColumn("n", F.lit("nope")),
+            1,
+        )
+    assert set(t._current_paths()) == paths_before
+    assert not t.is_committed(1)
+    assert t.read().count() == 1
+
+
+def test_key_column_widening_refused(tmp_path, spark):
+    """xxhash64(int) != xxhash64(long): a retyped key would re-bucket the
+    table, so the widening that is safe for value columns is refused for
+    the key."""
+    t = LakeTable(spark, str(tmp_path / "k"), n_buckets=2, key="k")
+    df1 = spark.createDataFrame(
+        [(1, 100, 0, 0, "i")], "k int, ts long, inc long, seq long, op string"
+    ).withColumn("id", F.col("k").cast("string"))
+    t.upsert(df1, 0)
+    df2 = spark.createDataFrame(
+        [(2**40, 200, 0, 1, "i")],
+        "k long, ts long, inc long, seq long, op string",
+    ).withColumn("id", F.col("k").cast("string"))
+    with pytest.raises(ValueError, match="cannot widen key column"):
+        t.upsert(df2, 1)
