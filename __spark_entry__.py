@@ -1570,6 +1570,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s8b_pq_rerank"] = _pq_rerank
 
+    def _ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+        # The composed production ANN stack (FAISS IVFADC + refine): IVF
+        # cells prune the corpus, PQ codes shrink what the probe reads
+        # (partition-pruned 8 B/vector), exact re-rank of the shortlist.
+        emb = _emb(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-ivfpq-")
+        path = os.path.join(work, "index")
+        sim.build_ivfpq_index(emb, path, n_centroids=16, m=8, ksub=16)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivfpq(
+            spark, path, emb, qvec, k=10, n_probe=4, shortlist=50
+        )
+
+    q["s8c_ann_ivfpq"] = _ivfpq
+
     # Batch retrieval: k-NN JOIN of a query SET through the IVF index —
     # queries and corpus co-shuffle by cell, no query×corpus product.
     def _knn(spark: SparkSession, sf: str) -> DataFrame:
@@ -2691,6 +2709,55 @@ SELECT b.vec_id,
        round(list_aggregate(list_transform(list_zip(b.e, q.qe),
              x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 4) AS dist
 FROM base b JOIN shortlist s ON b.vec_id = s.vec_id, q
+ORDER BY dist, b.vec_id LIMIT 10
+""".strip()
+
+    # s8c: IVF cells (s7c's assign) x PQ codes (s8's) x exact re-rank —
+    # ADC restricted to the probed cells' members, shortlist 50.
+    o["s8c_ann_ivfpq"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+vecsub AS (SELECT vec_id, j, e[j*8+1 : j*8+8] AS sv FROM base, subs),
+pcents AS (SELECT vec_id AS cid, j, sv AS cv FROM vecsub WHERE vec_id < 16),
+pdists AS (
+  SELECT v.vec_id, v.j, c.cid,
+         round(list_aggregate(list_transform(list_zip(v.sv, c.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 6) AS d
+  FROM vecsub v JOIN pcents c ON v.j = c.j),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM pdists) WHERE rn = 1),
+lut AS (SELECT j, cid, d FROM pdists WHERE vec_id = 0),
+ccents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+cscored AS (
+  SELECT b.vec_id, c.cent_id,
+         round(list_inner_product(b.e, c.ce) /
+               (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+  FROM base b, ccents c),
+cassign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+    FROM cscored) WHERE rn = 1),
+q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+qcells AS (
+  SELECT cent_id AS cell FROM ccents, q
+  ORDER BY round(list_inner_product(ce, qe) /
+                 (sqrt(list_inner_product(ce, ce)) * sqrt(list_inner_product(qe, qe))), 6) DESC,
+           cent_id
+  LIMIT 4),
+probed AS (
+  SELECT a.vec_id FROM cassign a JOIN qcells ON a.cell = qcells.cell),
+adc AS (
+  SELECT c.vec_id, round(sum(l.d), 6) AS adist
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+  WHERE c.vec_id IN (SELECT vec_id FROM probed)
+  GROUP BY c.vec_id),
+short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50)
+SELECT b.vec_id,
+       round(list_aggregate(list_transform(list_zip(b.e, q.qe),
+             x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 4) AS dist
+FROM base b JOIN short s ON b.vec_id = s.vec_id, q
 ORDER BY dist, b.vec_id LIMIT 10
 """.strip()
 

@@ -98,6 +98,7 @@ def main() -> None:
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
+        "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
     ]
 
     def run_noop(df) -> None:

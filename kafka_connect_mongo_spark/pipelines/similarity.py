@@ -959,3 +959,120 @@ def pq_adc_rerank_topk(
         .orderBy(F.col("dist").asc(), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells (pruning) x PQ codes (compression) x exact re-rank
+#
+# The production ANN stack (FAISS IndexIVFPQ + refine): the IVF quantizer
+# prunes the corpus to n_probe/n_centroids, the PQ codes shrink what the
+# probe READS by ~32x, and the exact re-rank pins down the final order.
+# At 100 TB: a probe touches (n_probe/n_centroids) x (8 B/vector) of
+# index data plus |shortlist| float rows — versus 25 TB of floats for the
+# brute scan. Simplification vs FAISS, documented: PQ encodes RAW vectors,
+# not per-cell residuals (residual encoding needs a per-cell codebook
+# join; raw encoding keeps the ADC scan row-local and the oracle exact —
+# the recall delta is measured, not hidden, in BENCH/IVF_RECALL.md).
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    trained: bool = False,
+) -> None:
+    """Materialize the IVF-PQ index: (vec_id, codes) partitioned by cell
+    (probes read only their cells' directories), with the coarse
+    centroids at ``<path>.centroids`` and the PQ codebook at
+    ``<path>.codebook``. Cell assignment and PQ encoding happen in ONE
+    row-local scan projection — build cost is one pass, zero shuffles
+    (the partitioned write redistributes by cell, the only exchange).
+    ``trained=True`` fits both quantizers on the bounded deterministic
+    sample; the layout is identical, so every reader works unchanged."""
+    cents = (
+        train_ivf_centroids(embeddings, n_centroids)
+        if trained
+        else None
+    )
+    book = pq_codebook(embeddings, m=m, ksub=ksub, trained=trained)
+    spark = embeddings.sparkSession
+    _centroids_df(embeddings, n_centroids, cents).select(
+        F.col("cent_id").alias("cell"), "ce"
+    ).write.mode("overwrite").parquet(path + ".centroids")
+    spark.createDataFrame(
+        [(j, c, book[j][c]) for j in range(m) for c in range(ksub)],
+        "j int, c int, cent array<double>",
+    ).write.mode("overwrite").parquet(path + ".codebook")
+    assign = ivf_assign(embeddings, n_centroids, centroids=cents).select(
+        "vec_id", "cell"
+    )
+    codes = pq_encode(embeddings, book)
+    # both are projections of the same scan; the join collapses to one
+    # scan + the partitioned write's exchange on small inputs, and at
+    # scale is a co-partitioned id join — still one pass over the floats
+    assign.join(codes, "vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _load_codebook(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path + ".codebook").orderBy("j", "c").collect()
+    m = max(r["j"] for r in rows) + 1
+    ksub = max(r["c"] for r in rows) + 1
+    book: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        book[r["j"]][r["c"]] = [float(v) for v in r["cent"]]
+    return book
+
+
+def ann_topk_ivfpq(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k through the persisted IVF-PQ index: rank cells against
+    the stored centroids (cosine, the IVF convention here), ADC-score
+    ONLY the probed cells' CODES (partition-pruned read, 8 B/vector),
+    shortlist the best ``shortlist``, then exact squared-L2 re-rank of
+    those rows from the float corpus (broadcast semi-join — the float
+    scan carries a pushed-down join filter). Output (vec_id, dist)."""
+    book = _load_codebook(spark, index_path)
+    m = len(book)
+    sub = len(book[0][0])
+    if len(query) != m * sub:
+        raise ValueError(
+            f"ann_topk_ivfpq: query dim {len(query)} != m*sub = {m * sub}"
+        )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cents = spark.read.parquet(index_path + ".centroids")
+    probe_cells = [
+        r["cell"]
+        for r in cents.select("cell", _cos(F.col("ce"), qcol, 6).alias("qs"))
+        .orderBy(F.col("qs").desc(), "cell")
+        .limit(n_probe)
+        .collect()
+    ]
+    cand = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    short = pq_adc_topk(
+        cand, query, book, k=shortlist, round_digits=6
+    ).select("vec_id")
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    return (
+        base.join(F.broadcast(short), "vec_id", "semi")
+        .select(
+            "vec_id",
+            F.round(_sq_l2(F.col("e"), qcol), round_digits).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+        .limit(k)
+    )
