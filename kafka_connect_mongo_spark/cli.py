@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated columns: declare a persistent "
                     "sort order for rewritten bases (row-group stat "
                     "pruning on these columns)")
+    pc.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns (>=2): persistent "
+                    "multi-dimension z-order clustering for rewritten "
+                    "bases (row-group stats selective on EVERY listed "
+                    "column; takes precedence over --sort-by)")
 
     pev = sub.add_parser(
         "evolve",
@@ -324,7 +329,10 @@ def main(argv: list[str] | None = None) -> None:
         for root in args.table:
             table = LakeTable(spark, root)
             table.compact(
-                sort_by=tuple(args.sort_by.split(",")) if args.sort_by else None
+                sort_by=tuple(args.sort_by.split(",")) if args.sort_by else None,
+                zorder_by=(
+                    tuple(args.zorder_by.split(",")) if args.zorder_by else None
+                ),
             )
             out.append({
                 "table": root,

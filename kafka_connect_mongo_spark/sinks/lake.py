@@ -548,6 +548,82 @@ class LakeTable:
             "n_buckets_total": self.n_buckets,
         }
 
+    #: z-order resolution: 4 bits (16 levels) per column. Coarse on
+    #: purpose — the unit of data skipping is the parquet ROW GROUP, so
+    #: more than ~2^4 levels per dimension buys nothing until row groups
+    #: get much smaller than level cells.
+    _Z_BITS = 4
+
+    def _zorder_level(self, col: str, bounds: list | None) -> F.Column:
+        """0..15 level of a column value. Numeric columns rank against
+        the persisted quantile boundaries (range locality — range AND
+        equality predicates skip); non-numeric columns hash into 16
+        groups (equality predicates skip; ranges can't — documented)."""
+        if bounds is None:
+            return F.coalesce(
+                F.pmod(F.xxhash64(F.col(col)), F.lit(16)).cast("int"), F.lit(0)
+            )
+        lv = F.lit(0)
+        for bo in bounds:
+            lv = lv + F.when(F.col(col) > F.lit(bo), 1).otherwise(0)
+        return F.coalesce(lv.cast("int"), F.lit(0))
+
+    def _zorder_expr(self, available: list[str]) -> F.Column | None:
+        """Interleaved-bit z-value over the declared zorder columns, or
+        None if the table declares no z-order (or none of its columns
+        exist in this frame). Bit layout: bit b of column c lands at
+        position b*k + c — the standard Morton interleave, so sorting by
+        the z-value gives every column locality proportional to its
+        share of the curve."""
+        cols = self.meta.get("zorder") or []
+        bounds = self.meta.get("zorder_bounds") or {}
+        use = [c for c in cols if c in available]
+        if not use:
+            return None
+        k = len(use)
+        z = F.lit(0)
+        for ci, c in enumerate(use):
+            lv = self._zorder_level(c, bounds.get(c))
+            for bit in range(self._Z_BITS):
+                z = z + F.shiftleft(
+                    F.shiftright(lv, bit).bitwiseAND(F.lit(1)), bit * k + ci
+                )
+        return z
+
+    def _fit_zorder_bounds(self, cols: tuple[str, ...]) -> dict:
+        """Quantile boundaries per NUMERIC z-order column (15 cuts → 16
+        levels), fitted over the current merge-on-read state in one
+        sampled pass per column and persisted in the meta so automatic
+        LSM compactions keep clustering against the SAME grid (a
+        per-compaction refit would put each bucket's rewrite on its own
+        curve). Non-numeric columns map to None (hash levels)."""
+        schema = (
+            T.StructType.fromJson(json.loads(self.meta["schema"]))
+            if self.meta["schema"] is not None
+            else T.StructType([])
+        )
+        numeric = {
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double")
+        }
+        bounds: dict = {}
+        state = self.read(include_tombstones=True)
+        probs = [i / 16.0 for i in range(1, 16)]
+        for c in cols:
+            if c in numeric:
+                qs = state.approxQuantile(c, probs, 0.01)
+                # strictly increasing cuts (duplicates collapse levels)
+                uniq: list[float] = []
+                for v in qs:
+                    if not uniq or v > uniq[-1]:
+                        uniq.append(float(v))
+                bounds[c] = uniq
+            else:
+                bounds[c] = None
+        return bounds
+
     def _compact_bucket(self, b: str, purge_tombstones: bool = False) -> list[str]:
         """base ∪ deltas → LWW collapse → new base generation. Returns the
         now-superseded paths (deleted by the caller AFTER the meta commit).
@@ -565,11 +641,15 @@ class LakeTable:
         merged = lww_collapse(df, key=self.key)
         if purge_tombstones:
             merged = merged.filter(~tombstone_cond(self._payload_col_in(merged)))
-        order = self.meta.get("sort_order")
-        if order:
-            present = [c for c in order if c in merged.columns]
-            if present:
-                merged = merged.sortWithinPartitions(*present)
+        zexpr = self._zorder_expr(merged.columns)
+        if zexpr is not None:
+            merged = merged.sortWithinPartitions(zexpr)
+        else:
+            order = self.meta.get("sort_order")
+            if order:
+                present = [c for c in order if c in merged.columns]
+                if present:
+                    merged = merged.sortWithinPartitions(*present)
         gen = (state["base"] or 0) + 1
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
         # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
@@ -1000,7 +1080,11 @@ class LakeTable:
             return self._empty()
         return self._read_parquet(paths).drop("_bucket")
 
-    def compact(self, sort_by: tuple[str, ...] | None = None) -> None:
+    def compact(
+        self,
+        sort_by: tuple[str, ...] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
+    ) -> None:
         """Full compaction: every bucket → single base generation, tombstone
         markers purged (safe once no older events can arrive). Incremental —
         one bucket at a time, never a whole-table rewrite in one job.
@@ -1009,21 +1093,41 @@ class LakeTable:
         (stored in the meta; later automatic LSM compactions keep
         honoring it). Sorting within bucket files makes parquet
         row-group stats selective for those columns — the data-skipping
-        lever for secondary predicates the hash bucketing can't prune."""
-        if sort_by:
+        lever for secondary predicates the hash bucketing can't prune.
+
+        ``zorder_by`` declares a persistent MULTI-dimension clustering
+        instead (Iceberg's z-order rewrite): values rank into 16 levels
+        per column (numeric → quantile grid fitted once here and
+        persisted; strings → hash groups) and files sort by the
+        interleaved-bit Morton value, so row-group stats stay selective
+        for EVERY z-order column at once — a lexicographic sort gives
+        its first column everything and later columns nothing.
+        Takes precedence over ``sort_by`` when both are declared."""
+        for which, cols in (("sort_by", sort_by), ("zorder_by", zorder_by)):
+            if not cols:
+                continue
             known = set(self.meta.get("columns") or [])
             if not known:
                 raise ValueError(
-                    "compact: cannot declare sort_by before the first "
-                    "commit establishes the table's columns"
+                    f"compact: cannot declare {which} before the first "
+                    f"commit establishes the table's columns"
                 )
-            bad = [c for c in sort_by if c not in known]
+            bad = [c for c in cols if c not in known]
             if bad:
                 raise ValueError(
-                    f"compact: sort_by column(s) {bad!r} not in table "
+                    f"compact: {which} column(s) {bad!r} not in table "
                     f"columns {sorted(known)}"
                 )
+        if sort_by:
             self.meta["sort_order"] = list(sort_by)
+        if zorder_by:
+            if len(zorder_by) < 2:
+                raise ValueError(
+                    "compact: zorder_by needs >= 2 columns (one column "
+                    "is just sort_by)"
+                )
+            self.meta["zorder"] = list(zorder_by)
+            self.meta["zorder_bounds"] = self._fit_zorder_bounds(zorder_by)
         obsolete: list[str] = []
         for b in list(self.meta["buckets"]):
             obsolete.extend(self._compact_bucket(b, purge_tombstones=True))

@@ -142,6 +142,77 @@ def main() -> None:
             "trained": pq_codebook(df, m=M, ksub=KSUB, trained=True),
         }
         sub = x.shape[1] // M
+
+        # -- residual PQ (true FAISS IVFADC): encode x - centroid(cell),
+        # per-query per-cell luts. The engine deliberately encodes RAW
+        # vectors (keeps the oracle operation-exact); this row measures
+        # what that simplification costs in recall.
+        cents = np.array([c for _, c in train_ivf_centroids(df, N_CENTROIDS)])
+        cn2 = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        xn2 = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell_of = np.argmax(xn2 @ cn2.T, axis=1)
+        resid = x - cents[cell_of]
+
+        def _train_sub(xs):
+            chosen = [0]
+            d2 = ((xs - xs[0]) ** 2).sum(axis=1)
+            for _ in range(1, KSUB):
+                nxt = int(np.argmax(d2))
+                chosen.append(nxt)
+                d2 = np.minimum(d2, ((xs - xs[nxt]) ** 2).sum(axis=1))
+            c = xs[chosen].copy()
+            for _ in range(10):
+                dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(dist, axis=1)
+                for cc in range(KSUB):
+                    mem = xs[a == cc]
+                    if len(mem):
+                        c[cc] = mem.mean(axis=0)
+            return c
+
+        rbook = np.stack(
+            [_train_sub(resid[:, j * sub : (j + 1) * sub]) for j in range(M)]
+        )  # (m, ksub, sub)
+        rcodes = np.stack(
+            [
+                np.argmin(
+                    ((resid[:, None, j * sub : (j + 1) * sub] - rbook[None, j]) ** 2).sum(axis=2),
+                    axis=1,
+                )
+                for j in range(M)
+            ],
+            axis=1,
+        )
+        hits_res = 0
+        hits_res_rr = 0
+        for qi in qidx:
+            q = x[qi]
+            true_top = set(ids[np.argsort(((x - q) ** 2).sum(axis=1))[:K]])
+            # per-cell lut: distances of (q - centroid_cell) subvectors
+            adc = np.empty(len(x))
+            for cell in np.unique(cell_of):
+                mask = cell_of == cell
+                qr = q - cents[cell]
+                lut = np.stack(
+                    [
+                        ((rbook[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                        for j in range(M)
+                    ]
+                )
+                adc[mask] = lut[
+                    np.arange(M)[None, :], rcodes[mask]
+                ].sum(axis=1)
+            got = set(ids[np.argsort(adc)[:K]])
+            hits_res += len(true_top & got)
+            short = np.argsort(adc)[:RERANK]
+            exact = ((x[short] - q) ** 2).sum(axis=1)
+            got_rr = set(ids[short[np.argsort(exact)[:K]]])
+            hits_res_rr += len(true_top & got_rr)
+        lines.append(
+            f"| {fname} | trained_residual (IVFADC) | "
+            f"{hits_res / (K * len(qidx)):.3f} | "
+            f"{hits_res_rr / (K * len(qidx)):.3f} |"
+        )
         for bname, book in books.items():
             cb = np.array(book)  # (m, ksub, sub)
             codes = np.stack(

@@ -1108,3 +1108,100 @@ def test_key_column_widening_refused(tmp_path, spark):
     ).withColumn("id", F.col("k").cast("string"))
     with pytest.raises(ValueError, match="cannot widen key column"):
         t.upsert(df2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Z-order compaction (multi-dimension clustering on rewrite)
+
+
+def _file_coverage(root: str, col: str) -> list[tuple[float, float]]:
+    """(min, max) of ``col`` per data file under the table root."""
+    import glob as _glob
+
+    import pandas as pd
+
+    out = []
+    for f in _glob.glob(f"{root}/data/**/*.parquet", recursive=True):
+        vals = pd.read_parquet(f, columns=[col])[col]
+        if len(vals):
+            out.append((float(vals.min()), float(vals.max())))
+    return out
+
+
+def test_zorder_compact_bounds_both_dimensions(tmp_path, spark):
+    """With two anti-correlated numeric columns, a lexicographic sort on
+    the first leaves every file covering the FULL range of the second;
+    the z-order rewrite bounds both. Assert the measurable layout fact:
+    mean per-file coverage of the second column shrinks below the
+    lexicographic baseline's."""
+    root_sorted = str(tmp_path / "lex")
+    root_z = str(tmp_path / "z")
+    n = 4000
+    rows = [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i)}) for i in range(n)
+    ]
+
+    def load(root):
+        t = LakeTable(spark, root, n_buckets=1)
+        df = (
+            mk(spark, rows)
+            .withColumn("a", (F.xxhash64("id") % 1000 + 1000) % 1000)
+            .withColumn("b", ((F.xxhash64("id", F.lit(7)) % 1000 + 1000) % 1000))
+        )
+        t.upsert(df, 0)
+        return t
+
+    # force several files per bucket so per-file stats mean something
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    try:
+        t1 = load(root_sorted)
+        t1.compact(sort_by=("a", "b"))
+        t2 = load(root_z)
+        t2.compact(zorder_by=("a", "b"))
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    def mean_cov(root, col):
+        spans = _file_coverage(root, col)
+        assert len(spans) >= 4, f"need multiple files, got {len(spans)}"
+        return sum(hi - lo for lo, hi in spans) / len(spans) / 999.0
+
+    # first dimension: both layouts bound it well
+    assert mean_cov(root_z, "a") < 0.6
+    # second dimension: lexicographic covers ~full range per file,
+    # z-order must do strictly and substantially better
+    lex_b, z_b = mean_cov(root_sorted, "b"), mean_cov(root_z, "b")
+    assert lex_b > 0.8, lex_b
+    assert z_b < lex_b * 0.75, (z_b, lex_b)
+    # layout only: contents identical
+    assert t2.read().count() == n
+    got = {r["id"] for r in LakeTable(spark, root_z).read().collect()}
+    assert len(got) == n
+
+
+def test_zorder_persists_and_auto_compaction_honors_it(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=1, max_deltas=1)
+    df = mk(
+        spark,
+        [ev(100, i, i, "i", "t.a", key(i), {"_id": key(i)}) for i in range(50)],
+    ).withColumn("a", F.col("ts") + 1).withColumn("b", F.col("inc"))
+    t.upsert(df, 0)
+    t.compact(zorder_by=("a", "b"))
+    t2 = LakeTable(spark, str(tmp_path / "lake"), max_deltas=1)
+    assert t2.meta["zorder"] == ["a", "b"]
+    assert isinstance(t2.meta["zorder_bounds"]["a"], list)
+    # string column -> hash levels (None bounds) accepted
+    t2.compact(zorder_by=("ns", "b"))
+    assert t2.meta["zorder_bounds"]["ns"] is None
+    assert t2.read().count() == 50
+
+
+def test_zorder_validation(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=1)
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0
+    )
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        t.compact(zorder_by=("ts",))
+    with pytest.raises(ValueError, match="zorder_by column"):
+        t.compact(zorder_by=("ts", "nope"))
