@@ -253,6 +253,18 @@ def main() -> None:
 
     lines += [
         "",
+        "PQ reading: `trained_residual` is TRUE FAISS IVFADC — codes on",
+        "(x - centroid[cell]) with per-cell query luts. The engine's",
+        "queries encode RAW vectors instead (keeps the DuckDB oracle",
+        "operation-exact); this table measures what that costs: on the",
+        "CLUSTERED mixture (real-corpus shape) residual encoding wins",
+        "(residuals are small where cells are real, so 4-bit codes spend",
+        "their grid on actual variance); on UNIFORM clouds it loses —",
+        "subtracting a meaningless centroid destroys what little",
+        "structure the raw coordinates had. The trade is data-dependent",
+        "and measured, not hidden; the re-rank column is the deployment",
+        "path either way.",
+        "",
         "Reading: on the UNIFORM random cloud (and its planted-twin",
         "variant) the two quantizers are statistically equal — uniform",
         "Gaussian data has no cluster structure for k-means to exploit,",
