@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> None:
                     "bases (row-group stats selective on EVERY listed "
                     "column; takes precedence over --sort-by)")
 
+    pdd = sub.add_parser(
+        "describe",
+        help="table metadata report: per-layout file/byte counts, "
+        "delta-chain depth, clustering, snapshot retention",
+    )
+    pdd.add_argument("--table", required=True, help="lake table root")
+
     pev = sub.add_parser(
         "evolve",
         help="bucket-layout (partition-spec) evolution: change the bucket "
@@ -340,6 +347,10 @@ def main(argv: list[str] | None = None) -> None:
                 "rows": table.read(include_tombstones=True).count(),
             })
         print(json.dumps(out))
+    elif args.cmd == "describe":
+        from .sinks.lake import LakeTable
+
+        print(json.dumps(LakeTable(spark, args.table).describe()))
     elif args.cmd == "evolve":
         from .sinks.lake import LakeTable
 

@@ -780,12 +780,15 @@ def pq_codebook(
     (squared-L2) on the deterministic hash-ordered sample, same fitting
     discipline as ``train_ivf_centroids`` — fixed seed, fixed iterations,
     partitioning-independent."""
+    # seed subcentroids: the FIRST ksub vectors in vec_id order (== the
+    # oracle's `vec_id < ksub` on a dense-id corpus, and well-defined on
+    # subsets — e.g. an index built on 4/5 of the corpus)
     first = (
         embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-        .filter(F.col("vec_id") < ksub)
         .orderBy("vec_id")
+        .limit(ksub)
         .collect()
     )
     if not first:
@@ -797,8 +800,8 @@ def pq_codebook(
     if not trained:
         if len(first) < ksub:
             raise ValueError(
-                f"pq_codebook: need vec_id 0..{ksub - 1} present, "
-                f"got {len(first)} rows"
+                f"pq_codebook: need >= {ksub} vectors for the seed "
+                f"codebook, got {len(first)} rows"
             )
         return [
             [[float(v) for v in r["e"][j * sub : (j + 1) * sub]] for r in first]
@@ -1076,3 +1079,31 @@ def ann_topk_ivfpq(
         .orderBy(F.col("dist").asc(), "vec_id")
         .limit(k)
     )
+
+
+def append_ivfpq_index(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+) -> None:
+    """Incremental IVF-PQ maintenance (the ``append_ivf_index`` twin for
+    the composed index): assign + PQ-encode ONLY the new vectors against
+    the PERSISTED artifacts — centroids and codebook stay fixed (FAISS
+    ``add`` after ``train``; retraining either quantizer is an explicit
+    index rebuild). Cost is O(|new|) row-local work + one partitioned
+    write; existing cells' files are never read, and probes keep their
+    partition pruning (appended files ride along inside the cell dirs).
+    Same append-only contract as ``append_ivf_index``: duplicate vec_ids
+    are not deduplicated; deletion is a rebuild or tombstone layer."""
+    book = _load_codebook(spark, index_path)
+    cents_rows = (
+        spark.read.parquet(index_path + ".centroids").orderBy("cell").collect()
+    )
+    cents = [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cents_rows]
+    assign = ivf_assign(
+        new_embeddings, len(cents), centroids=cents
+    ).select("vec_id", "cell")
+    codes = pq_encode(new_embeddings, book)
+    assign.join(codes, "vec_id").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(index_path)

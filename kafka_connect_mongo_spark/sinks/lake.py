@@ -1135,6 +1135,70 @@ class LakeTable:
         for path in obsolete:
             shutil.rmtree(path, ignore_errors=True)
 
+    def describe(self) -> dict:
+        """Metadata-table report (the Iceberg ``files``/``snapshots``
+        metadata-tables analog, from the meta + a filesystem walk — no
+        Spark job): per-layout bucket/file-group/byte counts and delta-
+        chain depth (the compaction-debt signal an operator watches),
+        schema columns, declared clustering, snapshot retention, commit
+        watermark. Maintenance planning at 10^10 rows starts here:
+        'which buckets are deep', 'how many bytes does the legacy
+        layout still hold', 'is time travel still covering batch N'."""
+        layouts: dict[int, dict] = {}
+        for bkey, state in self.meta["buckets"].items():
+            n, _b = self._layout_of(bkey)
+            lay = layouts.setdefault(
+                n,
+                {
+                    "n_buckets": n,
+                    "buckets_live": 0,
+                    "with_base": 0,
+                    "file_groups": 0,
+                    "files": 0,
+                    "bytes": 0,
+                    "max_delta_chain": 0,
+                },
+            )
+            paths = self._bucket_paths(bkey, state)
+            if not paths:
+                continue
+            lay["buckets_live"] += 1
+            if state.get("base") is not None:
+                lay["with_base"] += 1
+            lay["file_groups"] += len(paths)
+            lay["max_delta_chain"] = max(
+                lay["max_delta_chain"], len(state.get("deltas", []))
+            )
+            for p in paths:
+                if not os.path.isdir(p):
+                    continue
+                for f in os.listdir(p):
+                    if f.startswith("part-"):
+                        lay["files"] += 1
+                        try:
+                            lay["bytes"] += os.path.getsize(
+                                os.path.join(p, f)
+                            )
+                        except OSError:
+                            pass
+        snaps = self.meta["snapshots"]
+        return {
+            "root": self.root,
+            "format": self.meta["format"],
+            "generation": self._generation,
+            "key": self.key,
+            "payload_col": self.payload_col,
+            "current_n_buckets": self.n_buckets,
+            "layouts": [layouts[n] for n in sorted(layouts)],
+            "columns": self.meta.get("columns") or [],
+            "sort_order": self.meta.get("sort_order"),
+            "zorder": self.meta.get("zorder"),
+            "committed_watermark": self.meta["committed_watermark"],
+            "snapshots_retained": len(snaps),
+            "oldest_snapshot": snaps[0]["batch_id"] if snaps else None,
+            "newest_snapshot": snaps[-1]["batch_id"] if snaps else None,
+        }
+
     def evolve_bucket_layout(self, new_n_buckets: int) -> dict:
         """Partition-spec evolution (Iceberg's ``ALTER TABLE ... REPLACE
         PARTITION FIELD bucket(N, id) WITH bucket(M, id)``): change the

@@ -1205,3 +1205,38 @@ def test_zorder_validation(tmp_path, spark):
         t.compact(zorder_by=("ts",))
     with pytest.raises(ValueError, match="zorder_by column"):
         t.compact(zorder_by=("ts", "nope"))
+
+
+def test_describe_reports_layouts_and_clustering(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    t.upsert(
+        mk(spark, [ev(100, i, i, "i", "t.a", key(i), {"_id": key(i)})
+                   for i in range(10)]),
+        0,
+    )
+    t.evolve_bucket_layout(4)
+    t.upsert(
+        mk(spark, [ev(200, 0, 100, "u", "t.a", key(0), {"_id": key(0)})]), 1
+    )
+    t.compact(zorder_by=("ts", "seq"))
+    d = t.describe()
+    assert d["current_n_buckets"] == 4 and d["payload_col"] == "object"
+    assert [l["n_buckets"] for l in d["layouts"]] == [2, 4]
+    assert all(l["bytes"] > 0 and l["files"] >= 1 for l in d["layouts"])
+    assert d["zorder"] == ["ts", "seq"]
+    assert d["committed_watermark"] == 1
+    assert d["snapshots_retained"] >= 3  # 2 upserts + evolve + compact commits
+    # out-of-process too
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "describe",
+         "--table", str(tmp_path / "lake")],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["current_n_buckets"] == 4
