@@ -1107,3 +1107,48 @@ def append_ivfpq_index(
     assign.join(codes, "vec_id").write.partitionBy("cell").mode(
         "append"
     ).parquet(index_path)
+
+
+def pq_encode_arrow(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``pq_encode`` — the throughput path for
+    the one-off 100 TB compression job: one numpy distance matrix per
+    Arrow batch instead of m×ksub codegen expressions per row. Same
+    semantics (rounded squared-L2 argmin, first-min tie-break, identical
+    codes — pytest-asserted on the fixture); ``pq_encode`` stays the
+    reference implementation the oracle mirrors."""
+    cb = np.array(codebook, dtype="float64")  # (m, ksub, sub)
+    m, ksub, sub = cb.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
+            )
+            codes = np.empty((len(x), m), dtype="int32")
+            for j in range(m):
+                d = (
+                    (x[:, None, j * sub : (j + 1) * sub] - cb[None, j]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d, round_digits), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema=out_schema
+    )
