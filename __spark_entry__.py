@@ -1441,6 +1441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t10_repetition"] = lambda spark, sf: tx.repetition_profile(_docs(spark, sf))
 
+    # Exact substring dedup (Lee et al. 2022): duplicated 5-token spans
+    # keep their first global occurrence, covered tokens removed.
+    q["t12_substring_dedup"] = lambda spark, sf: dd.substring_dedup(
+        _docs(spark, sf), k=5
+    )
+
     # LSH-banded near-dup over deterministically planted twins (the random
     # synthetic cloud has no natural near-dups; twins give the LSH path a
     # non-trivial exact oracle).
@@ -2759,6 +2765,41 @@ SELECT b.vec_id,
              x -> (x[1]-x[2])*(x[1]-x[2])), 'sum'), 4) AS dist
 FROM base b JOIN short s ON b.vec_id = s.vec_id, q
 ORDER BY dist, b.vec_id LIMIT 10
+""".strip()
+
+    # t12: same keep-first-global-occurrence rule, md5 span keys — the
+    # window/rebuild replicated operation-for-operation.
+    o["t12_substring_dedup"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         md5(array_to_string(toks[u.i+1 : u.i+5], ' ')) AS digest
+  FROM t, UNNEST(range(greatest(len(toks) - 4, 0))) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY digest) AS df,
+         first_value(doc_id) OVER (PARTITION BY digest ORDER BY doc_id, pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS odoc,
+         first_value(pos) OVER (PARTITION BY digest ORDER BY doc_id, pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS opos
+  FROM sh),
+removed AS (
+  SELECT doc_id, pos FROM r WHERE df > 1 AND NOT (doc_id = odoc AND pos = opos)),
+kl AS (SELECT doc_id, list_sort(list(pos)) AS kill FROM removed GROUP BY doc_id),
+j AS (SELECT t.doc_id, t.toks, coalesce(kl.kill, []) AS kill
+      FROM t LEFT JOIN kl USING (doc_id)),
+rebuilt AS (
+  SELECT doc_id,
+         list_filter(range(len(toks)), jj -> len(list_filter(kill, s -> s <= jj AND jj < s + 5)) = 0) AS kept,
+         toks
+  FROM j)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, jj -> toks[jj+1]), ' '),
+                '') AS text_dedup,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM rebuilt
 """.strip()
 
     o["s7d_knn_join"] = """

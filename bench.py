@@ -54,6 +54,7 @@ def main() -> None:
         "s8_pq_adc_topk",       # PQ compression + row-local ADC scan
         "t2_quality_score",
         "t10_repetition",       # Gopher repetition signals (1 scan)
+        "t12_substring_dedup",  # duplicated-span removal (digest shuffle + rebuild)
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
         "f1_funnel",            # chained filtered min-aggregates

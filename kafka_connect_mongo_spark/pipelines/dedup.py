@@ -19,7 +19,7 @@ docs) are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 60-bit md5-derived integer hash, reproducible in DuckDB/Python.
@@ -498,4 +498,94 @@ def cross_pairs_from_sigs(
             (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. 2022 "Deduplicating
+    Training Data" op): any ``k``-token span occurring more than once in
+    the corpus keeps its FIRST occurrence (global (doc_id, pos) order)
+    and is REMOVED everywhere else — a token goes when any removed span
+    covers it. Catches verbatim cross-document boilerplate that
+    whole-doc (d1) and near-dup (d4/d5) dedup both miss, and in-document
+    verbatim repetition too (same rule, same pass).
+
+    Output: (doc_id, text_dedup, n_tokens, n_tokens_removed).
+
+    Plan at 100 TB: ONE text scan explodes the k-shingles; the only
+    exchange is the shuffle on the shingle digest (O(total tokens) skinny
+    rows — digest + doc_id + pos, no text); duplicated-span starts
+    groupBy back to O(docs) rows; the span-coverage token filter is a
+    row-local higher-order expression in the reassembly projection
+    (zero extra exchanges). No suffix array is needed for fixed-k
+    semantics, and nothing is quadratic — the suffix-array construction
+    of the paper is the single-machine approach; the shingle-digest
+    shuffle IS the distributed equivalent for fixed k.
+
+    The span key is ``md5(shingle text)`` — not xxhash64 — so the DuckDB
+    oracle reproduces it bit for bit."""
+    if text_col not in docs.columns:
+        raise ValueError(f"substring_dedup: missing column {text_col!r}")
+    if k < 2:
+        raise ValueError(f"substring_dedup: k must be >= 2, got {k}")
+    base = docs.select("doc_id", F.col(text_col).alias("__text"))
+    toks = F.split(F.col("__text"), r"\s+")
+
+    # (doc_id, pos, digest) for every k-shingle; docs shorter than k emit
+    # nothing and pass through untouched.
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            # sequence(0, n) is DESCENDING when n < 0, so short docs must
+            # short-circuit to an empty shingle array explicitly
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i + 1, k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "digest"),
+    )
+    w = Window.partitionBy("digest")
+    ranked = sh.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.min(F.struct("doc_id", "pos")).over(w).alias("owner"),
+    )
+    removed = ranked.filter(
+        (F.col("df") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("owner.doc_id"))
+            & (F.col("pos") == F.col("owner.pos"))
+        )
+    )
+    spans = removed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("kill")
+    )
+    joined = base.join(spans, "doc_id", "left")
+    toks2 = F.split(F.col("__text"), r"\s+")
+    kill = F.coalesce(F.col("kill"), F.array().cast("array<int>"))
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.size(toks2) - F.lit(1)),
+        lambda j: ~F.exists(
+            kill, lambda s: (s <= j) & (j < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(keep_idx, lambda j: F.element_at(toks2, j + 1))
+        ).alias("text_dedup"),
+        F.size(toks2).cast("long").alias("n_tokens"),
+        (F.size(toks2) - F.size(keep_idx)).cast("long").alias(
+            "n_tokens_removed"
+        ),
     )
