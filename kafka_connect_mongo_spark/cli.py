@@ -106,6 +106,16 @@ def main(argv: list[str] | None = None) -> None:
                     "bases (row-group stats selective on EVERY listed "
                     "column; takes precedence over --sort-by)")
 
+    ptag = sub.add_parser(
+        "tag",
+        help="named snapshot refs (Iceberg tags): create / drop / list; "
+        "tagged snapshots are exempt from expiry",
+    )
+    ptag.add_argument("--table", required=True)
+    ptag.add_argument("--name", default=None)
+    ptag.add_argument("--batch", default=None, help="batch id to tag")
+    ptag.add_argument("--drop", action="store_true")
+
     pdd = sub.add_parser(
         "describe",
         help="table metadata report: per-layout file/byte counts, "
@@ -347,6 +357,18 @@ def main(argv: list[str] | None = None) -> None:
                 "rows": table.read(include_tombstones=True).count(),
             })
         print(json.dumps(out))
+    elif args.cmd == "tag":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        if args.name and args.drop:
+            print(json.dumps(table.drop_tag(args.name)))
+        elif args.name and args.batch is not None:
+            print(json.dumps(table.tag(args.name, args.batch)))
+        elif args.name:
+            raise SystemExit("tag: pass --batch to create or --drop")
+        else:
+            print(json.dumps({"tags": table.meta.get("tags", {})}))
     elif args.cmd == "describe":
         from .sinks.lake import LakeTable
 

@@ -368,17 +368,21 @@ class LakeTable:
         # Each snapshot carries the FULL bucket state (base gen + delta
         # list) as of this commit — what makes read_as_of() possible.
         # O(n_buckets) per entry, capped at 50 entries: bounded meta.
-        self.meta["snapshots"] = (
-            self.meta["snapshots"]
-            + [{
-                "batch_id": str(batch_id),
-                "buckets": affected,
-                "state": {
-                    b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
-                    for b, s in self.meta["buckets"].items()
-                },
-            }]
-        )[-50:]
+        snaps = self.meta["snapshots"] + [{
+            "batch_id": str(batch_id),
+            "buckets": affected,
+            "state": {
+                b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
+                for b, s in self.meta["buckets"].items()
+            },
+        }]
+        # bounded retention — but TAGGED snapshots are exempt from the
+        # cap (Iceberg ref retention), like expire_snapshots
+        tagged = set(self.meta.get("tags", {}).values())
+        tail = snaps[-50:]
+        self.meta["snapshots"] = [
+            sn for sn in snaps if sn in tail or sn["batch_id"] in tagged
+        ]
 
     #: safe type promotions (Iceberg's schema-evolution rules): an
     #: integral column may widen along this chain, float may widen to
@@ -1506,21 +1510,70 @@ class LakeTable:
             "generation": self._generation,
         }
 
+    def tag(self, name: str, batch_id: int | str) -> dict:
+        """Name a retained snapshot (Iceberg tags: named refs with
+        retention): a tagged snapshot survives ``expire_snapshots``
+        regardless of ``keep_last`` — the audited-release / compliance
+        anchor ('the table as shipped in release X'). The tag resolves
+        through ``read_tag``; ``drop_tag`` releases it back to normal
+        retention. Commits through the usual check-and-swap."""
+        if not name or "/" in name:
+            raise ValueError(f"tag: invalid tag name {name!r}")
+        self._snapshot_for(batch_id, "tag")  # must be retained + on disk
+        tags = self.meta.setdefault("tags", {})
+        if name in tags and tags[name] != str(batch_id):
+            raise ValueError(
+                f"tag: {name!r} already points at batch {tags[name]!r} "
+                f"(drop_tag first to retarget)"
+            )
+        tags[name] = str(batch_id)
+        self._write_meta()
+        return {"tag": name, "batch_id": str(batch_id)}
+
+    def read_tag(self, name: str, include_tombstones: bool = False) -> DataFrame:
+        """Read the snapshot a tag points at (``read_as_of`` by name)."""
+        tags = self.meta.get("tags", {})
+        if name not in tags:
+            raise ValueError(
+                f"read_tag: unknown tag {name!r} (have: {sorted(tags)})"
+            )
+        return self.read_as_of(
+            tags[name], include_tombstones=include_tombstones
+        )
+
+    def drop_tag(self, name: str) -> dict:
+        tags = self.meta.get("tags", {})
+        if name not in tags:
+            raise ValueError(
+                f"drop_tag: unknown tag {name!r} (have: {sorted(tags)})"
+            )
+        batch = tags.pop(name)
+        self._write_meta()
+        return {"dropped": name, "batch_id": batch}
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Bound time-travel history to the last ``keep_last`` commits
         (Iceberg ``expire_snapshots``). Only the snapshot ENTRIES go —
         data files shared with the live state stay; files now referenced
-        by NO retained snapshot are reclaimed by ``vacuum()``."""
+        by NO retained snapshot are reclaimed by ``vacuum()``. TAGGED
+        snapshots are exempt (Iceberg ref retention): they stay, and so
+        do their files, until the tag is dropped."""
         if keep_last < 1:
             raise ValueError(
                 f"expire_snapshots: keep_last must be >= 1, got {keep_last}"
             )
-        n_before = len(self.meta["snapshots"])
-        self.meta["snapshots"] = self.meta["snapshots"][-keep_last:]
+        snaps = self.meta["snapshots"]
+        tagged = set(self.meta.get("tags", {}).values())
+        keep_tail = snaps[-keep_last:]
+        kept = [
+            s for s in snaps if s in keep_tail or s["batch_id"] in tagged
+        ]
+        n_before = len(snaps)
+        self.meta["snapshots"] = kept
         self._write_meta()
         return {
-            "expired": n_before - len(self.meta["snapshots"]),
-            "retained": len(self.meta["snapshots"]),
+            "expired": n_before - len(kept),
+            "retained": len(kept),
         }
 
     def vacuum(

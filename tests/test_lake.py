@@ -1240,3 +1240,37 @@ def test_describe_reports_layouts_and_clustering(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["current_n_buckets"] == 4
+
+
+def test_tags_pin_snapshots_through_expiry(tmp_path, spark):
+    """A tagged snapshot (Iceberg named ref) survives expire_snapshots
+    and vacuum; dropping the tag releases it to normal retention."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    for bid in range(4):
+        t.upsert(
+            mk(spark, [ev(100 + bid, 0, bid, "u" if bid else "i", "t.a",
+                          key(1), {"_id": key(1), "v": bid})]),
+            bid,
+        )
+    t.tag("release-1", 1)
+    with pytest.raises(ValueError, match="already points"):
+        t.tag("release-1", 2)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.tag("ghost", 99)
+
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(older_than_seconds=0.0)
+    # the tagged snapshot still reads exactly (v=1), untagged olds are gone
+    assert json.loads(t.read_tag("release-1").collect()[0]["object"])["v"] == 1
+    with pytest.raises(ValueError, match="no snapshot|expired"):
+        t.read_as_of(0).count()
+    # reopened handle sees the tag; drop releases it
+    t2 = LakeTable(spark, str(tmp_path / "lake"))
+    assert json.loads(t2.read_tag("release-1").collect()[0]["object"])["v"] == 1
+    t2.drop_tag("release-1")
+    t2.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown tag"):
+        t2.read_tag("release-1")
+    with pytest.raises(ValueError, match="no snapshot"):
+        t2.read_as_of(1).count()
+    assert t2.read().count() == 1  # live state untouched throughout
