@@ -129,6 +129,7 @@ def main() -> None:
         ),
         "t8_unigram_lm": lambda d, e: tx.unigram_lm_score(d),
         "t10_repetition": lambda d, e: tx.repetition_profile(d),
+        "t12_substring_dedup": lambda d, e: dd.substring_dedup(d, k=5),
         # keep text_redacted flowing (dropping it would let Catalyst
         # prune the regexp_replace work entirely)
         "t11_redact": lambda d, e: tx.redact(d).drop("text"),
