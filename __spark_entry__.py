@@ -741,6 +741,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c9_shard_manifest"] = _c9
 
+    # Sliding-window chunking: every doc -> overlapping fixed-budget
+    # token windows (RAG index units / pretraining samples), built
+    # row-locally as the generator's input array — one scan, zero
+    # exchanges.
+    def _c12(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import chunk_documents
+
+        return chunk_documents(_docs(spark, sf), chunk_tokens=64, overlap=16)
+
+    q["c12_chunk_windows"] = _c12
+
     # Incremental lake scan (CDC-out): replay the feed as two
     # deterministic micro-batches (seq parity split, mtime-ordered
     # files), then read EXACTLY batch 1's change rows from the delta
@@ -3326,6 +3337,20 @@ SELECT CAST(sort_key % 16 AS INT) AS shard,
        CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens,
        min(sort_key) AS min_sort_key, max(sort_key) AS max_sort_key
 FROM a GROUP BY 1
+""".strip()
+
+    # c12: sliding token windows — stride 48 (= 64 - 16 overlap), last
+    # window is the short tail; integer-exact window count.
+    o["c12_chunk_windows"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n,
+             1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48) AS BIGINT) AS n_chunks FROM t)
+SELECT doc_id,
+       CAST(u.i AS BIGINT) AS chunk_id,
+       CAST(u.i * 48 AS BIGINT) AS chunk_start,
+       CAST(least(64, n - u.i * 48) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[CAST(u.i*48+1 AS BIGINT) : CAST(u.i*48+64 AS BIGINT)], ' ') AS chunk_text
+FROM n, UNNEST(range(n_chunks)) AS u(i)
 """.strip()
 
     o["c8_quality_quantile_gate"] = f"""

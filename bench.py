@@ -78,6 +78,7 @@ def main() -> None:
         "s10_index_search",     # bucket-pruned conjunctive probe of the inverted index
         "s11_bm25_topk",        # BM25 ranking over the probed postings
         "c11_domain_mix",       # mixture weights executed as an id-local gate
+        "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

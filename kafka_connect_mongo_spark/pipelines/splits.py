@@ -465,3 +465,64 @@ def export_shards(
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: each doc becomes overlapping
+    fixed-budget token windows — the step that turns a curated corpus
+    into RAG index units or fixed-length pretraining samples when
+    ``pack_sequences``' doc-granularity bins are too coarse. Output
+    (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text); windows
+    start every ``chunk_tokens - overlap`` tokens and the last window
+    is the (possibly short) tail, so every token appears in ≥1 chunk
+    and concatenating stride-slices reproduces the doc.
+
+    Plan shape: ONE text scan, ZERO exchanges — the chunk structs are
+    built row-locally as the generator's INPUT array (tokenize once,
+    slice per window inside one expression tree), so the t10 hazard
+    (Catalyst re-siting O(doc) work after the explode, once per chunk)
+    does not apply; per-doc cost is O(tokens · chunk/stride), the size
+    of the output itself. At 100 TB this is embarrassingly parallel
+    and shuffle-free; downstream placement (shards, packing) composes
+    via ``shard_assignments``/``pack_sequences`` on the chunk rows."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_documents: chunk_tokens must be > 0, got {chunk_tokens}")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_tokens, got "
+            f"overlap={overlap} chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks).cast("long")
+    # Integer-exact window count: 1 + ceil(max(n - chunk, 0) / stride).
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("long")
+    pieces = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("chunk_start"),
+            F.least(F.lit(chunk_tokens).cast("long"), n - i * stride).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return docs.select(id_col, F.explode(pieces).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

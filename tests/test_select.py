@@ -424,3 +424,65 @@ def test_source_quality_gate_discriminates_and_is_partition_stable(spark, docs):
 def test_source_quality_gate_missing_column_raises(spark, docs):
     with pytest.raises(ValueError, match="source_quality_gate"):
         sel.source_quality_gate(docs.drop("source"))
+
+
+def test_chunk_documents_coverage_and_reconstruction(spark):
+    import pytest
+
+    from kafka_connect_mongo_spark.pipelines.splits import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(25))),   # multi-chunk, ragged tail
+            (1, " ".join(f"w{i}" for i in range(10))),   # exactly one chunk
+            (2, " ".join(f"w{i}" for i in range(3))),    # shorter than one chunk
+            (3, "solo"),
+            (4, ""),                                      # empty text -> [""] token
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = originals[doc_id].split(" ")
+        # window starts every stride=6 tokens; ids contiguous from 0
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_start"] == c["chunk_id"] * 6 for c in chunks)
+        # each chunk is exactly the token slice it claims
+        for c in chunks:
+            want = toks[c["chunk_start"]: c["chunk_start"] + 10]
+            assert c["chunk_text"] == " ".join(want)
+            assert c["n_chunk_tokens"] == len(want)
+        # every token covered; stride-slice concatenation rebuilds the doc
+        rebuilt = chunks[0]["chunk_text"].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split(" ")[4:]
+        assert rebuilt == toks
+        # last window reaches the end, and no window past it
+        assert chunks[-1]["chunk_start"] + chunks[-1]["n_chunk_tokens"] == len(toks)
+        if len(chunks) > 1:
+            assert chunks[-2]["chunk_start"] + 10 < len(toks)
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=-1)
+
+
+def test_chunk_documents_plan_is_one_scan_no_exchange(spark, sf_dir):
+    """Chunking is row-local: ONE parquet scan feeding a Generate, no
+    Exchange anywhere (the generator input carries the token array, so
+    no O(doc) expression re-sites after the explode)."""
+    from kafka_connect_mongo_spark.pipelines.splits import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
