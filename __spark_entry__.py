@@ -1452,6 +1452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t10_repetition"] = lambda spark, sf: tx.repetition_profile(_docs(spark, sf))
 
+    # Bigram PMI collocations: phrase-mining corpus statistics — counts
+    # shuffles are |vocab| / |distinct bigrams| rows; vocab joins
+    # AQE-decided (never hint-forced); top-k = TakeOrderedAndProject.
+    q["t13_pmi_collocations"] = lambda spark, sf: tx.pmi_collocations(
+        _docs(spark, sf), min_count=5, top_k=50
+    )
+
     # Exact substring dedup (Lee et al. 2022): duplicated 5-token spans
     # keep their first global occurrence, covered tokens removed.
     q["t12_substring_dedup"] = lambda spark, sf: dd.substring_dedup(
@@ -3437,6 +3444,25 @@ scored AS (
 SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
+""".strip()
+
+    # t13: bigram PMI — identical fixed-order double arithmetic
+    # (cast-first multiply chain, ln, round 6) on both engines.
+    o["t13_pmi_collocations"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+         SELECT toks[CAST(u.i+1 AS BIGINT)] AS w1, toks[CAST(u.i+2 AS BIGINT)] AS w2
+         FROM t, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i))
+       GROUP BY w1, w2),
+nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n FROM bc)
+SELECT w1, w2, n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * nu.n * nu.n) / (nb.n * a.c * b.c)), 6) AS pmi
+FROM bc JOIN uc a ON a.tok = bc.w1 JOIN uc b ON b.tok = bc.w2, nu, nb
+WHERE n_ab >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 50
 """.strip()
 
     # t10: within-doc repetition (Gopher §A1.1 signals). Bigram list via

@@ -79,6 +79,7 @@ def main() -> None:
         "s11_bm25_topk",        # BM25 ranking over the probed postings
         "c11_domain_mix",       # mixture weights executed as an id-local gate
         "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
+        "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

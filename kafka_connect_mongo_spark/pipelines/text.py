@@ -347,3 +347,79 @@ def repetition_profile(docs: DataFrame, round_digits: int = 6) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic corpus-statistics pass (phrase mining, tokenizer-merge
+    candidates, boilerplate discovery): PMI(a,b) = ln(p(ab)/(p(a)p(b)))
+    over adjacent whitespace-token pairs, keeping pairs seen at least
+    ``min_count`` times.
+
+    Plan shape: the bigram array is built row-locally as the
+    generator's INPUT (zip of two slices of ONE tokenize — nothing
+    O(doc) re-sites after the explode); unigram and bigram counts are
+    map-side-combined groupBys whose shuffles are |vocab| and
+    |distinct bigrams| rows (never |tokens|); the two count joins carry
+    NO forced broadcast hint (vocab is an unbounded aggregate — the
+    t8/t9 rule), the 1-row totals always broadcast (structural bound);
+    top-k is a TakeOrderedAndProject (partition-local top-k, driver
+    merge — no global sort). Fixed-order double arithmetic rounded to
+    ``round_digits`` keeps the oracle exact. Output (w1, w2, n_ab, pmi)
+    ordered by (pmi desc, w1, w2)."""
+    if min_count < 1:
+        raise ValueError(f"pmi_collocations: min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"pmi_collocations: top_k must be >= 1, got {top_k}")
+    toks_arr = _tokens(F.col("text"))
+    n = F.size(toks_arr)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, F.lit(1), n - 1),
+            F.slice(toks_arr, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.lit(None).cast("array<struct<w1:string,w2:string>>"))
+
+    uni = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    n_uni = F.broadcast(uni.agg(F.sum("c").cast("double").alias("nu")))
+    n_bi = F.broadcast(bi.agg(F.sum("n_ab").cast("double").alias("nb")))
+    a = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("nu") * F.col("nu"))
+                    / (F.col("nb") * F.col("c1") * F.col("c2"))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
