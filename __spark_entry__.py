@@ -612,6 +612,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Containment dedup (ExactSubstr family): docs whose filtered gram
     # set is a subset of another's — truncations/elongations Jaccard
     # under-scores.
+    # Semantic dedup (SemDeDup): cluster-then-prune over embeddings —
+    # paraphrase-level duplicates MinHash can't see. Twin fixture plants
+    # true near-dups; keep-rule = cluster outlier (low centroid
+    # similarity), id tie-break.
+    q["d12_semantic_dedup"] = lambda spark, sf: sim.semantic_dedup(
+        sim.with_planted_twins(_emb(spark, sf)), n_clusters=16, eps=0.9
+    )
+
     q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
         _docs(spark, sf), k=3, max_doc_freq=100,
         min_parallelism=spark.sparkContext.defaultParallelism,
@@ -2543,6 +2551,27 @@ SELECT * FROM (
           (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
   FROM p, base WHERE probe_id < vec_id
 ) WHERE score >= 0.35
+""".strip()
+
+    # d12: SemDeDup — first-16 quantizer (s7c's oracle-exact default),
+    # within-cell pairwise prune, keep-the-outlier rule.
+    o["d12_semantic_dedup"] = f"""
+WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tw AS (SELECT vec_id + {sim.TWIN_ID_OFFSET} AS vec_id,
+              [e[1] + 0.15] || e[2:] AS e FROM b0),
+base AS (SELECT * FROM b0 UNION ALL SELECT * FROM tw),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+scored AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM base b, cents c),
+assign AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored) WHERE rn = 1),
+rem AS (SELECT DISTINCT v.vec_id AS rid
+  FROM assign v JOIN assign u ON u.cell = v.cell
+    AND (u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
+  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9)
+SELECT a.vec_id, a.cell, a.cscore, (rem.rid IS NULL) AS keep
+FROM assign a LEFT JOIN rem ON rem.rid = a.vec_id
 """.strip()
 
     o["d5b_lsh_neardup"] = f"""

@@ -80,6 +80,7 @@ def main() -> None:
         "c11_domain_mix",       # mixture weights executed as an id-local gate
         "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
         "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
+        "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -1152,3 +1152,87 @@ def pq_encode_arrow(
     return embeddings.select("vec_id", "embedding").mapInPandas(
         encode, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster-then-prune)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_digits: int = 4,
+    cscore_digits: int = 6,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, then prune near-duplicate pairs WITHIN each cluster —
+    the step that removes paraphrases/re-encodings exact and MinHash
+    dedup can't see. A vector is removed when its cluster holds another
+    vector with pairwise cosine >= ``eps`` that outranks it under
+    (centroid-similarity asc, vec_id asc) — the paper's keep-the-
+    cluster-outlier rule (keeping low-centroid-similarity members
+    preserves diversity), made deterministic by the id tie-break.
+
+    Plan shape: assignment is ROW-LOCAL (the quantizer is a driver-side
+    literal — ``ivf_assign``'s plan); the only exchange hashes on
+    ``cell``; the within-cell self-join bounds the quadratic term by
+    the cluster size — the paper's whole design (n_clusters scales with
+    the corpus so |cell| stays bounded; a hot cell is a symptom of too
+    few clusters, the documented knob, not a shuffle-skew pathology).
+    Output (vec_id, cell, cscore, keep) — one row per input vector.
+
+    Default centroids are the first ``n_clusters`` vectors (the
+    oracle-exact quantizer); pass ``train_ivf_centroids(...)`` for the
+    k-means quantizer (recall-only, same plan)."""
+    if not 0.0 < eps <= 1.0:
+        raise ValueError(f"semantic_dedup: eps must be in (0, 1], got {eps}")
+    cents = _collect_centroids(embeddings, n_clusters, centroids)
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    norm_e = _norm(F.col("e"))
+    score_cols = []
+    for _cid, ce in cents:
+        carr = F.array(*[F.lit(float(x)) for x in ce])
+        cn = float(np.sqrt(sum(x * x for x in ce)))
+        score_cols.append(
+            F.round(_dot(F.col("e"), carr) / (norm_e * F.lit(cn)), cscore_digits)
+        )
+    scores = F.array(*score_cols)
+    cell_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    assigned = base.select(
+        "vec_id",
+        F.element_at(cell_ids, pos).cast("long").alias("cell"),
+        F.element_at(scores, pos).alias("cscore"),
+        "e",
+    )
+    v = assigned.alias("v")
+    u = assigned.alias("u")
+    pair_cos = F.round(
+        _dot(F.col("u.e"), F.col("v.e"))
+        / (_norm(F.col("u.e")) * _norm(F.col("v.e"))),
+        round_digits,
+    )
+    outranked = (F.col("u.cscore") < F.col("v.cscore")) | (
+        (F.col("u.cscore") == F.col("v.cscore"))
+        & (F.col("u.vec_id") < F.col("v.vec_id"))
+    )
+    removed = (
+        v.join(u, on=(F.col("u.cell") == F.col("v.cell")) & outranked)
+        .filter(pair_cos >= F.lit(eps))
+        .select(F.col("v.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cscore",
+            F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
+        )
+    )
