@@ -1460,6 +1460,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t10_repetition"] = lambda spark, sf: tx.repetition_profile(_docs(spark, sf))
 
+    # Distilled quality classifier: fastText-shaped linear model
+    # (hashed unigrams + 2 dense features) trained on a bounded
+    # deterministic sample labeled by the t2 quality gate, scored
+    # row-locally with integer fixed-point weight sums.
+    def _t14(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        sample_rows = (
+            tx.quality_score(docs, keep=("text",))
+            .filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id", "text",
+                (F.col("quality") >= 0.7).cast("int").alias("label"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        wq, b = tx.train_text_classifier(
+            [(r["text"], r["label"]) for r in sample_rows]
+        )
+        return tx.classifier_score(docs, wq, b)
+
+    q["t14_quality_classifier"] = _t14
+
     # Bigram PMI collocations: phrase-mining corpus statistics — counts
     # shuffles are |vocab| / |distinct bigrams| rows; vocab joins
     # AQE-decided (never hint-forced); top-k = TakeOrderedAndProject.
@@ -2950,6 +2973,55 @@ SELECT doc_id, n_tok AS n_tokens,
 FROM r
 """.strip()
     o["t2_quality_score"] = quality_sql
+
+    # t14: the oracle trains the SAME model the Spark query trains — the
+    # deterministic sample (doc_id % 5, labels = t2 quality >= 0.7,
+    # ordered by doc_id) is fetched through DuckDB here and through
+    # Spark in the query; both feed the same fixed-seed numpy fit, so
+    # the quantized weights embedded below are bit-identical to the
+    # literals in the Spark plan. Guarded: a missing fixture skips only
+    # this oracle (rows-only gate) instead of breaking the whole dict.
+    try:
+        import duckdb as _duck
+
+        _con = _duck.connect()
+        _con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{ORACLE_SF_DIR}/documents.parquet'"
+        )
+        _t14_sample = _con.sql(
+            f"WITH q AS ({quality_sql}) "
+            "SELECT d.text, CAST(q.quality >= 0.7 AS INT) "
+            "FROM documents d JOIN q ON q.doc_id = d.doc_id "
+            "WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id"
+        ).fetchall()
+        _con.close()
+        _wq, _cb = tx.train_text_classifier(
+            [(t, int(lb)) for t, lb in _t14_sample]
+        )
+        _dim = tx.CLS_DIM
+        _scale = float(tx.CLS_SCALE)
+        _wlit = "[" + ", ".join(str(v) for v in _wq[:_dim]) + "]"
+        _zexpr = (
+            f"round(CAST(sq AS DOUBLE) / {_scale!r} / CAST(n_tokens AS DOUBLE) "
+            f"+ {_wq[_dim] / _scale!r} * f_len + {_wq[_dim + 1] / _scale!r} * f_punct "
+            f"+ {_cb!r}, 6)"
+        )
+        o["t14_quality_classifier"] = f"""
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+  list_sum(list_transform(toks, tok ->
+    ({_wlit})[CAST(CAST(concat('0x', substr(md5(tok),1,15)) AS UBIGINT) % {_dim} AS INT) + 1])) AS sq
+  FROM t),
+f AS (SELECT doc_id, n_tokens, sq,
+  least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) AS f_len,
+  round((length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))) / length(text), 6) AS f_punct
+  FROM s)
+SELECT doc_id, n_tokens, {_zexpr} AS logit, ({_zexpr} >= 0) AS pred
+FROM f
+""".strip()
+    except Exception:
+        pass
 
     o["d6_stratified_sample"] = """
 SELECT doc_id, lang FROM documents

@@ -81,6 +81,7 @@ def main() -> None:
         "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
         "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
         "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune
+        "t14_quality_classifier",  # distilled linear gate (train + row-local score)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per
