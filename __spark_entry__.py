@@ -67,6 +67,10 @@ _IVF_INDEX: dict[str, str] = {}
 #: (see s10_index_search / s11_bm25_topk).
 _SEARCH_INDEX: dict[str, str] = {}
 
+#: sf_dir -> path of a persisted cell-partitioned semantic-dedup index
+#: (see d13_incremental_semantic).
+_SEM_INDEX: dict[str, str] = {}
+
 # ---------------------------------------------------------------------------
 # Spark-side table helpers
 
@@ -619,6 +623,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d12_semantic_dedup"] = lambda spark, sf: sim.semantic_dedup(
         sim.with_planted_twins(_emb(spark, sf)), n_clusters=16, eps=0.9
     )
+
+    # Incremental semantic dedup: daily batch (the planted twins) vs the
+    # PERSISTED kept-set index — append-only decisions, probe reads only
+    # the batch's touched cells.
+    def _d13(spark: SparkSession, sf: str) -> DataFrame:
+        if sf not in _SEM_INDEX:
+            work = tempfile.mkdtemp(prefix="semidx-")
+            path = os.path.join(work, "sem_index")
+            sim.build_semantic_index(_emb(spark, sf), path, n_clusters=16, eps=0.9)
+            _SEM_INDEX[sf] = path
+        emb = F.col("embedding").cast("array<double>")
+        batch = _emb(spark, sf).select(
+            (F.col("vec_id") + sim.TWIN_ID_OFFSET).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(emb, 1) + F.lit(0.15)),
+                F.slice(emb, 2, 63),
+            ).alias("embedding"),
+        )
+        return sim.semantic_dedup_incremental(spark, _SEM_INDEX[sf], batch)
+
+    q["d13_incremental_semantic"] = _d13
 
     q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
         _docs(spark, sf), k=3, max_doc_freq=100,
@@ -2595,6 +2620,39 @@ rem AS (SELECT DISTINCT v.vec_id AS rid
   WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9)
 SELECT a.vec_id, a.cell, a.cscore, (rem.rid IS NULL) AS keep
 FROM assign a LEFT JOIN rem ON rem.rid = a.vec_id
+""".strip()
+
+    # d13: incremental SemDeDup — the persisted kept set is d12's base
+    # decision (no twins), the batch is the twins; persisted keeps
+    # always win, batch peers win only by outranking.
+    o["d13_incremental_semantic"] = f"""
+WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM b0 WHERE vec_id < 16),
+scored0 AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM b0 b, cents c),
+assign0 AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored0) WHERE rn = 1),
+rem0 AS (SELECT DISTINCT v.vec_id AS rid
+  FROM assign0 v JOIN assign0 u ON u.cell = v.cell
+    AND (u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
+  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9),
+kept AS (SELECT a.* FROM assign0 a LEFT JOIN rem0 ON rem0.rid = a.vec_id WHERE rem0.rid IS NULL),
+tw AS (SELECT vec_id + {sim.TWIN_ID_OFFSET} AS vec_id, [e[1] + 0.15] || e[2:] AS e FROM b0),
+scoredt AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM tw b, cents c),
+bassign AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scoredt) WHERE rn = 1),
+blockers AS (
+  SELECT vec_id, cell, cscore, e, TRUE AS always_wins FROM kept
+  UNION ALL SELECT vec_id, cell, cscore, e, FALSE FROM bassign),
+remb AS (SELECT DISTINCT v.vec_id AS rid
+  FROM bassign v JOIN blockers u ON u.cell = v.cell AND u.vec_id != v.vec_id
+    AND (u.always_wins OR u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
+  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9)
+SELECT a.vec_id, a.cell, a.cscore, (remb.rid IS NULL) AS keep
+FROM bassign a LEFT JOIN remb ON remb.rid = a.vec_id
 """.strip()
 
     o["d5b_lsh_neardup"] = f"""

@@ -1158,6 +1158,37 @@ def pq_encode_arrow(
 # Semantic dedup (cluster-then-prune)
 
 
+def _assign_scored(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cscore_digits: int = 6,
+) -> DataFrame:
+    """Row-local cell assignment carrying the centroid similarity:
+    (vec_id, cell, cscore, e). ``ivf_assign``'s plan (quantizer as a
+    driver-side literal, argmax in the scan projection, zero exchange)
+    plus the assigned cell's cosine — the rank key SemDeDup's keep rule
+    orders on."""
+    emb = F.col("embedding").cast("array<double>")
+    base = embeddings.select("vec_id", emb.alias("e"))
+    norm_e = _norm(F.col("e"))
+    score_cols = []
+    for _cid, ce in cents:
+        carr = F.array(*[F.lit(float(x)) for x in ce])
+        cn = float(np.sqrt(sum(x * x for x in ce)))
+        score_cols.append(
+            F.round(_dot(F.col("e"), carr) / (norm_e * F.lit(cn)), cscore_digits)
+        )
+    scores = F.array(*score_cols)
+    cell_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return base.select(
+        "vec_id",
+        F.element_at(cell_ids, pos).cast("long").alias("cell"),
+        F.element_at(scores, pos).alias("cscore"),
+        "e",
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -1190,25 +1221,7 @@ def semantic_dedup(
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"semantic_dedup: eps must be in (0, 1], got {eps}")
     cents = _collect_centroids(embeddings, n_clusters, centroids)
-    emb = F.col("embedding").cast("array<double>")
-    base = embeddings.select("vec_id", emb.alias("e"))
-    norm_e = _norm(F.col("e"))
-    score_cols = []
-    for _cid, ce in cents:
-        carr = F.array(*[F.lit(float(x)) for x in ce])
-        cn = float(np.sqrt(sum(x * x for x in ce)))
-        score_cols.append(
-            F.round(_dot(F.col("e"), carr) / (norm_e * F.lit(cn)), cscore_digits)
-        )
-    scores = F.array(*score_cols)
-    cell_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    assigned = base.select(
-        "vec_id",
-        F.element_at(cell_ids, pos).cast("long").alias("cell"),
-        F.element_at(scores, pos).alias("cscore"),
-        "e",
-    )
+    assigned = _assign_scored(embeddings, cents, cscore_digits)
     v = assigned.alias("v")
     u = assigned.alias("u")
     pair_cos = F.round(
@@ -1235,4 +1248,119 @@ def semantic_dedup(
             "cscore",
             F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def build_semantic_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> None:
+    """Materialize the semantic-dedup KEPT set as the persisted corpus
+    index: batch ``semantic_dedup`` runs once, survivors are written
+    partitioned by cell (a daily batch probes only its touched cells'
+    directories — partition pruning, the IVF index discipline), with
+    the quantizer beside it (``<path>.centroids``, same layout as the
+    IVF family) and eps/n_clusters in ``<path>.meta`` so probes can't
+    silently diverge from the build parameters."""
+    import json as _json
+
+    cents = _collect_centroids(embeddings, n_clusters, centroids)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(cents, "cell long, ce array<double>").write.mode(
+        "overwrite"
+    ).parquet(path + ".centroids")
+    decided = semantic_dedup(
+        embeddings, n_clusters=n_clusters, eps=eps, centroids=cents
+    )
+    kept = (
+        decided.filter(F.col("keep"))
+        .join(
+            embeddings.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cscore", "e", "cell")
+    )
+    kept.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(path + ".meta", "w") as f:
+        _json.dump({"eps": eps, "n_clusters": n_clusters}, f)
+
+
+def semantic_dedup_incremental(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Daily-batch semantic dedup against the persisted corpus index —
+    the d8/c7/s12 lifecycle applied to SemDeDup. Append-only contract:
+    persisted decisions STAND (a kept corpus vector is never
+    retroactively removed — it is already in the training set), so a
+    new vector is removed when a same-cell near-dup (cosine >= the
+    index's eps) exists among the persisted kept vectors (their rank is
+    irrelevant: they won) or among OUTRANKING members of its own batch
+    (the within-batch d12 rule). Output (vec_id, cell, cscore, keep) —
+    one row per batch vector.
+
+    Cost: row-local assignment of the batch against the PERSISTED
+    quantizer, then a cell-keyed join that reads ONLY the batch's
+    touched cells' partition directories (O(|batch| + |touched cells|),
+    never O(corpus)); the corpus embeddings outside those cells are
+    never opened."""
+    import json as _json
+
+    with open(index_path + ".meta") as f:
+        meta = _json.load(f)
+    eps = float(meta["eps"])
+    cents_rows = spark.read.parquet(index_path + ".centroids").orderBy(
+        "cell"
+    ).collect()
+    cents = [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cents_rows]
+    batch = _assign_scored(new_embeddings, cents)
+    touched = [int(r["cell"]) for r in batch.select("cell").distinct().collect()]
+    kept_idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(touched))
+        .select("vec_id", "cell", "cscore", "e")
+    )
+    # candidate blockers: every persisted kept vector always wins; a
+    # batch peer wins only when it outranks (cscore asc, vec_id asc).
+    blockers = kept_idx.withColumn("always_wins", F.lit(True)).unionByName(
+        batch.withColumn("always_wins", F.lit(False))
+    )
+    v = batch.alias("v")
+    u = blockers.alias("u")
+    pair_cos = F.round(
+        _dot(F.col("u.e"), F.col("v.e"))
+        / (_norm(F.col("u.e")) * _norm(F.col("v.e"))),
+        round_digits,
+    )
+    wins = F.col("u.always_wins") | (
+        (F.col("u.cscore") < F.col("v.cscore"))
+        | (
+            (F.col("u.cscore") == F.col("v.cscore"))
+            & (F.col("u.vec_id") < F.col("v.vec_id"))
+        )
+    )
+    removed = (
+        v.join(
+            u,
+            on=(F.col("u.cell") == F.col("v.cell"))
+            & (F.col("u.vec_id") != F.col("v.vec_id"))
+            & wins,
+        )
+        .filter(pair_cos >= F.lit(eps))
+        .select(F.col("v.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    return batch.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "cscore",
+        F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
     )
