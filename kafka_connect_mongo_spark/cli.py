@@ -154,8 +154,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="pack: tokens per training bin")
     pp.add_argument("--shards", type=int, default=64,
                     help="shard: number of training shards")
-    pp.add_argument("--shard-format", choices=("jsonl", "parquet"),
-                    default="jsonl")
+    pp.add_argument("--shard-format", choices=("jsonl", "parquet", "wds"),
+                    default="jsonl",
+                    help="wds = WebDataset-style reproducible tar shards")
 
     pdf = sub.add_parser(
         "diff",
@@ -409,12 +410,19 @@ def main(argv: list[str] | None = None) -> None:
                 docs, val_frac=args.val_frac, test_frac=args.test_frac
             )
         elif args.op == "shard":
-            from .pipelines.splits import export_shards
+            if args.shard_format == "wds":
+                from .pipelines.splits import export_webdataset
 
-            manifest = export_shards(
-                docs, args.out, n_shards=args.shards,
-                fmt=args.shard_format,
-            )
+                manifest = export_webdataset(
+                    docs, args.out, n_shards=args.shards
+                )
+            else:
+                from .pipelines.splits import export_shards
+
+                manifest = export_shards(
+                    docs, args.out, n_shards=args.shards,
+                    fmt=args.shard_format,
+                )
             print(json.dumps({
                 "op": args.op, "out": args.out,
                 "rows": sum(

@@ -526,3 +526,104 @@ def chunk_documents(
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def export_webdataset(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """WebDataset-style shard export: each shard becomes ONE tar archive
+    whose members are ``{sort_key}.txt`` (the sample) and
+    ``{sort_key}.json`` (its metadata) in training order — the format
+    multimodal/streaming loaders consume sequentially. Shards and order
+    come from ``shard_assignments`` (id-local, resharding-stable); tars
+    are written BYTE-REPRODUCIBLY (fixed zero mtime/uid/gid, sorted
+    members), so re-exports of the same corpus are bit-identical — the
+    property a loader-side cache or a content-addressed store keys on.
+
+    Plan shape: ONE exchange keyed by shard; each shard's rows arrive
+    sorted and stream through the tar writer in one pass (O(shard
+    bytes) memory is NOT required — members are written as they
+    arrive). The tar write happens on executors via ``mapPartitions``
+    (rows grouped by shard inside a partition: hash partitioning may
+    co-locate several shards, never split one); ``out_dir`` must be
+    shared storage at cluster scale, like every file sink here.
+    Returns the manifest {shard: {n_docs, n_bytes, sha256}} written to
+    ``<out_dir>/_manifest.json``."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+
+    if n_shards <= 0:
+        raise ValueError(f"export_webdataset: n_shards must be > 0, got {n_shards}")
+    _os.makedirs(out_dir, exist_ok=True)
+    a = shard_assignments(docs, n_shards, salt, id_col).select(
+        "shard", "sort_key",
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+    parts = a.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "sort_key"
+    )
+
+    def _write(it):
+        import io
+        import tarfile
+
+        cur_shard, tf, buf, n_docs = None, None, None, 0
+
+        def _finish():
+            nonlocal tf, buf, n_docs
+            tf.close()
+            data = buf.getvalue()
+            path = _os.path.join(out_dir, f"shard-{cur_shard:05d}.tar")
+            with open(path, "w+b") as f:
+                f.write(data)
+            yield (
+                int(cur_shard),
+                int(n_docs),
+                len(data),
+                _hashlib.sha256(data).hexdigest(),
+            )
+
+        for row in it:
+            if row["shard"] != cur_shard:
+                if tf is not None:
+                    yield from _finish()
+                cur_shard, n_docs = row["shard"], 0
+                buf = io.BytesIO()
+                tf = tarfile.open(fileobj=buf, mode="w")
+            for ext, payload in (
+                ("txt", row["_text"].encode("utf-8")),
+                ("json", _json.dumps(
+                    {"doc_id": row["_id"], "sort_key": row["sort_key"]},
+                    sort_keys=True,
+                ).encode("utf-8")),
+            ):
+                info = tarfile.TarInfo(name=f"{row['sort_key']:020d}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(payload))
+            n_docs += 1
+        if tf is not None:
+            yield from _finish()
+
+    receipts = parts.rdd.mapPartitions(_write).collect()
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "format": "webdataset-tar",
+        "shards": {
+            str(s): {"n_docs": nd, "n_bytes": nb, "sha256": h}
+            for s, nd, nb, h in sorted(receipts)
+        },
+    }
+    with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

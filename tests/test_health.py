@@ -267,6 +267,24 @@ def test_cli_pipeline_ops(tmp_path_factory):
         assert stats["rows"] > 0, stats
         if op == "shard":
             assert os.path.exists(os.path.join(out, "_manifest.json"))
+    # wds variant: reproducible tar shards + manifest
+    out = str(work / "wds")
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+         "pipeline", "shard", "--docs", docs, "--out", out,
+         "--shards", "4", "--shard-format", "wds"],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["rows"] > 0, stats
+    import tarfile
+
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars, os.listdir(out)
+    with tarfile.open(os.path.join(out, tars[0])) as tf:
+        assert any(n.endswith(".txt") for n in tf.getnames())
 
 
 def test_cli_lookup_point_read(spark, corrupt_stream):

@@ -486,3 +486,55 @@ def test_chunk_documents_plan_is_one_scan_no_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_export_webdataset_tars_reproducible_and_ordered(spark, tmp_path):
+    """WebDataset export: tars round-trip the corpus in sort_key order,
+    and re-exports — including from a differently-partitioned input —
+    are byte-identical (zero mtimes, sorted members)."""
+    import hashlib
+    import json
+    import tarfile
+
+    import pytest
+
+    from kafka_connect_mongo_spark.pipelines.splits import (
+        export_webdataset,
+        shard_assignments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out1 = str(tmp_path / "wds1")
+    m1 = export_webdataset(docs, out1, n_shards=4)
+    assert sum(s["n_docs"] for s in m1["shards"].values()) == 100
+
+    want = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in shard_assignments(docs, 4).collect()
+    }
+    seen = {}
+    for shard_s, meta in m1["shards"].items():
+        path = f"{out1}/shard-{int(shard_s):05d}.tar"
+        with open(path, "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == meta["sha256"]
+        with tarfile.open(path) as tf:
+            names = tf.getnames()
+            keys = [int(n.split(".")[0]) for n in names[::2]]
+            assert keys == sorted(keys)  # training order inside the tar
+            for n in names:
+                if n.endswith(".json"):
+                    rec = json.loads(tf.extractfile(n).read())
+                    seen[rec["doc_id"]] = (int(shard_s), rec["sort_key"])
+    assert seen == want  # round-trip: every doc in its assigned shard
+
+    out2 = str(tmp_path / "wds2")
+    m2 = export_webdataset(docs.repartition(13), out2, n_shards=4)
+    assert {s: v["sha256"] for s, v in m1["shards"].items()} == {
+        s: v["sha256"] for s, v in m2["shards"].items()
+    }
+
+    with pytest.raises(ValueError):
+        export_webdataset(docs, str(tmp_path / "bad"), n_shards=0)
