@@ -123,6 +123,19 @@ def main(argv: list[str] | None = None) -> None:
     )
     pdd.add_argument("--table", required=True, help="lake table root")
 
+    pbl = sub.add_parser(
+        "bloom",
+        help="build puffin-style bloom sidecars for a secondary column, "
+        "or probe them (--probe) to see which buckets an equality read "
+        "would skip",
+    )
+    pbl.add_argument("--table", required=True, help="lake table root")
+    pbl.add_argument("--col", required=True, help="secondary column")
+    pbl.add_argument("--bits", type=int, default=1 << 14)
+    pbl.add_argument("--k", type=int, default=4)
+    pbl.add_argument("--probe", default=None,
+                     help="probe value: print prune lists instead of building")
+
     pev = sub.add_parser(
         "evolve",
         help="bucket-layout (partition-spec) evolution: change the bucket "
@@ -374,6 +387,18 @@ def main(argv: list[str] | None = None) -> None:
         from .sinks.lake import LakeTable
 
         print(json.dumps(LakeTable(spark, args.table).describe()))
+    elif args.cmd == "bloom":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        if args.probe is not None:
+            info = table.bloom_prune(args.col, args.probe)
+            rows = table.read_where_equals(args.col, args.probe).count()
+            print(json.dumps({"table": args.table, "col": args.col,
+                              "probe": args.probe, "rows": rows, **info}))
+        else:
+            print(json.dumps({"table": args.table,
+                              **table.build_blooms(args.col, args.bits, args.k)}))
     elif args.cmd == "evolve":
         from .sinks.lake import LakeTable
 

@@ -56,6 +56,8 @@ works with a conditional-PUT of the meta file.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -1550,6 +1552,181 @@ class LakeTable:
         batch = tags.pop(name)
         self._write_meta()
         return {"dropped": name, "batch_id": batch}
+
+    # -- bloom-filter data skipping (Iceberg puffin analog) -------------
+
+    def _bloom_path(self, col: str) -> str:
+        return os.path.join(self.root, "_blooms", f"{col}.json")
+
+    def _bucket_paths_sha(self, bucket_key: str) -> str:
+        state = self.meta["buckets"][str(bucket_key)]
+        rel = sorted(
+            os.path.relpath(p, self.root)
+            for p in self._bucket_paths(str(bucket_key), state)
+        )
+        return hashlib.sha256("\n".join(rel).encode()).hexdigest()[:16]
+
+    def _col_type(self, col: str) -> T.DataType:
+        if self.meta["schema"] is None:
+            raise ValueError("bloom: table has no committed schema yet")
+        schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        for f in schema.fields:
+            if f.name == col:
+                return f.dataType
+        raise ValueError(
+            f"bloom: column {col!r} not in the committed schema "
+            f"({[f.name for f in schema.fields]})"
+        )
+
+    def build_blooms(self, col: str, bits: int = 1 << 14, k: int = 4) -> dict:
+        """Puffin-style bloom sidecars for ONE secondary column: per
+        bucket, a ``bits``-wide bloom over every value present in the
+        bucket's CURRENT file groups (raw file contents — a superset of
+        the LWW state, so a negative is always safe). Equality probes on
+        ``col`` (``read_where_equals``) can then skip whole buckets the
+        hash bucketing can't prune (it only prunes on the KEY).
+
+        Snapshot-bound like Iceberg stats files: each bucket's bloom
+        records a digest of the path set it covered; a bucket whose
+        files changed since (upsert, compact, scrub, migrate) fails the
+        digest check and is read CONSERVATIVELY until ``build_blooms``
+        runs again — stats can be stale, results can't.
+
+        ONE job over the current paths builds every bucket's bit set
+        (k ``xxhash64(col, seed)`` positions per row, grouped by file,
+        files mapped to their bucket group dirs); the sidecar is
+        metadata-scale (|buckets| x bits/8 bytes)."""
+        if bits < 8 or bits & (bits - 1):
+            raise ValueError(f"build_blooms: bits must be a power of two >= 8, got {bits}")
+        if k < 1:
+            raise ValueError(f"build_blooms: k must be >= 1, got {k}")
+        self._col_type(col)  # validates existence
+        group_of: dict[str, str] = {}
+        for b, state in self.meta["buckets"].items():
+            for p in self._bucket_paths(b, state):
+                group_of[os.path.abspath(p)] = b
+        if not group_of:
+            raise ValueError("build_blooms: table has no data")
+        paths = sorted(group_of)
+        pos = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(bits)).cast("int")
+                for j in range(k)
+            ]
+        )
+        rows = (
+            self._read_parquet(paths)
+            .filter(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(pos).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        bitmaps: dict[str, bytearray] = {
+            b: bytearray(bits // 8) for b in self.meta["buckets"]
+        }
+        for r in rows:
+            f = os.path.abspath(r["_f"].replace("file:", "", 1))
+            bucket = next(
+                (b for g, b in group_of.items() if f.startswith(g)), None
+            )
+            if bucket is None:
+                continue  # file outside any live group (can't happen)
+            bm = bitmaps[bucket]
+            for p in r["_ps"]:
+                bm[p // 8] |= 1 << (p % 8)
+        sidecar = {
+            "col": col,
+            "bits": bits,
+            "k": k,
+            "buckets": {
+                b: {
+                    "paths_sha": self._bucket_paths_sha(b),
+                    "bitmap": base64.b64encode(bytes(bm)).decode(),
+                }
+                for b, bm in bitmaps.items()
+            },
+        }
+        os.makedirs(os.path.join(self.root, "_blooms"), exist_ok=True)
+        with open(self._bloom_path(col), "w") as f:
+            json.dump(sidecar, f)
+        return {"col": col, "buckets": len(bitmaps), "bits": bits, "k": k}
+
+    def bloom_prune(self, col: str, value) -> dict:
+        """Bucket lists an equality probe may skip: ``skipped`` (bloom
+        negative, digest current), ``read`` (bloom positive), ``stale``
+        (files changed since the bloom — or no sidecar — read
+        conservatively). The probe value is hashed with the writer's
+        own expression after casting through the committed column type
+        (the ``_keys_and_buckets`` discipline)."""
+        ctype = self._col_type(col)
+        if value is None:
+            raise ValueError("bloom_prune: cannot probe NULL")
+        try:
+            with open(self._bloom_path(col)) as f:
+                sidecar = json.load(f)
+        except FileNotFoundError:
+            return {
+                "skipped": [],
+                "read": [],
+                "stale": sorted(self.meta["buckets"]),
+            }
+        bits, k = sidecar["bits"], sidecar["k"]
+        row = (
+            self.spark.createDataFrame([(str(value),)], "__v string")
+            .select(F.col("__v").cast(ctype).alias("v"))
+            .select(
+                "v",
+                *[
+                    F.pmod(F.xxhash64(F.col("v"), F.lit(j)), F.lit(bits))
+                    .cast("int")
+                    .alias(f"p{j}")
+                    for j in range(k)
+                ],
+            )
+            .collect()[0]
+        )
+        if row["v"] is None:
+            raise ValueError(
+                f"bloom_prune: value {value!r} not castable to "
+                f"{ctype.simpleString()}"
+            )
+        positions = [row[f"p{j}"] for j in range(k)]
+        skipped, read, stale = [], [], []
+        for b in sorted(self.meta["buckets"]):
+            entry = sidecar["buckets"].get(b)
+            if entry is None or entry["paths_sha"] != self._bucket_paths_sha(b):
+                stale.append(b)
+                continue
+            bm = base64.b64decode(entry["bitmap"])
+            if all(bm[p // 8] & (1 << (p % 8)) for p in positions):
+                read.append(b)
+            else:
+                skipped.append(b)
+        return {"skipped": skipped, "read": read, "stale": stale}
+
+    def read_where_equals(
+        self, col: str, value, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Equality read over a bloom-indexed secondary column: buckets
+        whose bloom proves the value absent are never opened; stale
+        buckets read conservatively. Result == ``read().filter(col =
+        value)`` always — the bloom moves cost, never rows."""
+        info = self.bloom_prune(col, value)
+        buckets = info["read"] + info["stale"]
+        paths = self._paths_for_keys(buckets=buckets)
+        ctype = self._col_type(col)
+        typed = F.lit(str(value)).cast(ctype)
+        if not paths:
+            return self._empty().filter(F.col(col) == typed)
+        df = self._read_parquet(paths)
+        state = lww_collapse(df, key=self.key)
+        if not include_tombstones:
+            state = state.filter(~tombstone_cond(self._payload_col_in(state)))
+        return state.drop("_bucket").filter(F.col(col) == typed)
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Bound time-travel history to the last ``keep_last`` commits

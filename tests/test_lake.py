@@ -1274,3 +1274,93 @@ def test_tags_pin_snapshots_through_expiry(tmp_path, spark):
     with pytest.raises(ValueError, match="no snapshot"):
         t2.read_as_of(1).count()
     assert t2.read().count() == 1  # live state untouched throughout
+
+
+def test_bloom_sidecars_skip_buckets_and_never_rows(tmp_path, spark):
+    """Puffin-analog blooms: an equality probe on a bloom-indexed
+    secondary column opens only positive buckets; a changed bucket
+    fails the path digest and is read conservatively until rebuild;
+    the result always equals read().filter(col = value)."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    rows = [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "n": i})
+        for i in range(200)
+    ]
+    batch = mk(spark, rows).withColumn(
+        "ref", F.concat(F.lit("ref-"), F.col("inc").cast("string"))
+    )
+    t.upsert(batch, 0)
+    rec = t.build_blooms("ref", bits=4096, k=4)
+    assert rec["buckets"] == 8
+
+    info = t.bloom_prune("ref", "ref-7")
+    assert not info["stale"]
+    assert len(info["read"]) < 8 and info["skipped"]
+    got = t.read_where_equals("ref", "ref-7").collect()
+    want = t.read().filter(F.col("ref") == "ref-7").collect()
+    assert [r["id"] for r in got] == [r["id"] for r in want] and len(got) == 1
+
+    # definite negative: every current bucket skipped, nothing opened
+    info = t.bloom_prune("ref", "no-such-ref")
+    assert info["read"] == [] and info["stale"] == []
+    assert len(info["skipped"]) == 8
+    assert t.read_where_equals("ref", "no-such-ref").count() == 0
+
+    # a write invalidates ONLY its touched buckets' blooms
+    t.upsert(
+        mk(spark, [ev(200, 900, 900, "i", "t.a", key(900),
+                      {"_id": key(900), "n": 900})]).withColumn(
+            "ref", F.lit("ref-new")
+        ),
+        1,
+    )
+    info = t.bloom_prune("ref", "no-such-ref")
+    assert len(info["stale"]) == 1 and len(info["skipped"]) == 7
+    # the new value lives in the stale bucket: found despite the old bloom
+    assert t.read_where_equals("ref", "ref-new").count() == 1
+    # rebuild restores full pruning and indexes the new value
+    t.build_blooms("ref", bits=4096, k=4)
+    info = t.bloom_prune("ref", "no-such-ref")
+    assert info["stale"] == [] and len(info["skipped"]) == 8
+    assert t.read_where_equals("ref", "ref-new").count() == 1
+
+    with pytest.raises(ValueError):
+        t.build_blooms("nope")
+    with pytest.raises(ValueError):
+        t.build_blooms("ref", bits=1000)
+    with pytest.raises(ValueError):
+        t.bloom_prune("ref", None)
+
+
+def test_cli_bloom_build_and_probe(tmp_path, spark):
+    """Out-of-process `bloom`: build sidecars, then probe — the receipt
+    reports skipped/read/stale buckets and the row count."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, n_buckets=4)
+    batch = mk(spark, [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "n": i})
+        for i in range(40)
+    ]).withColumn("ref", F.concat(F.lit("r"), F.col("inc").cast("string")))
+    t.upsert(batch, 0)
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "bloom",
+         "--table", root, "--col", "ref", "--bits", "4096"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["buckets"] == 4
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "bloom",
+         "--table", root, "--col", "ref", "--probe", "r7"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 1 and out["stale"] == [] and out["skipped"]
