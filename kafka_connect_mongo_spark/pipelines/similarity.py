@@ -1196,6 +1196,7 @@ def semantic_dedup(
     centroids: list[tuple[int, list[float]]] | None = None,
     round_digits: int = 4,
     cscore_digits: int = 6,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF coarse
@@ -1222,6 +1223,26 @@ def semantic_dedup(
         raise ValueError(f"semantic_dedup: eps must be in (0, 1], got {eps}")
     cents = _collect_centroids(embeddings, n_clusters, centroids)
     assigned = _assign_scored(embeddings, cents, cscore_digits)
+    if max_cell is not None:
+        # Opt-in hot-cell guard (the d7 loud-failure discipline): the
+        # within-cell term is |cell|², so a runaway cell means the
+        # quantizer is too coarse for this corpus — fail with the fix
+        # (raise n_clusters / train the quantizer) instead of melting
+        # a reducer. One map-side-combined count, O(n_clusters) rows.
+        hot = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cell)
+            .orderBy(F.col("n").desc())
+            .collect()
+        )
+        if hot:
+            worst = ", ".join(f"cell {r['cell']}={r['n']}" for r in hot[:5])
+            raise ValueError(
+                f"semantic_dedup: {len(hot)} cell(s) exceed max_cell="
+                f"{max_cell} ({worst}); raise n_clusters or pass trained "
+                f"centroids (train_ivf_centroids) to split the hot region"
+            )
     v = assigned.alias("v")
     u = assigned.alias("u")
     pair_cos = F.round(
