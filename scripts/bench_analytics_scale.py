@@ -120,6 +120,17 @@ def main() -> None:
     q = [1.0] + [0.0] * 63
     from kafka_connect_mongo_spark.pipelines.similarity import pq_codebook
     pq_book = pq_codebook(base_emb, m=8, ksub=16)
+    # t14: the classifier is a model artifact (bounded-sample fit, outside
+    # the timed region, like the PQ codebook); the timed op is the
+    # row-local scoring scan — its slope is the claim.
+    _qs = tx.quality_score(base_docs, keep=("text",))
+    _sample = (
+        _qs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", (F.col("quality") >= 0.7).cast("int").alias("y"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    cls_w, cls_b = tx.train_text_classifier([(r["text"], r["y"]) for r in _sample])
     OPS = {
         "d1_exact_dedup": lambda d, e: dd.exact_dedup(d),
         "d4_minhash_lsh": lambda d, e: dd.minhash_near_dups(d, threshold=0.7),
@@ -145,6 +156,15 @@ def main() -> None:
         # the compressed-scan slope IS the 100 TB claim
         "s8_pq_adc": lambda d, e: sim.pq_adc_topk(
             sim.pq_encode(e, pq_book), q, pq_book, k=10
+        ),
+        "c12_chunking": lambda d, e: sp.chunk_documents(d),
+        "t13_pmi": lambda d, e: tx.pmi_collocations(d),
+        "t14_classifier": lambda d, e: tx.classifier_score(d, cls_w, cls_b),
+        # d12: n_clusters scales with the corpus (the SemDeDup contract —
+        # bounded cells keep the within-cell term linear-ish in n); the
+        # untimed count() sizes the quantizer like a real deployment would
+        "d12_semantic": lambda d, e: sim.semantic_dedup(
+            e, n_clusters=max(16, e.count() // 312), eps=0.9
         ),
     }
 
