@@ -1515,6 +1515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), min_count=5, top_k=50
     )
 
+    # Interpolated bigram LM: t8's perplexity filter one order up
+    # (KenLM-style interpolation keeps unseen bigrams finite).
+    q["t15_bigram_lm"] = lambda spark, sf: tx.bigram_lm_score(
+        _docs(spark, sf), lam=0.3
+    )
+
     # Exact substring dedup (Lee et al. 2022): duplicated 5-token spans
     # keep their first global occurrence, covered tokens removed.
     q["t12_substring_dedup"] = lambda spark, sf: dd.substring_dedup(
@@ -3603,6 +3609,29 @@ scored AS (
 SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
+""".strip()
+
+    # t15: interpolated bigram LM — token 1 scores ln(p_uni), tokens
+    # 2..n score ln(λ·p_uni + (1-λ)·p_bi); identical fixed-order chain.
+    o["t15_bigram_lm"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+bi AS (SELECT doc_id, toks[CAST(u.i+1 AS BIGINT)] AS w1, toks[CAST(u.i+2 AS BIGINT)] AS w2
+       FROM t, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca FROM bc GROUP BY w1),
+sb AS (SELECT bi.doc_id,
+         ln(0.3 * (CAST(u2.c AS DOUBLE) / nt.n)
+            + 0.7 * (CAST(bc.cab AS DOUBLE) / CAST(ctx.ca AS DOUBLE))) AS lp
+       FROM bi JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+       JOIN uc u2 ON u2.tok = bi.w2, nt),
+sf AS (SELECT t.doc_id, ln(CAST(uc.c AS DOUBLE) / nt.n) AS lp
+       FROM t JOIN uc ON uc.tok = toks[1], nt),
+allp AS (SELECT * FROM sf UNION ALL SELECT * FROM sb)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+FROM allp GROUP BY doc_id
 """.strip()
 
     # t13: bigram PMI — identical fixed-order double arithmetic

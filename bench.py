@@ -82,6 +82,7 @@ def main() -> None:
         "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
         "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune
         "t14_quality_classifier",  # distilled linear gate (train + row-local score)
+        "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -540,3 +540,81 @@ def classifier_score(
         z.alias("logit"),
         (z >= 0).alias("pred"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    lam: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated bigram LM score per doc — t8's perplexity-filter
+    shape upgraded one order: token i >= 2 scores ln(λ·p_uni(wᵢ) +
+    (1-λ)·p_bi(wᵢ|wᵢ₋₁)), the first token ln(p_uni) (the KenLM-style
+    interpolation that keeps unseen bigrams finite without a discount
+    table). Output (doc_id, n_tokens, avg_logprob) — n_tokens counts
+    scored positions, = the doc's token count.
+
+    Plan shape: bigrams come from the generator-input zip of two slices
+    of ONE tokenize (t13's construction); unigram/bigram/context counts
+    are three map-side-combined groupBys whose shuffles are vocab-sized
+    (never |tokens|); every count join follows the t8/t9 rule — no
+    forced broadcast, Catalyst/AQE decide; the 1-row total always
+    broadcasts. The interpolation is one fixed-order double chain, so
+    the rounded result is cross-engine exact (avg at round 6 — t8's
+    discipline)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"bigram_lm_score: lam must be in [0, 1], got {lam}")
+    toks_arr = _tokens(F.col("text"))
+    n = F.size(toks_arr)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks_arr, F.lit(1), n - 1),
+            F.slice(toks_arr, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.lit(None).cast("array<struct<w1:string,w2:string>>"))
+
+    uni = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.broadcast(uni.agg(F.sum("c").cast("double").alias("nt")))
+    bi = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cab"))
+    ctx = bc.groupBy("w1").agg(F.sum("cab").alias("ca"))
+
+    lp_bi = F.log(
+        F.lit(float(lam)) * (F.col("c2").cast("double") / F.col("nt"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("cab").cast("double") / F.col("ca").cast("double"))
+    )
+    scored_bi = (
+        bi.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(total)
+        .select("doc_id", lp_bi.alias("lp"))
+    )
+    first = docs.select(
+        "doc_id", F.element_at(toks_arr, 1).alias("tok")
+    )
+    scored_first = (
+        first.join(uni, "tok")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("nt")).alias("lp"),
+        )
+    )
+    return (
+        scored_first.unionByName(scored_bi)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), round_digits).alias("avg_logprob"),
+        )
+    )
