@@ -105,7 +105,7 @@ def main() -> None:
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
-        "d13_incremental_semantic",  # SemDeDup lifecycle: index build + cell-pruned batch probe
+        "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)
     ]
 
     def run_noop(df) -> None:

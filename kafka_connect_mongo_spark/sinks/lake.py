@@ -1631,7 +1631,8 @@ class LakeTable:
         for r in rows:
             f = os.path.abspath(r["_f"].replace("file:", "", 1))
             bucket = next(
-                (b for g, b in group_of.items() if f.startswith(g)), None
+                (b for g, b in group_of.items() if f.startswith(g + os.sep)),
+                None,
             )
             if bucket is None:
                 continue  # file outside any live group (can't happen)
