@@ -774,6 +774,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c9_shard_manifest"] = _c9
 
+    # One-row corpus data card (datasheet practice): doc/token mass,
+    # diversity, exact-dup rate, mean quality — one scan, one agg.
+    q["c13_data_card"] = lambda spark, sf: sel.data_card(_docs(spark, sf))
+
+    # Embedding outlier z-scores: distance-to-own-centroid against the
+    # cell's distribution — the too-far dual of d12's too-close prune.
+    q["d14_embedding_outliers"] = lambda spark, sf: sim.embedding_outliers(
+        _emb(spark, sf), n_clusters=16
+    )
+
     # Sliding-window chunking: every doc -> overlapping fixed-budget
     # token windows (RAG index units / pretraining samples), built
     # row-locally as the generator's input array — one scan, zero
@@ -3509,6 +3519,41 @@ SELECT CAST(sort_key % 16 AS INT) AS shard,
        CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens,
        min(sort_key) AS min_sort_key, max(sort_key) AS max_sort_key
 FROM a GROUP BY 1
+""".strip()
+
+    # c13: corpus data card — one row; quality per t2's formula
+    # (quality_sql is defined above, before this point in the function).
+    o["c13_data_card"] = f"""
+WITH q AS ({quality_sql}),
+base AS (SELECT d.doc_id, d.lang, d.source, q.quality,
+  CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tok,
+  md5(d.text) AS digest
+  FROM documents d JOIN q USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(avg(n_tok), 6) AS avg_tokens,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+  round((count(*) - count(DISTINCT digest)) / count(*), 6) AS dup_rate,
+  round(avg(quality), 6) AS mean_quality
+FROM base
+""".strip()
+
+    # d14: embedding outlier z-scores — population variance from exact
+    # fixed-order sums over the first-16 quantizer's assignment.
+    o["d14_embedding_outliers"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
+scored AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM base b, cents c),
+assign AS (SELECT vec_id, cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored) WHERE rn = 1),
+stats AS (SELECT cell, CAST(count(*) AS DOUBLE) AS cn, sum(cscore) AS cs, sum(cscore * cscore) AS css
+          FROM assign GROUP BY cell)
+SELECT a.vec_id, a.cell, a.cscore,
+  round((a.cscore - cs / cn) / sqrt(greatest(css / cn - (cs / cn) * (cs / cn), 1e-12)), 6) AS z
+FROM assign a JOIN stats USING (cell)
 """.strip()
 
     # c12: sliding token windows — stride 48 (= 64 - 16 overlap), last

@@ -83,6 +83,8 @@ def main() -> None:
         "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune
         "t14_quality_classifier",  # distilled linear gate (train + row-local score)
         "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
+        "c13_data_card",        # one-row corpus report (single scan + agg)
+        "d14_embedding_outliers",  # per-cell z-scores (row-local assign + tiny agg)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

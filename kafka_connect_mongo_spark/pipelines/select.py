@@ -383,3 +383,40 @@ def source_quality_gate(
     return scored.join(good, "source").select(
         "doc_id", "source", "quality", "source_quality"
     )
+
+
+def data_card(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """One-row corpus data card — the summary a dataset release ships
+    (datasheet/data-card practice): doc and token mass, language and
+    source diversity, exact-duplicate rate, mean quality. Everything is
+    map-side-combined aggregation over ONE scan of row-local columns
+    (digest, token count, quality ride the same projection); the result
+    is a single row however large the corpus. Output (n_docs, n_tokens,
+    avg_tokens, n_langs, n_sources, n_exact_dups, dup_rate,
+    mean_quality)."""
+    from .text import _tokens, quality_score
+
+    q = quality_score(docs, keep=("lang", "source", "text"))
+    base = q.select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_tok"), round_digits).alias("avg_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.countDistinct("digest"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            (F.count("*") - F.countDistinct("digest")) / F.count("*"),
+            round_digits,
+        ).alias("dup_rate"),
+        F.round(F.avg("quality"), round_digits).alias("mean_quality"),
+    )

@@ -1385,3 +1385,42 @@ def semantic_dedup_incremental(
         "cscore",
         F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector outlier score for embedding-space corpus cleaning:
+    z-score of the vector's similarity to its OWN cluster centroid
+    against that cluster's similarity distribution — low z = far from
+    every mode of the corpus (mislabeled, noise, off-distribution), the
+    embedding-side analog of the quality gate (and the other half of
+    SemDeDup's geometry: d12 prunes the too-close, this flags the
+    too-far).
+
+    Plan shape: row-local assignment (quantizer literal), then ONE
+    map-side-combined per-cell aggregation (n, sum, sum of squares —
+    O(n_clusters) rows) joined back broadcast-eligible. Population
+    variance from exact fixed-order sums; all doubles round at
+    ``round_digits`` for the oracle. Output (vec_id, cell, cscore,
+    z)."""
+    cents = _collect_centroids(embeddings, n_clusters, centroids)
+    assigned = _assign_scored(embeddings, cents).drop("e")
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").cast("double").alias("cn"),
+        F.sum("cscore").alias("cs"),
+        F.sum(F.col("cscore") * F.col("cscore")).alias("css"),
+    )
+    mean = F.col("cs") / F.col("cn")
+    var = F.col("css") / F.col("cn") - mean * mean
+    z = F.round(
+        (F.col("cscore") - mean)
+        / F.sqrt(F.greatest(var, F.lit(1e-12))),
+        round_digits,
+    )
+    return assigned.join(stats, "cell").select(
+        "vec_id", "cell", "cscore", z.alias("z")
+    )
