@@ -155,7 +155,7 @@ def main(argv: list[str] | None = None) -> None:
         "(doc_id, text[, lang]): curate | dedup | split | contaminate | pack",
     )
     pp.add_argument("op", choices=("curate", "dedup", "split",
-                                   "contaminate", "pack", "shard"))
+                                   "contaminate", "pack", "shard", "card"))
     pp.add_argument("--docs", required=True, help="documents parquet path")
     pp.add_argument("--out", required=True, help="output parquet path")
     pp.add_argument("--min-quality", type=float, default=0.5)
@@ -428,6 +428,16 @@ def main(argv: list[str] | None = None) -> None:
             out_df = train_val_test_split(
                 docs, val_frac=args.val_frac, test_frac=args.test_frac
             ).drop("text")
+        elif args.op == "card":
+            from .pipelines.select import data_card
+
+            card = data_card(docs).collect()[0].asDict()
+            with open(args.out, "w") as f:
+                json.dump(card, f, indent=1, sort_keys=True)
+            print(json.dumps({"op": args.op, "out": args.out,
+                              "rows": card["n_docs"], **card}))
+            spark.stop()
+            return
         elif args.op == "contaminate":
             from .pipelines.splits import split_contamination
 

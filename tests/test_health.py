@@ -267,6 +267,19 @@ def test_cli_pipeline_ops(tmp_path_factory):
         assert stats["rows"] > 0, stats
         if op == "shard":
             assert os.path.exists(os.path.join(out, "_manifest.json"))
+    # card op: one-row corpus report written as JSON
+    out = str(work / "card.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+         "pipeline", "card", "--docs", docs, "--out", out],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    with open(out) as f:
+        card = json.load(f)
+    assert card["n_docs"] > 0 and card["n_tokens"] > 0
+
     # wds variant: reproducible tar shards + manifest
     out = str(work / "wds")
     r = subprocess.run(
