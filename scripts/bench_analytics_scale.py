@@ -166,6 +166,12 @@ def main() -> None:
         "d12_semantic": lambda d, e: sim.semantic_dedup(
             e, n_clusters=max(16, e.count() // 312), eps=0.9
         ),
+        # the replicated corpus carries no source column; stand in with
+        # lang (cardinality of the distinct-count term, not its meaning)
+        "c13_data_card": lambda d, e: sel.data_card(
+            d.withColumn("source", F.col("lang"))
+        ),
+        "t15_bigram_lm": lambda d, e: tx.bigram_lm_score(d),
     }
 
     def timed(df):
