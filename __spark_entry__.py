@@ -2628,12 +2628,14 @@ cents AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 16),
 scored AS (SELECT b.vec_id, b.e, c.cent_id,
    round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
  FROM base b, cents c),
-assign AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+assign AS (SELECT vec_id, e,
+   list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS un,
+   cent_id AS cell, cscore FROM (
    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored) WHERE rn = 1),
 rem AS (SELECT DISTINCT v.vec_id AS rid
   FROM assign v JOIN assign u ON u.cell = v.cell
     AND (u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
-  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9)
+  WHERE round(list_inner_product(u.un, v.un), 4) >= 0.9)
 SELECT a.vec_id, a.cell, a.cscore, (rem.rid IS NULL) AS keep
 FROM assign a LEFT JOIN rem ON rem.rid = a.vec_id
 """.strip()
@@ -2647,26 +2649,30 @@ cents AS (SELECT vec_id AS cent_id, e AS ce FROM b0 WHERE vec_id < 16),
 scored0 AS (SELECT b.vec_id, b.e, c.cent_id,
    round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
  FROM b0 b, cents c),
-assign0 AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+assign0 AS (SELECT vec_id, e,
+   list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS un,
+   cent_id AS cell, cscore FROM (
    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored0) WHERE rn = 1),
 rem0 AS (SELECT DISTINCT v.vec_id AS rid
   FROM assign0 v JOIN assign0 u ON u.cell = v.cell
     AND (u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
-  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9),
+  WHERE round(list_inner_product(u.un, v.un), 4) >= 0.9),
 kept AS (SELECT a.* FROM assign0 a LEFT JOIN rem0 ON rem0.rid = a.vec_id WHERE rem0.rid IS NULL),
 tw AS (SELECT vec_id + {sim.TWIN_ID_OFFSET} AS vec_id, [e[1] + 0.15] || e[2:] AS e FROM b0),
 scoredt AS (SELECT b.vec_id, b.e, c.cent_id,
    round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
  FROM tw b, cents c),
-bassign AS (SELECT vec_id, e, cent_id AS cell, cscore FROM (
+bassign AS (SELECT vec_id, e,
+   list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS un,
+   cent_id AS cell, cscore FROM (
    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scoredt) WHERE rn = 1),
 blockers AS (
-  SELECT vec_id, cell, cscore, e, TRUE AS always_wins FROM kept
-  UNION ALL SELECT vec_id, cell, cscore, e, FALSE FROM bassign),
+  SELECT vec_id, cell, cscore, un, TRUE AS always_wins FROM kept
+  UNION ALL SELECT vec_id, cell, cscore, un, FALSE FROM bassign),
 remb AS (SELECT DISTINCT v.vec_id AS rid
   FROM bassign v JOIN blockers u ON u.cell = v.cell AND u.vec_id != v.vec_id
     AND (u.always_wins OR u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
-  WHERE round(list_inner_product(u.e, v.e) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(v.e, v.e))), 4) >= 0.9)
+  WHERE round(list_inner_product(u.un, v.un), 4) >= 0.9)
 SELECT a.vec_id, a.cell, a.cscore, (remb.rid IS NULL) AS keep
 FROM bassign a LEFT JOIN remb ON remb.rid = a.vec_id
 """.strip()
