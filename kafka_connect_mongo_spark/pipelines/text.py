@@ -546,6 +546,7 @@ def bigram_lm_score(
     docs: DataFrame,
     lam: float = 0.3,
     round_digits: int = 6,
+    broadcast_counts: bool = False,
 ) -> DataFrame:
     """Interpolated bigram LM score per doc — t8's perplexity-filter
     shape upgraded one order: token i >= 2 scores ln(λ·p_uni(wᵢ) +
@@ -586,6 +587,14 @@ def bigram_lm_score(
     )
     bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cab"))
     ctx = bc.groupBy("w1").agg(F.sum("cab").alias("ca"))
+    if broadcast_counts:
+        # t8's opt-in: the caller KNOWS the vocab/bigram tables are
+        # small (fixed tokenizer vocab, bounded corpus). Also pins the
+        # plan — without a hint, AQE's join choice for these
+        # estimate-less aggregates can flip between runs (measured
+        # 2.5 s vs 6.6 s on the same input), which is fine for a query
+        # but poison for a benchmark.
+        uni, bc, ctx = F.broadcast(uni), F.broadcast(bc), F.broadcast(ctx)
 
     lp_bi = F.log(
         F.lit(float(lam)) * (F.col("c2").cast("double") / F.col("nt"))

@@ -171,7 +171,12 @@ def main() -> None:
         "c13_data_card": lambda d, e: sel.data_card(
             d.withColumn("source", F.col("lang"))
         ),
-        "t15_bigram_lm": lambda d, e: tx.bigram_lm_score(d),
+        # broadcast_counts pins the join plan (the synthetic vocab is
+        # known-small): without it AQE's estimate-less join choice flips
+        # between runs and the slope measures the planner lottery
+        "t15_bigram_lm": lambda d, e: tx.bigram_lm_score(
+            d, broadcast_counts=True
+        ),
     }
 
     def timed(df):
@@ -202,6 +207,17 @@ def main() -> None:
         f"| {r['rows_x1']:,} → {r['rows_xN']:,} |"
         for n, r in results.items()
     )
+    flagged = {n: r for n, r in results.items() if r["ratio"] > factor}
+    flags = ""
+    if flagged:
+        notes: dict[str, str] = {}
+        lines = [
+            f"- **{n}: {r['ratio']}x** — "
+            + notes.get(n, "cause not yet diagnosed; investigate before scale-up.")
+            for n, r in sorted(flagged.items())
+        ]
+        flags = "\nSuper-linear on this fixture:\n\n" + "\n".join(lines) + "\n"
+
     with open(os.path.join(REPO, "BENCH", "ANALYTICS_SCALE.md"), "w") as f:
         f.write(f"""# BENCH/ANALYTICS_SCALE — wall-vs-size slope, {sf_alias} ×1 vs ×{factor} (local[32])
 
@@ -215,10 +231,12 @@ sink, corpora staged to tmpfs with proportional file splits.
 {rows_md}
 
 Reading: slope ≤ {factor} = at-or-below-linear (fixed per-query overhead
-still amortizing); slope >> {factor} would be super-linear work — none
-observed. The banded/bucketed shapes (LSH dedup, IVF) and the
-single-scan composed pipelines (curate, contamination) are the ones
-whose slopes certify the 100 TB story locally.
+still amortizing); slope > {factor} = super-linear on THIS fixture —
+flagged per-op below when present, with the cause. The banded/bucketed
+shapes (LSH dedup, IVF) and the single-scan composed pipelines
+(curate, contamination) are the ones whose slopes certify the 100 TB
+story locally.
+{flags}
 
 Reproduce: `python scripts/bench_analytics_scale.py {sf_alias} {factor}`
 """)
