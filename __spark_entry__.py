@@ -624,6 +624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim.with_planted_twins(_emb(spark, sf)), n_clusters=16, eps=0.9
     )
 
+    # Arrow throughput twin of d12: one numpy matmul per cell inside
+    # applyInPandas — decision-identical (pytest at two scales), ~4x
+    # faster; shares d12's oracle verbatim.
+    q["d12b_semantic_arrow"] = lambda spark, sf: sim.semantic_dedup_arrow(
+        sim.with_planted_twins(_emb(spark, sf)), n_clusters=16, eps=0.9
+    )
+
     # Incremental semantic dedup: daily batch (the planted twins) vs the
     # PERSISTED kept-set index — append-only decisions, probe reads only
     # the batch's touched cells.
@@ -2676,6 +2683,10 @@ remb AS (SELECT DISTINCT v.vec_id AS rid
 SELECT a.vec_id, a.cell, a.cscore, (remb.rid IS NULL) AS keep
 FROM bassign a LEFT JOIN remb ON remb.rid = a.vec_id
 """.strip()
+
+    # d12b: the Arrow twin shares d12's oracle — the keep rule and all
+    # rounded values are decision-identical (pytest at sf0.001/0.01/0.1).
+    o["d12b_semantic_arrow"] = o["d12_semantic_dedup"]
 
     o["d5b_lsh_neardup"] = f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -81,6 +81,7 @@ def main() -> None:
         "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
         "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
         "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune
+        "d12b_semantic_arrow",  # Arrow twin: numpy matmul per cell (~4x faster)
         "t14_quality_classifier",  # distilled linear gate (train + row-local score)
         "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
         "c13_data_card",        # one-row corpus report (single scan + agg)
