@@ -634,23 +634,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Incremental semantic dedup: daily batch (the planted twins) vs the
     # PERSISTED kept-set index — append-only decisions, probe reads only
     # the batch's touched cells.
-    def _d13(spark: SparkSession, sf: str) -> DataFrame:
+    def _sem_index(spark: SparkSession, sf: str) -> str:
         if sf not in _SEM_INDEX:
             work = tempfile.mkdtemp(prefix="semidx-")
             path = os.path.join(work, "sem_index")
             sim.build_semantic_index(_emb(spark, sf), path, n_clusters=16, eps=0.9)
             _SEM_INDEX[sf] = path
+        return _SEM_INDEX[sf]
+
+    def _twin_batch(spark: SparkSession, sf: str) -> DataFrame:
         emb = F.col("embedding").cast("array<double>")
-        batch = _emb(spark, sf).select(
+        return _emb(spark, sf).select(
             (F.col("vec_id") + sim.TWIN_ID_OFFSET).alias("vec_id"),
             F.concat(
                 F.array(F.element_at(emb, 1) + F.lit(0.15)),
                 F.slice(emb, 2, 63),
             ).alias("embedding"),
         )
-        return sim.semantic_dedup_incremental(spark, _SEM_INDEX[sf], batch)
+
+    def _d13(spark: SparkSession, sf: str) -> DataFrame:
+        return sim.semantic_dedup_incremental(
+            spark, _sem_index(spark, sf), _twin_batch(spark, sf)
+        )
 
     q["d13_incremental_semantic"] = _d13
+
+    # STREAMING semantic dedup: the twins arrive as two deterministic
+    # mtime-ordered micro-batches (base-id parity); each batch decides
+    # against base kept ∪ earlier batches' accepted ∪ outranking peers
+    # and appends its accepted vectors to the growing index. Accumulated
+    # decisions == sequential d13 folds (order-dependent by design).
+    def _st23(spark: SparkSession, sf: str) -> DataFrame:
+        import shutil
+
+        from kafka_connect_mongo_spark.streaming.semantic_stream import (
+            run_semantic_stream,
+        )
+
+        idx = _sem_index(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-semstream-")
+        staged = os.path.join(work, "emb")
+        os.makedirs(staged)
+        twins = _twin_batch(spark, sf)
+        t0 = 1_600_000_000
+        for i in range(2):
+            bdir = os.path.join(work, f"b{i}")
+            twins.filter(
+                (F.col("vec_id") - sim.TWIN_ID_OFFSET) % 2 == i
+            ).coalesce(1).write.parquet(bdir)
+            src = next(
+                f for f in os.listdir(bdir) if f.startswith("part-")
+            )
+            dst = os.path.join(staged, f"batch-{i}.parquet")
+            shutil.move(os.path.join(bdir, src), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        return run_semantic_stream(
+            spark, staged, os.path.join(work, "stream"), idx
+        )
+
+    q["st23_streaming_semantic"] = _st23
 
     q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
         _docs(spark, sf), k=3, max_doc_freq=100,
@@ -2683,6 +2725,59 @@ remb AS (SELECT DISTINCT v.vec_id AS rid
 SELECT a.vec_id, a.cell, a.cscore, (remb.rid IS NULL) AS keep
 FROM bassign a LEFT JOIN remb ON remb.rid = a.vec_id
 """.strip()
+
+    # st23: two sequential d13 folds — batch 1 (even base ids) decides
+    # vs base kept ∪ its peers; batch 2 (odd) additionally vs batch 1's
+    # ACCEPTED vectors (always-win: they joined the corpus).
+    _sem_prefix = f"""
+WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS ce FROM b0 WHERE vec_id < 16),
+scored0 AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM b0 b, cents c),
+assign0 AS (SELECT vec_id, e,
+   list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS un,
+   cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM scored0) WHERE rn = 1),
+rem0 AS (SELECT DISTINCT v.vec_id AS rid
+  FROM assign0 v JOIN assign0 u ON u.cell = v.cell
+    AND (u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
+  WHERE round(list_inner_product(u.un, v.un), 4) >= 0.9),
+kept AS (SELECT a.* FROM assign0 a LEFT JOIN rem0 ON rem0.rid = a.vec_id WHERE rem0.rid IS NULL),
+tw AS (SELECT vec_id + {sim.TWIN_ID_OFFSET} AS vec_id, [e[1] + 0.15] || e[2:] AS e FROM b0)"""
+
+    def _sem_batch_cte(n: int, parity: int, extra_blockers: str) -> str:
+        return f"""
+t{n} AS (SELECT * FROM tw WHERE (vec_id - {sim.TWIN_ID_OFFSET}) % 2 = {parity}),
+s{n} AS (SELECT b.vec_id, b.e, c.cent_id,
+   round(list_inner_product(b.e, c.ce) / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(c.ce, c.ce))), 6) AS cscore
+ FROM t{n} b, cents c),
+a{n} AS (SELECT vec_id,
+   list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS un,
+   cent_id AS cell, cscore FROM (
+   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn FROM s{n}) WHERE rn = 1),
+bl{n} AS (
+  SELECT vec_id, cell, cscore, un, TRUE AS always_wins FROM kept{extra_blockers}
+  UNION ALL SELECT vec_id, cell, cscore, un, FALSE FROM a{n}),
+r{n} AS (SELECT DISTINCT v.vec_id AS rid
+  FROM a{n} v JOIN bl{n} u ON u.cell = v.cell AND u.vec_id != v.vec_id
+    AND (u.always_wins OR u.cscore < v.cscore OR (u.cscore = v.cscore AND u.vec_id < v.vec_id))
+  WHERE round(list_inner_product(u.un, v.un), 4) >= 0.9),
+d{n} AS (SELECT a.vec_id, a.cell, a.cscore, a.un, (r{n}.rid IS NULL) AS keep
+  FROM a{n} a LEFT JOIN r{n} ON r{n}.rid = a.vec_id)"""
+
+    o["st23_streaming_semantic"] = (
+        _sem_prefix
+        + ","
+        + _sem_batch_cte(1, 0, "")
+        + ",\nacc1 AS (SELECT vec_id, cell, cscore, un FROM d1 WHERE keep),"
+        + _sem_batch_cte(
+            2, 1,
+            "\n  UNION ALL SELECT vec_id, cell, cscore, un, TRUE FROM acc1",
+        )
+        + "\nSELECT vec_id, cell, cscore, keep FROM d1"
+        + "\nUNION ALL SELECT vec_id, cell, cscore, keep FROM d2"
+    ).strip()
 
     # d12b: the Arrow twin shares d12's oracle — the keep rule and all
     # rounded values are decision-identical (pytest at sf0.001/0.01/0.1).

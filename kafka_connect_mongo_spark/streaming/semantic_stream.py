@@ -1,0 +1,157 @@
+"""Streaming semantic dedup against a growing kept-set index.
+
+The streaming form of SemDeDup (the st6/dedup_stream discipline applied
+to the embedding side): vectors arrive in micro-batches; each batch
+(1) assigns cells row-locally against the PERSISTED quantizer of a
+pre-built base index (``build_semantic_index``), (2) decides keeps
+under the d13 append-only rule — base kept vectors and earlier batches'
+ACCEPTED vectors always win (they are already in the corpus), batch
+peers win only by outranking (centroid-similarity asc, vec_id asc) —
+and (3) writes its decisions AND its accepted vectors' (cell, cscore,
+un) under batch_id-keyed partition directories with OVERWRITE. That
+write discipline is what makes the sink exactly-once, not just the
+checkpoint: a retried batch overwrites its own partitions, and the
+accepted-index probe excludes the probing batch's own batch_id, so a
+half-committed earlier attempt can neither duplicate decisions nor
+block its own retry.
+
+Equality contract (the oracle): the accumulated decisions equal
+sequentially folding ``semantic_dedup_incremental`` batch-by-batch with
+each batch's accepted set added to the index — the daily-ingest
+lifecycle run continuously. Decisions are order-dependent BY DESIGN
+(first-accepted wins), so the stream stages its input as deterministic
+mtime-ordered files, exactly like the lake's incremental-scan fixtures.
+
+Scale: per batch O(|batch|) row-local assignment + one cell-keyed join
+against only the TOUCHED cells' partition directories of the base and
+accepted indexes; corpus embeddings outside those cells are never read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines.similarity import _assign_scored, _dot, _norm
+
+
+def run_semantic_stream(
+    spark: SparkSession,
+    emb_path: str,
+    work_dir: str,
+    index_path: str,
+    round_digits: int = 4,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream embedding files through incremental semantic dedup;
+    returns the accumulated (vec_id, cell, cscore, keep) decisions."""
+    with open(index_path + ".meta") as f:
+        eps = float(json.load(f)["eps"])
+    cents_rows = (
+        spark.read.parquet(index_path + ".centroids").orderBy("cell").collect()
+    )
+    cents = [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cents_rows]
+    accepted_dir = os.path.join(work_dir, "accepted_index")
+    decisions_dir = os.path.join(work_dir, "decisions")
+    schema = spark.read.parquet(emb_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = _assign_scored(
+            batch_df.select("vec_id", "embedding"), cents
+        ).select("vec_id", "cell", "cscore", "un").persist()
+        try:
+            touched = [
+                int(r["cell"]) for r in batch.select("cell").distinct().collect()
+            ]
+            base_kept = (
+                spark.read.parquet(index_path)
+                .filter(F.col("cell").isin(touched))
+                .select(
+                    "vec_id", "cell", "cscore",
+                    F.transform(
+                        F.col("e"), lambda x: x / _norm(F.col("e"))
+                    ).alias("un"),
+                )
+                .withColumn("always_wins", F.lit(True))
+            )
+            blockers = base_kept.unionByName(
+                batch.withColumn("always_wins", F.lit(False))
+            )
+            if os.path.isdir(accepted_dir) and any(
+                e.startswith("batch_id=") for e in os.listdir(accepted_dir)
+            ):
+                # earlier batches' accepted vectors are corpus members;
+                # exclude THIS batch_id (a failed attempt may have
+                # written ours already — partition-pruned filter)
+                acc = (
+                    spark.read.parquet(accepted_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .filter(F.col("cell").isin(touched))
+                    .select("vec_id", "cell", "cscore", "un")
+                    .withColumn("always_wins", F.lit(True))
+                )
+                blockers = blockers.unionByName(acc)
+            v = batch.alias("v")
+            u = blockers.alias("u")
+            pair_cos = F.round(
+                _dot(F.col("u.un"), F.col("v.un")), round_digits
+            )
+            wins = F.col("u.always_wins") | (
+                (F.col("u.cscore") < F.col("v.cscore"))
+                | (
+                    (F.col("u.cscore") == F.col("v.cscore"))
+                    & (F.col("u.vec_id") < F.col("v.vec_id"))
+                )
+            )
+            removed = (
+                v.join(
+                    u,
+                    on=(F.col("u.cell") == F.col("v.cell"))
+                    & (F.col("u.vec_id") != F.col("v.vec_id"))
+                    & wins,
+                )
+                .filter(pair_cos >= F.lit(eps))
+                .select(F.col("v.vec_id").alias("vec_id"))
+                .distinct()
+                .withColumn("rm", F.lit(True))
+            )
+            decided = batch.join(removed, "vec_id", "left").select(
+                "vec_id", "cell", "cscore", "un",
+                F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
+            ).persist()
+            try:
+                # idempotent per-batch sinks: overwrite our own partition
+                decided.select("vec_id", "cell", "cscore", "keep").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(decisions_dir, f"batch_id={batch_id}"))
+                decided.filter(F.col("keep")).select(
+                    "vec_id", "cell", "cscore", "un"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(accepted_dir, f"batch_id={batch_id}")
+                )
+            finally:
+                decided.unpersist()
+        finally:
+            batch.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(emb_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(decisions_dir):
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, cscore double, keep boolean"
+        )
+    return spark.read.parquet(decisions_dir).select(
+        "vec_id", "cell", "cscore", "keep"
+    )

@@ -756,3 +756,76 @@ def test_quantile_stream_equals_batch_sketch_with_crash_retry(spark, tmp_path_fa
 
     with _pytest.raises(ValueError, match="frozen bounds"):
         run_quantile_stream(spark, staged, str(work / "nope"), "value", ("grp",))
+
+
+def test_semantic_stream_accepted_blocks_later_batch(spark, tmp_path_factory):
+    """Streaming semantic dedup: a vector ACCEPTED in batch 1 blocks its
+    near-dup arriving in batch 2 (the growing-index path the sf fixture
+    can't exercise — cross-twin cosines are too low there); a vector
+    blocked by the BASE index is removed in its own batch; re-running
+    the finished stream changes nothing (checkpoint + batch_id-keyed
+    overwrite)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from kafka_connect_mongo_spark.pipelines import similarity as sim
+    from kafka_connect_mongo_spark.streaming.semantic_stream import (
+        run_semantic_stream,
+    )
+
+    work = str(tmp_path_factory.mktemp("semstream"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = os.path.join(work, "idx")
+    sim.build_semantic_index(emb, idx, n_clusters=16, eps=0.9)
+
+    kept_first = spark.read.parquet(idx).orderBy("vec_id").first()
+    base_twin = [kept_first["e"][0] + 0.15] + list(kept_first["e"])[1:]
+    # far: mostly outside the centroid span (no base near-dup) but with
+    # a 0.3 pull toward centroid 0 so its CELL assignment is stable; its
+    # twin perturbs along another null direction (centroid cosines
+    # unchanged -> same cell, pairwise cosine ~0.9998)
+    cents = np.array(
+        [r["ce"] for r in spark.read.parquet(idx + ".centroids")
+         .orderBy("cell").collect()], dtype="float64",
+    )
+    _, _, vt = np.linalg.svd(cents)
+    u0 = cents[0] / np.linalg.norm(cents[0])
+    far_v = 0.3 * u0 + vt[-1]
+    far = [float(x) for x in far_v]
+    far_twin = [float(x) for x in far_v + 0.02 * vt[-2]]
+
+    b1 = spark.createDataFrame(
+        [(9_000_001, far), (9_000_002, base_twin)],
+        "vec_id long, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [(9_000_003, far_twin)], "vec_id long, embedding array<double>"
+    )
+    staged = os.path.join(work, "emb")
+    os.makedirs(staged)
+    for i, b in enumerate((b1, b2)):
+        bdir = os.path.join(work, f"b{i}")
+        b.coalesce(1).write.parquet(bdir)
+        src = next(f for f in os.listdir(bdir) if f.startswith("part-"))
+        dst = os.path.join(staged, f"batch-{i}.parquet")
+        shutil.move(os.path.join(bdir, src), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    sdir = os.path.join(work, "stream")
+    out = {r["vec_id"]: r["keep"]
+           for r in run_semantic_stream(spark, staged, sdir, idx).collect()}
+    assert out == {
+        9_000_001: True,    # no near-dup anywhere: accepted
+        9_000_002: False,   # blocked by the BASE kept index
+        9_000_003: False,   # blocked by batch 1's ACCEPTED vector
+    }
+    # the accepted index holds exactly the accepted vector
+    acc = spark.read.parquet(os.path.join(sdir, "accepted_index"))
+    assert [r["vec_id"] for r in acc.collect()] == [9_000_001]
+
+    # finished stream re-run: no new files, decisions unchanged
+    again = {r["vec_id"]: r["keep"]
+             for r in run_semantic_stream(spark, staged, sdir, idx).collect()}
+    assert again == out
