@@ -136,6 +136,24 @@ def main(argv: list[str] | None = None) -> None:
     pbl.add_argument("--probe", default=None,
                      help="probe value: print prune lists instead of building")
 
+    psd = sub.add_parser(
+        "semdedup",
+        help="semantic dedup lifecycle: --build writes the kept-set "
+        "index from an embeddings table; without --build, decides a "
+        "new batch against the persisted index (append-only)",
+    )
+    psd.add_argument("--emb", required=True, help="embeddings parquet path")
+    psd.add_argument("--index", required=True, help="kept-set index root")
+    psd.add_argument("--build", action="store_true",
+                     help="build the index instead of probing a batch")
+    psd.add_argument("--out", default=None,
+                     help="probe: write batch decisions parquet here")
+    psd.add_argument("--clusters", type=int, default=16)
+    psd.add_argument("--eps", type=float, default=0.95)
+    psd.add_argument("--trained", action="store_true",
+                     help="build: fit the quantizer with sampled k-means "
+                     "instead of the first-n simplification")
+
     pev = sub.add_parser(
         "evolve",
         help="bucket-layout (partition-spec) evolution: change the bucket "
@@ -399,6 +417,45 @@ def main(argv: list[str] | None = None) -> None:
         else:
             print(json.dumps({"table": args.table,
                               **table.build_blooms(args.col, args.bits, args.k)}))
+    elif args.cmd == "semdedup":
+        from .pipelines.similarity import (
+            build_semantic_index,
+            semantic_dedup_incremental,
+            train_ivf_centroids,
+        )
+
+        emb = spark.read.parquet(args.emb)
+        if args.build:
+            cents = (
+                train_ivf_centroids(emb, args.clusters)
+                if args.trained else None
+            )
+            build_semantic_index(
+                emb, args.index, n_clusters=args.clusters, eps=args.eps,
+                centroids=cents,
+            )
+            kept = spark.read.parquet(args.index)
+            print(json.dumps({
+                "op": "build", "index": args.index,
+                "n_kept": kept.count(), "n_input": emb.count(),
+                "clusters": args.clusters, "eps": args.eps,
+                "trained": args.trained,
+            }))
+        else:
+            if not args.out:
+                raise SystemExit("semdedup: probe mode needs --out")
+            decided = semantic_dedup_incremental(spark, args.index, emb)
+            decided.write.mode("overwrite").parquet(args.out)
+            back = spark.read.parquet(args.out)
+            n_total = back.count()
+            n_kept = back.filter("keep").count()
+            print(json.dumps({
+                "op": "probe", "index": args.index, "out": args.out,
+                "rows": n_total, "kept": n_kept,
+                "removed": n_total - n_kept,
+            }))
+        spark.stop()
+        return
     elif args.cmd == "evolve":
         from .sinks.lake import LakeTable
 

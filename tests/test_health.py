@@ -360,3 +360,41 @@ def test_cli_rollback_and_expire(spark, tmp_path_factory):
 
     fresh = LakeTable(spark, lake)
     assert {x["id"] for x in fresh.read().collect()} == {K[0]}
+
+
+def test_cli_semdedup_build_and_probe(tmp_path_factory):
+    """Out-of-process `semdedup`: build the kept-set index, then decide
+    a twin batch against it — every twin of a kept vector is removed."""
+    import subprocess
+
+    work = tmp_path_factory.mktemp("cli-semdedup")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(work / "idx")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "semdedup",
+         "--emb", emb, "--index", idx, "--build", "--eps", "0.9"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["n_input"] == 500 and 0 < rec["n_kept"] <= 500
+
+    # build a twin batch file out-of-band
+    import duckdb
+
+    batch = str(work / "batch.parquet")
+    duckdb.sql(
+        f"COPY (SELECT vec_id + 10000000 AS vec_id, "
+        f"list_prepend(embedding[1] + CAST(0.15 AS FLOAT), embedding[2:]) AS embedding "
+        f"FROM '{emb}') TO '{batch}' (FORMAT parquet)"
+    )
+    out = str(work / "decisions")
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "semdedup",
+         "--emb", batch, "--index", idx, "--out", out],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["rows"] == 500 and rec["removed"] > 300, rec
