@@ -624,6 +624,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim.with_planted_twins(_emb(spark, sf)), n_clusters=16, eps=0.9
     )
 
+    # Cross-modal alignment gate (LAION CLIP-score filter shape): even
+    # ids pair with their OWN twin (aligned), odd ids with the NEXT
+    # vector's twin (misaligned) — the gate keeps exactly the aligned.
+    def _m5(spark: SparkSession, sf: str) -> DataFrame:
+        emb = F.col("embedding").cast("array<double>")
+        a = _emb(spark, sf).select("vec_id", emb.alias("emb_a"))
+        b = _twin_batch(spark, sf).select(
+            (F.col("vec_id") - sim.TWIN_ID_OFFSET).alias("src_id"),
+            F.col("embedding").alias("emb_b"),
+        )
+        want_src = F.when(
+            F.col("vec_id") % 2 == 0, F.col("vec_id")
+        ).otherwise(F.col("vec_id") + 1)
+        pairs = a.join(b, b["src_id"] == want_src).select(
+            F.col("vec_id").alias("pair_id"), "emb_a", "emb_b"
+        )
+        return mm.pair_alignment_gate(pairs, threshold=0.9)
+
+    q["m5_pair_alignment"] = _m5
+
     # Arrow throughput twin of d12: one numpy matmul per cell inside
     # applyInPandas — decision-identical (pytest at two scales), ~4x
     # faster; shares d12's oracle verbatim.
@@ -2778,6 +2798,19 @@ d{n} AS (SELECT a.vec_id, a.cell, a.cscore, a.un, (r{n}.rid IS NULL) AS keep
         + "\nSELECT vec_id, cell, cscore, keep FROM d1"
         + "\nUNION ALL SELECT vec_id, cell, cscore, keep FROM d2"
     ).strip()
+
+    # m5: LAION-style alignment gate — same pairing rule, row-local cos.
+    o["m5_pair_alignment"] = f"""
+WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tw AS (SELECT vec_id AS src_id, [e[1] + 0.15] || e[2:] AS e FROM b0),
+pairs AS (SELECT b.vec_id AS pair_id, b.e AS ea, t.e AS eb
+  FROM b0 b JOIN tw t
+  ON t.src_id = CASE WHEN b.vec_id % 2 = 0 THEN b.vec_id ELSE b.vec_id + 1 END),
+scored AS (SELECT pair_id,
+  round(list_inner_product(ea, eb) / (sqrt(list_inner_product(ea, ea)) * sqrt(list_inner_product(eb, eb))), 4) AS score
+  FROM pairs)
+SELECT pair_id, score, (score >= 0.9) AS keep FROM scored
+""".strip()
 
     # d12b: the Arrow twin shares d12's oracle — the keep rule and all
     # rounded values are decision-identical (pytest at sf0.001/0.01/0.1).

@@ -86,6 +86,7 @@ def main() -> None:
         "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
         "c13_data_card",        # one-row corpus report (single scan + agg)
         "d14_embedding_outliers",  # per-cell z-scores (row-local assign + tiny agg)
+        "m5_pair_alignment",    # CLIP-score gate analog (row-local pair cosine)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -433,3 +433,42 @@ def sample_frame_features(media_df: DataFrame, every_n: int = 2) -> DataFrame:
     return media_df.select("doc_id", "payload").mapInPandas(
         sample, schema=VFRAME_SCHEMA
     )
+
+
+def pair_alignment_gate(
+    pairs: DataFrame,
+    threshold: float = 0.28,
+    a_col: str = "emb_a",
+    b_col: str = "emb_b",
+    id_col: str = "pair_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cross-modal pair filtering, LAION-style: keep (image, text) pairs
+    whose embedding cosine clears ``threshold`` — the CLIP-score gate
+    that decides what enters a multimodal training set, reduced to its
+    distributed skeleton (the encoder that produced the embeddings is
+    upstream; this operator is the corpus-scale gate itself, LAION's
+    default being ~0.28). Output (pair_id, score, keep) — one row per
+    pair, so the caller can audit the drop rate before materializing.
+
+    Plan shape: a pure row-local Column expression — ONE scan, ZERO
+    exchanges, no join (the pair already carries both sides); at 100 TB
+    this is embarrassingly parallel and composes with the id-local
+    sampling/sharding family downstream."""
+    from .similarity import _cos
+
+    for c in (id_col, a_col, b_col):
+        if c not in pairs.columns:
+            raise ValueError(
+                f"pair_alignment_gate: missing column {c!r} (have {pairs.columns})"
+            )
+    score = _cos(
+        F.col(a_col).cast("array<double>"),
+        F.col(b_col).cast("array<double>"),
+        round_digits,
+    )
+    return pairs.select(
+        F.col(id_col).alias("pair_id"),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
