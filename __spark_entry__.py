@@ -714,6 +714,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st23_streaming_semantic"] = _st23
 
+    # STREAM-STREAM watermarked interval join: pair every delete with
+    # the insert(s) it retires within 1800 s — tombstone latency. Feed
+    # staged as 4 time-ordered files (watermarks advance in order);
+    # accumulated pairs == the batch interval join exactly.
+    def _st24(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+        from kafka_connect_mongo_spark.streaming.join_stream import (
+            run_delete_latency_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-joinstream-")
+        staged = os.path.join(work, "feed")
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
+        ranked = raw.withColumn(
+            "_q", F.ntile(4).over(W.orderBy("ts", "inc", "seq"))
+        )
+        for i in range(1, 5):
+            ranked.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(staged)
+        return run_delete_latency_stream(
+            spark, staged, os.path.join(work, "stream"), max_delay_s=1800
+        )
+
+    q["st24_delete_latency"] = _st24
+
     q["d9_containment"] = lambda spark, sf: dd.containment_pairs(
         _docs(spark, sf), k=3, max_doc_freq=100,
         min_parallelism=spark.sparkContext.defaultParallelism,
@@ -2084,6 +2112,18 @@ def oracle_sql() -> dict[str, str]:
     o["s1_oplog_clean_scan"] = (
         f"SELECT ts, inc, seq, op, ns, id, object FROM ({feed})"
     )
+
+    # st24: batch twin of the watermarked interval join (from_migrate
+    # rows excluded on both sides, per the stream's F1 filter).
+    o["st24_delete_latency"] = f"""
+SELECT i.id, CAST(i.ts AS BIGINT) AS insert_ts, CAST(d.ts AS BIGINT) AS delete_ts,
+       CAST(d.ts - i.ts AS BIGINT) AS latency_s
+FROM (SELECT id, ts FROM read_parquet('{op}/*.parquet')
+      WHERE coalesce(from_migrate, false) = false AND op = 'i') i
+JOIN (SELECT id, ts FROM read_parquet('{op}/*.parquet')
+      WHERE coalesce(from_migrate, false) = false AND op = 'd') d
+ON d.id = i.id AND d.ts >= i.ts AND d.ts <= i.ts + 1800
+""".strip()
 
     o["s2_initial_import_events"] = f"""
 SELECT id, ns, op, ts, inc, seq, sha256(content) AS content_sha

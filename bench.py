@@ -111,6 +111,7 @@ def main() -> None:
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)
         "st23_streaming_semantic",  # streaming SemDeDup: growing accepted index, 2-batch job wall
+        "st24_delete_latency",  # watermarked stream-stream interval join (4-batch job wall)
     ]
 
     def run_noop(df) -> None:

@@ -1,0 +1,113 @@
+"""Watermarked stream-stream interval join: tombstone latency.
+
+The one Structured Streaming state shape the board lacked: a
+STREAM-STREAM join with event-time watermarks. Use case straight from
+the CDC domain: pair every delete with the insert(s) it retires within
+a bounded horizon — the key-lifetime / tombstone-latency signal a
+retention or compliance dashboard tracks (how long does a record live
+before erasure?).
+
+Semantics: inserts and deletes are two event-time streams split from
+the one change feed; the join condition is key equality AND
+``delete.ts in [insert.ts, insert.ts + max_delay]``. Both sides carry
+watermarks of ``watermark_delay`` — Spark evicts buffered state older
+than (watermark − join window), so state is bounded by the horizon,
+never the stream length; setting ``watermark_delay`` ≥ the feed's max
+disorder + ``max_delay`` means nothing matchable is ever evicted, and
+the accumulated output equals the BATCH interval join exactly (the
+oracle). Inner join only: a pending insert simply never emits if its
+delete never comes — no completeness-vs-latency trade to mis-handle.
+
+Sink: the built-in parquet file sink (metadata-log exactly-once, the
+windowed.py discipline) — append-mode rows are final facts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_delete_latency_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    max_delay_s: int = 1800,
+    watermark_delay_s: int = 3600,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream the change feed through the insert×delete interval join;
+    returns the accumulated (id, insert_ts, delete_ts, latency_s)."""
+    if max_delay_s <= 0:
+        raise ValueError(
+            f"run_delete_latency_stream: max_delay_s must be > 0, got {max_delay_s}"
+        )
+    if watermark_delay_s < max_delay_s:
+        raise ValueError(
+            "run_delete_latency_stream: watermark_delay_s must be >= "
+            f"max_delay_s (got {watermark_delay_s} < {max_delay_s}) — a "
+            "tighter watermark evicts joinable state and silently drops pairs"
+        )
+    out_dir = os.path.join(work_dir, "pairs")
+    schema = spark.read.parquet(feed_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(feed_path).withColumn(
+        "ets", F.to_timestamp(F.from_unixtime(F.col("ts")))
+    )
+    if "from_migrate" in ev.columns:
+        # shard-migration rows are not logical inserts/deletes (the
+        # reference's F1 exclusion, OplogReader.kt:135)
+        ev = ev.filter(~F.coalesce(F.col("from_migrate"), F.lit(False)))
+    ins = (
+        ev.filter(F.col("op") == "i")
+        .select(
+            "id",
+            F.col("ts").cast("long").alias("insert_ts"),
+            F.col("ets").alias("iev"),
+        )
+        .withWatermark("iev", f"{watermark_delay_s} seconds")
+    )
+    dels = (
+        ev.filter(F.col("op") == "d")
+        .select(
+            F.col("id").alias("did"),
+            F.col("ts").cast("long").alias("delete_ts"),
+            F.col("ets").alias("dev"),
+        )
+        .withWatermark("dev", f"{watermark_delay_s} seconds")
+    )
+    joined = ins.join(
+        dels,
+        (F.col("id") == F.col("did"))
+        & (F.col("dev") >= F.col("iev"))
+        & (
+            F.col("dev")
+            <= F.col("iev") + F.expr(f"INTERVAL {max_delay_s} SECONDS")
+        ),
+        "inner",
+    ).select(
+        "id",
+        "insert_ts",
+        "delete_ts",
+        (F.col("delete_ts") - F.col("insert_ts")).alias("latency_s"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "id string, insert_ts long, delete_ts long, latency_s long"
+        )
+    return spark.read.parquet(out_dir).select(
+        "id", "insert_ts", "delete_ts", "latency_s"
+    )

@@ -829,3 +829,83 @@ def test_semantic_stream_accepted_blocks_later_batch(spark, tmp_path_factory):
     again = {r["vec_id"]: r["keep"]
              for r in run_semantic_stream(spark, staged, sdir, idx).collect()}
     assert again == out
+
+
+def test_delete_latency_stream_equals_batch_interval_join(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join: accumulated pairs equal
+    the batch join on a crafted feed (in-window pair, out-of-window
+    miss, re-insert double-match, delete-without-insert), and on the
+    sf0.001 feed; validation is loud."""
+    import os
+
+    import pytest
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.streaming.join_stream import (
+        run_delete_latency_stream,
+    )
+
+    def row(ts, seq, op, key):
+        return (ts, 0, seq, op, "t.a", key, None, None, False)
+
+    K = [f"{i:024x}" for i in range(8)]
+    rows = [
+        row(100, 0, "i", K[0]), row(500, 1, "d", K[0]),       # in window
+        row(100, 2, "i", K[1]), row(5000, 3, "d", K[1]),      # out of window
+        row(100, 4, "i", K[2]), row(300, 5, "i", K[2]),       # re-insert:
+        row(900, 6, "d", K[2]),                               # matches BOTH
+        row(100, 7, "d", K[3]),                               # no insert
+    ]
+    work = tmp_path_factory.mktemp("joinstream")
+    feed = str(work / "feed")
+    df = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    # two time-ordered files
+    df.filter("ts <= 300").coalesce(1).write.mode("append").parquet(feed)
+    df.filter("ts > 300").coalesce(1).write.mode("append").parquet(feed)
+
+    out = run_delete_latency_stream(
+        spark, feed, str(work / "s1"), max_delay_s=1800
+    )
+    got = sorted((r["id"], r["insert_ts"], r["delete_ts"], r["latency_s"])
+                 for r in out.collect())
+    assert got == [
+        (K[0], 100, 500, 400),
+        (K[2], 100, 900, 800),
+        (K[2], 300, 900, 600),
+    ]
+
+    # sf feed: stream == batch interval join
+    gen_feed = spark.read.schema(OPLOG_SCHEMA).parquet(
+        __import__("kafka_connect_mongo_spark.generator", fromlist=["g"])
+        .oplog_path("/root/testdata/sf0.001")
+    ).filter("NOT coalesce(from_migrate, false)")
+    i = gen_feed.filter("op = 'i'").selectExpr("id", "CAST(ts AS LONG) its")
+    d = gen_feed.filter("op = 'd'").selectExpr("id did", "CAST(ts AS LONG) dts")
+    batch = sorted(
+        (r["id"], r["its"], r["dts"])
+        for r in i.join(
+            d, (i["id"] == d["did"]) & (d["dts"] >= i["its"])
+            & (d["dts"] <= i["its"] + 1800)
+        ).collect()
+    )
+    staged = str(work / "gen")
+    from pyspark.sql import Window as W
+
+    from pyspark.sql import functions as F
+
+    ranked = gen_feed.withColumn("_q", F.ntile(3).over(W.orderBy("ts", "inc", "seq")))
+    for j in range(1, 4):
+        ranked.filter(F.col("_q") == j).drop("_q").coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    out2 = run_delete_latency_stream(spark, staged, str(work / "s2"), max_delay_s=1800)
+    got2 = sorted((r["id"], r["insert_ts"], r["delete_ts"]) for r in out2.collect())
+    assert got2 == batch and len(batch) > 0
+
+    with pytest.raises(ValueError):
+        run_delete_latency_stream(spark, feed, str(work / "bad"), max_delay_s=0)
+    with pytest.raises(ValueError):
+        run_delete_latency_stream(
+            spark, feed, str(work / "bad2"), max_delay_s=100,
+            watermark_delay_s=50,
+        )
