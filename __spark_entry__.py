@@ -1622,6 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), min_count=5, top_k=50
     )
 
+    # CCNet head/middle/tail: per-language LM-score terciles.
+    q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
+        _docs(spark, sf), n_buckets=3
+    )
+
     # Interpolated bigram LM: t8's perplexity filter one order up
     # (KenLM-style interpolation keeps unseen bigrams finite).
     q["t15_bigram_lm"] = lambda spark, sf: tx.bigram_lm_score(
@@ -3839,6 +3844,22 @@ scored AS (
 SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
+""".strip()
+
+    # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by
+    # doc_id.
+    o["t16_lm_buckets"] = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT sum(n_tok) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id, ln(n_tok / n_total) AS lp
+  FROM toks JOIN vocab USING (tok), total),
+lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+       FROM scored GROUP BY doc_id)
+SELECT d.doc_id, d.lang, lm.n_tokens, lm.avg_logprob,
+       ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.avg_logprob DESC, d.doc_id) AS bucket
+FROM documents d JOIN lm ON lm.doc_id = d.doc_id
 """.strip()
 
     # t15: interpolated bigram LM — token 1 scores ln(p_uni), tokens

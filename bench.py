@@ -84,6 +84,7 @@ def main() -> None:
         "d12b_semantic_arrow",  # Arrow twin: numpy matmul per cell (~4x faster)
         "t14_quality_classifier",  # distilled linear gate (train + row-local score)
         "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
+        "t16_lm_buckets",       # CCNet head/middle/tail (per-lang ntile)
         "c13_data_card",        # one-row corpus report (single scan + agg)
         "d14_embedding_outliers",  # per-cell z-scores (row-local assign + tiny agg)
         "m5_pair_alignment",    # CLIP-score gate analog (row-local pair cosine)

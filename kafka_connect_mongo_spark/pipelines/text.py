@@ -627,3 +627,49 @@ def bigram_lm_score(
             F.round(F.avg("lp"), round_digits).alias("avg_logprob"),
         )
     )
+
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    round_digits: int = 6,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail partitioning: rank every doc by its
+    corpus-LM score WITHIN its language and split each language into
+    ``n_buckets`` equal tiles (bucket 1 = best-scored = CCNet "head").
+    The standard quality stratification a curation pipeline samples
+    from (train mostly on head+middle, keep tail for ablations).
+
+    Plan shape: t8's two-pass LM score (vocab-sized shuffles, AQE
+    joins), then ONE window — ntile over (score desc, doc_id) per
+    language. The per-language sort is the operator's real cost and is
+    also exactly how CCNet shards in practice (per language snapshot);
+    skew = the largest language, which a deployment splits by
+    (lang, shard) if one language dominates. Ties break by doc_id so
+    the tiling is deterministic/engine-portable. Output (doc_id, lang,
+    n_tokens, avg_logprob, bucket)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(
+            f"lm_quality_buckets: n_buckets must be >= 2, got {n_buckets}"
+        )
+    if lang_col not in docs.columns:
+        raise ValueError(
+            f"lm_quality_buckets: missing column {lang_col!r} (have {docs.columns})"
+        )
+    scores = unigram_lm_score(docs, round_digits)
+    base = docs.select("doc_id", F.col(lang_col).alias("lang")).join(
+        scores, "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
