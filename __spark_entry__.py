@@ -157,6 +157,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x8_max_offset"] = lambda spark, sf: max_offset_per_ns(_feed(spark, sf))
 
+    # Feed-continuity audit over a feed with PLANTED holes (every
+    # 997th seq dropped + one 600-seq block): which seq ranges are
+    # missing — range-bucket census, never a global sort.
+    def _x11(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+        from kafka_connect_mongo_spark.operators.metrics import feed_gap_census
+
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
+        holed = raw.filter(
+            (F.col("seq") % 997 != 0)
+            & ~F.col("seq").between(5000, 5599)
+        )
+        return feed_gap_census(holed, bucket_size=1024)
+
+    q["x11_feed_gaps"] = _x11
+
     q["t6_tombstone_keys"] = lambda spark, sf: lww_collapse(
         _feed(spark, sf).select("id", "ts", "inc", "seq", "op"), key="id"
     ).filter(F.col("op") == "d").select("id")
@@ -2117,6 +2133,24 @@ def oracle_sql() -> dict[str, str]:
     o["s1_oplog_clean_scan"] = (
         f"SELECT ts, inc, seq, op, ns, id, object FROM ({feed})"
     )
+
+    # x11: range-bucket gap census over the holed feed — generate_series
+    # stands in for spark.range; same clipping arithmetic.
+    o["x11_feed_gaps"] = f"""
+WITH s AS (SELECT CAST(seq AS BIGINT) AS seq FROM read_parquet('{op}/*.parquet')
+           WHERE seq % 997 != 0 AND seq NOT BETWEEN 5000 AND 5599),
+b AS (SELECT min(seq) AS g_min, max(seq) AS g_max FROM s),
+got AS (SELECT seq // 1024 AS bucket, CAST(count(*) AS BIGINT) AS n_rows FROM s GROUP BY 1),
+allb AS (SELECT unnest(generate_series(g_min // 1024, g_max // 1024)) AS bucket, g_min, g_max FROM b),
+j AS (SELECT a.bucket,
+        greatest(a.bucket * 1024, a.g_min) AS seq_lo,
+        least(a.bucket * 1024 + 1023, a.g_max) AS seq_hi,
+        CAST(coalesce(got.n_rows, 0) AS BIGINT) AS n_rows
+      FROM allb a LEFT JOIN got USING (bucket))
+SELECT bucket, seq_lo, seq_hi, n_rows,
+       CAST(seq_hi - seq_lo + 1 - n_rows AS BIGINT) AS n_missing
+FROM j WHERE seq_hi - seq_lo + 1 - n_rows != 0
+""".strip()
 
     # st24: batch twin of the watermarked interval join (from_migrate
     # rows excluded on both sides, per the stream's F1 filter).

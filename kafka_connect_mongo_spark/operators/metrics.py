@@ -622,3 +622,57 @@ def theta_overlap(sketch: DataFrame, set_col: str, k: int) -> DataFrame:
             6,
         ).alias("est_jaccard"),
     )
+
+
+def feed_gap_census(oplog: DataFrame, bucket_size: int = 1024) -> DataFrame:
+    """Feed-continuity audit: which ranges of the globally-monotonic
+    ``seq`` are MISSING from the feed — lost files, a producer skip, a
+    botched backfill (the completeness check a CDC consumer runs before
+    trusting a replay; the engine-side form of monitoring the
+    reference's strictly-increasing offset stream).
+
+    Distributed shape: never a global sort — seqs aggregate into
+    ``bucket_size``-wide range buckets (ONE map-side-combined groupBy,
+    shuffle = n/bucket_size rows); the full bucket range is generated
+    with ``spark.range`` from a 2-long bounds collect (an O(1) driver
+    job, the lookup-hashing legitimacy), left-joined so ENTIRELY
+    missing buckets surface too; expected coverage clips each bucket to
+    the observed global [min, max]. Output: one row per bucket with
+    missing seqs — (bucket, seq_lo, seq_hi, n_rows, n_missing).
+    Duplicate seqs would show as negative n_missing — also a feed
+    defect, also visible."""
+    if bucket_size < 2:
+        raise ValueError(
+            f"feed_gap_census: bucket_size must be >= 2, got {bucket_size}"
+        )
+    seqs = oplog.select(F.col("seq").cast("long").alias("seq"))
+    bounds = seqs.agg(
+        F.min("seq").alias("g_min"), F.max("seq").alias("g_max")
+    ).collect()[0]
+    if bounds["g_min"] is None:
+        return oplog.sparkSession.createDataFrame(
+            [], "bucket long, seq_lo long, seq_hi long, n_rows long, n_missing long"
+        )
+    g_min, g_max = int(bounds["g_min"]), int(bounds["g_max"])
+    got = seqs.groupBy(
+        F.floor(F.col("seq") / bucket_size).alias("bucket")
+    ).agg(F.count("*").alias("n_rows"))
+    spark = oplog.sparkSession
+    all_buckets = spark.range(
+        g_min // bucket_size, g_max // bucket_size + 1
+    ).select(F.col("id").alias("bucket"))
+    lo = F.greatest(F.col("bucket") * bucket_size, F.lit(g_min))
+    hi = F.least(F.col("bucket") * bucket_size + (bucket_size - 1), F.lit(g_max))
+    return (
+        all_buckets.join(got, "bucket", "left")
+        .select(
+            "bucket",
+            lo.alias("seq_lo"),
+            hi.alias("seq_hi"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            (hi - lo + 1 - F.coalesce(F.col("n_rows"), F.lit(0)))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .filter(F.col("n_missing") != 0)
+    )

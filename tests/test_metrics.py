@@ -402,3 +402,41 @@ def test_theta_validation(spark):
         theta_sketch(df, "s", "e", k=1)
     with pytest.raises(ValueError, match="missing column"):
         theta_sketch(df, "s", "nope", k=8)
+
+
+def test_feed_gap_census_finds_planted_holes(spark):
+    """Gap census: exact missing counts per range bucket, entirely
+    missing buckets surface, duplicates show as negative, clean feed
+    reports nothing, global sort never appears in the plan."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.operators.metrics import feed_gap_census
+
+    base = spark.range(0, 10_000).select(F.col("id").alias("seq"))
+    # holes: single seq 123; block 4096..6143 (buckets 4 and 5 fully gone)
+    holed = base.filter(
+        (F.col("seq") != 123) & ~F.col("seq").between(4096, 6143)
+    )
+    rows = {r["bucket"]: r for r in feed_gap_census(holed, 1024).collect()}
+    assert set(rows) == {0, 4, 5}
+    assert rows[0]["n_missing"] == 1 and rows[0]["n_rows"] == 1023
+    for b in (4, 5):
+        assert rows[b]["n_missing"] == 1024 and rows[b]["n_rows"] == 0
+        assert rows[b]["seq_lo"] == b * 1024 and rows[b]["seq_hi"] == b * 1024 + 1023
+
+    # clean feed: no gap rows at all
+    assert feed_gap_census(base, 1024).count() == 0
+    # a duplicated seq is visible as negative n_missing
+    dup = base.unionAll(base.filter("seq = 7"))
+    neg = feed_gap_census(dup, 1024).collect()
+    assert len(neg) == 1 and neg[0]["n_missing"] == -1
+
+    plan = feed_gap_census(holed, 1024)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [seq" not in plan, plan  # never a global seq sort
+
+    with pytest.raises(ValueError):
+        feed_gap_census(base, bucket_size=1)
+    # empty feed: typed empty result
+    assert feed_gap_census(base.filter("seq < 0"), 1024).count() == 0
