@@ -735,23 +735,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staged as 4 time-ordered files (watermarks advance in order);
     # accumulated pairs == the batch interval join exactly.
     def _st24(spark: SparkSession, sf: str) -> DataFrame:
-        from pyspark.sql import Window as W
-
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
         from kafka_connect_mongo_spark.streaming.join_stream import (
             run_delete_latency_stream,
         )
 
+        import shutil
+
         work = tempfile.mkdtemp(prefix="cdc-joinstream-")
         staged = os.path.join(work, "feed")
+        os.makedirs(staged)
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
-        ranked = raw.withColumn(
-            "_q", F.ntile(4).over(W.orderBy("ts", "inc", "seq"))
-        )
-        for i in range(1, 5):
-            ranked.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
-                "append"
-            ).parquet(staged)
+        # ONE tagged partitioned write stages all four time-range files
+        # (the scrub_keys job-count rule: `for x: spark job` is a
+        # driver-side loop in disguise) — any time-ordered arrival gives
+        # the same join result (stream == batch within the watermark),
+        # so exact quartile bounds are staging detail, not semantics.
+        qs_ts = raw.agg(
+            F.expr("percentile(ts, array(0.25, 0.5, 0.75))").alias("q")
+        ).collect()[0]["q"]
+        tag = F.lit(0)
+        for i, b in enumerate(qs_ts):
+            tag = tag + F.when(F.col("ts") > F.lit(b), 1).otherwise(0)
+        tagged_dir = os.path.join(work, "tagged")
+        raw.withColumn("_q", tag).repartition(F.col("_q")).write.partitionBy(
+            "_q"
+        ).parquet(tagged_dir)
+        t0 = 1_600_000_000
+        for i in range(4):
+            part_dir = os.path.join(tagged_dir, f"_q={i}")
+            src = next(
+                f for f in os.listdir(part_dir) if f.startswith("part-")
+            )
+            dst = os.path.join(staged, f"batch-{i}.parquet")
+            shutil.move(os.path.join(part_dir, src), dst)
+            os.utime(dst, (t0 + i, t0 + i))
         return run_delete_latency_stream(
             spark, staged, os.path.join(work, "stream"), max_delay_s=1800
         )
