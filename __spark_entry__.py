@@ -173,6 +173,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x11_feed_gaps"] = _x11
 
+    # STREAMING gap monitor: the holed feed arrives in 3 micro-batches
+    # (seq mod 3 split — holes span batches); sum-merged bucket counts +
+    # min/max-merged bounds must reproduce x11's one-shot census.
+    def _st25(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+        from kafka_connect_mongo_spark.streaming.gap_stream import run_gap_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-gapstream-")
+        staged = os.path.join(work, "feed")
+        raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
+        holed = raw.filter(
+            (F.col("seq") % 997 != 0)
+            & ~F.col("seq").between(5000, 5599)
+        ).withColumn("_q", F.pmod(F.col("seq"), F.lit(3)).cast("int"))
+        holed.repartition(F.col("_q")).write.partitionBy("_q").parquet(staged)
+        return run_gap_stream(
+            spark, staged, os.path.join(work, "stream"), bucket_size=1024
+        )
+
+    q["st25_streaming_gaps"] = _st25
+
     q["t6_tombstone_keys"] = lambda spark, sf: lww_collapse(
         _feed(spark, sf).select("id", "ts", "inc", "seq", "op"), key="id"
     ).filter(F.col("op") == "d").select("id")
@@ -2169,6 +2190,9 @@ SELECT bucket, seq_lo, seq_hi, n_rows,
        CAST(seq_hi - seq_lo + 1 - n_rows AS BIGINT) AS n_missing
 FROM j WHERE seq_hi - seq_lo + 1 - n_rows != 0
 """.strip()
+
+    # st25: stream == batch census (x11's oracle verbatim).
+    o["st25_streaming_gaps"] = o["x11_feed_gaps"]
 
     # st24: batch twin of the watermarked interval join (from_migrate
     # rows excluded on both sides, per the stream's F1 filter).

@@ -114,6 +114,7 @@ def main() -> None:
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)
         "st23_streaming_semantic",  # streaming SemDeDup: growing accepted index, 2-batch job wall
         "st24_delete_latency",  # watermarked stream-stream interval join (4-batch job wall)
+        "st25_streaming_gaps",  # streaming continuity monitor (sum-merged census)
     ]
 
     def run_noop(df) -> None:

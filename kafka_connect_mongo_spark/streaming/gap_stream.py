@@ -1,0 +1,100 @@
+"""Streaming feed-continuity monitor: x11's gap census as a per-batch
+mergeable fold (the st17/st18 monitor discipline).
+
+Each micro-batch contributes (bucket, n_rows) range-bucket counts and a
+1-row (g_min, g_max) bounds record, both written under batch_id-keyed
+partitions with OVERWRITE — mandatory, since count sums (unlike st17's
+register max) are not idempotent under a batch retry. The read
+sum-merges counts, min/max-merges bounds, and applies EXACTLY
+``feed_gap_census``'s expected-coverage arithmetic — so the accumulated
+monitor equals the one-shot batch census over everything seen (the
+oracle), with O(seq_range / bucket_size) state regardless of stream
+length. A gap that later backfills disappears from the next read:
+counts are facts per bucket, not frozen verdicts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_gap_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    bucket_size: int = 1024,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream feed files through the gap monitor; returns the
+    accumulated (bucket, seq_lo, seq_hi, n_rows, n_missing) census."""
+    if bucket_size < 2:
+        raise ValueError(
+            f"run_gap_stream: bucket_size must be >= 2, got {bucket_size}"
+        )
+    counts_dir = os.path.join(work_dir, "bucket_counts")
+    bounds_dir = os.path.join(work_dir, "bounds")
+    schema = spark.read.parquet(feed_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seqs = batch_df.select(F.col("seq").cast("long").alias("seq"))
+        counts = seqs.groupBy(
+            F.floor(F.col("seq") / bucket_size).alias("bucket")
+        ).agg(F.count("*").alias("n_rows"))
+        bounds = seqs.agg(
+            F.min("seq").alias("g_min"), F.max("seq").alias("g_max")
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+        bounds.write.mode("overwrite").parquet(
+            os.path.join(bounds_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    empty = "bucket long, seq_lo long, seq_hi long, n_rows long, n_missing long"
+    if not os.path.isdir(counts_dir):
+        return spark.createDataFrame([], empty)
+    b = (
+        spark.read.parquet(bounds_dir)
+        .agg(F.min("g_min").alias("g_min"), F.max("g_max").alias("g_max"))
+        .collect()[0]
+    )
+    if b["g_min"] is None:
+        return spark.createDataFrame([], empty)
+    g_min, g_max = int(b["g_min"]), int(b["g_max"])
+    got = (
+        spark.read.parquet(counts_dir)
+        .groupBy("bucket")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+    all_buckets = spark.range(
+        g_min // bucket_size, g_max // bucket_size + 1
+    ).select(F.col("id").alias("bucket"))
+    lo = F.greatest(F.col("bucket") * bucket_size, F.lit(g_min))
+    hi = F.least(F.col("bucket") * bucket_size + (bucket_size - 1), F.lit(g_max))
+    return (
+        all_buckets.join(got, "bucket", "left")
+        .select(
+            "bucket",
+            lo.alias("seq_lo"),
+            hi.alias("seq_hi"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            (hi - lo + 1 - F.coalesce(F.col("n_rows"), F.lit(0)))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .filter(F.col("n_missing") != 0)
+    )

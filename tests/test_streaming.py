@@ -909,3 +909,52 @@ def test_delete_latency_stream_equals_batch_interval_join(spark, tmp_path_factor
             spark, feed, str(work / "bad2"), max_delay_s=100,
             watermark_delay_s=50,
         )
+
+
+def test_gap_stream_equals_batch_census_with_crash_retry_and_backfill(
+    spark, tmp_path_factory
+):
+    """st25: the sum-merged streamed census equals the one-shot
+    feed_gap_census across batch splits; a retried batch whose failed
+    attempt wrote garbage counts is overwritten (sum-merge is not
+    idempotent); a later BACKFILL makes the gap disappear from the
+    next read (counts are facts, not frozen verdicts)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.operators.metrics import feed_gap_census
+    from kafka_connect_mongo_spark.streaming.gap_stream import run_gap_stream
+
+    work = tmp_path_factory.mktemp("gap-stream")
+    staged = str(work / "feed")
+    mon = str(work / "mon")
+    base = spark.range(0, 8000).select(F.col("id").alias("seq"))
+    holed = base.filter(~F.col("seq").between(3000, 3499))
+
+    holed.filter("seq < 4000").coalesce(1).write.mode("append").parquet(staged)
+    run_gap_stream(spark, staged, mon, bucket_size=512)
+
+    # second file arrives; a failed attempt of its batch wrote garbage
+    holed.filter("seq >= 4000").coalesce(1).write.mode("append").parquet(staged)
+    spark.createDataFrame(
+        [(0, 99_999)], "bucket long, n_rows long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(mon, "bucket_counts", "batch_id=1")
+    )
+    got = run_gap_stream(spark, staged, mon, bucket_size=512)
+    want = feed_gap_census(holed, bucket_size=512)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+    # the missing block backfills as a late file: census goes clean
+    base.filter(F.col("seq").between(3000, 3499)).coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    after = run_gap_stream(spark, staged, mon, bucket_size=512)
+    assert after.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_gap_stream(spark, staged, str(work / "bad"), bucket_size=1)
