@@ -1677,6 +1677,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), min_count=5, top_k=50
     )
 
+    # Corpus drift report: even-id docs vs odd-id docs with planted
+    # marker tokens — log-odds top/bottom terms must surface them.
+    def _t17(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        a = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+        b = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.concat(F.col("text"), F.lit(" drifted marker")).alias("text")
+        )
+        return tx.corpus_drift(a, b, min_count=5, top_k=10)
+
+    q["t17_corpus_drift"] = _t17
+
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
         _docs(spark, sf), n_buckets=3
@@ -3920,6 +3932,27 @@ scored AS (
 SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
+""".strip()
+
+    # t17: add-one log-odds drift — identical fixed-order chain.
+    o["t17_corpus_drift"] = r"""
+WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT text || ' drifted marker' AS text FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_a
+       FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM a) GROUP BY tok),
+cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_b
+       FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM b) GROUP BY tok),
+ta AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t FROM ca),
+tb AS (SELECT CAST(sum(n_b) AS DOUBLE) AS t FROM cb),
+j AS (SELECT tok, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb USING (tok)),
+s AS (SELECT tok, n_a, n_b,
+        round(ln(((CAST(n_a AS DOUBLE) + 1.0) * (tb.t + 2.0))
+                 / ((CAST(n_b AS DOUBLE) + 1.0) * (ta.t + 2.0))), 6) AS score
+      FROM j, ta, tb WHERE n_a + n_b >= 5)
+(SELECT * FROM s ORDER BY score DESC, tok LIMIT 10)
+UNION ALL
+(SELECT * FROM s ORDER BY score ASC, tok LIMIT 10)
 """.strip()
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by

@@ -673,3 +673,64 @@ def lm_quality_buckets(
         "avg_logprob",
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    min_count: int = 5,
+    top_k: int = 40,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus drift report: the terms whose usage RATE most separates
+    two document sets (yesterday's ingest vs today's, corpus vs a new
+    source) — add-one-smoothed log-odds of per-token rates, the
+    monitoring pass that catches a source going spammy/templated/
+    off-language before it trains. Positive score = overrepresented in
+    A, negative = in B; top_k each way, ordered by (score desc, tok).
+
+    Plan shape: one map-side-combined token count per side (shuffles =
+    |vocab| rows), a full outer join of the two vocab tables (absent =
+    0 — smoothing keeps the odds finite), 1-row totals broadcast
+    (structural bound), TakeOrderedAndProject top-k per direction. The
+    count join carries no forced broadcast (the t8/t9 rule). Fixed-order
+    double chain + ln + round keeps the oracle exact. Output
+    (tok, n_a, n_b, score)."""
+    if min_count < 1:
+        raise ValueError(f"corpus_drift: min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"corpus_drift: top_k must be >= 1, got {top_k}")
+
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca = counts(docs_a, "n_a")
+    cb = counts(docs_b, "n_b")
+    na = F.broadcast(ca.agg(F.sum("n_a").cast("double").alias("ta")))
+    nb = F.broadcast(cb.agg(F.sum("n_b").cast("double").alias("tb")))
+    joined = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_a") + F.col("n_b") >= min_count)
+        .crossJoin(na)
+        .crossJoin(nb)
+    )
+    score = F.round(
+        F.log(
+            ((F.col("n_a").cast("double") + F.lit(1.0)) * (F.col("tb") + F.lit(2.0)))
+            / ((F.col("n_b").cast("double") + F.lit(1.0)) * (F.col("ta") + F.lit(2.0)))
+        ),
+        round_digits,
+    )
+    scored = joined.select("tok", "n_a", "n_b", score.alias("score"))
+    up = scored.orderBy(F.col("score").desc(), "tok").limit(top_k)
+    down = scored.orderBy(F.col("score").asc(), "tok").limit(top_k)
+    return up.unionByName(down)
