@@ -30,6 +30,7 @@ from kafka_connect_mongo_spark.model import topic_name
 from kafka_connect_mongo_spark.operators.lww import lww_collapse
 from kafka_connect_mongo_spark.operators.metrics import distinct_keys, op_counts
 from kafka_connect_mongo_spark.operators.replay import replay
+from kafka_connect_mongo_spark.pipelines import code as cd
 from kafka_connect_mongo_spark.pipelines import dedup as dd
 from kafka_connect_mongo_spark.pipelines import multimodal as mm
 from kafka_connect_mongo_spark.pipelines import similarity as sim
@@ -1688,6 +1689,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.corpus_drift(a, b, min_count=5, top_k=10)
 
     q["t17_corpus_drift"] = _t17
+
+    # --- Code-corpus hygiene (pipelines/code.py) over the snapshot -------
+    # Per-file line-shape features: one projection over the scan, zero
+    # exchanges, whole-stage codegen end-to-end.
+    q["t18_code_line_metrics"] = lambda spark, sf: cd.line_metrics(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
+    # Stack-style hygiene gate; max_line=100 is selective on this
+    # corpus's pad-line classes (the published default is 1000).
+    q["c14_stack_gate"] = lambda spark, sf: cd.stack_gate(
+        read_snapshot(spark, gen.repos_path(sf)), max_line=100
+    )
+
+    # Cross-repo type-2 clone overlap: distinct (repo, digest) equi-join
+    # on the digest — never a repo x repo product.
+    q["d15_repo_clones"] = lambda spark, sf: cd.repo_overlap(
+        read_snapshot(spark, gen.repos_path(sf)),
+        min_shared=2,
+        fingerprint=cd.normalized_fingerprint(),
+    )
 
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
@@ -3953,6 +3975,41 @@ s AS (SELECT tok, n_a, n_b,
 (SELECT * FROM s ORDER BY score DESC, tok LIMIT 10)
 UNION ALL
 (SELECT * FROM s ORDER BY score ASC, tok LIMIT 10)
+""".strip()
+
+    # t18/c14: per-file line metrics + Stack gate — list lambdas mirror
+    # the Column transforms; ratios rounded to 6 on both sides.
+    _t18_body = f"""
+WITH L AS (SELECT _id, repo, path, lang, content,
+  list_filter(string_split(content, chr(10)), x -> length(x) > 0) AS ls
+  FROM read_parquet('{rp}'))
+SELECT _id, repo, path, lang,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
+  round(CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE)/len(ls), 6) AS avg_line_len,
+  round(CAST(length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)/length(content), 6) AS alnum_frac,
+  round(CAST(len(list_filter(ls, x -> regexp_matches(x, '^\\s*#'))) AS DOUBLE)/len(ls), 6) AS comment_ratio
+FROM L
+""".strip()
+    o["t18_code_line_metrics"] = _t18_body
+    o["c14_stack_gate"] = (
+        f"SELECT * FROM ({_t18_body}) WHERE max_line_len <= 100 "
+        "AND avg_line_len <= 100.0 AND alnum_frac >= 0.25"
+    )
+
+    # d15: type-2 clone overlap — digit runs masked before hashing,
+    # Jaccard over each repo's digest set.
+    o["d15_repo_clones"] = f"""
+WITH f AS (SELECT DISTINCT repo,
+             sha256(regexp_replace(content, '[0-9]+', '0', 'g')) AS digest
+           FROM read_parquet('{rp}')),
+sz AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY repo),
+p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN f b ON a.digest = b.digest AND a.repo < b.repo GROUP BY 1, 2)
+SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+  round(CAST(p.n_shared AS DOUBLE)/(sa.n + sb.n - p.n_shared), 6) AS jaccard
+FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b
+WHERE p.n_shared >= 2
 """.strip()
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by

@@ -1,0 +1,132 @@
+"""Code-corpus hygiene operators (pipelines/code.py): line metrics,
+Stack gate, cross-repo clone overlap."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.pipelines import code as cd
+
+
+def _repos(spark, rows):
+    return spark.createDataFrame(
+        rows, "_id string, repo string, path string, lang string, content string"
+    )
+
+
+def _scan_only(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("ExistingRDD")
+        + plan.count("FileScan")
+        + plan.count("LocalTableScan")
+        == 1
+    ), plan
+    assert "Exchange" not in plan, plan
+
+
+def test_line_metrics_values(spark):
+    # trailing newline contributes no phantom line; blank line skipped
+    out = cd.line_metrics(
+        _repos(
+            spark,
+            [("1", "r", "a.py", "py", "ab\n# c\n\nabcd\n")],
+        )
+    ).first()
+    assert out["n_lines"] == 3
+    assert out["max_line_len"] == 4
+    assert out["avg_line_len"] == round((2 + 3 + 4) / 3, 6)
+    # alnum over the RAW content incl. newlines: a,b,c,a,b,c,d = 7 of 13
+    assert out["alnum_frac"] == round(7 / 13, 6)
+    assert out["comment_ratio"] == round(1 / 3, 6)
+
+
+def test_line_metrics_single_scan_no_exchange(spark):
+    _scan_only(cd.line_metrics(_repos(spark, [("1", "r", "p", "py", "x")])))
+
+
+def test_stack_gate_drops_each_class(spark):
+    rows = [
+        ("ok", "r", "a", "py", "def f():\n    return 1\n"),
+        ("longline", "r", "b", "js", "x" * 2000),
+        ("lowalnum", "r", "c", "txt", "@@ ##" * 10),
+    ]
+    kept = [r["_id"] for r in cd.stack_gate(_repos(spark, rows)).collect()]
+    assert kept == ["ok"]
+    _scan_only(cd.stack_gate(_repos(spark, rows)))
+
+
+def test_normalized_fingerprint_masks_digit_runs(spark):
+    df = _repos(
+        spark,
+        [
+            ("1", "r", "a", "py", "x = 123; y = 9"),
+            ("2", "r", "b", "py", "x = 45; y = 777"),
+            ("3", "r", "c", "py", "x = 45; z = 777"),
+        ],
+    ).select("_id", cd.normalized_fingerprint().alias("fp"))
+    fps = {r["_id"]: r["fp"] for r in df.collect()}
+    assert fps["1"] == fps["2"]  # type-2 clones collapse
+    assert fps["1"] != fps["3"]
+
+
+def test_repo_overlap_exact_jaccard(spark):
+    # A = {f1,f2,f3}, B = {f1,f2,f4}, C = {f9}
+    rows = [
+        ("1", "A", "p1", "py", "f1"),
+        ("2", "A", "p2", "py", "f2"),
+        ("3", "A", "p3", "py", "f3"),
+        ("4", "B", "q1", "py", "f1"),
+        ("5", "B", "q2", "py", "f2"),
+        ("6", "B", "q4", "py", "f4"),
+        ("7", "C", "z", "py", "f9"),
+        # duplicate path inside A with identical content: distinct() dedups
+        ("8", "A", "p1b", "py", "f1"),
+    ]
+    got = cd.repo_overlap(_repos(spark, rows), min_shared=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["repo_a"], r["repo_b"]) == ("A", "B")
+    assert r["n_shared"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["jaccard"] == round(2 / 4, 6)
+
+
+def test_repo_overlap_boilerplate_cap(spark):
+    # LICENSE in all three repos; real shared pair only between A and B.
+    rows = []
+    for i, repo in enumerate(["A", "B", "C"]):
+        rows.append((f"l{i}", repo, "LICENSE", "txt", "mit license"))
+    rows += [
+        ("a1", "A", "x", "py", "s1"),
+        ("a2", "A", "y", "py", "s2"),
+        ("b1", "B", "x", "py", "s1"),
+        ("b2", "B", "y", "py", "s2"),
+        ("c1", "C", "z", "py", "other"),
+    ]
+    df = _repos(spark, rows)
+    # uncapped: license pairs everyone; capped at 2: only the real pair,
+    # and the license digest leaves the set SIZES too (exact capped Jaccard)
+    uncapped = cd.repo_overlap(df, min_shared=1)
+    assert uncapped.count() == 3
+    capped = cd.repo_overlap(df, min_shared=1, max_repos_per_digest=2).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["repo_a"], r["repo_b"], r["n_shared"]) == ("A", "B", 2)
+    assert r["n_a"] == 2 and r["n_b"] == 2  # license excluded from sizes
+    assert r["jaccard"] == 1.0
+
+
+def test_repo_overlap_no_cartesian_product(spark):
+    rows = [("1", "A", "p", "py", "f1"), ("2", "B", "q", "py", "f1")]
+    df = cd.repo_overlap(_repos(spark, rows), min_shared=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repo_overlap_validation(spark):
+    df = _repos(spark, [("1", "A", "p", "py", "x")])
+    with pytest.raises(ValueError, match="min_shared"):
+        cd.repo_overlap(df, min_shared=0)
+    with pytest.raises(ValueError, match="max_repos_per_digest"):
+        cd.repo_overlap(df, max_repos_per_digest=1)
