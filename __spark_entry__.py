@@ -1105,6 +1105,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st21_bucket_evolution"] = _st21
 
+    def _st26(spark: SparkSession, sf: str) -> DataFrame:
+        """Write-audit-publish lifecycle: even half lands on main, odd
+        half stages on a WAP branch (re-delivery of the even batch is
+        skipped there — the branch inherits main's committed set), an
+        audit runs against the STAGED merge-on-read state while main
+        still serves the even half, then one atomic fast-forward
+        publishes. Final read = plain full-feed LWW state."""
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-wap-",
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
+        f1 = os.path.join(staged, "f1.parquet")
+        parked = os.path.join(work, "f1.parked")
+        stat = os.stat(f1)
+        os.replace(f1, parked)  # odd half not yet arrived
+        root = os.path.join(work, "lake")
+        table = LakeTable(spark, root, n_buckets=16, payload_col="object")
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt1"),
+            max_files_per_trigger=1,
+        )
+        table.wap_begin("audit")
+        br = table.branch("audit")
+        os.replace(parked, f1)
+        os.utime(f1, (stat.st_atime, stat.st_mtime))
+        run_replay_stream(
+            spark, staged, br, os.path.join(work, "ckpt2"),
+            max_files_per_trigger=1,
+        )
+        # The audit, against the staged state only: the stream must have
+        # made monotone progress and main must still be pre-publish.
+        main = LakeTable(spark, root)
+        staged_max = br.read().agg(F.max("seq")).first()[0]
+        main_max = main.read().agg(F.max("seq")).first()[0]
+        if staged_max is None or staged_max < main_max:
+            raise RuntimeError(
+                f"WAP audit failed: staged max seq {staged_max} < main "
+                f"{main_max}"
+            )
+        main.wap_publish("audit")
+        return LakeTable(spark, root).read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st26_wap_lifecycle"] = _st26
+
     # Safe type widening (Iceberg schema-evolution promotions): batch 0
     # writes a metric column as INT, batch 1 widens it to LONG. The
     # commit casts narrow batches up, reads apply the committed (wide)
@@ -1709,6 +1760,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf)),
         min_shared=2,
         fingerprint=cd.normalized_fingerprint(),
+    )
+
+    # Module-dependency census over the planted import graph: edges are
+    # produced inside the scan projection (regexp_extract_all + explode),
+    # the census shuffle carries |modules| rows.
+    q["g1_import_degree"] = lambda spark, sf: cd.module_degree(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
+    # Per-repo import profile; zero-import repos appear with zeros.
+    q["g2_repo_imports"] = lambda spark, sf: cd.repo_imports(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
+    # Corpus secret census (lang x secret type, zeros included); the
+    # regexes are gated behind literal contains() prefilters.
+    q["c15_secret_census"] = lambda spark, sf: cd.secret_census(
+        read_snapshot(spark, gen.repos_path(sf))
     )
 
     # CCNet head/middle/tail: per-language LM-score terciles.
@@ -3526,6 +3595,11 @@ SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
 """.strip()
 
+    # st26: WAP staging is read-path-invisible bookkeeping — after the
+    # odd half is staged on a branch, audited, and published, the live
+    # table is the plain full-feed LWW state (st21's oracle verbatim).
+    o["st26_wap_lifecycle"] = o["st21_bucket_evolution"]
+
     # st22: widening is value-preserving — the final state is the plain
     # LWW oracle with metric = seq%1000 (+2^40 on odd-seq, long-typed).
     o["st22_type_widening"] = f"""
@@ -4010,6 +4084,61 @@ SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
   round(CAST(p.n_shared AS DOUBLE)/(sa.n + sb.n - p.n_shared), 6) AS jaccard
 FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b
 WHERE p.n_shared >= 2
+""".strip()
+
+    # g1/g2: import graph — identical RE2-safe pattern both engines;
+    # src module = parent dir, dst = top-level dotted segment.
+    _imp_edges = f"""
+SELECT repo, path,
+  string_split(t, '.')[1] AS dst_module
+FROM (SELECT repo, path,
+        unnest(regexp_extract_all(content,
+          '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+      FROM read_parquet('{rp}'))
+""".strip()
+    o["g1_import_degree"] = f"""
+SELECT dst_module,
+  CAST(count(*) AS BIGINT) AS n_imports,
+  CAST(count(DISTINCT repo || chr(1) || path) AS BIGINT) AS n_files,
+  CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+FROM ({_imp_edges}) GROUP BY 1
+""".strip()
+    o["g2_repo_imports"] = f"""
+WITH fl AS (SELECT repo, CAST(count(DISTINCT path) AS BIGINT) AS n_files
+            FROM read_parquet('{rp}') GROUP BY 1),
+ag AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_imports,
+         CAST(count(DISTINCT dst_module) AS BIGINT) AS n_modules
+       FROM ({_imp_edges}) GROUP BY 1)
+SELECT fl.repo, fl.n_files,
+  coalesce(ag.n_imports, 0) AS n_imports,
+  coalesce(ag.n_modules, 0) AS n_modules,
+  round(CAST(coalesce(ag.n_imports, 0) AS DOUBLE) / fl.n_files, 6)
+    AS import_density
+FROM fl LEFT JOIN ag ON ag.repo = fl.repo
+""".strip()
+
+    # c15: secret census — literal gate replicated so hit counts agree
+    # even if a regex engine disagreed on a gated-out row.
+    _sec_hits = f"""
+SELECT lang,
+  CASE WHEN contains(content, 'AKIA')
+    THEN len(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}')) ELSE 0 END AS aws_key,
+  CASE WHEN contains(content, '-----BEGIN ')
+    THEN len(regexp_extract_all(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----')) ELSE 0 END AS private_key,
+  CASE WHEN contains(content, 'ghp_')
+    THEN len(regexp_extract_all(content, 'ghp_[A-Za-z0-9]{{36}}')) ELSE 0 END AS github_token
+FROM read_parquet('{rp}')
+""".strip()
+    o["c15_secret_census"] = f"""
+WITH h AS ({_sec_hits}),
+u AS (
+  SELECT lang, 'aws_key' AS secret, aws_key AS hits FROM h
+  UNION ALL SELECT lang, 'private_key', private_key FROM h
+  UNION ALL SELECT lang, 'github_token', github_token FROM h)
+SELECT lang, secret,
+  CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_files,
+  CAST(sum(hits) AS BIGINT) AS n_hits
+FROM u GROUP BY 1, 2
 """.strip()
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by

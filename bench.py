@@ -93,6 +93,8 @@ def main() -> None:
         "t18_code_line_metrics",  # per-file line-shape features (1 scan, 0 exch)
         "c14_stack_gate",       # Stack hygiene filter inside the same scan
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)
+        "g1_import_degree",     # module popularity census (scan-local edges)
+        "c15_secret_census",    # gated-regex secret audit (1 scan + tiny agg)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per
@@ -114,6 +116,7 @@ def main() -> None:
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
+        "st26_wap_lifecycle",   # WAP: stage on branch, audit, fast-forward publish
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)
         "st23_streaming_semantic",  # streaming SemDeDup: growing accepted index, 2-batch job wall

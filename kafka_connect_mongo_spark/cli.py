@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> None:
     ps.add_argument("--metrics", default=None)
     ps.add_argument("--quarantine", default=None,
                     help="dead-letter dir: park unparseable payloads instead of merging")
+    ps.add_argument("--wap-branch", default=None,
+                    help="stage every batch on this WAP branch instead of "
+                    "main (create it first with `wap --begin`); main "
+                    "readers see nothing until `wap --publish`")
 
     pe = sub.add_parser("export", help="one-shot initial import (ExportReader analog)")
     pe.add_argument("--snapshot", required=True)
@@ -115,6 +119,19 @@ def main(argv: list[str] | None = None) -> None:
     ptag.add_argument("--name", default=None)
     ptag.add_argument("--batch", default=None, help="batch id to tag")
     ptag.add_argument("--drop", action="store_true")
+
+    pwap = sub.add_parser(
+        "wap",
+        help="write-audit-publish branches (Iceberg WAP): --begin stages "
+        "a branch, `stream --wap-branch` writes to it, audits read it, "
+        "--publish fast-forwards main atomically, --abort drops it",
+    )
+    pwap.add_argument("--table", required=True, help="lake table root")
+    pwap.add_argument("--name", default=None, help="branch name")
+    g = pwap.add_mutually_exclusive_group()
+    g.add_argument("--begin", action="store_true")
+    g.add_argument("--publish", action="store_true")
+    g.add_argument("--abort", action="store_true")
 
     pdd = sub.add_parser(
         "describe",
@@ -320,6 +337,8 @@ def main(argv: list[str] | None = None) -> None:
         from .streaming.replay_stream import run_replay_stream
 
         table = LakeTable(spark, args.table, n_buckets=args.buckets, payload_col="object")
+        if args.wap_branch:
+            table = table.branch(args.wap_branch)
         stats = run_replay_stream(
             spark,
             args.oplog,
@@ -401,6 +420,23 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit("tag: pass --batch to create or --drop")
         else:
             print(json.dumps({"tags": table.meta.get("tags", {})}))
+    elif args.cmd == "wap":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        if args.begin:
+            print(json.dumps(table.wap_begin(args.name or "")))
+        elif args.publish:
+            print(json.dumps(table.wap_publish(args.name or "")))
+        elif args.abort:
+            print(json.dumps(table.wap_abort(args.name or "")))
+        else:
+            print(json.dumps({
+                "branches": {
+                    n: {"staged_batches": b.get("batch_ids", [])}
+                    for n, b in table.meta.get("branches", {}).items()
+                }
+            }))
     elif args.cmd == "describe":
         from .sinks.lake import LakeTable
 

@@ -174,6 +174,7 @@ class LakeTable:
         self.root = root
         self.key = key
         self.max_deltas = max_deltas
+        self._branch: str | None = None  # WAP branch this handle writes
         self._meta_path = os.path.join(root, META_NAME)
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
@@ -224,6 +225,41 @@ class LakeTable:
             }
 
     # -- commit machinery ----------------------------------------------------
+
+    def _state(self) -> dict:
+        """The active ref's mutable state (``buckets`` +
+        ``committed_watermark`` + ``committed_extra``): the main table,
+        or the WAP branch this handle was opened on. Everything that
+        reads or writes CURRENT state goes through here so a branch
+        handle stages commits without main readers seeing a byte."""
+        if self._branch is None:
+            return self.meta
+        br = self.meta.get("branches", {}).get(self._branch)
+        if br is None:
+            raise ValueError(
+                f"lake table {self.root!r}: WAP branch {self._branch!r} "
+                f"no longer exists (published or aborted); reopen the table"
+            )
+        return br
+
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(
+                f"{op}: not available on WAP branch {self._branch!r} — "
+                f"branches stage upserts only; run maintenance and "
+                f"snapshot operations on the main table handle"
+            )
+
+    def _branch_referenced(self) -> set[str]:
+        """Abs paths referenced by any live WAP branch — protected from
+        post-commit cleanup and vacuum while the branch exists."""
+        out: set[str] = set()
+        for br in self.meta.get("branches", {}).values():
+            for b, state in br.get("buckets", {}).items():
+                out.update(
+                    os.path.abspath(p) for p in self._bucket_paths(b, state)
+                )
+        return out
 
     def _write_meta(self) -> None:
         """Optimistic check-and-swap commit: under a short O_EXCL lock,
@@ -315,7 +351,7 @@ class LakeTable:
         """Distinct bucket counts with live data, current layout first."""
         seen = {self.n_buckets}
         out = [self.n_buckets]
-        for k in self.meta["buckets"]:
+        for k in self._state()["buckets"]:
             n, _ = self._layout_of(k)
             if n not in seen:
                 seen.add(n)
@@ -341,15 +377,16 @@ class LakeTable:
 
     def _current_paths(self) -> list[str]:
         out: list[str] = []
-        for b, state in self.meta["buckets"].items():
+        for b, state in self._state()["buckets"].items():
             out.extend(self._bucket_paths(b, state))
         return out
 
     def is_committed(self, batch_id: int | str) -> bool:
+        st = self._state()
         try:
-            return int(batch_id) <= self.meta["committed_watermark"]
+            return int(batch_id) <= st["committed_watermark"]
         except (TypeError, ValueError):
-            return str(batch_id) in self.meta["committed_extra"]
+            return str(batch_id) in st["committed_extra"]
 
     def mark_committed(self, batch_id: int | str) -> None:
         """Commit a data-less marker (e.g. 'bootstrap finished' after all
@@ -361,12 +398,19 @@ class LakeTable:
         self._write_meta()
 
     def _record_commit(self, batch_id: int | str, affected: list[int]) -> None:
+        st = self._state()
         try:
-            self.meta["committed_watermark"] = max(
-                self.meta["committed_watermark"], int(batch_id)
+            st["committed_watermark"] = max(
+                st["committed_watermark"], int(batch_id)
             )
         except (TypeError, ValueError):
-            self.meta["committed_extra"].append(str(batch_id))
+            st["committed_extra"].append(str(batch_id))
+        if self._branch is not None:
+            # Branch commits stage: remember the ids for the publish
+            # record, but the MAIN snapshot log stays untouched until
+            # wap_publish folds the branch in as one visible commit.
+            st.setdefault("batch_ids", []).append(str(batch_id))
+            return
         # Each snapshot carries the FULL bucket state (base gen + delta
         # list) as of this commit — what makes read_as_of() possible.
         # O(n_buckets) per entry, capped at 50 entries: bounded meta.
@@ -532,19 +576,30 @@ class LakeTable:
             dst = os.path.join(self._bucket_dir(bkey), delta_name)
             os.makedirs(self._bucket_dir(bkey), exist_ok=True)
             os.replace(os.path.join(staging, entry), dst)
-            state = self.meta["buckets"].setdefault(bkey, {"base": None, "deltas": []})
+            state = self._state()["buckets"].setdefault(
+                bkey, {"base": None, "deltas": []}
+            )
             state["deltas"] = state["deltas"] + [delta_name]
         shutil.rmtree(staging, ignore_errors=True)
 
-        # LSM-style maintenance: collapse buckets whose delta chain got long.
-        compacted, obsolete = self._compact_full_buckets()
+        # LSM-style maintenance: collapse buckets whose delta chain got
+        # long. NOT on a WAP branch: the branch cloned main's bucket
+        # state, so compacting there would delete file groups the main
+        # table still references.
+        if self._branch is None:
+            compacted, obsolete = self._compact_full_buckets()
+        else:
+            compacted, obsolete = 0, []
 
         self._record_commit(batch_id, affected)
         self._write_meta()
 
-        # Post-commit cleanup (crash-safe: meta no longer references these).
+        # Post-commit cleanup (crash-safe: meta no longer references
+        # these) — minus groups a live WAP branch still reads.
+        protected = self._branch_referenced()
         for path in obsolete:
-            shutil.rmtree(path, ignore_errors=True)
+            if os.path.abspath(path) not in protected:
+                shutil.rmtree(path, ignore_errors=True)
 
         return {
             "batch_id": str(batch_id),
@@ -781,7 +836,7 @@ class LakeTable:
             buckets = self._keys_and_buckets(keys or [])[1]
         out: list[str] = []
         for b in buckets:
-            state = self.meta["buckets"].get(str(b))
+            state = self._state()["buckets"].get(str(b))
             if state:
                 out.extend(self._bucket_paths(str(b), state))
         return out
@@ -836,6 +891,7 @@ class LakeTable:
         plain current read, no snapshot resolution (the common case:
         zero overhead when nothing lags). Same retention contract as
         ``read_as_of``: an expired snapshot raises loudly."""
+        self._require_main("read_as_of_watermark")
         if self.meta["committed_watermark"] <= cut:
             return self.read(include_tombstones=include_tombstones)
         best: dict | None = None
@@ -878,6 +934,7 @@ class LakeTable:
         The window then sorts only the touched keys' versions instead
         of the whole table — the lever that keeps per-micro-batch
         changelog maintenance O(batch), not O(table)."""
+        self._require_main("read_as_of")
         snap = self._snapshot_for(batch_id, "read_as_of")
         paths: list[str] = []
         for b, state in snap["state"].items():
@@ -914,6 +971,7 @@ class LakeTable:
         values come from the newer snapshot when it has them (so a
         deleted key reports the DELETE event's ts/seq), falling back to
         the older one. Same retention contract as ``read_as_of``."""
+        self._require_main("snapshot_diff")
         j, cols, alive_a, alive_b, ord_a, ord_b = self._diff_joined(
             from_batch, to_batch
         )
@@ -1005,6 +1063,7 @@ class LakeTable:
         state in both snapshots and nets zero images, so the restriction
         is lossless while making the diff's window + join cost O(touched
         keys' versions) instead of O(table) per micro-batch."""
+        self._require_main("changelog_rows")
         j, cols, alive_a, alive_b, ord_a, ord_b = self._diff_joined(
             from_batch, to_batch, keys=keys
         )
@@ -1047,6 +1106,7 @@ class LakeTable:
         Same retention contract as ``read_as_of``: compaction folds
         deltas into a new base generation, after which the interval is
         no longer reconstructable from deltas and this raises loudly."""
+        self._require_main("read_changes")
         snaps = {s["batch_id"]: s for s in self.meta["snapshots"]}
         lo, hi = snaps.get(str(from_batch)), snaps.get(str(to_batch))
         for want, got in ((from_batch, lo), (to_batch, hi)):
@@ -1109,6 +1169,7 @@ class LakeTable:
         for EVERY z-order column at once — a lexicographic sort gives
         its first column everything and later columns nothing.
         Takes precedence over ``sort_by`` when both are declared."""
+        self._require_main("compact")
         for which, cols in (("sort_by", sort_by), ("zorder_by", zorder_by)):
             if not cols:
                 continue
@@ -1138,8 +1199,10 @@ class LakeTable:
         for b in list(self.meta["buckets"]):
             obsolete.extend(self._compact_bucket(b, purge_tombstones=True))
         self._write_meta()
+        protected = self._branch_referenced()
         for path in obsolete:
-            shutil.rmtree(path, ignore_errors=True)
+            if os.path.abspath(path) not in protected:
+                shutil.rmtree(path, ignore_errors=True)
 
     def describe(self) -> dict:
         """Metadata-table report (the Iceberg ``files``/``snapshots``
@@ -1226,6 +1289,7 @@ class LakeTable:
           worth the rewrite.
 
         Metadata-only: commits via the normal check-and-swap."""
+        self._require_main("evolve_bucket_layout")
         if new_n_buckets < 1:
             raise ValueError(
                 f"evolve_bucket_layout: n_buckets must be >= 1, got "
@@ -1262,6 +1326,7 @@ class LakeTable:
         atomic cutover). Cost is O(old-layout bytes), incremental per
         call only in the sense that untouched CURRENT-layout data is
         never read; call it from the maintenance writer like compact."""
+        self._require_main("migrate_layout")
         legacy = [
             bkey
             for bkey in self.meta["buckets"]
@@ -1337,6 +1402,14 @@ class LakeTable:
 
         Returns an audit receipt: buckets rewritten, version rows
         erased, snapshots expired, file groups removed."""
+        self._require_main("scrub_keys")
+        if self.meta.get("branches"):
+            raise ValueError(
+                f"scrub_keys: live WAP branch(es) "
+                f"{sorted(self.meta['branches'])} still reference "
+                f"pre-scrub files — erasure must reach every ref, so "
+                f"publish or abort them first"
+            )
         if not keys:
             raise ValueError("scrub_keys: empty deletion list")
         typed, buckets = self._keys_and_buckets(keys)
@@ -1498,6 +1571,7 @@ class LakeTable:
         Corrected data must arrive under NEW batch ids; rewinding the
         watermark would instead re-apply every retried batch twice on
         the next restart."""
+        self._require_main("rollback")
         snap = self._snapshot_for(batch_id, "rollback")
         self.meta["buckets"] = {
             b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
@@ -1519,6 +1593,7 @@ class LakeTable:
         anchor ('the table as shipped in release X'). The tag resolves
         through ``read_tag``; ``drop_tag`` releases it back to normal
         retention. Commits through the usual check-and-swap."""
+        self._require_main("tag")
         if not name or "/" in name:
             raise ValueError(f"tag: invalid tag name {name!r}")
         self._snapshot_for(batch_id, "tag")  # must be retained + on disk
@@ -1534,6 +1609,7 @@ class LakeTable:
 
     def read_tag(self, name: str, include_tombstones: bool = False) -> DataFrame:
         """Read the snapshot a tag points at (``read_as_of`` by name)."""
+        self._require_main("read_tag")
         tags = self.meta.get("tags", {})
         if name not in tags:
             raise ValueError(
@@ -1544,6 +1620,7 @@ class LakeTable:
         )
 
     def drop_tag(self, name: str) -> dict:
+        self._require_main("drop_tag")
         tags = self.meta.get("tags", {})
         if name not in tags:
             raise ValueError(
@@ -1552,6 +1629,122 @@ class LakeTable:
         batch = tags.pop(name)
         self._write_meta()
         return {"dropped": name, "batch_id": batch}
+
+    # -- write-audit-publish (Iceberg WAP branches) ----------------------
+    #
+    # The quality-gate workflow a production CDC ingest runs: stage a
+    # batch (or several) on an isolated branch ref, run the audit queries
+    # against the STAGED state (read() on the branch handle — full MoR
+    # semantics), then either publish (one atomic fast-forward of main)
+    # or abort (drop the ref; vacuum reclaims the staged files). Main
+    # readers never see an unaudited byte. Mirrors Iceberg's
+    # `spark.wap.branch` staging; the reference connector has no analog —
+    # this is sink-side governance the engine adds (SURVEY.md §6).
+
+    def wap_begin(self, name: str) -> dict:
+        """Create WAP branch ``name`` from the current table state.
+
+        The branch clones the bucket state and the committed-batch
+        watermark (a batch already on main is 'committed' on the branch
+        too — exactly-once survives the detour through staging), and
+        records the base state for the publish-time divergence check."""
+        self._require_main("wap_begin")
+        if not name or "/" in name:
+            raise ValueError(f"wap_begin: invalid branch name {name!r}")
+        branches = self.meta.setdefault("branches", {})
+        if name in branches:
+            raise ValueError(
+                f"wap_begin: branch {name!r} already exists "
+                f"(publish or abort it first)"
+            )
+        clone = {
+            b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
+            for b, s in self.meta["buckets"].items()
+        }
+        branches[name] = {
+            "buckets": clone,
+            "base_buckets": json.loads(json.dumps(clone)),
+            "committed_watermark": self.meta["committed_watermark"],
+            "committed_extra": list(self.meta["committed_extra"]),
+            "batch_ids": [],
+        }
+        self._write_meta()
+        return {"branch": name, "generation": self._generation}
+
+    def branch(self, name: str) -> "LakeTable":
+        """A handle whose ``upsert``/``read``/``read_for_keys`` operate
+        on WAP branch ``name``. Fresh meta load — the main handle and
+        the branch handle contend through the usual commit CAS."""
+        t = LakeTable(self.spark, self.root)
+        if name not in t.meta.get("branches", {}):
+            raise ValueError(
+                f"branch: unknown WAP branch {name!r} "
+                f"(have: {sorted(t.meta.get('branches', {}))})"
+            )
+        t._branch = name
+        return t
+
+    def wap_publish(self, name: str) -> dict:
+        """Atomically fast-forward main to the branch state (the audit
+        passed). Refuses if main advanced since ``wap_begin`` — this
+        build ships fast-forward-only publish, not rebase: a diverged
+        branch must be aborted and restaged (Iceberg's
+        ``fast_forward`` procedure has the same precondition). The
+        publish is ONE commit: one snapshot record, every staged batch
+        id folded into main's committed set."""
+        self._require_main("wap_publish")
+        br = self.meta.get("branches", {}).get(name)
+        if br is None:
+            raise ValueError(
+                f"wap_publish: unknown WAP branch {name!r} "
+                f"(have: {sorted(self.meta.get('branches', {}))})"
+            )
+        if self.meta["buckets"] != br["base_buckets"]:
+            raise ConcurrentWriteError(
+                f"wap_publish: main advanced since branch {name!r} was "
+                f"created — fast-forward impossible; abort the branch "
+                f"and restage its batches on a fresh one"
+            )
+        self.meta["buckets"] = {
+            b: {"base": s.get("base"), "deltas": list(s.get("deltas", []))}
+            for b, s in br["buckets"].items()
+        }
+        try:
+            self.meta["committed_watermark"] = max(
+                self.meta["committed_watermark"],
+                int(br["committed_watermark"]),
+            )
+        except (TypeError, ValueError):
+            pass
+        for x in br["committed_extra"]:
+            if x not in self.meta["committed_extra"]:
+                self.meta["committed_extra"].append(x)
+        published = list(br.get("batch_ids", []))
+        del self.meta["branches"][name]
+        marker = f"wap-publish-{name}-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        return {
+            "published": name,
+            "batches": published,
+            "commit": marker,
+            "generation": self._generation,
+        }
+
+    def wap_abort(self, name: str) -> dict:
+        """Drop branch ``name`` without publishing (the audit failed).
+        Metadata-only: the staged delta files become unreferenced and
+        ``vacuum`` reclaims them after the grace window."""
+        self._require_main("wap_abort")
+        branches = self.meta.get("branches", {})
+        if name not in branches:
+            raise ValueError(
+                f"wap_abort: unknown WAP branch {name!r} "
+                f"(have: {sorted(branches)})"
+            )
+        staged = branches.pop(name).get("batch_ids", [])
+        self._write_meta()
+        return {"aborted": name, "staged_batches": staged}
 
     # -- bloom-filter data skipping (Iceberg puffin analog) -------------
 
@@ -1596,6 +1789,7 @@ class LakeTable:
         (k ``xxhash64(col, seed)`` positions per row, grouped by file,
         files mapped to their bucket group dirs); the sidecar is
         metadata-scale (|buckets| x bits/8 bytes)."""
+        self._require_main("build_blooms")
         if bits < 8 or bits & (bits - 1):
             raise ValueError(f"build_blooms: bits must be a power of two >= 8, got {bits}")
         if k < 1:
@@ -1663,6 +1857,7 @@ class LakeTable:
         conservatively). The probe value is hashed with the writer's
         own expression after casting through the committed column type
         (the ``_keys_and_buckets`` discipline)."""
+        self._require_main("bloom_prune")
         ctype = self._col_type(col)
         if value is None:
             raise ValueError("bloom_prune: cannot probe NULL")
@@ -1716,6 +1911,7 @@ class LakeTable:
         whose bloom proves the value absent are never opened; stale
         buckets read conservatively. Result == ``read().filter(col =
         value)`` always — the bloom moves cost, never rows."""
+        self._require_main("read_where_equals")
         info = self.bloom_prune(col, value)
         buckets = info["read"] + info["stale"]
         paths = self._paths_for_keys(buckets=buckets)
@@ -1736,6 +1932,7 @@ class LakeTable:
         by NO retained snapshot are reclaimed by ``vacuum()``. TAGGED
         snapshots are exempt (Iceberg ref retention): they stay, and so
         do their files, until the tag is dropped."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError(
                 f"expire_snapshots: keep_last must be >= 1, got {keep_last}"
@@ -1770,12 +1967,16 @@ class LakeTable:
         window a vacuum racing an upsert would delete its in-flight
         files. Maintenance op: run it like ``compact``, from the single
         maintenance writer."""
+        self._require_main("vacuum")
         referenced = {os.path.abspath(p) for p in self._current_paths()}
         for s in self.meta["snapshots"]:
             for b, state in s.get("state", {}).items():
                 referenced.update(
                     os.path.abspath(p) for p in self._bucket_paths(b, state)
                 )
+        # Live WAP branches are refs too (Iceberg ref-aware orphan scan):
+        # their staged deltas AND their cloned view of main's files stay.
+        referenced.update(self._branch_referenced())
         now = time.time()
         removed: list[str] = []
         kept = 0

@@ -1,0 +1,223 @@
+"""Write-audit-publish branches (Iceberg WAP): staged upserts invisible
+to main, atomic fast-forward publish, abort + vacuum reclaim, divergence
+refusal, maintenance guards, file protection under main-side compaction."""
+
+import json
+
+import pytest
+
+from kafka_connect_mongo_spark.sinks.lake import ConcurrentWriteError, LakeTable
+
+from test_lake import ev, key, mk
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    return LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+
+
+def _vals(t, **kw):
+    return {
+        r["id"]: json.loads(r["object"])["v"] for r in t.read(**kw).collect()
+    }
+
+
+def test_wap_stage_audit_publish(table, spark):
+    table.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0
+    )
+    table.wap_begin("audit-1")
+    br = table.branch("audit-1")
+    br.upsert(
+        mk(
+            spark,
+            [
+                ev(200, 0, 1, "u", "t.a", key(1), {"_id": key(1), "v": 2}),
+                ev(200, 1, 2, "i", "t.a", key(2), {"_id": key(2), "v": 9}),
+            ],
+        ),
+        1,
+    )
+    # audit view: staged state on the branch, untouched state on main
+    assert _vals(br) == {key(1): 2, key(2): 9}
+    main = LakeTable(spark, table.root)
+    assert _vals(main) == {key(1): 1}
+
+    receipt = main.wap_publish("audit-1")
+    assert receipt["batches"] == ["1"]
+    assert _vals(LakeTable(spark, table.root)) == {key(1): 2, key(2): 9}
+
+
+def test_wap_publish_is_exactly_once_on_main(table, spark):
+    table.wap_begin("b")
+    br = table.branch("b")
+    batch = mk(spark, [ev(100, 0, 0, "i", "t.a", key(5), {"_id": key(5), "v": 5})])
+    br.upsert(batch, 3)
+    assert br.upsert(batch, 3)["skipped"]  # idempotent on the branch
+    main = LakeTable(spark, table.root)
+    main.wap_publish("b")
+    main = LakeTable(spark, table.root)
+    assert main.upsert(batch, 3)["skipped"]  # and after publish, on main
+    assert _vals(main) == {key(5): 5}
+
+
+def test_wap_abort_and_vacuum_reclaim(table, spark):
+    table.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0
+    )
+    table.wap_begin("bad")
+    br = table.branch("bad")
+    br.upsert(
+        mk(spark, [ev(200, 0, 1, "u", "t.a", key(1), {"_id": key(1), "v": 666})]), 1
+    )
+    main = LakeTable(spark, table.root)
+    main.wap_abort("bad")
+    main = LakeTable(spark, table.root)
+    assert _vals(main) == {key(1): 1}
+    # the staged delta is unreferenced now; vacuum with no grace sweeps it
+    swept = main.vacuum(older_than_seconds=0.0)
+    assert swept["removed"] >= 1
+    assert _vals(LakeTable(spark, table.root)) == {key(1): 1}
+    # batch 1 was never published: main must still accept it
+    assert not main.is_committed(1)
+
+
+def test_wap_publish_refuses_diverged_main(table, spark):
+    table.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0
+    )
+    table.wap_begin("slow")
+    br = table.branch("slow")
+    br.upsert(
+        mk(spark, [ev(200, 0, 1, "u", "t.a", key(1), {"_id": key(1), "v": 2})]), 1
+    )
+    # main advances while the branch is being audited
+    main = LakeTable(spark, table.root)
+    main.upsert(
+        mk(spark, [ev(300, 0, 2, "i", "t.a", key(9), {"_id": key(9), "v": 9})]), 2
+    )
+    with pytest.raises(ConcurrentWriteError, match="fast-forward"):
+        main.wap_publish("slow")
+    main.wap_abort("slow")
+    assert _vals(LakeTable(spark, table.root)) == {key(1): 1, key(9): 9}
+
+
+def test_wap_branch_refuses_maintenance_and_snapshots(table, spark):
+    table.wap_begin("x")
+    br = table.branch("x")
+    for op, call in [
+        ("compact", lambda: br.compact()),
+        ("rollback", lambda: br.rollback(0)),
+        ("vacuum", lambda: br.vacuum()),
+        ("expire_snapshots", lambda: br.expire_snapshots()),
+        ("read_as_of", lambda: br.read_as_of(0)),
+        ("scrub_keys", lambda: br.scrub_keys([key(1)])),
+        ("evolve_bucket_layout", lambda: br.evolve_bucket_layout(8)),
+        ("tag", lambda: br.tag("t", 0)),
+    ]:
+        with pytest.raises(ValueError, match="WAP branch"):
+            call()
+
+
+def test_scrub_refuses_while_branch_lives(table, spark):
+    table.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0
+    )
+    table.wap_begin("hold")
+    with pytest.raises(ValueError, match="publish or abort"):
+        table.scrub_keys([key(1)])
+    table.wap_abort("hold")
+    assert table.scrub_keys([key(1)])["versions_scrubbed"] >= 1
+
+
+def test_main_compaction_protects_branch_files(tmp_path, spark):
+    # max_deltas=1: every main upsert compacts and would delete the
+    # superseded deltas — which the branch's cloned state still reads.
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, max_deltas=1)
+    t.upsert(
+        mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]), 0
+    )
+    t.wap_begin("aud")
+    br = t.branch("aud")
+    for i in range(1, 4):  # main keeps writing + compacting underneath
+        t.upsert(
+            mk(
+                spark,
+                [ev(100 + i, 0, i, "u", "t.a", key(1), {"_id": key(1), "v": 1 + i})],
+            ),
+            i,
+        )
+    # the branch still reads its creation-time state, byte-complete
+    assert _vals(br) == {key(1): 1}
+    main = LakeTable(spark, t.root)
+    assert _vals(main) == {key(1): 4}
+    # publish now correctly refuses (main diverged), abort releases refs
+    with pytest.raises(ConcurrentWriteError):
+        main.wap_publish("aud")
+    main.wap_abort("aud")
+    main.vacuum(older_than_seconds=0.0)
+    assert _vals(LakeTable(spark, t.root)) == {key(1): 4}
+
+
+def test_wap_validation(table, spark):
+    with pytest.raises(ValueError, match="invalid branch name"):
+        table.wap_begin("a/b")
+    table.wap_begin("dup")
+    with pytest.raises(ValueError, match="already exists"):
+        table.wap_begin("dup")
+    with pytest.raises(ValueError, match="unknown WAP branch"):
+        table.branch("nope")
+    with pytest.raises(ValueError, match="unknown WAP branch"):
+        table.wap_publish("nope")
+    with pytest.raises(ValueError, match="unknown WAP branch"):
+        table.wap_abort("nope")
+    # after abort, a stale branch handle's READS stay pinned to its
+    # loaded meta (Iceberg reader-pins-metadata semantics), but its next
+    # WRITE loses the commit CAS, and a FRESH handle fails loudly
+    br = table.branch("dup")
+    table.wap_abort("dup")
+    with pytest.raises(ConcurrentWriteError):
+        br.upsert(
+            mk(spark, [ev(1, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0
+        )
+    with pytest.raises(ValueError, match="unknown WAP branch"):
+        table.branch("dup")
+
+
+def test_cli_wap_lifecycle(tmp_path, spark):
+    """begin -> stream --wap-branch -> list -> publish, out-of-process."""
+    import os
+    import subprocess
+    import sys
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+
+    feed = str(tmp_path / "feed")
+    rows = [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "v": i})
+        for i in range(4)
+    ]
+    spark.createDataFrame(rows, OPLOG_SCHEMA).coalesce(1).write.parquet(feed)
+    lake = str(tmp_path / "lake")
+    LakeTable(spark, lake, n_buckets=4, payload_col="object")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def cli(*a):
+        out = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli", *a],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert cli("wap", "--table", lake, "--begin", "--name", "rel")["branch"] == "rel"
+    cli("stream", "--oplog", feed, "--table", lake,
+        "--checkpoint", str(tmp_path / "ckpt"), "--buckets", "4",
+        "--wap-branch", "rel")
+    listing = cli("wap", "--table", lake)
+    assert listing["branches"]["rel"]["staged_batches"] == ["0"]
+    # staged rows invisible on main until publish
+    assert LakeTable(spark, lake).read().count() == 0
+    receipt = cli("wap", "--table", lake, "--publish", "--name", "rel")
+    assert receipt["batches"] == ["0"]
+    assert LakeTable(spark, lake).read().count() == 4
