@@ -1780,6 +1780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf))
     )
 
+    # Module centrality: fixed-point integer PageRank (bit-exact across
+    # engines; K bounded shuffles, never a convergence loop).
+    q["g3_module_rank"] = lambda spark, sf: cd.module_pagerank(
+        read_snapshot(spark, gen.repos_path(sf)), iterations=3
+    )
+
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
         _docs(spark, sf), n_buckets=3
@@ -4116,6 +4122,37 @@ SELECT fl.repo, fl.n_files,
     AS import_density
 FROM fl LEFT JOIN ag ON ag.repo = fl.repo
 """.strip()
+
+    # g3: fixed-point PageRank — the integer recurrence unrolled as one
+    # CTE per iteration; every op is exact BIGINT math, so the ranks are
+    # bit-identical to the engine's (see module_pagerank's docstring).
+    _g3_iters, _g3_scale, _g3_num, _g3_den = 3, 10**9, 17, 20
+    _g3 = f"""
+WITH e AS (SELECT DISTINCT string_split(path, '/')[-2] AS src,
+             string_split(t, '.')[1] AS dst
+           FROM (SELECT path, unnest(regexp_extract_all(content,
+                   '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+                 FROM read_parquet('{rp}'))),
+nodes AS (SELECT src AS module FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+r0 AS (SELECT module, CAST({_g3_scale} // c AS BIGINT) AS p FROM nodes, nn)
+""".strip()
+    for _i in range(1, _g3_iters + 1):
+        _g3 += f""",
+r{_i} AS (SELECT nodes.module,
+  CAST((SELECT (CAST({_g3_den - _g3_num} AS BIGINT) * {_g3_scale})
+          // ({_g3_den} * c) FROM nn)
+       + ({_g3_num} * coalesce(s.s, 0)) // {_g3_den} AS BIGINT) AS p
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS module, sum(r{_i - 1}.p // od.outdeg) AS s
+    FROM r{_i - 1} JOIN e ON e.src = r{_i - 1}.module
+    JOIN od ON od.src = e.src GROUP BY 1) s USING (module))"""
+    _g3 += (
+        f"\nSELECT module, round(CAST(p AS DOUBLE) / {_g3_scale}, 6) AS rank "
+        f"FROM r{_g3_iters}"
+    )
+    o["g3_module_rank"] = _g3
 
     # c15: secret census — literal gate replicated so hit counts agree
     # even if a regex engine disagreed on a gated-out row.

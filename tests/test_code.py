@@ -222,3 +222,60 @@ def test_scrub_secrets_removes_all_hits(spark):
         ).agg(F.sum("s")).first()[0] == 0
     )
     _scan_only(cd.scrub_secrets(_repos(spark, rows)))
+
+
+def _py_pagerank(edges, iterations=3, num=17, den=20, scale=10**9):
+    """Pure-Python replica of the integer recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    e = sorted(set(edges))
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    base = ((den - num) * scale) // (den * n)
+    p = {m: scale // n for m in nodes}
+    for _ in range(iterations):
+        s_in = {m: 0 for m in nodes}
+        for s, d in e:
+            s_in[d] += p[s] // out[s]
+        p = {m: base + (num * s_in[m]) // den for m in nodes}
+    return {m: round(p[m] / scale, 6) for m in nodes}
+
+
+def _edges_df(spark, edges):
+    rows = [
+        (f"{i}", "r", f"src/{s}/f{i}.py", "py", f"import {d}\n")
+        for i, (s, d) in enumerate(edges)
+    ]
+    return _repos(spark, rows)
+
+
+def test_module_pagerank_hand_check(spark):
+    # A->B, A->C, B->A; C dangling. One iteration, worked by hand.
+    edges = [("A", "B"), ("A", "C"), ("B", "A")]
+    got = {
+        r["module"]: r["rank"]
+        for r in cd.module_pagerank(_edges_df(spark, edges), iterations=1).collect()
+    }
+    assert got == {"A": 0.333333, "B": 0.191667, "C": 0.191667}
+
+
+def test_module_pagerank_matches_python_reference(spark):
+    edges = [
+        ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C"),
+        ("C", "C"),  # self-loop stays
+        ("B", "C"),  # duplicate module edge collapses
+    ]
+    got = {
+        r["module"]: r["rank"]
+        for r in cd.module_pagerank(_edges_df(spark, edges), iterations=3).collect()
+    }
+    assert got == _py_pagerank(edges, iterations=3)
+
+
+def test_module_pagerank_validation(spark):
+    df = _edges_df(spark, [("A", "B")])
+    with pytest.raises(ValueError, match="iterations"):
+        cd.module_pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        cd.module_pagerank(df, damping_num=20, damping_den=20)
