@@ -85,6 +85,33 @@ def replicate_emb(emb, factor: int):
     return out
 
 
+def replicate_repos(repos, factor: int):
+    """Replica r gets distinct repo names and a content suffix that
+    changes every digest, so clone structure is constant while the
+    corpus grows N-fold (d15's pair work scales with size, not with
+    replica cliques); import lines are untouched — the module universe
+    stays 97 wide while edge volume grows N-fold (the g-family's
+    realistic shape: more files, same module namespace)."""
+    from pyspark.sql import functions as F
+
+    cols = ["_id", "repo", "path", "lang", "content"]
+    parts = [repos.select(*cols)]
+    for r in range(1, factor):
+        parts.append(
+            repos.select(
+                F.concat(F.lit(f"r{r}"), F.col("_id")).alias("_id"),
+                F.concat(F.col("repo"), F.lit(f"-r{r}")).alias("repo"),
+                "path",
+                "lang",
+                F.concat(F.col("content"), F.lit(f"# r{r}\n")).alias("content"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -99,8 +126,14 @@ def main() -> None:
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark(app_name="analytics-scale")
 
+    from kafka_connect_mongo_spark import generator as gen
+    from kafka_connect_mongo_spark.pipelines import code as cd
+
     base_docs = spark.read.parquet(f"/root/testdata/{sf_alias}/documents.parquet")
     base_emb = spark.read.parquet(f"/root/testdata/{sf_alias}/embeddings.parquet")
+    base_repos = spark.read.parquet(
+        gen.repos_path(f"/root/testdata/{sf_alias}")
+    ).select("_id", "repo", "path", "lang", "content")
 
     # materialize both corpora to tmpfs so every op reads real files and
     # the replication transform is NOT inside the timed region
@@ -110,6 +143,8 @@ def main() -> None:
         ("docsN", replicate_docs(base_docs, factor)),
         ("emb1", base_emb.select("vec_id", "embedding")),
         ("embN", replicate_emb(base_emb, factor)),
+        ("repos1", base_repos),
+        ("reposN", replicate_repos(base_repos, factor)),
     ):
         p = f"/dev/shm/cdc-ascale-{sf_alias}-{factor}-{name}.parquet"
         if not os.path.exists(p):
@@ -179,6 +214,18 @@ def main() -> None:
         ),
     }
 
+    # code-corpus family over the repos snapshot (replica-disjoint
+    # digests: clone structure constant, corpus N-fold)
+    OPS_REPOS = {
+        "t18_line_metrics": lambda r: cd.line_metrics(r),
+        "d15_repo_clones": lambda r: cd.repo_overlap(
+            r, min_shared=2, fingerprint=cd.normalized_fingerprint()
+        ),
+        "g1_import_degree": lambda r: cd.module_degree(r),
+        "g3_module_rank": lambda r: cd.module_pagerank(r, iterations=3),
+        "c15_secret_census": lambda r: cd.secret_census(r),
+    }
+
     def timed(df):
         df.write.mode("overwrite").format("noop").save()
         walls = []
@@ -195,6 +242,15 @@ def main() -> None:
             d = spark.read.parquet(stage[dk])
             e = spark.read.parquet(stage[ek])
             out = fn(d, e)
+            row[f"wall_{tag}"] = round(timed(out), 3)
+            row[f"rows_{tag}"] = out.count()
+        row["ratio"] = round(row["wall_xN"] / max(row["wall_x1"], 1e-9), 2)
+        results[name] = row
+        print(name, row, flush=True)
+    for name, fn in OPS_REPOS.items():
+        row = {}
+        for tag, rk in (("x1", "repos1"), ("xN", "reposN")):
+            out = fn(spark.read.parquet(stage[rk]))
             row[f"wall_{tag}"] = round(timed(out), 3)
             row[f"rows_{tag}"] = out.count()
         row["ratio"] = round(row["wall_xN"] / max(row["wall_x1"], 1e-9), 2)
