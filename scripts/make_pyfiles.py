@@ -1,0 +1,43 @@
+"""Build the --py-files artifact: a deterministic zip of the package.
+
+The north_rule's deployment contract is `spark-submit --py-files` on a
+multi-executor cluster; this produces the artifact that contract ships.
+Zip entries are sorted and timestamp-zeroed so the artifact is
+byte-reproducible (same tree -> same sha256 — the same discipline as the
+WebDataset shard export).
+
+Usage: python scripts/make_pyfiles.py [out.zip]   (default build/kcm_spark.zip)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "kafka_connect_mongo_spark"
+
+
+def build(out_path: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    entries = []
+    for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            entries.append((os.path.relpath(full, REPO), full))
+    entries.sort()
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in entries:
+            info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as fh:
+                z.writestr(info, fh.read(), zipfile.ZIP_DEFLATED)
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "build", "kcm_spark.zip")
+    print(build(out))

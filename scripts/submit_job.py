@@ -1,0 +1,16 @@
+"""spark-submit primary file: the CLI, imported from the --py-files zip.
+
+    spark-submit --master local[N] \
+        --py-files build/kcm_spark.zip \
+        scripts/submit_job.py <subcommand> [args...]
+
+Every CLI subcommand (stream/export/replay/route/healthcheck/compact/
+wap/...) works unchanged: cli.main() uses SparkSession.getOrCreate, so
+under spark-submit it joins the submitted application instead of
+building its own.
+"""
+
+from kafka_connect_mongo_spark.cli import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""The north_rule deployment contract: `spark-submit --py-files` runs
+the engine from the packaged zip alone (no repo on sys.path)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_replay(tmp_path):
+    sys.path.insert(0, REPO)
+    from kafka_connect_mongo_spark import generator as g
+    from scripts.make_pyfiles import build
+
+    z1 = build(str(tmp_path / "kcm_spark.zip"))
+    # artifact is byte-reproducible (deterministic entries + timestamps)
+    z2 = build(str(tmp_path / "kcm_spark2.zip"))
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+
+    op = g.oplog_path("/root/testdata/sf0.001")
+    rp = g.repos_path("/root/testdata/sf0.001")
+    # primary file copied OUT of the repo; cwd is tmp_path — the package
+    # is importable ONLY through --py-files, which is the point
+    primary = str(tmp_path / "submit_job.py")
+    shutil.copyfile(os.path.join(REPO, "scripts", "submit_job.py"), primary)
+    out_dir = str(tmp_path / "final")
+    env = {
+        k: v for k, v in os.environ.items() if k != "PYTHONPATH"
+    }
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", z1, primary,
+         "replay", "--oplog", op, "--snapshot", rp, "--out", out_dir],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["rows"] > 0
+    assert os.path.isdir(out_dir)
