@@ -94,6 +94,7 @@ def main() -> None:
         "c14_stack_gate",       # Stack hygiene filter inside the same scan
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)
         "g1_import_degree",     # module popularity census (scan-local edges)
+        "g2_repo_imports",      # per-repo distinct-import census (left join)
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)
         "c15_secret_census",    # gated-regex secret audit (1 scan + tiny agg)
     ]
