@@ -1,0 +1,77 @@
+"""The emitted MERGE statement, verified through Spark's OWN planner.
+
+The sandbox has no Iceberg/Delta catalog jar, so ``merge_into_sql`` can't
+EXECUTE here (its arm semantics are property-proven against LakeTable in
+``test_property_lww.py``). What CAN be proven in-sandbox, and is here:
+
+- the statement parses through Spark's real SQL parser into a
+  ``MergeIntoTable`` logical plan with exactly the documented arms
+  (2 guarded MATCHED updates, 1 NOT MATCHED insert) — the same parse an
+  Iceberg deployment performs (MongoSinkTask.kt:52-79 parity);
+- full analysis fails ONLY on resolving the target table in the missing
+  catalog — the source side and every expression resolve — so the single
+  gap between this SQL and execution is the catalog jar, not the SQL;
+- ``schema_evolution=True`` emits Spark 4's
+  ``MERGE WITH SCHEMA EVOLUTION INTO`` and the parser sets the plan's
+  ``withSchemaEvolution`` flag (the Iceberg-schema-merge form of the
+  engine's add-only registry).
+"""
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from kafka_connect_mongo_spark.sinks.lake import merge_into_sql
+
+
+def _parse(spark, sql: str):
+    return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def test_merge_sql_parses_to_merge_into_table(spark):
+    plan = _parse(spark, merge_into_sql("lake.t", "batch"))
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    assert plan.matchedActions().size() == 2
+    assert plan.notMatchedActions().size() == 1
+    assert plan.notMatchedBySourceActions().size() == 0
+    assert not plan.withSchemaEvolution()
+
+    # arm 1: guarded tombstone UPDATE — condition carries op='d' AND the
+    # (ts, inc, seq) monotonic struct guard; arm 2: the same guard alone.
+    arm_delete = str(plan.matchedActions().apply(0))
+    arm_update = str(plan.matchedActions().apply(1))
+    assert "updatestaraction" in arm_delete
+    assert "'s.op = d" in arm_delete
+    for arm in (arm_delete, arm_update):
+        assert "updatestaraction" in arm
+        assert ">=" in arm and "struct" in arm
+    assert "'s.op" not in arm_update
+    # NOT MATCHED inserts the source row (tombstones included)
+    assert "insertstaraction" in str(plan.notMatchedActions().apply(0))
+
+
+def test_merge_sql_schema_evolution_variant(spark):
+    plan = _parse(spark, merge_into_sql("lake.t", "batch", schema_evolution=True))
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    assert plan.withSchemaEvolution()
+    # same arms as the plain form — evolution changes target schema
+    # handling, never the arm logic
+    assert plan.matchedActions().size() == 2
+    assert plan.notMatchedActions().size() == 1
+
+
+def test_merge_sql_analysis_blocked_only_by_missing_catalog(spark):
+    """With the source registered, analysis must fail on the TARGET table
+    lookup and nothing else — proving every other part of the statement
+    (source relation, ON clause, arm conditions, star actions) resolves."""
+    events = spark.createDataFrame(
+        [("a", 1, 0, 0, "i"), ("b", 2, 0, 1, "d")],
+        "id string, ts int, inc int, seq int, op string",
+    )
+    events.createOrReplaceTempView("merge_sql_batch")
+    try:
+        with pytest.raises(AnalysisException) as ei:
+            spark.sql(merge_into_sql("lake.t", "merge_sql_batch"))
+        assert ei.value.getErrorClass() == "TABLE_OR_VIEW_NOT_FOUND"
+        assert "`lake`.`t`" in str(ei.value)
+    finally:
+        spark.catalog.dropTempView("merge_sql_batch")
