@@ -1786,6 +1786,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf)), iterations=3
     )
 
+    # Per-repo license resolution: scan-local header detection (bounded
+    # prefix), majority vote at repo cardinality, unknowns kept as rows.
+    q["c16_repo_license"] = lambda spark, sf: cd.repo_license(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
+    # The Stack's permissive-license gate: per-language census of the
+    # files that survive (repo-cardinality semi-join, AQE-decided).
+    q["c17_license_gate"] = lambda spark, sf: (
+        cd.license_gate(read_snapshot(spark, gen.repos_path(sf)))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_files"))
+    )
+
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
         _docs(spark, sf), n_buckets=3
@@ -4176,6 +4190,43 @@ SELECT lang, secret,
   CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_files,
   CAST(sum(hits) AS BIGINT) AS n_hits
 FROM u GROUP BY 1, 2
+""".strip()
+
+    # c16/c17: license resolution + permissive gate — the CASE chain,
+    # majority-vote window and keep-set replicate the Column forms.
+    _lic_det = f"""
+SELECT repo, lang,
+  CASE
+    WHEN contains(substr(content, 1, 600), 'Permission is hereby granted') THEN 'mit'
+    WHEN contains(substr(content, 1, 600), 'Licensed under the Apache License') THEN 'apache-2.0'
+    WHEN contains(substr(content, 1, 600), 'GNU General Public License') THEN 'gpl-3.0'
+    ELSE 'unknown' END AS license
+FROM read_parquet('{rp}')
+""".strip()
+    _lic_pick = f"""
+det AS ({_lic_det}),
+cnt AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS n_files_hit
+        FROM det WHERE license <> 'unknown' GROUP BY 1, 2),
+pick AS (SELECT repo, license, n_files_hit,
+           row_number() OVER (PARTITION BY repo
+                              ORDER BY n_files_hit DESC, license ASC) AS rn
+         FROM cnt)
+""".strip()
+    o["c16_repo_license"] = f"""
+WITH {_lic_pick}
+SELECT r.repo, coalesce(p.license, 'unknown') AS license,
+       coalesce(p.n_files_hit, CAST(0 AS BIGINT)) AS n_files_hit
+FROM (SELECT DISTINCT repo FROM det) r
+LEFT JOIN (SELECT repo, license, n_files_hit FROM pick WHERE rn = 1) p
+  USING (repo)
+""".strip()
+    o["c17_license_gate"] = f"""
+WITH {_lic_pick},
+keep AS (SELECT repo FROM pick
+         WHERE rn = 1 AND license IN ('mit', 'apache-2.0'))
+SELECT f.lang, CAST(count(*) AS BIGINT) AS n_files
+FROM read_parquet('{rp}') f JOIN keep USING (repo)
+GROUP BY 1
 """.strip()
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by

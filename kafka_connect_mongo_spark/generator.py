@@ -34,7 +34,7 @@ import shutil
 import numpy as np
 import pandas as pd
 
-GEN_VERSION = "v5"  # v5: content carries planted import lines + rare secrets
+GEN_VERSION = "v6"  # v6: per-repo planted license headers (+v5 imports/secrets)
 # (v4: zstd parquet — fewer bytes through the sandbox's I/O proxy)
 GEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gen")
 SEED = 42
@@ -43,6 +43,27 @@ EVENTS_PER_SECOND = 64  # many events share a second -> (ts, inc) matters
 NAMESPACES = ["code.repos", "code.docs"]  # two collections, skewed 85/15
 
 _LANGS = ["py", "js", "go", "rs", "java"]
+
+#: per-repo planted license: repo index % 20 buckets → 40% mit,
+#: 25% apache-2.0, 15% gpl-3.0, 20% no license. Header text is the
+#: characteristic phrase real detectors (licensee, go-license-detector,
+#: the Stack's filter) key on; planted on 1/3 of a licensed repo's
+#: files (real repos rarely header every file).
+_LICENSES = ["mit", "apache-2.0", "gpl-3.0", "none"]
+_LICENSE_HEADERS = {
+    "mit": "# Permission is hereby granted, free of charge, to any person\n",
+    "apache-2.0": '# Licensed under the Apache License, Version 2.0 (the "License");\n',
+    "gpl-3.0": "# under the terms of the GNU General Public License as published by\n",
+    "none": "",
+}
+
+
+def _license_of_repo_bucket(bucket: np.ndarray) -> np.ndarray:
+    out = np.full(bucket.shape, "none", dtype="U16")
+    out[bucket < 16] = "gpl-3.0"
+    out[bucket < 13] = "apache-2.0"
+    out[bucket < 8] = "mit"
+    return out
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -133,15 +154,23 @@ def _build_repos(n_keys: int, rng: np.random.Generator) -> pd.DataFrame:
         "",
     )
     secrets = np.char.add(np.char.add(aws.astype("U64"), pem.astype("U96")), ghp.astype("U64"))
+    # Planted license header (v6): repo-determined text on 1/3 of the
+    # repo's files, always at the top (where detectors look).
+    repo_lic = _license_of_repo_bucket(repo_idx % 20)
+    header_text = np.array([_LICENSE_HEADERS[l] for l in repo_lic], dtype="U72")
+    header = np.where(j % 3 == 0, header_text, "")
     content = np.char.add(
+        header.astype("U72"),
         np.char.add(
             np.char.add(
-                imports,
-                np.array([f"def fn_{jj:07d}(x):\n" for jj in j]),
+                np.char.add(
+                    imports,
+                    np.array([f"def fn_{jj:07d}(x):\n" for jj in j]),
+                ),
+                np.array([f"    return x * {v}\n" for v in base_val]),
             ),
-            np.array([f"    return x * {v}\n" for v in base_val]),
+            np.char.add(secrets.astype("U256"), pad),
         ),
-        np.char.add(secrets.astype("U256"), pad),
     )
     _id = _hex_ids([f"{r}|{p}" for r, p in zip(repo, path)], 24)
     ns = np.where(j % 100 < 85, NAMESPACES[0], NAMESPACES[1])

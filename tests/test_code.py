@@ -279,3 +279,80 @@ def test_module_pagerank_validation(spark):
         cd.module_pagerank(df, iterations=0)
     with pytest.raises(ValueError, match="damping"):
         cd.module_pagerank(df, damping_num=20, damping_den=20)
+
+
+MIT = "# Permission is hereby granted, free of charge\n"
+APACHE = '# Licensed under the Apache License, Version 2.0 (the "License");\n'
+GPL = "# under the terms of the GNU General Public License as published by\n"
+
+
+def test_license_hits_detection_and_priority(spark):
+    df = _repos(spark, [
+        ("1", "a", "p1", "py", MIT + "code\n"),
+        ("2", "a", "p2", "py", APACHE + "code\n"),
+        ("3", "a", "p3", "py", GPL + "code\n"),
+        ("4", "a", "p4", "py", "no header here\n"),
+        # several markers: CASE order wins (mit before apache)
+        ("5", "a", "p5", "py", APACHE + MIT + "code\n"),
+        # marker beyond the bounded prefix is NOT detected
+        ("6", "a", "p6", "py", "x" * 700 + MIT),
+    ])
+    got = {r["_id"]: r["license"] for r in cd.license_hits(df).collect()}
+    assert got == {
+        "1": "mit", "2": "apache-2.0", "3": "gpl-3.0",
+        "4": "unknown", "5": "mit", "6": "unknown",
+    }
+
+
+def test_license_hits_single_scan_no_exchange(spark):
+    _scan_only(cd.license_hits(_repos(spark, [("1", "r", "p", "py", "x")])))
+
+
+def test_repo_license_majority_ties_and_unknown(spark):
+    df = _repos(spark, [
+        # repo A: 2 mit vs 1 gpl -> mit
+        ("1", "A", "p1", "py", MIT), ("2", "A", "p2", "py", MIT),
+        ("3", "A", "p3", "py", GPL),
+        # repo B: 1 apache vs 1 gpl -> tie, lexicographic -> apache-2.0
+        ("4", "B", "p4", "py", APACHE), ("5", "B", "p5", "py", GPL),
+        # repo C: no headers at all -> unknown with 0 hits
+        ("6", "C", "p6", "py", "plain\n"),
+    ])
+    got = {r["repo"]: (r["license"], r["n_files_hit"])
+           for r in cd.repo_license(df).collect()}
+    assert got == {"A": ("mit", 2), "B": ("apache-2.0", 1),
+                   "C": ("unknown", 0)}
+
+
+def test_license_gate_keeps_whole_permissive_repo(spark):
+    df = _repos(spark, [
+        ("1", "A", "p1", "py", MIT),
+        ("2", "A", "p2", "py", "unheadered file of the mit repo\n"),
+        ("3", "B", "p3", "py", GPL),
+        ("4", "B", "p4", "py", "unheadered file of the gpl repo\n"),
+        ("5", "C", "p5", "py", "undetermined repo\n"),
+    ])
+    kept = {r["_id"] for r in cd.license_gate(df).collect()}
+    # the headerless file of the MIT repo is covered by the repo license;
+    # every file of the GPL and undetermined repos is dropped
+    assert kept == {"1", "2"}
+    with pytest.raises(ValueError, match="at least one license"):
+        cd.license_gate(df, allow=())
+
+
+def test_generator_plants_repo_consistent_licenses(spark):
+    """v6 contract: every headered file of one repo carries ONE license,
+    and all four classes exist at the smallest scale."""
+    from kafka_connect_mongo_spark import generator as g
+
+    files = spark.read.parquet(g.repos_path("/root/testdata/sf0.001"))
+    rl = cd.repo_license(files)
+    per_repo = (
+        cd.license_hits(files)
+        .filter(F.col("license") != "unknown")
+        .groupBy("repo")
+        .agg(F.countDistinct("license").alias("n"))
+    )
+    assert per_repo.filter(F.col("n") > 1).count() == 0
+    classes = {r["license"] for r in rl.select("license").distinct().collect()}
+    assert classes == {"mit", "apache-2.0", "gpl-3.0", "unknown"}
