@@ -1800,6 +1800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count("*").cast("long").alias("n_files"))
     )
 
+    # Composed Stack-style assembly: license gate ∧ hygiene gate ∧ exact
+    # dedup in ONE text scan (c1's single-scan lesson; persisted slim
+    # features, repo-cardinality vote, WindowGroupLimit dedup).
+    q["c18_code_curation"] = lambda spark, sf: cd.code_curation(
+        read_snapshot(spark, gen.repos_path(sf)), max_line=100
+    )
+
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
         _docs(spark, sf), n_buckets=3
@@ -4227,6 +4234,37 @@ keep AS (SELECT repo FROM pick
 SELECT f.lang, CAST(count(*) AS BIGINT) AS n_files
 FROM read_parquet('{rp}') f JOIN keep USING (repo)
 GROUP BY 1
+""".strip()
+
+    # c18: composed curation — features/license/digest from one pass,
+    # vote → keep-set → hygiene thresholds → min-_id per digest.
+    o["c18_code_curation"] = f"""
+WITH f AS (
+  SELECT _id, repo, path, lang,
+    CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
+    round(CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE)/len(ls), 6) AS avg_line_len,
+    round(CAST(length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)/length(content), 6) AS alnum_frac,
+    CASE
+      WHEN contains(substr(content, 1, 600), 'Permission is hereby granted') THEN 'mit'
+      WHEN contains(substr(content, 1, 600), 'Licensed under the Apache License') THEN 'apache-2.0'
+      WHEN contains(substr(content, 1, 600), 'GNU General Public License') THEN 'gpl-3.0'
+      ELSE 'unknown' END AS license,
+    sha256(content) AS digest
+  FROM (SELECT *, list_filter(string_split(content, chr(10)), x -> length(x) > 0) AS ls
+        FROM read_parquet('{rp}'))),
+cnt AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS n
+        FROM f WHERE license <> 'unknown' GROUP BY 1, 2),
+pick AS (SELECT repo, license,
+           row_number() OVER (PARTITION BY repo ORDER BY n DESC, license ASC) AS rn
+         FROM cnt),
+keep AS (SELECT repo FROM pick WHERE rn = 1 AND license IN ('mit', 'apache-2.0')),
+passed AS (SELECT _id, repo, path, lang, digest
+           FROM f JOIN keep USING (repo)
+           WHERE max_line_len <= 100 AND avg_line_len <= 100.0
+             AND alnum_frac >= 0.25),
+dd AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY _id) AS rn
+       FROM passed)
+SELECT _id, repo, path, lang, digest FROM dd WHERE rn = 1
 """.strip()
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by

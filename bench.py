@@ -99,6 +99,7 @@ def main() -> None:
         "c15_secret_census",    # gated-regex secret audit (1 scan + tiny agg)
         "c16_repo_license",     # repo license vote (scan-local detect)
         "c17_license_gate",     # permissive keep-set census (semi-join)
+        "c18_code_curation",    # composed license+hygiene+dedup (1 text scan)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

@@ -356,3 +356,43 @@ def test_generator_plants_repo_consistent_licenses(spark):
     assert per_repo.filter(F.col("n") > 1).count() == 0
     classes = {r["license"] for r in rl.select("license").distinct().collect()}
     assert classes == {"mit", "apache-2.0", "gpl-3.0", "unknown"}
+
+
+def test_code_curation_end_to_end_semantics(spark):
+    df = _repos(spark, [
+        # MIT repo A: one clean file, one duplicate of it (dedup keeps
+        # min _id), one hygiene-failing file (long line)
+        ("1", "A", "p1", "py", MIT + "def f():\n    return 1\n"),
+        ("5", "A", "p5", "py", MIT + "def f():\n    return 1\n"),
+        ("2", "A", "p2", "py", MIT + "x" * 300 + "\n"),
+        # GPL repo B: clean file, dropped by the license gate
+        ("3", "B", "p3", "py", GPL + "def g():\n    return 2\n"),
+        # undetermined repo C: dropped
+        ("4", "C", "p4", "py", "def h():\n    return 3\n"),
+    ])
+    kept = {r["_id"] for r in cd.code_curation(df, max_line=100).collect()}
+    assert kept == {"1"}
+    with pytest.raises(ValueError, match="at least one license"):
+        cd.code_curation(df, allow=())
+
+
+def test_code_curation_plan_single_cached_scan_no_text_in_exchange(spark):
+    """c1's single-scan contract applied to code: every consumer reads
+    the persisted slim features (InMemoryTableScan), so the text is
+    scanned and the feature math paid once; no exchange carries
+    content bytes; dedup and vote are partial+final WindowGroupLimits."""
+    import re
+
+    df = _repos(
+        spark,
+        [(str(i), "A", f"p{i}", "py", MIT + f"def f():\n    return {i % 3}\n")
+         for i in range(30)],
+    )
+    out = cd.code_curation(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("WindowGroupLimit") == 4, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not re.search(r"\bcontent\b", line), line
+    assert out.count() == 3  # 3 content classes survive dedup
