@@ -1807,6 +1807,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf)), max_line=100
     )
 
+    def _c19(spark: SparkSession, sf: str) -> DataFrame:
+        # INCREMENTAL curation maintained from the CDC feed — the
+        # engine's identity applied to dataset assembly. Text is scanned
+        # exactly once per version: the snapshot seeds a persisted slim
+        # feature table; each feed batch extracts features for ITS
+        # post-images only (batch-sized text scan), tombstones deletes,
+        # and LWW-merges into the state by (ts, inc, seq); the decision
+        # layer (vote → gate → dedup) re-derives from slim rows at
+        # O(|files|) cost, never re-reading unchanged text. Oracle =
+        # batch c18 over the LWW-final file state — fold ≡ rebuild.
+        ord_cols = ("ts", "inc", "seq", "op")
+        work = tempfile.mkdtemp(prefix="cdc-inccur-")
+        seed = cd.curation_features(
+            read_snapshot(spark, gen.repos_path(sf)),
+            extra=(
+                F.lit(0).alias("ts"),
+                F.lit(0).alias("inc"),
+                F.lit(-1).cast("long").alias("seq"),
+                F.lit("i").alias("op"),
+            ),
+        )
+        state_path = os.path.join(work, "feats-0")
+        seed.write.mode("overwrite").parquet(state_path)
+
+        feed = read_oplog(spark, gen.oplog_path(sf))
+        half = feed.agg(F.max("seq")).first()[0] // 2
+        for k, cond in enumerate(
+            [F.col("seq") <= half, F.col("seq") > half]
+        ):
+            batch = lww_collapse(feed.filter(cond), key="id")
+            ups = batch.filter(F.col("op") != "d").select(
+                F.col("id").alias("_id"),
+                F.get_json_object("object", "$.repo").alias("repo"),
+                F.get_json_object("object", "$.path").alias("path"),
+                F.get_json_object("object", "$.lang").alias("lang"),
+                F.get_json_object("object", "$.content").alias("content"),
+                *ord_cols,
+            )
+            upf = cd.curation_features(
+                ups, extra=tuple(F.col(c) for c in ord_cols)
+            )
+            dels = batch.filter(F.col("op") == "d").select(
+                F.col("id").alias("_id"),
+                F.lit(None).cast("string").alias("repo"),
+                F.lit(None).cast("string").alias("path"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("long").alias("n_lines"),
+                F.lit(None).cast("long").alias("max_line_len"),
+                F.lit(None).cast("double").alias("avg_line_len"),
+                F.lit(None).cast("double").alias("alnum_frac"),
+                F.lit(None).cast("double").alias("comment_ratio"),
+                F.lit(None).cast("string").alias("license"),
+                F.lit(None).cast("string").alias("digest"),
+                *ord_cols,
+            )
+            state = spark.read.parquet(state_path)
+            merged = lww_collapse(
+                state.unionByName(upf.unionByName(dels)), key="_id"
+            )
+            state_path = os.path.join(work, f"feats-{k + 1}")
+            merged.write.mode("overwrite").parquet(state_path)
+
+        live = spark.read.parquet(state_path).filter(F.col("op") != "d")
+        return cd.curation_decide(live.drop(*ord_cols), max_line=100)
+
+    q["c19_incremental_curation"] = _c19
+
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
         _docs(spark, sf), n_buckets=3
@@ -4236,9 +4303,12 @@ FROM read_parquet('{rp}') f JOIN keep USING (repo)
 GROUP BY 1
 """.strip()
 
-    # c18: composed curation — features/license/digest from one pass,
-    # vote → keep-set → hygiene thresholds → min-_id per digest.
-    o["c18_code_curation"] = f"""
+    # c18/c19: composed curation — features/license/digest from one
+    # pass, vote → keep-set → hygiene thresholds → min-_id per digest.
+    # Parameterized over the file-table source so the incremental form
+    # (c19) reuses the identical body on the LWW-final state.
+    def _sql_code_curation(src: str) -> str:
+        return f"""
 WITH f AS (
   SELECT _id, repo, path, lang,
     CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
@@ -4251,7 +4321,7 @@ WITH f AS (
       ELSE 'unknown' END AS license,
     sha256(content) AS digest
   FROM (SELECT *, list_filter(string_split(content, chr(10)), x -> length(x) > 0) AS ls
-        FROM read_parquet('{rp}'))),
+        FROM ({src}))),
 cnt AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS n
         FROM f WHERE license <> 'unknown' GROUP BY 1, 2),
 pick AS (SELECT repo, license,
@@ -4266,6 +4336,16 @@ dd AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY _id) AS rn
        FROM passed)
 SELECT _id, repo, path, lang, digest FROM dd WHERE rn = 1
 """.strip()
+
+    o["c18_code_curation"] = _sql_code_curation(
+        f"SELECT _id, repo, path, lang, content FROM read_parquet('{rp}')"
+    )
+    o["c19_incremental_curation"] = _sql_code_curation(
+        f"""SELECT id AS _id, object->>'$.repo' AS repo,
+       object->>'$.path' AS path, object->>'$.lang' AS lang,
+       object->>'$.content' AS content
+FROM ({final})"""
+    )
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by
     # doc_id.

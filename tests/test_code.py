@@ -396,3 +396,68 @@ def test_code_curation_plan_single_cached_scan_no_text_in_exchange(spark):
         if "Exchange" in line:
             assert not re.search(r"\bcontent\b", line), line
     assert out.count() == 3  # 3 content classes survive dedup
+
+
+def test_incremental_curation_fold_equals_rebuild(spark):
+    """The c19 fold on crafted transitions == batch code_curation on the
+    hand-built final state: a delete flips the dedup winner to the
+    surviving duplicate, and a license change flips a whole repo's vote
+    (files enter/leave without being touched themselves)."""
+    from kafka_connect_mongo_spark.operators.lww import lww_collapse
+
+    body = "def f():\n    return 1\n"
+    files0 = _repos(spark, [
+        # repo A (mit): winner "1" duplicates "2" in repo B (mit too)
+        ("1", "A", "pa", "py", MIT + body),
+        ("2", "B", "pb", "py", MIT + body),
+        # repo C: gpl at t0, its unheadered file rides the vote
+        ("3", "C", "pc", "py", GPL + "def g():\n    return 2\n"),
+        ("4", "C", "pd", "py", "def h():\n    return 3\n"),
+    ])
+    # events: delete "1" (winner flips to "2"); re-license C's headered
+    # file to MIT (repo C flips permissive, "4" enters untouched)
+    events = spark.createDataFrame(
+        [
+            (10, 0, 0, "d", "1", None, None, None, None),
+            (10, 1, 1, "u", "3", "C", "pc", "py",
+             MIT + "def g():\n    return 2\n"),
+        ],
+        "ts int, inc int, seq long, op string, id string, repo string,"
+        " path string, lang string, content string",
+    )
+
+    ord_cols = ("ts", "inc", "seq", "op")
+    seed = cd.curation_features(
+        files0,
+        extra=(F.lit(0).alias("ts"), F.lit(0).alias("inc"),
+               F.lit(-1).cast("long").alias("seq"), F.lit("i").alias("op")),
+    )
+    ups = events.filter(F.col("op") != "d").select(
+        F.col("id").alias("_id"), "repo", "path", "lang", "content", *ord_cols
+    )
+    upf = cd.curation_features(ups, extra=tuple(F.col(c) for c in ord_cols))
+    dels = events.filter(F.col("op") == "d").select(
+        F.col("id").alias("_id"),
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_lines"),
+        F.lit(None).cast("long").alias("max_line_len"),
+        F.lit(None).cast("double").alias("avg_line_len"),
+        F.lit(None).cast("double").alias("alnum_frac"),
+        F.lit(None).cast("double").alias("comment_ratio"),
+        F.lit(None).cast("string").alias("license"),
+        F.lit(None).cast("string").alias("digest"),
+        *ord_cols,
+    )
+    merged = lww_collapse(seed.unionByName(upf.unionByName(dels)), key="_id")
+    live = merged.filter(F.col("op") != "d").drop(*ord_cols)
+    folded = {r["_id"] for r in cd.curation_decide(live).collect()}
+
+    final_files = _repos(spark, [
+        ("2", "B", "pb", "py", MIT + body),
+        ("3", "C", "pc", "py", MIT + "def g():\n    return 2\n"),
+        ("4", "C", "pd", "py", "def h():\n    return 3\n"),
+    ])
+    rebuilt = {r["_id"] for r in cd.code_curation(final_files).collect()}
+    assert folded == rebuilt == {"2", "3", "4"}
