@@ -1817,7 +1817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layer (vote → gate → dedup) re-derives from slim rows at
         # O(|files|) cost, never re-reading unchanged text. Oracle =
         # batch c18 over the LWW-final file state — fold ≡ rebuild.
-        ord_cols = ("ts", "inc", "seq", "op")
         work = tempfile.mkdtemp(prefix="cdc-inccur-")
         seed = cd.curation_features(
             read_snapshot(spark, gen.repos_path(sf)),
@@ -1837,42 +1836,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [F.col("seq") <= half, F.col("seq") > half]
         ):
             batch = lww_collapse(feed.filter(cond), key="id")
-            ups = batch.filter(F.col("op") != "d").select(
-                F.col("id").alias("_id"),
-                F.get_json_object("object", "$.repo").alias("repo"),
-                F.get_json_object("object", "$.path").alias("path"),
-                F.get_json_object("object", "$.lang").alias("lang"),
-                F.get_json_object("object", "$.content").alias("content"),
-                *ord_cols,
-            )
-            upf = cd.curation_features(
-                ups, extra=tuple(F.col(c) for c in ord_cols)
-            )
-            dels = batch.filter(F.col("op") == "d").select(
-                F.col("id").alias("_id"),
-                F.lit(None).cast("string").alias("repo"),
-                F.lit(None).cast("string").alias("path"),
-                F.lit(None).cast("string").alias("lang"),
-                F.lit(None).cast("long").alias("n_lines"),
-                F.lit(None).cast("long").alias("max_line_len"),
-                F.lit(None).cast("double").alias("avg_line_len"),
-                F.lit(None).cast("double").alias("alnum_frac"),
-                F.lit(None).cast("double").alias("comment_ratio"),
-                F.lit(None).cast("string").alias("license"),
-                F.lit(None).cast("string").alias("digest"),
-                *ord_cols,
-            )
-            state = spark.read.parquet(state_path)
-            merged = lww_collapse(
-                state.unionByName(upf.unionByName(dels)), key="_id"
+            merged = cd.merge_curation_features(
+                spark.read.parquet(state_path),
+                cd.curation_feature_events(batch),
             )
             state_path = os.path.join(work, f"feats-{k + 1}")
             merged.write.mode("overwrite").parquet(state_path)
 
-        live = spark.read.parquet(state_path).filter(F.col("op") != "d")
-        return cd.curation_decide(live.drop(*ord_cols), max_line=100)
+        live = cd.live_curation_features(spark.read.parquet(state_path))
+        return cd.curation_decide(live, max_line=100)
 
     q["c19_incremental_curation"] = _c19
+
+    def _st27(spark: SparkSession, sf: str) -> DataFrame:
+        # STREAMING incremental curation: the c19 fold as a continuous
+        # job — chained state versions make retries exactly-once, and
+        # the LWW feature merge is order-independent, so the stream's
+        # final state equals the batch fold and the full rebuild (one
+        # oracle for all three forms).
+        from kafka_connect_mongo_spark.streaming.code_stream import (
+            run_code_curation_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-curstream-code-")
+        return run_code_curation_stream(
+            spark,
+            gen.oplog_path(sf),
+            gen.repos_path(sf),
+            work,
+            max_line=100,
+            max_files_per_trigger=2,
+        )
+
+    q["st27_streaming_curation_code"] = _st27
 
     # CCNet head/middle/tail: per-language LM-score terciles.
     q["t16_lm_buckets"] = lambda spark, sf: tx.lm_quality_buckets(
@@ -4346,6 +4342,8 @@ SELECT _id, repo, path, lang, digest FROM dd WHERE rn = 1
        object->>'$.content' AS content
 FROM ({final})"""
     )
+    # stream ≡ batch fold ≡ rebuild: one oracle for all three forms
+    o["st27_streaming_curation_code"] = o["c19_incremental_curation"]
 
     # t16: CCNet buckets — t8's score + per-language NTILE(3), ties by
     # doc_id.

@@ -128,6 +128,7 @@ def main() -> None:
         "st24_delete_latency",  # watermarked stream-stream interval join (4-batch job wall)
         "st25_streaming_gaps",  # streaming continuity monitor (sum-merged census)
         "c19_incremental_curation",  # CDC-maintained curation fold (2-batch job wall)
+        "st27_streaming_curation_code",  # streaming curation fold (chained state versions)
     ]
 
     def run_noop(df) -> None:

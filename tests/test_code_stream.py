@@ -1,0 +1,78 @@
+"""Streaming incremental code curation (streaming/code_stream.py):
+resume across restarts, retry idempotence, stream ≡ single-run fold.
+
+The driver oracle proves stream == SQL rebuild on the generated feed;
+these tests prove the crash/restart mechanics on staged file feeds.
+"""
+
+import os
+import shutil
+
+from kafka_connect_mongo_spark import generator as g
+from kafka_connect_mongo_spark.streaming.code_stream import (
+    run_code_curation_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage(tmp_path, n_files):
+    src = g.oplog_path(SF)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    staged = os.path.join(str(tmp_path), "oplog")
+    os.makedirs(staged, exist_ok=True)
+    for i, f in enumerate(parts[:n_files]):
+        dst = os.path.join(staged, f)
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(src, f), dst)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
+    return staged
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_code_stream_resume_garbage_overwrite_and_finished_rerun(
+    spark, tmp_path
+):
+    rp = g.repos_path(SF)
+
+    # reference: one fresh run over the full feed
+    full = _stage(tmp_path / "ref", 4)
+    ref = _rows(
+        run_code_curation_stream(
+            spark, full, rp, str(tmp_path / "wref"), max_line=100
+        )
+    )
+    assert len(ref) > 0
+
+    # run 1: half the feed
+    work = str(tmp_path / "w1")
+    staged = _stage(tmp_path / "inc", 2)
+    run_code_curation_stream(spark, staged, rp, work, max_line=100)
+    states = {e for e in os.listdir(work) if e.startswith("state-")}
+    assert states == {"state-init", "state-0", "state-1"}
+
+    # plant a half-committed garbage version for the NEXT batch id —
+    # the resumed stream must overwrite it, not trust it
+    shutil.copytree(
+        os.path.join(work, "state-0"), os.path.join(work, "state-2")
+    )
+
+    # run 2: remaining files arrive; same checkpoint + work dir resumes
+    _stage(tmp_path / "inc", 4)
+    out = run_code_curation_stream(spark, staged, rp, work, max_line=100)
+    states = {e for e in os.listdir(work) if e.startswith("state-")}
+    assert states == {
+        "state-init", "state-0", "state-1", "state-2", "state-3"
+    }
+    assert _rows(out) == ref
+
+    # finished re-run: nothing new to process; no new versions, same rows
+    again = run_code_curation_stream(spark, staged, rp, work, max_line=100)
+    assert {
+        e for e in os.listdir(work) if e.startswith("state-")
+    } == states
+    assert _rows(again) == ref
