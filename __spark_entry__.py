@@ -148,6 +148,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, gen.oplog_path(sf), gen.repos_path(sf)
     ).select("id", "ns", "repo", "path", "lang", "commit", "stars", "content_sha")
 
+    def _x12(spark: SparkSession, sf: str) -> DataFrame:
+        # Kafka-log-compaction retention: compact the feed's older half
+        # to one LWW event per key (tombstones retained), replay
+        # compacted ∪ bootstrap — must equal the UNCOMPACTED replay
+        # (the oracle is q_final_state's SQL verbatim).
+        from kafka_connect_mongo_spark.operators.replay import (
+            compact_feed,
+            final_state,
+        )
+        from kafka_connect_mongo_spark.sources.export import (
+            bootstrap_union_feed,
+        )
+
+        feed = read_oplog(spark, gen.oplog_path(sf))
+        lo, hi = feed.agg(F.min("ts"), F.max("ts")).first()
+        compacted = compact_feed(feed, (lo + hi) // 2)
+        snap = read_snapshot(spark, gen.repos_path(sf))
+        events = bootstrap_union_feed(snapshot_as_events(snap), compacted)
+        return final_state(events).select(
+            "id", "ns", "repo", "path", "lang", "commit", "stars",
+            "content_sha",
+        )
+
+    q["x12_compacted_replay"] = _x12
+
     q["a2s_final_state_salted"] = lambda spark, sf: replay(
         spark, gen.oplog_path(sf), gen.repos_path(sf), salted=True
     ).select("id", "ns", "content_sha")
@@ -2442,6 +2467,9 @@ FROM ({final})
     o["a2s_final_state_salted"] = f"""
 SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 """.strip()
+
+    # x12: compaction must be invisible — the oracle replays UNCOMPACTED
+    o["x12_compacted_replay"] = o["q_final_state"]
 
     o["a3_distinct_ids"] = (
         f"SELECT ns, count(DISTINCT id) AS n_distinct_ids FROM ({feed}) GROUP BY ns"

@@ -57,6 +57,32 @@ def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
     return live.withColumn("doc", doc).select(*cols)
 
 
+def compact_feed(feed: DataFrame, horizon_ts: int) -> DataFrame:
+    """Kafka-log-compaction semantics for the change feed: events at or
+    before ``horizon_ts`` collapse to ONE event per key (the LWW winner
+    — TOMBSTONES RETAINED), events after the horizon pass through
+    untouched. ``replay`` over the compacted feed equals replay over the
+    full feed for every key (proven by ``x12_compacted_replay``'s
+    oracle, which replays the UNCOMPACTED feed).
+
+    Tombstone retention is load-bearing: a key present in the bootstrap
+    whose only feed event is its delete would RESURRECT from the
+    bootstrap if compaction dropped the delete marker — exactly why
+    Kafka's ``cleanup.policy=compact`` retains tombstones until a
+    separate deletion horizon. A production deployment runs this as the
+    feed-retention job: the compacted prefix is the checkpointed
+    equivalent of the history it replaces, so replay cost stops growing
+    with feed age while resume/exactly-once semantics are unchanged.
+
+    Scale shape: one LWW shuffle over the prefix (|keys| output rows),
+    the suffix never shuffles; both halves come from the same pruned
+    scan (the ts predicate pushes to parquet row groups).
+    """
+    old = feed.filter(F.col("ts") <= horizon_ts)
+    new = feed.filter(F.col("ts") > horizon_ts)
+    return lww_collapse(old, key="id").unionByName(new)
+
+
 def replay(
     spark: SparkSession,
     oplog_path: str,

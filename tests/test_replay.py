@@ -118,3 +118,62 @@ def test_jsonl_feed_equals_parquet_feed(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="feed_format"):
         read_oplog(spark, jl, feed_format="csv")
+
+
+def test_compact_feed_tombstone_retention_is_load_bearing(spark):
+    """compact_feed keeps delete markers in the compacted prefix: a
+    bootstrap key whose only feed event is its delete must stay dead.
+    The counterfactual (dropping tombstones while compacting) resurrects
+    it — proving the retention rule is what the equality rests on."""
+    from kafka_connect_mongo_spark.operators.replay import (
+        compact_feed,
+        final_state,
+    )
+    from kafka_connect_mongo_spark.sources.export import (
+        bootstrap_union_feed,
+        snapshot_as_events,
+    )
+
+    snap = spark.createDataFrame(
+        [("k1", "code.docs", "A", "p1", "c1", "py", "body1"),
+         ("k2", "code.docs", "B", "p2", "c2", "py", "body2")],
+        "_id string, ns string, repo string, path string, commit string,"
+        " lang string, content string",
+    )
+    obj = json.dumps({"_id": "k2", "repo": "B", "path": "p2",
+                      "commit": "c9", "lang": "py", "content": "body2v2"})
+    feed = spark.createDataFrame(
+        [   # k1: deleted early (prefix); k2: updated early + late
+            (1_600_000_100, 0, 0, "d", "code.docs", "k1", None, None, False),
+            (1_600_000_100, 1, 1, "u", "code.docs", "k2", obj, None, False),
+            (1_600_000_900, 0, 2, "u", "code.docs", "k2", obj, None, False),
+        ],
+        "ts int, inc int, seq long, op string, ns string, id string,"
+        " object string, from_migrate boolean, initial_import boolean",
+    )
+
+    def state_ids(f):
+        ev = bootstrap_union_feed(snapshot_as_events(snap), f)
+        return {r["id"] for r in final_state(ev).collect()}
+
+    full = state_ids(feed)
+    assert full == {"k2"}
+
+    compacted = compact_feed(feed, horizon_ts=1_600_000_500)
+    # prefix collapsed (k1's delete + k2's early update -> 2 rows),
+    # suffix untouched
+    assert compacted.count() == 3
+    assert state_ids(compacted) == full
+
+    # counterfactual: compaction that drops tombstones resurrects k1
+    naive = compact_feed(feed, horizon_ts=1_600_000_500).filter(
+        ~((F.col("op") == "d") & (F.col("ts") <= 1_600_000_500))
+    )
+    assert state_ids(naive) == {"k1", "k2"}
+
+    # compaction is idempotent at the same horizon
+    twice = compact_feed(
+        compact_feed(feed, 1_600_000_500), 1_600_000_500
+    )
+    assert state_ids(twice) == full
+    assert twice.count() == 3
