@@ -77,6 +77,24 @@ def main(argv: list[str] | None = None) -> None:
                     help="parquet (default) or json — JSON-lines records, "
                     "the shape the reference emits to its topic")
 
+    prt = sub.add_parser(
+        "retain",
+        help="feed-retention job (Kafka log compaction): collapse the "
+        "feed prefix at --horizon to one LWW event per key (tombstones "
+        "retained), optionally expire tombstones at or before "
+        "--expire-tombstones-before (delete.retention analog — only "
+        "safe once every consumer bootstraps from a snapshot at or "
+        "after that horizon); writes the compacted feed as parquet",
+    )
+    prt.add_argument("--oplog", required=True)
+    prt.add_argument("--out", required=True)
+    prt.add_argument("--horizon", type=int, required=True,
+                     help="compaction horizon ts (inclusive)")
+    prt.add_argument("--expire-tombstones-before", type=int, default=None,
+                     help="drop compacted tombstones with ts <= this "
+                     "(must be <= --horizon)")
+    prt.add_argument("--namespace", default=None)
+
     pt = sub.add_parser(
         "route", help="multi-collection stream -> one lake table per namespace"
     )
@@ -375,6 +393,30 @@ def main(argv: list[str] | None = None) -> None:
         ).count()
         print(json.dumps({"out": args.out, "rows": rows,
                           "format": args.out_format}))
+    elif args.cmd == "retain":
+        from pyspark.sql import functions as F
+
+        from .operators.replay import compact_feed
+        from .sources.oplog import read_oplog
+
+        feed = read_oplog(spark, args.oplog, namespace=args.namespace)
+        compacted = compact_feed(
+            feed, args.horizon,
+            expire_tombstones_before=args.expire_tombstones_before,
+        )
+        compacted.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        n_in = feed.count()
+        n_out, n_tomb = out.agg(
+            F.count(F.lit(1)), F.sum((F.col("op") == "d").cast("long"))
+        ).first()
+        print(json.dumps({
+            "out": args.out, "events_in": n_in, "events_out": int(n_out),
+            "events_dropped": n_in - int(n_out),
+            "tombstones_retained": int(n_tomb or 0),
+            "horizon": args.horizon,
+            "expire_tombstones_before": args.expire_tombstones_before,
+        }))
     elif args.cmd == "route":
         from .streaming.router import run_routed_stream
 

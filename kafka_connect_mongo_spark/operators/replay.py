@@ -57,7 +57,11 @@ def final_state(events: DataFrame, salted: bool = False) -> DataFrame:
     return live.withColumn("doc", doc).select(*cols)
 
 
-def compact_feed(feed: DataFrame, horizon_ts: int) -> DataFrame:
+def compact_feed(
+    feed: DataFrame,
+    horizon_ts: int,
+    expire_tombstones_before: int | None = None,
+) -> DataFrame:
     """Kafka-log-compaction semantics for the change feed: events at or
     before ``horizon_ts`` collapse to ONE event per key (the LWW winner
     — TOMBSTONES RETAINED), events after the horizon pass through
@@ -74,13 +78,33 @@ def compact_feed(feed: DataFrame, horizon_ts: int) -> DataFrame:
     equivalent of the history it replaces, so replay cost stops growing
     with feed age while resume/exactly-once semantics are unchanged.
 
+    ``expire_tombstones_before`` is Kafka's SECOND horizon
+    (``delete.retention.ms``): compacted tombstones at or before it are
+    dropped entirely. Expiry is only safe for consumers whose bootstrap
+    snapshot was taken AT OR AFTER that horizon (the dead key is absent
+    from their snapshot, so nothing resurrects); a consumer replaying an
+    older bootstrap against the expired feed WILL resurrect the key —
+    the pytest proves both directions. Must be <= ``horizon_ts``
+    (un-compacted suffix events are never expired).
+
     Scale shape: one LWW shuffle over the prefix (|keys| output rows),
     the suffix never shuffles; both halves come from the same pruned
     scan (the ts predicate pushes to parquet row groups).
     """
+    if expire_tombstones_before is not None and expire_tombstones_before > horizon_ts:
+        raise ValueError(
+            "expire_tombstones_before must be <= horizon_ts: only the "
+            "compacted prefix may expire tombstones "
+            f"(got {expire_tombstones_before} > {horizon_ts})"
+        )
     old = feed.filter(F.col("ts") <= horizon_ts)
     new = feed.filter(F.col("ts") > horizon_ts)
-    return lww_collapse(old, key="id").unionByName(new)
+    compacted = lww_collapse(old, key="id")
+    if expire_tombstones_before is not None:
+        compacted = compacted.filter(
+            ~((F.col("op") == "d") & (F.col("ts") <= expire_tombstones_before))
+        )
+    return compacted.unionByName(new)
 
 
 def replay(

@@ -398,3 +398,51 @@ def test_cli_semdedup_build_and_probe(tmp_path_factory):
     assert r.returncode == 0, r.stderr[-1500:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["rows"] == 500 and rec["removed"] > 300, rec
+
+
+def test_cli_retain_feed_compaction(spark, tmp_path_factory):
+    """Out-of-process `retain` (feed-retention job): replay over the
+    compacted feed equals replay over the full feed; the stats line
+    reports the reclaimed events and retained tombstones."""
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark import generator as g
+    from kafka_connect_mongo_spark.operators.replay import replay
+
+    op = g.oplog_path("/root/testdata/sf0.001")
+    rp = g.repos_path("/root/testdata/sf0.001")
+    work = tmp_path_factory.mktemp("retain")
+    out = str(work / "compacted")
+
+    lo, hi = (
+        spark.read.parquet(op).agg(F.min("ts"), F.max("ts")).first()
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "retain",
+         "--oplog", op, "--out", out, "--horizon", str((lo + hi) // 2)],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["events_out"] < stats["events_in"]
+    assert stats["events_dropped"] == stats["events_in"] - stats["events_out"]
+    assert stats["tombstones_retained"] > 0
+
+    full = replay(spark, op, rp).select("id", "ns", "content_sha")
+    compacted = replay(spark, out, rp).select("id", "ns", "content_sha")
+    assert full.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(full).count() == 0
+
+    # horizon ordering validated out-of-process too
+    r2 = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "retain",
+         "--oplog", op, "--out", out, "--horizon", "100",
+         "--expire-tombstones-before", "200"],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r2.returncode != 0
+    assert "expire_tombstones_before" in (r2.stderr + r2.stdout)

@@ -177,3 +177,65 @@ def test_compact_feed_tombstone_retention_is_load_bearing(spark):
     )
     assert state_ids(twice) == full
     assert twice.count() == 3
+
+
+def test_compact_feed_tombstone_expiry_two_horizons(spark):
+    """The second horizon (Kafka delete.retention analog): expiry drops
+    the compacted tombstone, which is safe ONLY for consumers whose
+    bootstrap snapshot post-dates the expiry horizon (the dead key is
+    absent there) — an older bootstrap resurrects the key. Both
+    directions proven; the horizon ordering is validated."""
+    import pytest
+
+    from kafka_connect_mongo_spark.operators.replay import (
+        compact_feed,
+        final_state,
+    )
+    from kafka_connect_mongo_spark.sources.export import (
+        bootstrap_union_feed,
+        snapshot_as_events,
+    )
+
+    snap_schema = (
+        "_id string, ns string, repo string, path string, commit string,"
+        " lang string, content string"
+    )
+    # old bootstrap: k1 existed when it was taken
+    snap_old = spark.createDataFrame(
+        [("k1", "code.docs", "A", "p1", "c1", "py", "body1"),
+         ("k2", "code.docs", "B", "p2", "c2", "py", "body2")],
+        snap_schema,
+    )
+    # fresh bootstrap taken after k1's delete: k1 absent
+    snap_new = spark.createDataFrame(
+        [("k2", "code.docs", "B", "p2", "c2", "py", "body2")], snap_schema,
+    )
+    obj = json.dumps({"_id": "k2", "repo": "B", "path": "p2",
+                      "commit": "c9", "lang": "py", "content": "v2"})
+    feed = spark.createDataFrame(
+        [(1_600_000_100, 0, 0, "d", "code.docs", "k1", None, None, False),
+         (1_600_000_900, 0, 1, "u", "code.docs", "k2", obj, None, False)],
+        "ts int, inc int, seq long, op string, ns string, id string,"
+        " object string, from_migrate boolean, initial_import boolean",
+    )
+
+    def state_ids(snap, f):
+        ev = bootstrap_union_feed(snapshot_as_events(snap), f)
+        return {r["id"] for r in final_state(ev).collect()}
+
+    expired = compact_feed(
+        feed, horizon_ts=1_600_000_500,
+        expire_tombstones_before=1_600_000_200,
+    )
+    # the tombstone is gone from the retained feed
+    assert expired.filter(F.col("op") == "d").count() == 0
+    # safe: post-expiry bootstrap never saw k1
+    assert state_ids(snap_new, expired) == {"k2"}
+    # unsafe: the pre-expiry bootstrap resurrects k1 — the documented
+    # reason Kafka holds tombstones for delete.retention.ms first
+    assert state_ids(snap_old, expired) == {"k1", "k2"}
+    assert state_ids(snap_old, compact_feed(feed, 1_600_000_500)) == {"k2"}
+
+    # expiry may never reach past the compaction horizon
+    with pytest.raises(ValueError, match="expire_tombstones_before"):
+        compact_feed(feed, horizon_ts=100, expire_tombstones_before=200)
