@@ -1811,6 +1811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf)), iterations=3
     )
 
+    # Transitive dependency closure (semi-naive Datalog evaluation over
+    # the DISTINCT module graph): per module, how many modules it
+    # transitively reaches + import-cycle membership. The corpus-sized
+    # cost is one edge-extraction scan; the fixpoint loop is
+    # metadata-sized. Oracle = WITH RECURSIVE ... UNION verbatim.
+    q["g4_module_reachability"] = lambda spark, sf: cd.module_reachability(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
     # Per-repo license resolution: scan-local header detection (bounded
     # prefix), majority vote at repo cardinality, unknowns kept as rows.
     q["c16_repo_license"] = lambda spark, sf: cd.repo_license(
@@ -4265,6 +4274,24 @@ r{_i} AS (SELECT nodes.module,
         f"FROM r{_g3_iters}"
     )
     o["g3_module_rank"] = _g3
+
+    # g4: transitive closure — the recursive-CTE UNION (set dedup) is
+    # exactly the engine's semi-naive fixpoint, so counts are exact.
+    o["g4_module_reachability"] = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT string_split(path, '/')[-2] AS src,
+    string_split(t, '.')[1] AS dst
+  FROM (SELECT path, unnest(regexp_extract_all(content,
+          '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+        FROM read_parquet('{rp}'))),
+r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+SELECT src AS module, CAST(count(*) AS BIGINT) AS n_reachable,
+  CAST(max(CASE WHEN dst = src THEN 1 ELSE 0 END) AS BOOLEAN) AS in_cycle
+FROM r GROUP BY 1
+""".strip()
 
     # c15: secret census — literal gate replicated so hit counts agree
     # even if a regex engine disagreed on a gated-out row.

@@ -96,10 +96,12 @@ def main() -> None:
         "g1_import_degree",     # module popularity census (scan-local edges)
         "g2_repo_imports",      # per-repo distinct-import census (left join)
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)
+        "g4_module_reachability",  # semi-naive transitive closure (diameter-bounded)
         "c15_secret_census",    # gated-regex secret audit (1 scan + tiny agg)
         "c16_repo_license",     # repo license vote (scan-local detect)
         "c17_license_gate",     # permissive keep-set census (semi-join)
         "c18_code_curation",    # composed license+hygiene+dedup (1 text scan)
+        "x12_compacted_replay",  # log-compacted feed replay (prefix LWW + suffix)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

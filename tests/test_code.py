@@ -281,6 +281,53 @@ def test_module_pagerank_validation(spark):
         cd.module_pagerank(df, damping_num=20, damping_den=20)
 
 
+def test_module_reachability_hand_check(spark):
+    # Chain A->B->C plus cycle D<->E; C has no outgoing edge so it is
+    # absent from the census (no row: it reaches nothing).
+    edges = [("A", "B"), ("B", "C"), ("D", "E"), ("E", "D")]
+    got = {
+        r["module"]: (r["n_reachable"], r["in_cycle"])
+        for r in cd.module_reachability(_edges_df(spark, edges)).collect()
+    }
+    assert got == {
+        "A": (2, False),  # reaches B, C
+        "B": (1, False),  # reaches C
+        "D": (2, True),   # reaches E and itself
+        "E": (2, True),
+    }
+
+
+def test_module_reachability_matches_python_closure(spark):
+    # Denser graph incl. a self-loop and a duplicate edge; reference is
+    # a plain-Python BFS closure.
+    edges = [
+        ("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"), ("D", "D"),
+        ("E", "A"), ("A", "B"),
+    ]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expect = {}
+    for src in adj:
+        seen, stack = set(), list(adj[src])
+        while stack:
+            d = stack.pop()
+            if d not in seen:
+                seen.add(d)
+                stack.extend(adj.get(d, ()))
+        expect[src] = (len(seen), src in seen)
+    got = {
+        r["module"]: (r["n_reachable"], r["in_cycle"])
+        for r in cd.module_reachability(_edges_df(spark, edges)).collect()
+    }
+    assert got == expect
+
+
+def test_module_reachability_validation(spark):
+    with pytest.raises(ValueError, match="max_iterations"):
+        cd.module_reachability(_edges_df(spark, [("A", "B")]), max_iterations=0)
+
+
 MIT = "# Permission is hereby granted, free of charge\n"
 APACHE = '# Licensed under the Apache License, Version 2.0 (the "License");\n'
 GPL = "# under the terms of the GNU General Public License as published by\n"
