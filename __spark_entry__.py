@@ -1766,6 +1766,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t17_corpus_drift"] = _t17
 
+    # BPE vocabulary induction: merge table learned in K vocab-sized
+    # rounds off ONE corpus scan (word-count reduction); per-round
+    # argmax = the 1-row model artifact. Oracle = rounds unrolled as
+    # CTEs with scalar-subquery merge patterns.
+    q["t19_bpe_merges"] = lambda spark, sf: tx.bpe_merges(
+        _docs(spark, sf), n_merges=8
+    )
+
+    # Learned-subword token census: the merge chain folds into one
+    # nested-replace projection over the word table — corpus text is
+    # never re-read; top-k = TakeOrderedAndProject.
+    q["t20_bpe_census"] = lambda spark, sf: tx.bpe_token_census(
+        _docs(spark, sf), n_merges=8, top_k=40
+    )
+
     # --- Code-corpus hygiene (pipelines/code.py) over the snapshot -------
     # Per-file line-shape features: one projection over the scan, zero
     # exchanges, whole-stage codegen end-to-end.
@@ -4156,6 +4171,51 @@ SELECT doc_id, tok, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored) WHERE rn <= 5
 """.strip()
+
+    # t19/t20: BPE induction — the engine's merge rounds unrolled as
+    # CTEs; each round's argmax is a 1-row CTE feeding the next round's
+    # replace pattern as scalar subqueries. Same wrap encoding (" c "
+    # per char, double-space between tokens) so left-to-right replace
+    # is an exact token-boundary merge on both engines.
+    _bpe_rounds = 8
+    _bpe_cte = [
+        """w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS word
+  FROM documents) GROUP BY 1)""",
+        """r0 AS MATERIALIZED (SELECT word, cnt,
+  array_to_string(list_transform(regexp_extract_all(word, '.'), c -> ' ' || c || ' '), '') AS repr
+  FROM w)""",
+    ]
+    for _k in range(1, _bpe_rounds + 1):
+        _bpe_cte.append(
+            f"""p{_k} AS (SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+  SELECT cnt, unnest(toks[1:len(toks)-1]) AS l, unnest(toks[2:]) AS r
+  FROM (SELECT cnt, string_split(trim(repr), '  ') AS toks FROM r{_k - 1}))
+  GROUP BY 1, 2),
+m{_k} AS MATERIALIZED (SELECT "left", "right", pair_count FROM p{_k}
+  ORDER BY pair_count DESC, "left", "right" LIMIT 1),
+r{_k} AS MATERIALIZED (SELECT word, cnt, replace(repr,
+  ' ' || (SELECT "left" FROM m{_k}) || '  ' || (SELECT "right" FROM m{_k}) || ' ',
+  ' ' || (SELECT "left" FROM m{_k}) || (SELECT "right" FROM m{_k}) || ' ') AS repr
+  FROM r{_k - 1})"""
+        )
+    _bpe_with = "WITH " + ",\n".join(_bpe_cte)
+    o["t19_bpe_merges"] = (
+        _bpe_with
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f'SELECT {_k} AS rank, "left", "right", "left" || "right" AS merged,'
+            f" pair_count FROM m{_k}"
+            for _k in range(1, _bpe_rounds + 1)
+        )
+    )
+    o["t20_bpe_census"] = (
+        _bpe_with
+        + f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_slots FROM (
+  SELECT cnt, unnest(string_split(trim(repr), '  ')) AS token FROM r{_bpe_rounds})
+GROUP BY token ORDER BY n_total DESC, token LIMIT 40"""
+    )
 
     # t17: add-one log-odds drift — identical fixed-order chain.
     o["t17_corpus_drift"] = r"""

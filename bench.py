@@ -87,6 +87,8 @@ def main() -> None:
         "t15_bigram_lm",        # interpolated bigram LM (3 vocab-sized aggs)
         "t16_lm_buckets",       # CCNet head/middle/tail (per-lang ntile)
         "t17_corpus_drift",     # log-odds divergent terms between snapshots
+        "t19_bpe_merges",       # BPE induction (K vocab-sized merge rounds)
+        "t20_bpe_census",       # learned-subword census (nested-replace fold)
         "c13_data_card",        # one-row corpus report (single scan + agg)
         "d14_embedding_outliers",  # per-cell z-scores (row-local assign + tiny agg)
         "m5_pair_alignment",    # CLIP-score gate analog (row-local pair cosine)

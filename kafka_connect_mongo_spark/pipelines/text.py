@@ -734,3 +734,143 @@ def corpus_drift(
     up = scored.orderBy(F.col("score").desc(), "tok").limit(top_k)
     down = scored.orderBy(F.col("score").asc(), "tok").limit(top_k)
     return up.unionByName(down)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (t19/t20)
+# ---------------------------------------------------------------------------
+
+def _bpe_word_counts(docs: DataFrame) -> DataFrame:
+    """Distinct-word frequency table from ONE corpus scan — the classic
+    BPE-trainer reduction (industrial trainers learn merges from the
+    word-count dict, never the raw corpus): pre-tokenize with the shared
+    ``BPE_RE`` split over lowercased text, map-side-combined groupBy.
+    Every later merge round runs at |distinct words| cardinality,
+    independent of corpus row count."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_wrap(word: F.Column) -> F.Column:
+    """Initial BPE representation: each character wrapped in single
+    spaces and concatenated, so adjacent tokens are separated by a
+    DOUBLE space — `"ab"` → `" a  b "`. The wrapping makes a plain
+    left-to-right substring replace of ``" l  r "`` an exact
+    token-boundary merge (tokens never contain spaces), and leftmost
+    non-overlapping replacement is precisely GPT-2's merge order on
+    repeats (`" a  a  a "` → `" aa  a "`)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all(word, F.lit("."), 0),
+            lambda c: F.concat(F.lit(" "), c, F.lit(" ")),
+        ),
+    )
+
+
+def _bpe_pair_counts(vocab: DataFrame, repr_col: F.Column) -> DataFrame:
+    """Weighted adjacent-pair counts over the current representations:
+    split each word's repr back into tokens, zip neighbours, sum word
+    frequencies per (left, right). Vocab-sized aggregate."""
+    toks = F.split(F.trim(repr_col), "  ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("l"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("r"),
+    )
+    return (
+        vocab.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Learn a BPE merge table from the corpus (tokenizer induction —
+    Sennrich et al. 2016, the GPT-2 variant's merge order): ``n_merges``
+    rounds, each taking the most frequent adjacent token pair (ties by
+    (left, right) ascending — deterministic cross-engine under binary
+    collation) and fusing it everywhere.
+
+    Scale shape: the ONLY corpus-sized cost is the one pre-tokenization
+    scan inside ``_bpe_word_counts``; every round is a vocab-cardinality
+    aggregate over the persisted word table, and the per-round argmax
+    collected to the driver is ONE row — the learned model artifact
+    (t14's discipline: the model is driver-side, the data never is).
+    Round k's representation is round k-1's plus one literal
+    ``replace`` node, so the plan grows one expression per round — no
+    join/union lineage to truncate.
+
+    Returns (rank, left, right, merged, pair_count) — ``n_merges`` rows
+    (fewer iff the corpus runs out of repeatable pairs). Oracle: the
+    same rounds unrolled as CTEs with scalar-subquery merge patterns.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_merges: n_merges must be >= 1, got {n_merges}")
+    vocab = _bpe_word_counts(docs).persist()
+    repr_col = _bpe_wrap(F.col("word"))
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(vocab, repr_col)
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < 2:
+            break
+        l, r, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, l, r, l + r, cnt))
+        repr_col = F.replace(
+            repr_col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        )
+    vocab.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_token_census(
+    docs: DataFrame, n_merges: int = 8, top_k: int = 40
+) -> DataFrame:
+    """Apply a learned BPE vocabulary back to the corpus: the subword
+    token census after ``n_merges`` merges — (token, n_total, n_slots)
+    for the ``top_k`` heaviest subwords (ties by token ascending).
+
+    The merge chain composes into ONE nested-replace Column expression
+    over the word table, so tokenization is a single vocab-cardinality
+    projection + explode + map-side-combined aggregate (``n_slots`` =
+    occurrence slots of the token across distinct-word representations) —  the corpus
+    text itself is never re-read (its words and counts were captured by
+    the induction scan). TakeOrderedAndProject top-k, never a global
+    sort."""
+    if top_k < 1:
+        raise ValueError(f"bpe_token_census: top_k must be >= 1, got {top_k}")
+    rules = [
+        (r["left"], r["right"]) for r in bpe_merges(docs, n_merges).collect()
+    ]
+    vocab = _bpe_word_counts(docs)
+    repr_col = _bpe_wrap(F.col("word"))
+    for l, r in rules:
+        repr_col = F.replace(
+            repr_col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        )
+    return (
+        vocab.select(
+            F.col("cnt"), F.explode(F.split(F.trim(repr_col), "  ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("n_total"),
+            F.count("*").cast("long").alias("n_slots"),
+        )
+        .orderBy(F.col("n_total").desc(), "token")
+        .limit(top_k)
+    )
