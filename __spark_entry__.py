@@ -2205,6 +2205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm.synth_ppm(_docs(spark, sf))
     )
 
+    # m6: perceptual-hash image near-dup — aHash bands from the decoded
+    # plane, pigeonhole banded join + exact hamming filter (d3b's
+    # discipline on pixels). The fixture's closed-form pixel function
+    # makes docs 768 apart bit-identical images, so the gate has real
+    # planted twins; oracle recomputes every bit closed-form all-pairs.
+    q["m6_image_phash_dedup"] = lambda spark, sf: mm.phash_pairs(
+        mm.image_phash(mm.synth_ppm(_docs(spark, sf))), max_hamming=7
+    )
+
     # m3: real image RESIZE (nearest-neighbor downsample of the decoded
     # plane) — resized dims + channel means of the sampled grid.
     q["m3_image_resize"] = lambda spark, sf: mm.resize_ppm(
@@ -4592,6 +4601,31 @@ SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        CAST((w + 1) // 2 AS INTEGER) AS out_w, CAST((h + 1) // 2 AS INTEGER) AS out_h,
        mean_r, mean_g, mean_b
 FROM agg
+""".strip()
+
+    # m6: perceptual-hash near-dup — the 64 sampled grays recomputed
+    # closed-form (gray = (r+g+b)//3 at y=(k//8)*h//8, x=(k%8)*w//8;
+    # bit = 64*gray > sum of the 64 samples), packed into two 32-bit
+    # halves; all-pairs hamming <= 7. The engine's banded join is
+    # recall-1 by pigeonhole, so the sets are identical.
+    o["m6_image_phash_dedup"] = """
+WITH p AS (SELECT doc_id AS d, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+k AS (SELECT d, w, h, unnest(generate_series(0, 63)) AS k FROM p),
+g AS (SELECT d, k,
+  ( ((d*7 + (3*(((k//8)*h//8)*w + ((k%8)*w//8)))*13) % 256)
+  + ((d*7 + (3*(((k//8)*h//8)*w + ((k%8)*w//8)) + 1)*13) % 256)
+  + ((d*7 + (3*(((k//8)*h//8)*w + ((k%8)*w//8)) + 2)*13) % 256)) // 3 AS gray
+  FROM k),
+b AS (SELECT d, k,
+  CASE WHEN 64*gray > sum(gray) OVER (PARTITION BY d) THEN 1 ELSE 0 END AS bit FROM g),
+hh AS (SELECT d,
+  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM b GROUP BY d)
+SELECT a.d AS doc_a, c.d AS doc_b,
+  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS INT) AS hamming
+FROM hh a JOIN hh c ON a.d < c.d
+WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 7
 """.strip()
 
     # m4: sampled-frame channel means; frame f pixel-byte i value =

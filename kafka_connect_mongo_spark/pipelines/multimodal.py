@@ -472,3 +472,103 @@ def pair_alignment_gate(
         score.alias("score"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (m6): the LAION-style image dedup pass.
+# aHash over the decoded plane — 8x8 nearest-neighbor gray sample, bit =
+# pixel brighter than the sample mean — then banded candidate join +
+# exact hamming filter, the d3b SimHash discipline applied to pixels.
+# All integer math (gray = (r+g+b)//3, threshold = 64*gray > total) so
+# the closed-form fixture oracle replicates every bit.
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def image_phash(media_df: DataFrame) -> DataFrame:
+    """64-bit average-hash per image, emitted as 8 byte-bands (band b =
+    bits 8b..8b+7) — the join keys for pigeonhole candidate generation:
+    hamming(a, b) <= 7 flips at most 7 of the 8 bands, so near-dups
+    ALWAYS share at least one exact band (recall 1 by construction).
+
+    Decode is Arrow-batched ``mapInPandas`` numpy (swap for PIL on a
+    real cluster — the Spark contract is identical); the hash is
+    integer-exact: gray = (r+g+b)//3 at the 64 nearest-neighbor sample
+    points (y = row*h//8, x = col*w//8), bit = 64*gray > sum(grays)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r8 = np.arange(8, dtype=np.int64)
+        weights = 1 << np.arange(8, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[:3] == b"P6\n", "not a P6 PPM"
+                dim_end = buf.index(b"\n", 3)
+                w, h = (int(x) for x in buf[3:dim_end].split())
+                max_end = buf.index(b"\n", dim_end + 1)
+                plane = np.frombuffer(
+                    buf, dtype=np.uint8, offset=max_end + 1, count=w * h * 3
+                ).reshape(-1, 3)
+                gray = plane.astype(np.int64).sum(axis=1) // 3
+                ys, xs = (r8 * h) // 8, (r8 * w) // 8
+                grid = gray[(ys[:, None] * w + xs[None, :]).ravel()]
+                bits = (64 * grid > grid.sum()).astype(np.int64)
+                bands = (bits.reshape(8, 8) * weights[None, :]).sum(axis=1)
+                rows.append((int(doc_id), bands.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "bands"])
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        hash_batch, schema=PHASH_SCHEMA
+    )
+
+
+def phash_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-dup image pairs (doc_a < doc_b, hamming <= max_hamming) from
+    the banded hashes: posexplode bands, equi-join on (band index,
+    band value) — NEVER an image x image product — dedup candidates,
+    then the exact hamming filter as a zip_with/bit_count fold over the
+    8 bands (pure Column math, codegen'd).
+
+    Pigeonhole guarantee holds for max_hamming <= 7 with 8 bands;
+    larger thresholds would lose recall, so they're refused loudly."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"phash_pairs: max_hamming must be in [0, 7] (8-band pigeonhole "
+            f"guarantees recall only up to 7), got {max_hamming}"
+        )
+    banded = phash_df.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("bands_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bands_b"),
+        "band_idx", "band_val",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bands_a", "bands_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("bands_a"), F.col("bands_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
