@@ -1641,6 +1641,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h1_scd2_history"] = _h1
 
+    # Debezium-style before/after images — the update-lookback dual:
+    # both images derived from the feed itself (one key shuffle + lag),
+    # no per-event find(_id) round-trip.
+    def _h5(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.history import change_pairs
+
+        return change_pairs(
+            _feed(spark, sf).select("ts", "inc", "seq", "op", "ns", "id", "object")
+        )
+
+    q["h5_change_pairs"] = _h5
+
     # Key-lifecycle census per namespace (versions per key, gone keys).
     def _h2(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.operators.history import churn_stats
@@ -2573,6 +2585,25 @@ WITH w AS (
 SELECT ts, inc, seq, op, ns, id, object, valid_to_ts, valid_to_inc,
        CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
 FROM w WHERE op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # h5: before/after images — same window, lag over the
+    # tombstone-nulled payload (RESPECT NULLS on both engines, so the
+    # first event after a delete sees before = NULL).
+    o["h5_change_pairs"] = f"""
+WITH w AS (
+  SELECT ns, id, ts, inc, seq, op,
+    lag(CASE WHEN op = 'd' OR object IS NULL THEN NULL ELSE object END)
+      OVER win AS before_object,
+    CASE WHEN op = 'd' OR object IS NULL THEN NULL ELSE object END AS after_object
+  FROM ({feed})
+  WINDOW win AS (PARTITION BY ns, id ORDER BY ts, inc, seq))
+SELECT ns, id, ts, inc, seq, op, before_object, after_object,
+  CASE WHEN before_object IS NULL AND after_object IS NOT NULL THEN 'create'
+       WHEN before_object IS NOT NULL AND after_object IS NOT NULL THEN 'update'
+       WHEN before_object IS NOT NULL THEN 'delete'
+       ELSE 'redundant_delete' END AS change_kind
+FROM w
 """.strip()
 
     # h3/st15: incremental fold and streaming maintenance must both

@@ -72,6 +72,7 @@ def main() -> None:
         "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
         "h3_scd2_incremental",  # batch fold into existing history
         "h4_history_asof",      # point-in-time state from the history
+        "h5_change_pairs",      # before/after images (1 key shuffle + lag)
         "p6_payload_scrub",     # masking-SMT scan (regex counts + scrub)
         "a9_hll_distinct",      # mergeable HLL register sketch + estimate
         "a10_quantile_sketch",  # bounded-state histogram quantiles vs exact

@@ -212,3 +212,58 @@ def churn_stats(feed: DataFrame, key: str = "id", ns_col: str = "ns") -> DataFra
         F.max("n_versions").alias("max_versions"),
         F.sum(F.when(F.col("last_op") == "d", 1).otherwise(0)).alias("n_deleted_keys"),
     )
+
+
+def change_pairs(
+    feed: DataFrame,
+    key: str = "id",
+    ns_col: str | None = "ns",
+    payload_col: str | None = "object",
+) -> DataFrame:
+    """Debezium-style before/after images per event — the engine-side
+    dual of the reference's update lookback (``OplogReader.kt:116``
+    re-fetches the post-image with ``find(_id)``; a replayable feed can
+    derive BOTH images from itself, no lookup round-trip).
+
+    For every event: ``before_object`` = the payload the event replaced
+    (NULL when the key did not exist — first event, or first after a
+    delete), ``after_object`` = the event's own payload (NULL for
+    tombstones), and ``change_kind`` ∈ create / update / delete /
+    redundant_delete (a tombstone on a key that was already absent —
+    the at-least-once duplicate a downstream differ must not count).
+
+    ONE shuffle on (ns, key), one within-partition sort, two ``lag``
+    reads over the same window frame — same minimal physical shape as
+    :func:`scd2_history` (and at 100 TB the same key-bucketed layout
+    makes the exchange the table's own clustering). No history
+    self-join, no per-event lookback probe.
+    """
+    for c in (key, *ORDER_COLS, "op"):
+        if c not in feed.columns:
+            raise ValueError(f"change_pairs: column {c!r} missing from feed")
+    if payload_col is None or payload_col not in feed.columns:
+        raise ValueError(
+            f"change_pairs: payload column {payload_col!r} not in feed — "
+            "before/after images need the raw payload"
+        )
+    part = [ns_col, key] if ns_col is not None else [key]
+    w = Window.partitionBy(*part).orderBy(*[F.col(c) for c in ORDER_COLS])
+    after = F.when(tombstone_cond(payload_col), F.lit(None)).otherwise(
+        F.col(payload_col)
+    )
+    before = F.lag(after).over(w)
+    kind = (
+        F.when(before.isNull() & after.isNotNull(), F.lit("create"))
+        .when(before.isNotNull() & after.isNotNull(), F.lit("update"))
+        .when(before.isNotNull() & after.isNull(), F.lit("delete"))
+        .otherwise(F.lit("redundant_delete"))
+    )
+    cols = [F.col(c) for c in ([ns_col] if ns_col else [])] + [
+        F.col(key),
+        *[F.col(c) for c in ORDER_COLS],
+        F.col("op"),
+        before.alias("before_object"),
+        after.alias("after_object"),
+        kind.alias("change_kind"),
+    ]
+    return feed.select(*cols)

@@ -184,3 +184,37 @@ def test_cli_history_build_fold_asof(spark, feed, tmp_path):
     assert r1["current"] == expected.filter(F.col("is_current") == 1).count()
     r2 = run(["history", "asof", "--history", h1, "--asof-ts", "250"])
     assert r2["rows"] == history_asof(expected, 250).count()
+
+
+def test_change_pairs_transitions(spark, feed):
+    from kafka_connect_mongo_spark.operators.history import change_pairs
+
+    extra = spark.createDataFrame(
+        [(50, 0, 8, "d", "c.t", "k9", None)], FEED_SCHEMA  # delete of absent key
+    )
+    got = {
+        (r["ns"], r["id"], r["ts"]): (
+            r["before_object"], r["after_object"], r["change_kind"]
+        )
+        for r in change_pairs(feed.unionByName(extra)).collect()
+    }
+    assert got[("a.t", "k1", 100)] == (None, '{"v": 1}', "create")
+    assert got[("a.t", "k1", 200)] == ('{"v": 1}', '{"v": 2}', "update")
+    assert got[("a.t", "k1", 300)] == ('{"v": 2}', None, "delete")
+    # resurrection: the delete wiped the image, so before is NULL again
+    assert got[("a.t", "k1", 400)] == (None, '{"v": 3}', "create")
+    # null-payload update = tombstone by the payload rule
+    assert got[("a.t", "k2", 150)] == ('{"v": 9}', None, "delete")
+    # ns scoping: b.t's k1 never sees a.t's k1 images
+    assert got[("b.t", "k1", 500)] == (None, '{"v": 8}', "create")
+    # tombstone on a key that never existed
+    assert got[("c.t", "k9", 50)] == (None, None, "redundant_delete")
+
+
+def test_change_pairs_validation(spark, feed):
+    from kafka_connect_mongo_spark.operators.history import change_pairs
+
+    with pytest.raises(ValueError, match="missing"):
+        change_pairs(feed.drop("op"))
+    with pytest.raises(ValueError, match="payload"):
+        change_pairs(feed.drop("object"))
