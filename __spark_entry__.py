@@ -1346,6 +1346,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st15_streaming_scd2"] = _st15
 
+    # Streaming change-pairs: the CDC-out emitter with before/after
+    # images as a continuous job — O(batch + touched keys) state fold;
+    # accumulated pairs must equal batch h5 over the whole feed.
+    def _st28(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.change_stream import (
+            run_change_stream,
+        )
+
+        mid = _mid_ts(sf)
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-changestream-",
+            [F.col("ts") <= mid, F.col("ts") > mid],
+        )
+        return run_change_stream(spark, staged, os.path.join(work, "pairs"))
+
+    q["st28_streaming_changes"] = _st28
+
     # Bucket-pruned point lookup: the current row for 50 keys, reading
     # only the bucket dirs those keys hash to (Iceberg bucket-transform
     # data skipping; the engine-side form of the reference's
@@ -2605,6 +2622,9 @@ SELECT ns, id, ts, inc, seq, op, before_object, after_object,
        ELSE 'redundant_delete' END AS change_kind
 FROM w
 """.strip()
+
+    # st28: the streaming fold must reproduce batch h5 exactly.
+    o["st28_streaming_changes"] = o["h5_change_pairs"]
 
     # h3/st15: incremental fold and streaming maintenance must both
     # equal the full rebuild exactly.

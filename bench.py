@@ -118,6 +118,7 @@ def main() -> None:
         "st8_session_window",
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup
         "st15_streaming_scd2",  # streaming SCD2 fold (MoR history write)
+        "st28_streaming_changes",  # streaming before/after image emitter
         "st16_key_scrub",       # full-feed MERGE + bucket-pruned GDPR erasure
         "st18_streaming_quantiles",  # frozen-bounds histogram fold (sum-merge)
         "st19_consistent_read",  # two-table MERGE + cut-pinned snapshot read

@@ -219,6 +219,7 @@ def change_pairs(
     key: str = "id",
     ns_col: str | None = "ns",
     payload_col: str | None = "object",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Debezium-style before/after images per event — the engine-side
     dual of the reference's update lookback (``OplogReader.kt:116``
@@ -265,5 +266,6 @@ def change_pairs(
         before.alias("before_object"),
         after.alias("after_object"),
         kind.alias("change_kind"),
+        *[F.col(c) for c in keep_cols],
     ]
     return feed.select(*cols)

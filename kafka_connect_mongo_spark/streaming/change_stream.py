@@ -1,0 +1,141 @@
+"""Streaming change-pairs: the CDC-out emitter with before/after images
+— ``operators/history.change_pairs`` as a continuous job, the shipped
+shape of a Debezium-style connector (every event leaves with the payload
+it replaced attached, no per-event lookback round-trip,
+``OplogReader.kt:116``'s dual).
+
+Per micro-batch the fold needs exactly one piece of state: the LAST LIVE
+image per key (absent once deleted). Each batch seeds its window with
+the state rows of its touched keys, emits pairs for the batch's own
+events only, and writes the new per-touched-key state — so batch work is
+O(batch + touched keys), never O(|keys|).
+
+Layout under ``work_dir`` (the repo's idempotent write discipline,
+``streaming/dedup_stream.py``):
+
+- ``pairs/batch_id={n}/`` — change-pair rows emitted by batch n.
+  Append-only facts (an event's pair is computed by exactly one batch);
+  OVERWRITE on retry replaces a failed attempt instead of duplicating.
+- ``state/batch_id={n}/`` — last live image (or ``_gone`` marker) for
+  the keys batch n touched. Reads resolve per key by max batch_id (LWW
+  over commit order — ``sinks/lake.py``'s merge-on-read discipline);
+  the probe excludes the probing batch's own partition so a
+  half-committed retry never reads itself.
+
+Cross-batch contract: per key, later batches carry later events (the
+SCD2 loader contract, as ``history_stream``) — the file source's mtime
+ordering plus time-prefix staging satisfies it. Accumulated pairs across
+batches ≡ batch ``change_pairs`` over the whole feed; ``st28`` shares
+``h5``'s oracle SQL verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..operators.history import FEED_HISTORY_COLS as FEED_COLS
+from ..operators.history import change_pairs
+from ..operators.lww import ORDER_COLS, top1_per_key, tombstone_cond
+from ..sources.oplog import clean_feed_cond
+
+PAIR_COLS = [
+    "ns", "id", "ts", "inc", "seq", "op",
+    "before_object", "after_object", "change_kind",
+]
+
+
+def _has_partitions(d: str) -> bool:
+    return os.path.isdir(d) and any(e.startswith("batch_id=") for e in os.listdir(d))
+
+
+def _resolve_state(
+    spark: SparkSession, state_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Per-key latest state entry across batch partitions; ``_gone``
+    markers drop the key (deleted keys carry NO image — the next create
+    must see before = NULL)."""
+    if not _has_partitions(state_dir):
+        return None
+    df = spark.read.parquet(state_dir)
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch)
+    latest = top1_per_key(df, ["ns", "id"], desc_cols=("batch_id",))
+    return latest.filter(~F.col("_gone")).select(*FEED_COLS)
+
+
+def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
+    """All change pairs emitted so far (union of the batch partitions)."""
+    pairs_dir = os.path.join(work_dir, "pairs")
+    if not _has_partitions(pairs_dir):
+        return spark.createDataFrame(
+            [],
+            "ns string, id string, ts int, inc int, seq long, op string, "
+            "before_object string, after_object string, change_kind string",
+        )
+    return spark.read.parquet(pairs_dir).select(*PAIR_COLS)
+
+
+def run_change_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream feed files through the change-pair fold; returns the
+    accumulated pairs after the stream drains (availableNow)."""
+    pairs_dir = os.path.join(work_dir, "pairs")
+    state_dir = os.path.join(work_dir, "state")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
+        state = _resolve_state(spark, state_dir, exclude_batch=batch_id)
+        bkeys = batch.select("ns", "id").distinct()
+        events = batch.withColumn("_seed", F.lit(False))
+        if state is not None:
+            # seed = the touched keys' last live images; their ordering
+            # coordinates precede every batch event for the key (loader
+            # contract), so they sort first and feed the first lag
+            seeds = (
+                state.join(bkeys, ["ns", "id"], "left_semi")
+                .withColumn("_seed", F.lit(True))
+            )
+            events = seeds.unionByName(events)
+        paired = change_pairs(events, keep_cols=("_seed",)).persist()
+        try:
+            paired.filter(~F.col("_seed")).select(*PAIR_COLS).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(pairs_dir, f"batch_id={batch_id}"))
+            # new state for every touched key: the key's last event; a
+            # tombstone last event leaves a _gone marker
+            last = top1_per_key(events, ["ns", "id"], desc_cols=ORDER_COLS)
+            gone = tombstone_cond("object")
+            last.select(
+                "ns",
+                "id",
+                *[
+                    F.when(gone, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in (*ORDER_COLS, "op", "object")
+                ],
+                gone.alias("_gone"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            paired.unpersist()
+
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(feed_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_pairs(spark, work_dir)

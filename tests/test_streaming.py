@@ -958,3 +958,93 @@ def test_gap_stream_equals_batch_census_with_crash_retry_and_backfill(
 
     with _pytest.raises(ValueError):
         run_gap_stream(spark, staged, str(work / "bad"), bucket_size=1)
+
+
+def test_change_stream_equals_batch_with_crash_retry(spark, tmp_path_factory):
+    """Streaming change-pair fold == batch change_pairs across a
+    ts-split two-file feed (update whose before-image crosses the batch
+    boundary, delete + resurrection crossing batches, key untouched by
+    batch 1); then a mid-batch crash of batch 1 (pairs + state
+    partitions written, checkpoint NOT committed) retried must converge
+    to the identical pair set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.operators.history import change_pairs
+    from kafka_connect_mongo_spark.streaming.change_stream import (
+        PAIR_COLS,
+        read_pairs,
+        run_change_stream,
+    )
+
+    rows = [
+        (100, 0, 0, "i", "a.t", "k1", '{"v": 1}', None, False),
+        (110, 0, 1, "i", "a.t", "k2", '{"v": 9}', None, False),
+        (200, 0, 2, "d", "a.t", "k2", None, None, False),        # gone before cut
+        (120, 0, 3, "i", "b.t", "k3", '{"v": 7}', None, False),
+        (130, 0, 4, "i", "a.t", "km", '{"v": 0}', True, False),  # fromMigrate: dropped
+        # ---- batch boundary at ts 250 ----
+        (300, 0, 5, "u", "a.t", "k1", '{"v": 2}', None, False),  # before crosses batches
+        (310, 0, 6, "i", "a.t", "k2", '{"v": 10}', None, False), # re-create: before NULL
+        (320, 0, 7, "d", "c.t", "k9", None, None, False),        # redundant delete
+    ]
+    feed = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    expected = sorted(
+        map(
+            tuple,
+            change_pairs(
+                feed.filter(~F.coalesce("from_migrate", F.lit(False)))
+                .select("ts", "inc", "seq", "op", "ns", "id", "object")
+            ).select(*PAIR_COLS).collect(),
+        )
+    )
+
+    def stage(workname):
+        work = tmp_path_factory.mktemp(workname)
+        staged = str(work / "feed")
+        os.makedirs(staged)
+        for i, cond in enumerate([F.col("ts") <= 250, F.col("ts") > 250]):
+            tmp = str(work / f"half{i}")
+            feed.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        return work, staged
+
+    work, staged = stage("chg-stream")
+    got = run_change_stream(spark, staged, str(work / "chg"))
+    assert sorted(map(tuple, got.collect())) == expected
+    # spot-check the cross-batch before-image and the re-create
+    by_key = {(r["ns"], r["id"], r["ts"]): r for r in got.collect()}
+    assert by_key[("a.t", "k1", 300)]["before_object"] == '{"v": 1}'
+    assert by_key[("a.t", "k1", 300)]["change_kind"] == "update"
+    assert by_key[("a.t", "k2", 310)]["before_object"] is None
+    assert by_key[("a.t", "k2", 310)]["change_kind"] == "create"
+    assert by_key[("c.t", "k9", 320)]["change_kind"] == "redundant_delete"
+
+    # crash-retry: commit batch 0, plant batch 1's failed attempt
+    work2, staged2 = stage("chg-crash")
+    chg2 = str(work2 / "chg")
+    all_files = sorted(os.listdir(staged2))
+    held = os.path.join(str(work2), all_files[1])
+    os.replace(os.path.join(staged2, all_files[1]), held)
+    run_change_stream(spark, staged2, chg2)
+    spark.createDataFrame(
+        [("z.z", "zz", 1, 1, 999, "i", None, "{}", "create")],
+        "ns string, id string, ts int, inc int, seq long, op string, "
+        "before_object string, after_object string, change_kind string",
+    ).write.mode("overwrite").parquet(os.path.join(chg2, "pairs", "batch_id=1"))
+    spark.createDataFrame(
+        [("z.z", "zz", 1, 1, 999, "i", "{}", False)],
+        "ns string, id string, ts int, inc int, seq long, op string, "
+        "object string, _gone boolean",
+    ).write.mode("overwrite").parquet(os.path.join(chg2, "state", "batch_id=1"))
+    os.replace(held, os.path.join(staged2, all_files[1]))
+    got2 = run_change_stream(spark, staged2, chg2)
+    assert sorted(map(tuple, got2.collect())) == expected
+    assert read_pairs(spark, chg2).filter(F.col("ns") == "z.z").count() == 0
+    # every event's pair appears exactly once
+    assert got2.count() == got2.select("seq").distinct().count()
