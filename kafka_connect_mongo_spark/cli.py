@@ -314,6 +314,19 @@ def main(argv: list[str] | None = None) -> None:
                      help="fold: verify the loader ordering contract "
                      "(exit with LateDataError instead of diverging)")
 
+    pch = sub.add_parser(
+        "changes",
+        help="before/after change images (Debezium-style CDC-out, no "
+        "per-event lookback): batch (one-shot over a feed) | stream "
+        "(checkpointed continuous fold; exactly-once, resumable)",
+    )
+    pch.add_argument("op", choices=("batch", "stream"))
+    pch.add_argument("--oplog", required=True, help="change-feed path")
+    pch.add_argument("--out", default=None,
+                     help="batch: pairs parquet out (required)")
+    pch.add_argument("--work", default=None,
+                     help="stream: work dir (pairs/state/checkpoint; required)")
+
     prq = sub.add_parser(
         "requeue",
         help="replay the dead-letter quarantine into the table after a repair "
@@ -662,6 +675,36 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({
                 "op": "asof", "ts": args.asof_ts, "rows": live.count(),
             }))
+        spark.stop()
+        return
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        from .operators.history import FEED_HISTORY_COLS, change_pairs
+        from .sources.oplog import read_oplog
+        from .streaming.change_stream import run_change_stream
+
+        if args.op == "batch":
+            if not args.out:
+                p.error("changes batch requires --out")
+            pairs = change_pairs(
+                read_oplog(spark, args.oplog).select(*FEED_HISTORY_COLS)
+            )
+            pairs.write.mode("overwrite").parquet(args.out)
+            pairs = spark.read.parquet(args.out)
+        else:
+            if not args.work:
+                p.error("changes stream requires --work")
+            pairs = run_change_stream(spark, args.oplog, args.work)
+        kinds = {
+            r["change_kind"]: r["n"]
+            for r in pairs.groupBy("change_kind").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        print(json.dumps({
+            "op": args.op, "rows": sum(kinds.values()), "kinds": kinds,
+        }))
         spark.stop()
         return
     elif args.cmd == "diff":

@@ -218,3 +218,53 @@ def test_change_pairs_validation(spark, feed):
         change_pairs(feed.drop("op"))
     with pytest.raises(ValueError, match="payload"):
         change_pairs(feed.drop("object"))
+
+
+def test_cli_changes_batch_and_stream(spark, feed, tmp_path):
+    """Out-of-process `changes` CLI: batch pairs over the full feed and
+    the streaming fold over the same feed split in two files must agree
+    with the in-process operator's per-kind counts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from kafka_connect_mongo_spark.operators.history import change_pairs
+
+    full = feed.withColumn(
+        "from_migrate", F.lit(None).cast("boolean")
+    ).withColumn("initial_import", F.lit(False))
+    fdir = str(tmp_path / "feed")
+    os.makedirs(fdir)
+    for i, cond in enumerate([F.col("ts") <= 250, F.col("ts") > 250]):
+        tmp = str(tmp_path / f"half{i}")
+        full.filter(cond).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(fdir, f"f{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    expected = {
+        r["change_kind"]: r["n"]
+        for r in change_pairs(feed)
+        .groupBy("change_kind").agg(F.count("*").alias("n")).collect()
+    }
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def run(args):
+        out = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli", *args],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    rb = run(["changes", "batch", "--oplog", fdir, "--out",
+              str(tmp_path / "pairs")])
+    assert rb["kinds"] == expected
+    rs = run(["changes", "stream", "--oplog", fdir, "--work",
+              str(tmp_path / "work")])
+    assert rs["kinds"] == expected
+    # finished stream re-run: no new pairs, same totals (exactly-once)
+    rs2 = run(["changes", "stream", "--oplog", fdir, "--work",
+               str(tmp_path / "work")])
+    assert rs2["kinds"] == expected
