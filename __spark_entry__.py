@@ -199,6 +199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x11_feed_gaps"] = _x11
 
+    # Feed-rate anomaly census: robust (median/MAD) z per (ns, minute
+    # window) — the time-domain spike/drought monitor (x11's dual).
+    def _x14(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.metrics import rate_anomalies
+
+        return rate_anomalies(_feed(spark, sf), window_secs=60, z_threshold=3.0)
+
+    q["x14_rate_anomalies"] = _x14
+
     # STREAMING gap monitor: the holed feed arrives in 3 micro-batches
     # (seq mod 3 split — holes span batches); sum-merged bucket counts +
     # min/max-merged bounds must reproduce x11's one-shot census.
@@ -2473,6 +2482,43 @@ FROM j WHERE seq_hi - seq_lo + 1 - n_rows != 0
 
     # st25: stream == batch census (x11's oracle verbatim).
     o["st25_streaming_gaps"] = o["x11_feed_gaps"]
+
+    # x14: robust rate anomalies — A6's Spark-interpolation replication
+    # applied twice (median of counts, then median of deviations); the
+    # flag compares the ROUNDED z, exactly as the engine does.
+    _x14_med = """
+SELECT ns,
+  CASE WHEN CAST(ceil(0.5 * (n - 1)) AS BIGINT) = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+       THEN min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN v END)
+       ELSE min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN v END)
+              * (ceil(0.5 * (n - 1)) - 0.5 * (n - 1))
+            + min(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) THEN v END)
+              * (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+  END AS {out}
+FROM (SELECT ns, {val} AS v,
+             row_number() OVER (PARTITION BY ns ORDER BY {val}) - 1 AS rn,
+             count(*) OVER (PARTITION BY ns) AS n
+      FROM {src}) s
+GROUP BY s.ns, s.n
+"""
+    o["x14_rate_anomalies"] = f"""
+WITH c AS (
+  SELECT ns, CAST((CAST(ts AS BIGINT) // 60) * 60 AS BIGINT) AS wstart,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ({feed}) GROUP BY 1, 2),
+medt AS ({_x14_med.format(out="med", val="n_events", src="c")}),
+devs AS (SELECT c.ns, abs(c.n_events - medt.med) AS dev
+         FROM c JOIN medt USING (ns)),
+madt AS ({_x14_med.format(out="mad", val="dev", src="devs")}),
+scored AS (
+  SELECT c.ns, c.wstart, c.n_events, med, mad,
+    CASE WHEN mad > 0
+         THEN round((c.n_events - med) / (1.4826 * mad), 6) END AS z
+  FROM c JOIN medt USING (ns) JOIN madt USING (ns))
+SELECT ns, wstart, n_events, round(med, 6) AS med, round(mad, 6) AS mad, z,
+  CASE WHEN mad > 0 THEN abs(z) >= 3.0 ELSE n_events <> med END AS is_anomaly
+FROM scored
+""".strip()
 
     # st24: batch twin of the watermarked interval join (from_migrate
     # rows excluded on both sides, per the stream's F1 filter).

@@ -68,6 +68,7 @@ def main() -> None:
         "c10_source_gate",      # domain-level mean-quality gate (1 scan)
         "a8_field_census",      # schema-drift census over the feed
         "x11_feed_gaps",        # feed-continuity audit (range-bucket census)
+        "x14_rate_anomalies",   # robust rate spike/drought census (median/MAD)
         "h1_scd2_history",      # full version-interval history (1 shuffle)
         "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
         "h3_scd2_incremental",  # batch fold into existing history

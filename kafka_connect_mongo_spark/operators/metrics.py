@@ -676,3 +676,78 @@ def feed_gap_census(oplog: DataFrame, bucket_size: int = 1024) -> DataFrame:
         )
         .filter(F.col("n_missing") != 0)
     )
+
+
+def rate_anomalies(
+    feed: DataFrame,
+    window_secs: int = 3600,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Feed-rate anomaly census: per (namespace, time window), the event
+    count with a ROBUST z-score against the namespace's own rate
+    distribution — median/MAD, not mean/stddev, so a burst can't mask
+    itself by inflating the baseline (the monitoring dual of
+    ``feed_gap_census``: x11 finds holes in the sequence domain, this
+    finds spikes/droughts in the time domain).
+
+    Exactness contract (what makes the cross-engine oracle possible):
+    counts are integers; median is Spark's EXACT interpolating
+    percentile (``value_percentiles``'s discipline — the oracle
+    replicates the v_lo·(hi−pos) + v_hi·(pos−lo) formula); absolute
+    deviations are exact multiples of 0.5, so the second median is
+    exact too; the only float steps are one multiply by the 1.4826
+    normal-consistency constant, one divide, one round(6). When MAD = 0
+    (a perfectly constant rate), z is NULL and any deviating window is
+    flagged directly.
+
+    Plan shape: ONE map-side-combined count at (ns × windows)
+    cardinality, two tiny per-ns aggregates over that census, one
+    row-local scoring projection. Only OBSERVED windows appear —
+    zero-event holes live in the sequence domain (x11).
+    """
+    if window_secs < 1:
+        raise ValueError(f"rate_anomalies: window_secs must be >= 1, got {window_secs}")
+    if z_threshold <= 0:
+        raise ValueError(
+            f"rate_anomalies: z_threshold must be > 0, got {z_threshold}"
+        )
+    counts = (
+        feed.select(
+            "ns",
+            ((F.col("ts").cast("long") / window_secs).cast("long") * window_secs)
+            .alias("wstart"),
+        )
+        .groupBy("ns", "wstart")
+        .agg(F.count("*").alias("n_events"))
+    )
+    med = counts.groupBy("ns").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        counts.join(med, "ns")
+        .select("ns", F.abs(F.col("n_events") - F.col("med")).alias("dev"))
+        .groupBy("ns")
+        .agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            (F.col("n_events") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+        ),
+    )
+    flag = F.when(
+        F.col("mad") > 0, F.abs(F.col("z")) >= z_threshold
+    ).otherwise(F.col("n_events") != F.col("med"))
+    return (
+        counts.join(med, "ns")
+        .join(mad, "ns")
+        .select(
+            "ns",
+            "wstart",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            z.alias("z"),
+        )
+        .withColumn("is_anomaly", flag)
+    )

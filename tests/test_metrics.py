@@ -440,3 +440,48 @@ def test_feed_gap_census_finds_planted_holes(spark):
         feed_gap_census(base, bucket_size=1)
     # empty feed: typed empty result
     assert feed_gap_census(base.filter("seq < 0"), 1024).count() == 0
+
+
+def test_rate_anomalies_planted_spike(spark):
+    from kafka_connect_mongo_spark.operators.metrics import rate_anomalies
+
+    # ns "a": 2/3 events per minute alternating (baseline noise so MAD
+    # is positive), except minute 10 bursts to 40
+    rows = []
+    seq = 0
+    for m in range(20):
+        n = 40 if m == 10 else (2 if m % 2 == 0 else 3)
+        for i in range(n):
+            rows.append((1200 + m * 60 + i, "a", seq))
+            seq += 1
+    feed = spark.createDataFrame(rows, "ts int, ns string, seq long")
+    out = {r["wstart"]: r for r in rate_anomalies(feed, window_secs=60).collect()}
+    spike = out[1200 + 10 * 60]
+    # med of (nine 2s, ten 3s, 40) = 3.0; mad = 0.5; z = 37/0.7413
+    assert spike["n_events"] == 40 and spike["is_anomaly"]
+    assert spike["med"] == 3.0 and spike["mad"] == 0.5
+    assert spike["z"] > 40
+    normal = [r for w, r in out.items() if w != 1200 + 10 * 60]
+    assert len(normal) == 19 and not any(r["is_anomaly"] for r in normal)
+    assert all(abs(r["z"]) < 3 for r in normal)
+
+
+def test_rate_anomalies_constant_rate_mad_zero(spark):
+    from kafka_connect_mongo_spark.operators.metrics import rate_anomalies
+
+    # perfectly constant: nothing flagged, z NULL
+    rows = [(m * 60 + i, "a", m * 3 + i) for m in range(10) for i in range(3)]
+    feed = spark.createDataFrame(rows, "ts int, ns string, seq long")
+    out = rate_anomalies(feed, window_secs=60).collect()
+    assert len(out) == 10
+    assert all(r["mad"] == 0.0 and r["z"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_rate_anomalies_validation(spark):
+    from kafka_connect_mongo_spark.operators.metrics import rate_anomalies
+
+    feed = spark.createDataFrame([(1, "a", 0)], "ts int, ns string, seq long")
+    with pytest.raises(ValueError, match="window_secs"):
+        rate_anomalies(feed, window_secs=0)
+    with pytest.raises(ValueError, match="z_threshold"):
+        rate_anomalies(feed, z_threshold=0)
