@@ -1873,6 +1873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf))
     )
 
+    # Identifier spelling-variant census: SymSpell delete-1 blocking
+    # (recall 1 for edit distance 1, equi-join only) + exact levenshtein
+    # verify — the record-linkage member of the dedup family.
+    q["d16_ident_variants"] = lambda spark, sf: cd.ident_variant_pairs(
+        read_snapshot(spark, gen.repos_path(sf)), min_count=3
+    )
+
     # Per-repo license resolution: scan-local header detection (bounded
     # prefix), majority vote at repo cardinality, unknowns kept as rows.
     q["c16_repo_license"] = lambda spark, sf: cd.repo_license(
@@ -4457,6 +4464,26 @@ r(src, dst) AS (
 SELECT src AS module, CAST(count(*) AS BIGINT) AS n_reachable,
   CAST(max(CASE WHEN dst = src THEN 1 ELSE 0 END) AS BOOLEAN) AS in_cycle
 FROM r GROUP BY 1
+""".strip()
+
+    # d16: SymSpell delete-1 blocking replicated structurally (variant
+    # = substr prefix || substr suffix, self appended), then the same
+    # exact levenshtein == 1 verify.
+    o["d16_ident_variants"] = f"""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(content), '[a-z][a-z0-9_]{{2,}}')) AS word
+    FROM read_parquet('{rp}'))
+  GROUP BY 1 HAVING count(*) >= 3),
+v AS (
+  SELECT word, cnt, unnest(
+    list_append(list_transform(generate_series(1, length(word)),
+      i -> substr(word, 1, i - 1) || substr(word, i + 1)), word)) AS var
+  FROM w),
+cand AS (
+  SELECT DISTINCT a.word AS w_a, b.word AS w_b, a.cnt AS n_a, b.cnt AS n_b
+  FROM v a JOIN v b ON a.var = b.var AND a.word < b.word)
+SELECT * FROM cand WHERE levenshtein(w_a, w_b) = 1
 """.strip()
 
     # c15: secret census — literal gate replicated so hit counts agree

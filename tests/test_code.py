@@ -508,3 +508,43 @@ def test_incremental_curation_fold_equals_rebuild(spark):
     ])
     rebuilt = {r["_id"] for r in cd.code_curation(final_files).collect()}
     assert folded == rebuilt == {"2", "3", "4"}
+
+
+def test_ident_variants_recall_classes(spark):
+    # substitution, deletion, insertion all caught; distance-2 excluded;
+    # casing folds
+    body = " ".join(
+        ["parser"] * 3 + ["parzer"] * 3      # substitution
+        + ["config"] * 3 + ["confg"] * 3     # deletion
+        + ["token"] * 3 + ["tokken"] * 3     # insertion
+        + ["Widget"] * 3                     # case folds to widget
+        + ["widge"] * 3                      # deletion of widget
+        + ["alpha"] * 3 + ["omega"] * 3      # distance > 1: excluded
+    )
+    df = _repos(spark, [("1", "r", "src/m/a.py", "py", body)])
+    got = {(r["w_a"], r["w_b"]) for r in cd.ident_variant_pairs(df).collect()}
+    assert ("parser", "parzer") in got
+    assert ("confg", "config") in got
+    assert ("token", "tokken") in got
+    assert ("widge", "widget") in got
+    assert not any("alpha" in p or "omega" in p for p in got)
+
+
+def test_ident_variants_min_count_and_validation(spark):
+    body = "aaa aab " + "xxx " * 5 + "xxy " * 5
+    df = _repos(spark, [("1", "r", "src/m/a.py", "py", body)])
+    got = {(r["w_a"], r["w_b"]) for r in cd.ident_variant_pairs(df, min_count=3).collect()}
+    assert got == {("xxx", "xxy")}  # aaa/aab below min_count
+    with pytest.raises(ValueError, match="min_count"):
+        cd.ident_variant_pairs(df, min_count=0)
+    with pytest.raises(ValueError, match="content"):
+        cd.ident_variant_pairs(df.drop("content"))
+
+
+def test_ident_variants_no_cartesian_product(spark):
+    df = _repos(spark, [("1", "r", "src/m/a.py", "py", "abc abc abc")])
+    plan = (
+        cd.ident_variant_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
