@@ -208,6 +208,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x14_rate_anomalies"] = _x14
 
+    # STREAMING rate monitor: the same census folded per batch — the
+    # seq%3 split makes every window straggle across batches, so the
+    # sum-merge is load-bearing; scored read must equal one-shot x14.
+    def _st29(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.rate_stream import run_rate_stream
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-ratestream-",
+            [F.col("seq") % 3 == i for i in range(3)],
+        )
+        return run_rate_stream(
+            spark, staged, os.path.join(work, "rate"),
+            window_secs=60, z_threshold=3.0,
+        )
+
+    q["st29_streaming_rates"] = _st29
+
     # STREAMING gap monitor: the holed feed arrives in 3 micro-batches
     # (seq mod 3 split — holes span batches); sum-merged bucket counts +
     # min/max-merged bounds must reproduce x11's one-shot census.
@@ -2526,6 +2543,9 @@ SELECT ns, wstart, n_events, round(med, 6) AS med, round(mad, 6) AS mad, z,
   CASE WHEN mad > 0 THEN abs(z) >= 3.0 ELSE n_events <> med END AS is_anomaly
 FROM scored
 """.strip()
+
+    # st29: the streaming fold shares x14's oracle verbatim.
+    o["st29_streaming_rates"] = o["x14_rate_anomalies"]
 
     # st24: batch twin of the watermarked interval join (from_migrate
     # rows excluded on both sides, per the stream's F1 filter).

@@ -136,6 +136,7 @@ def main() -> None:
         "st23_streaming_semantic",  # streaming SemDeDup: growing accepted index, 2-batch job wall
         "st24_delete_latency",  # watermarked stream-stream interval join (4-batch job wall)
         "st25_streaming_gaps",  # streaming continuity monitor (sum-merged census)
+        "st29_streaming_rates", # streaming rate monitor (sum-merged partials)
         "c19_incremental_curation",  # CDC-maintained curation fold (2-batch job wall)
         "st27_streaming_curation_code",  # streaming curation fold (chained state versions)
     ]

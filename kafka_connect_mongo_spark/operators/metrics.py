@@ -711,7 +711,15 @@ def rate_anomalies(
         raise ValueError(
             f"rate_anomalies: z_threshold must be > 0, got {z_threshold}"
         )
-    counts = (
+    counts = rate_window_counts(feed, window_secs)
+    return score_rate_census(counts, z_threshold)
+
+
+def rate_window_counts(feed: DataFrame, window_secs: int) -> DataFrame:
+    """(ns, wstart, n_events) census — the mergeable partial: counts
+    from disjoint batches add by (ns, wstart), which is what the
+    streaming monitor (``streaming/rate_stream.py``) folds."""
+    return (
         feed.select(
             "ns",
             ((F.col("ts").cast("long") / window_secs).cast("long") * window_secs)
@@ -720,6 +728,11 @@ def rate_anomalies(
         .groupBy("ns", "wstart")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def score_rate_census(counts: DataFrame, z_threshold: float) -> DataFrame:
+    """Median/MAD robust scoring over a (ns, wstart, n_events) census —
+    see :func:`rate_anomalies` for the exactness contract."""
     med = counts.groupBy("ns").agg(
         F.percentile("n_events", F.lit(0.5)).alias("med")
     )

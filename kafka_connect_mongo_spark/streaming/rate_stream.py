@@ -1,0 +1,77 @@
+"""Streaming feed-rate monitor: x14's anomaly census as a per-batch
+mergeable fold (the st25/st17/st18 monitor discipline).
+
+Each micro-batch contributes its (ns, wstart, n_events) window partials
+under a batch_id-keyed partition with OVERWRITE — mandatory, since count
+sums are not idempotent under a batch retry (st25's rule). The read
+sum-merges the partials and applies EXACTLY ``rate_anomalies``'s
+median/MAD scoring (the shared ``score_rate_census``), so the
+accumulated monitor equals the one-shot batch census over everything
+seen (st29 shares x14's oracle verbatim). State is O(ns × windows)
+regardless of stream length, and a window whose events straggle across
+batches converges on the next read: counts are facts, not frozen
+verdicts — the z-scores re-derive from the merged census every read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..operators.metrics import rate_window_counts, score_rate_census
+from ..sources.oplog import clean_feed_cond
+
+
+def run_rate_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    window_secs: int = 3600,
+    z_threshold: float = 3.0,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream feed files through the rate monitor; returns the scored
+    census over everything seen (availableNow)."""
+    if window_secs < 1:
+        raise ValueError(
+            f"run_rate_stream: window_secs must be >= 1, got {window_secs}"
+        )
+    if z_threshold <= 0:
+        raise ValueError(
+            f"run_rate_stream: z_threshold must be > 0, got {z_threshold}"
+        )
+    counts_dir = os.path.join(work_dir, "window_counts")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rate_window_counts(
+            batch_df.filter(clean_feed_cond()), window_secs
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(counts_dir):
+        return spark.createDataFrame(
+            [],
+            "ns string, wstart long, n_events long, med double, mad double, "
+            "z double, is_anomaly boolean",
+        )
+    merged = (
+        spark.read.parquet(counts_dir)
+        .groupBy("ns", "wstart")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    return score_rate_census(merged, z_threshold)

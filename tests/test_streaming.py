@@ -1048,3 +1048,55 @@ def test_change_stream_equals_batch_with_crash_retry(spark, tmp_path_factory):
     assert read_pairs(spark, chg2).filter(F.col("ns") == "z.z").count() == 0
     # every event's pair appears exactly once
     assert got2.count() == got2.select("seq").distinct().count()
+
+
+def test_rate_stream_equals_batch_census_with_crash_retry(spark, tmp_path_factory):
+    """st29: the sum-merged streamed rate census equals one-shot
+    rate_anomalies across batch splits that straddle every window; a
+    retried batch whose failed attempt wrote garbage partials is
+    overwritten; late events re-derive the scores on the next read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.operators.metrics import rate_anomalies
+    from kafka_connect_mongo_spark.streaming.rate_stream import run_rate_stream
+
+    rows = []
+    seq = 0
+    for m in range(12):
+        n = 30 if m == 7 else (2 if m % 2 == 0 else 3)
+        for i in range(n):
+            rows.append((1200 + m * 60 + i, 0, seq, "i", "a.t", f"k{seq}",
+                         "{}", None, False))
+            seq += 1
+    feed = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+    clean = feed.select("ts", "ns", "seq")
+
+    work = tmp_path_factory.mktemp("rate-stream")
+    staged = str(work / "feed")
+    mon = str(work / "mon")
+    # split by seq parity: every window's events straddle both files
+    feed.filter(F.col("seq") % 2 == 0).coalesce(1).write.mode("append").parquet(staged)
+    run_rate_stream(spark, staged, mon, window_secs=60)
+
+    # second file arrives; a failed attempt of its batch wrote garbage
+    feed.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+    spark.createDataFrame(
+        [("z.z", 0, 99_999)], "ns string, wstart long, n_events long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(mon, "window_counts", "batch_id=1")
+    )
+    got = run_rate_stream(spark, staged, mon, window_secs=60)
+    want = rate_anomalies(clean, window_secs=60)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter("is_anomaly").count() == 1  # the planted burst
+    assert got.filter("ns = 'z.z'").count() == 0  # garbage overwritten
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_secs"):
+        run_rate_stream(spark, staged, str(work / "bad"), window_secs=0)
+    with _pytest.raises(ValueError, match="z_threshold"):
+        run_rate_stream(spark, staged, str(work / "bad2"), z_threshold=0)
