@@ -814,6 +814,20 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     if n_merges < 1:
         raise ValueError(f"bpe_merges: n_merges must be >= 1, got {n_merges}")
     vocab = _bpe_word_counts(docs).persist()
+    try:
+        merges = _learn_merges(vocab, n_merges)
+    finally:
+        vocab.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _learn_merges(vocab: DataFrame, n_merges: int) -> list[tuple]:
+    """The merge loop over an already-persisted word-count table —
+    shared by :func:`bpe_merges` and :func:`bpe_token_census` so the
+    census never pays a second corpus scan."""
     repr_col = _bpe_wrap(F.col("word"))
     merges = []
     for rank in range(1, n_merges + 1):
@@ -830,11 +844,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         repr_col = F.replace(
             repr_col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
         )
-    vocab.unpersist()
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
-    )
+    return merges
 
 
 def bpe_token_census(
@@ -847,16 +857,15 @@ def bpe_token_census(
     The merge chain composes into ONE nested-replace Column expression
     over the word table, so tokenization is a single vocab-cardinality
     projection + explode + map-side-combined aggregate (``n_slots`` =
-    occurrence slots of the token across distinct-word representations) —  the corpus
-    text itself is never re-read (its words and counts were captured by
-    the induction scan). TakeOrderedAndProject top-k, never a global
-    sort."""
+    occurrence slots of the token across distinct-word representations).
+    The corpus text is read EXACTLY ONCE: induction and census share one
+    persisted word-count table (the c1 single-scan rule — a second
+    ``_bpe_word_counts`` here would re-pay the whole corpus scan at
+    100 TB). TakeOrderedAndProject top-k, never a global sort."""
     if top_k < 1:
         raise ValueError(f"bpe_token_census: top_k must be >= 1, got {top_k}")
-    rules = [
-        (r["left"], r["right"]) for r in bpe_merges(docs, n_merges).collect()
-    ]
-    vocab = _bpe_word_counts(docs)
+    vocab = _bpe_word_counts(docs).persist()
+    rules = [(m[1], m[2]) for m in _learn_merges(vocab, n_merges)]
     repr_col = _bpe_wrap(F.col("word"))
     for l, r in rules:
         repr_col = F.replace(
