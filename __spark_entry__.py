@@ -1836,6 +1836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), n_merges=8, top_k=40
     )
 
+    # Tokenizer product: every doc encoded to learned-subword ids —
+    # the whole tokenizer (merge chain + id map) compiles into the one
+    # unavoidable encode scan's projection; zero joins/exchanges.
+    q["t21_bpe_encode"] = lambda spark, sf: tx.bpe_encode(
+        _docs(spark, sf), n_merges=8
+    )
+
     # --- Code-corpus hygiene (pipelines/code.py) over the snapshot -------
     # Per-file line-shape features: one projection over the scan, zero
     # exchanges, whole-stage codegen end-to-end.
@@ -4348,6 +4355,32 @@ r{_k} AS MATERIALIZED (SELECT word, cnt, replace(repr,
 SELECT token, CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_slots FROM (
   SELECT cnt, unnest(string_split(trim(repr), '  ')) AS token FROM r{_bpe_rounds})
 GROUP BY token ORDER BY n_total DESC, token LIMIT 40"""
+    )
+
+    # t21: encode — the word table already carries each word's final
+    # token list (r8.repr), so the oracle joins docs' pre-token streams
+    # against it, maps tokens to census-order ids, and reassembles in
+    # (word position, token position) order. Parallel unnests zip.
+    o["t21_bpe_encode"] = (
+        _bpe_with
+        + f""",
+cen AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS n_total FROM (
+  SELECT cnt, unnest(string_split(trim(repr), '  ')) AS token FROM r{_bpe_rounds})
+  GROUP BY token),
+tid AS (SELECT token, CAST(row_number() OVER (ORDER BY n_total DESC, token) AS INT) AS id FROM cen),
+wt AS (SELECT word, string_split(trim(repr), '  ') AS toks FROM r{_bpe_rounds}),
+dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS wpos
+       FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]') AS ws
+             FROM documents)),
+dt AS (SELECT doc_id, wpos, unnest(toks) AS token, unnest(range(1, len(toks) + 1)) AS tpos
+       FROM dw JOIN wt USING (word)),
+enc AS (SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
+        FROM dt JOIN tid USING (token) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(len(ids), 0) AS BIGINT) AS n_tokens,
+  coalesce(array_to_string(ids, ' '), '') AS token_ids
+FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
     )
 
     # t17: add-one log-odds drift — identical fixed-order chain.

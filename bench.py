@@ -91,6 +91,7 @@ def main() -> None:
         "t17_corpus_drift",     # log-odds divergent terms between snapshots
         "t19_bpe_merges",       # BPE induction (K vocab-sized merge rounds)
         "t20_bpe_census",       # learned-subword census (nested-replace fold)
+        "t21_bpe_encode",       # tokenizer product: docs -> id streams, 1 scan
         "c13_data_card",        # one-row corpus report (single scan + agg)
         "d14_embedding_outliers",  # per-cell z-scores (row-local assign + tiny agg)
         "m5_pair_alignment",    # CLIP-score gate analog (row-local pair cosine)

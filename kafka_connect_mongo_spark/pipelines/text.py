@@ -883,3 +883,73 @@ def bpe_token_census(
         .orderBy(F.col("n_total").desc(), "token")
         .limit(top_k)
     )
+
+
+def _bpe_apply_rules(word: F.Column, rules: list[tuple[str, str]]) -> F.Column:
+    """Tokenize one pre-token under a learned merge chain: wrapped-char
+    representation, the nested literal replaces, split back into the
+    token array (empties filtered — belt-and-braces, word reprs always
+    carry exact double-space separators)."""
+    rep = _bpe_wrap(word)
+    for l, r in rules:
+        rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return F.filter(F.split(F.trim(rep), "  "), lambda t: t != F.lit(""))
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode every document into learned-subword token ids — the
+    tokenizer family's actual product (``doc_id``, ``n_tokens``,
+    ``token_ids`` as a space-joined id string; empty docs yield 0/"").
+    Ids are assigned by census order (total count descending, token
+    ascending, 1-based) so the id table is reproducible from the corpus
+    alone. Unseen tokens (possible only when encoding a DIFFERENT
+    corpus than the one the merges were learned from) map to 0 = OOV.
+
+    Scale shape: learning reads the corpus once (``_bpe_word_counts``);
+    encoding is the unavoidable second scan (the output is per-doc) but
+    compiles ENTIRELY into that scan's projection — per pre-token merge
+    replaces inside an array lambda, token→id via a literal map (the
+    token vocabulary is structurally bounded by |alphabet| + n_merges,
+    so the collected id table is a model artifact like the IVF
+    centroids, never corpus-sized). ZERO joins, ZERO exchanges, no
+    explode: a doc never leaves its input partition. Merges cannot
+    cross pre-token boundaries by construction (each word is tokenized
+    inside its own lambda), matching GPT-2 pre-tokenization."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_encode: n_merges must be >= 1, got {n_merges}")
+    vocab = _bpe_word_counts(docs).persist()
+    try:
+        rules = [(m[1], m[2]) for m in _learn_merges(vocab, n_merges)]
+        census = (
+            vocab.select(
+                F.col("cnt"),
+                F.explode(_bpe_apply_rules(F.col("word"), rules)).alias("token"),
+            )
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("n_total"))
+            .orderBy(F.col("n_total").desc(), "token")
+            .collect()
+        )
+    finally:
+        vocab.unpersist()
+    id_pairs = []
+    for i, r in enumerate(census):
+        id_pairs.extend((F.lit(r["token"]), F.lit(i + 1)))
+    # constant-folds into one literal map in the scan projection
+    id_map = F.create_map(*id_pairs) if id_pairs else F.create_map()
+    toks = F.flatten(
+        F.transform(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0),
+            lambda w: _bpe_apply_rules(w, rules),
+        )
+    )
+    ids = F.transform(
+        toks, lambda t: F.coalesce(F.element_at(id_map, t), F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.array_join(ids.cast("array<string>"), " ").alias("token_ids"),
+    )
