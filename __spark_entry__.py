@@ -1864,6 +1864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fingerprint=cd.normalized_fingerprint(),
     )
 
+    # Fork collapse: connected components over the ≥0.9-Jaccard clone
+    # graph + keep-the-biggest canonical election. Election sizes ride
+    # on the pair rows — one content scan total.
+    q["d17_fork_clusters"] = lambda spark, sf: cd.repo_fork_clusters(
+        read_snapshot(spark, gen.repos_path(sf)),
+        min_jaccard=0.9,
+        min_shared=2,
+        fingerprint=cd.normalized_fingerprint(),
+    )
+
     # Module-dependency census over the planted import graph: edges are
     # produced inside the scan projection (regexp_extract_all + explode),
     # the census shuffle carries |modules| rows.
@@ -4437,6 +4447,40 @@ SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
   round(CAST(p.n_shared AS DOUBLE)/(sa.n + sb.n - p.n_shared), 6) AS jaccard
 FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b
 WHERE p.n_shared >= 2
+""".strip()
+
+    # d17: fork clusters — d15's pair graph gated at 0.9, transitive
+    # closure (d7's recursive-CTE pattern), keep-the-biggest election
+    # over the pair-row sizes.
+    o["d17_fork_clusters"] = f"""
+WITH RECURSIVE f AS (SELECT DISTINCT repo,
+             sha256(regexp_replace(content, '[0-9]+', '0', 'g')) AS digest
+           FROM read_parquet('{rp}')),
+sz AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY repo),
+p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN f b ON a.digest = b.digest AND a.repo < b.repo GROUP BY 1, 2),
+pairs AS (SELECT p.repo_a, p.repo_b, sa.n AS n_a, sb.n AS n_b,
+    round(CAST(p.n_shared AS DOUBLE)/(sa.n + sb.n - p.n_shared), 6) AS jaccard
+  FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b
+  WHERE p.n_shared >= 2),
+g AS (SELECT * FROM pairs WHERE jaccard >= 0.9),
+edges AS (
+  SELECT repo_a AS x, repo_b AS y FROM g
+  UNION SELECT repo_b AS x, repo_a AS y FROM g),
+reach(x, label) AS (
+  SELECT x, x AS label FROM (SELECT DISTINCT x FROM edges) t
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y),
+cc AS (SELECT x AS repo, min(label) AS cluster FROM reach GROUP BY x),
+rsz AS (SELECT DISTINCT repo, n_files FROM (
+        SELECT repo_a AS repo, n_a AS n_files FROM g
+        UNION ALL SELECT repo_b AS repo, n_b AS n_files FROM g)),
+j AS (SELECT cc.repo, cc.cluster, rsz.n_files FROM cc JOIN rsz USING (repo))
+SELECT repo, cluster,
+  first_value(repo) OVER (PARTITION BY cluster ORDER BY n_files DESC, repo) AS canonical_repo,
+  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster,
+  n_files
+FROM j
 """.strip()
 
     # g1/g2: import graph — identical RE2-safe pattern both engines;

@@ -99,6 +99,7 @@ def main() -> None:
         "t18_code_line_metrics",  # per-file line-shape features (1 scan, 0 exch)
         "c14_stack_gate",       # Stack hygiene filter inside the same scan
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)
+        "d17_fork_clusters",    # fork collapse: CC over clone graph + election
         "g1_import_degree",     # module popularity census (scan-local edges)
         "g2_repo_imports",      # per-repo distinct-import census (left join)
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)

@@ -132,6 +132,57 @@ def test_repo_overlap_validation(spark):
         cd.repo_overlap(df, max_repos_per_digest=1)
 
 
+def test_fork_clusters_election_and_singletons(spark):
+    # family 1: A ⊃ B ⊃≈ C (chain: A-B and B-C cross 0.5, A-C doesn't —
+    # transitivity must still pool all three); family 2: D=E twins;
+    # F is a singleton and must be ABSENT from the output.
+    rows = [
+        # A: f1..f4 (biggest — canonical)
+        ("a1", "A", "p1", "py", "f1"),
+        ("a2", "A", "p2", "py", "f2"),
+        ("a3", "A", "p3", "py", "f3"),
+        ("a4", "A", "p4", "py", "f4"),
+        # B: f1,f2,f3 (jacc(A,B)=3/4=0.75; jacc(B,C)=2/3≈0.667)
+        ("b1", "B", "p1", "py", "f1"),
+        ("b2", "B", "p2", "py", "f2"),
+        ("b3", "B", "p3", "py", "f3"),
+        # C: f1,f2 (jacc(A,C)=2/4=0.5 < 0.6 — only reachable via B)
+        ("c1", "C", "p1", "py", "f1"),
+        ("c2", "C", "p2", "py", "f2"),
+        # D/E: identical twins (tie on size -> canonical = min name)
+        ("d1", "D", "q1", "py", "g1"),
+        ("d2", "D", "q2", "py", "g2"),
+        ("e1", "E", "q1", "py", "g1"),
+        ("e2", "E", "q2", "py", "g2"),
+        # F: unrelated singleton
+        ("f1", "F", "z", "py", "zzz"),
+    ]
+    got = {
+        r["repo"]: r
+        for r in cd.repo_fork_clusters(
+            _repos(spark, rows), min_jaccard=0.6, min_shared=1
+        ).collect()
+    }
+    assert set(got) == {"A", "B", "C", "D", "E"}
+    for repo in ("A", "B", "C"):
+        assert got[repo]["cluster"] == "A"
+        assert got[repo]["canonical_repo"] == "A"  # most files wins
+        assert got[repo]["n_cluster"] == 3
+    for repo in ("D", "E"):
+        assert got[repo]["cluster"] == "D"
+        assert got[repo]["canonical_repo"] == "D"  # size tie -> min name
+        assert got[repo]["n_cluster"] == 2
+    assert got["A"]["n_files"] == 4 and got["C"]["n_files"] == 2
+
+
+def test_fork_clusters_validation(spark):
+    df = _repos(spark, [("1", "A", "p", "py", "x")])
+    with pytest.raises(ValueError, match="min_jaccard"):
+        cd.repo_fork_clusters(df, min_jaccard=0.0)
+    with pytest.raises(ValueError, match="min_jaccard"):
+        cd.repo_fork_clusters(df, min_jaccard=1.5)
+
+
 def test_import_edges_extraction(spark):
     content = "import m10\nfrom m22 import util\nimport m33.helpers\ndef f():\n    pass\n"
     rows = cd.import_edges(
