@@ -854,6 +854,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
+    # All-pairs tf·idf cosine with prefix filtering (Bayardo WWW'07):
+    # exact — the prefix index is recall-1 candidate pruning; integer
+    # weights make the dot products order-independent. Oracle = the
+    # NAIVE all-shared-token join, proving the filter changes nothing.
+    q["d19_tfidf_allpairs"] = lambda spark, sf: dd.tfidf_allpairs(
+        _docs(spark, sf), threshold=0.9
+    )
+
     # Near-dup CLUSTERING: pairs -> distributed connected components ->
     # canonical min-doc_id per cluster (what a dedup pass actually keys on).
     q["d7_neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
@@ -3112,6 +3120,29 @@ FROM (
         "FROM documents GROUP BY md5(text)"
     )
     o["d2_ngram_jaccard"] = _sql_ngram_jaccard(0.5)
+
+    # d19: the oracle is the UNFILTERED all-pairs join — every doc pair
+    # sharing any positive-idf token, exact integer dot products, same
+    # fixed-point weight definition. The engine's prefix filter must
+    # reproduce this set exactly (recall 1 by theorem).
+    o["d19_tfidf_allpairs"] = r"""
+WITH tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents) GROUP BY 1, 2),
+dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+w AS (SELECT doc_id, tok, tf * CAST(round(ln(n_docs / df) * 1000, 0) AS BIGINT) AS wi
+      FROM tokc JOIN dfx USING (tok), nd),
+wp AS (SELECT * FROM w WHERE wi > 0),
+n AS (SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS nrm FROM wp GROUP BY doc_id),
+d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.wi * b.wi) AS BIGINT) AS dot
+      FROM wp a JOIN wp b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT doc_a, doc_b,
+    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+  FROM d JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
+WHERE cos_sim >= 0.9
+""".strip()
     o["d3_simhash32"] = _sql_simhash()
     o["d3b_simhash_neardup"] = f"""
 WITH sig AS ({_sql_simhash()})

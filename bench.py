@@ -100,6 +100,7 @@ def main() -> None:
         "c14_stack_gate",       # Stack hygiene filter inside the same scan
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)
         "d17_fork_clusters",    # fork collapse: CC over clone graph + election
+        "d19_tfidf_allpairs",   # exact all-pairs cosine, prefix-filtered
         "g1_import_degree",     # module popularity census (scan-local edges)
         "g2_repo_imports",      # per-repo distinct-import census (left join)
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)
