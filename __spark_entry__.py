@@ -2048,6 +2048,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7_ann_cosine_topk"] = _ann
 
+    # MMR diverse top-k: greedy k-round selection, selected vectors ride
+    # as bounded literals — one TakeOrdered scan per round, no joins.
+    def _mmr(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.mmr_select(emb, qvec, k=8, lam=0.7)
+
+    q["d18_mmr_select"] = _mmr
+
     def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         # IVF path: coarse-quantizer cells + top-4-cell probe, exact
         # re-score inside probed cells only (similarity.ann_topk_ivf).
@@ -3399,6 +3411,52 @@ SELECT vec_id,
         (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
 FROM base, q ORDER BY score DESC, vec_id LIMIT 10
 """.strip()
+
+    # d18: MMR — the greedy rounds unrolled as MATERIALIZED CTEs
+    # (t19's discipline: scalar-subquery fan-out would otherwise
+    # re-evaluate each round's argmax exponentially). Identical
+    # rounding discipline: every cosine and the combined score round
+    # to 6 before the argmax, ties by vec_id.
+    def _mmr_cos(a: str, b: str) -> str:
+        return (
+            f"round(list_inner_product({a}, {b}) / "
+            f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+        )
+
+    _mmr_k, _mmr_lam = 8, 0.7
+    _mmr_beta = 1.0 - _mmr_lam
+    _mmr_cte = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "qv AS (SELECT e AS qe FROM base WHERE vec_id = 0)",
+        f"rel AS MATERIALIZED (SELECT vec_id, e, {_mmr_cos('e', 'qe')} AS rel FROM base, qv)",
+        "m1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, e, rel, rel AS score FROM rel "
+        "ORDER BY score DESC, vec_id LIMIT 1)",
+    ]
+    for _i in range(2, _mmr_k + 1):
+        _prev = [f"m{_j}" for _j in range(1, _i)]
+        _sims = ", ".join(
+            _mmr_cos("v.e", f"(SELECT e FROM {_m})") for _m in _prev
+        )
+        _g = f"greatest({_sims})" if len(_prev) > 1 else _sims
+        _notin = " UNION ALL ".join(f"SELECT vec_id FROM {_m}" for _m in _prev)
+        _mmr_cte.append(
+            f"""s{_i} AS (SELECT v.vec_id, v.e, v.rel,
+  round({_mmr_lam} * v.rel - {_mmr_beta} * {_g}, 6) AS score
+  FROM rel v WHERE v.vec_id NOT IN ({_notin}))"""
+        )
+        _mmr_cte.append(
+            f"m{_i} AS MATERIALIZED (SELECT {_i} AS rank, vec_id, e, rel, score "
+            f"FROM s{_i} ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+    o["d18_mmr_select"] = (
+        "WITH "
+        + ",\n".join(_mmr_cte)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT rank, vec_id, rel AS relevance, score AS mmr_score FROM m{_j}"
+            for _j in range(1, _mmr_k + 1)
+        )
+    )
 
     o["t1_token_count"] = """
 SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,

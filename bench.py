@@ -49,6 +49,7 @@ def main() -> None:
         "d4_minhash_lsh",
         "d5b_lsh_neardup",      # banded-LSH near-dup (planted twins)
         "s7_ann_cosine_topk",
+        "d18_mmr_select",       # diverse top-k: k TakeOrdered rounds
         "s7c_ann_topk_ivf",     # IVF build + probe + exact re-score
         "s7e_ann_ivf_indexed",  # steady state: partition-pruned probe of the persisted index
         "s8_pq_adc_topk",       # PQ compression + row-local ADC scan

@@ -1493,3 +1493,90 @@ def semantic_dedup_arrow(
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection (d18)
+# ---------------------------------------------------------------------------
+
+def mmr_select(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 8,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR 1998) — greedily pick the item maximizing
+    ``lam * rel − (1−lam) * max_sim_to_already_selected``, so the k
+    results cover the neighborhood of the query instead of returning k
+    near-copies of the best hit (the failure mode of plain ANN top-k on
+    a deduplicated-by-intent corpus: s7 returns the same document five
+    times in five near-dup variants; this returns five DIFFERENT ones).
+
+    Scale shape: k driver-coordinated rounds. Round i is ONE corpus
+    scan computing the MMR score as a pure Column expression — the
+    selected vectors ride as literals (bounded: k of them, the IVF
+    centroid-literal discipline), so there is no join, no shuffle
+    beyond the TakeOrderedAndProject argmax, and no state on the
+    executors. Cosines and the combined score round to ``round_digits``
+    before the argmax with vec_id as the tie-break, making the greedy
+    trajectory engine-independent (the unrolled-CTE oracle replays it
+    operation for operation). Relevance is computed once and persisted;
+    per-round incremental cost is the k cosine terms of the max-sim
+    column. Output: (rank, vec_id, relevance, mmr_score) in selection
+    order; mmr_score of rank 1 is its relevance."""
+    if k < 1:
+        raise ValueError(f"mmr_select: k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_select: lam must be in [0, 1], got {lam}")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    e = F.col("embedding").cast("array<double>")
+    base = embeddings.select(
+        "vec_id", e.alias("e"), _cos(e, q, round_digits).alias("rel")
+    ).persist()
+    try:
+        picked: list[tuple] = []
+        sel_vecs: list[list[float]] = []
+        for rank in range(1, k + 1):
+            cand = base
+            if picked:
+                cand = cand.filter(
+                    ~F.col("vec_id").isin([p[1] for p in picked])
+                )
+                maxsim = F.greatest(
+                    *[
+                        _cos(
+                            F.col("e"),
+                            F.array(*[F.lit(float(x)) for x in sv]),
+                            round_digits,
+                        )
+                        for sv in sel_vecs
+                    ]
+                ) if len(sel_vecs) > 1 else _cos(
+                    F.col("e"),
+                    F.array(*[F.lit(float(x)) for x in sel_vecs[0]]),
+                    round_digits,
+                )
+                score = F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim,
+                    round_digits,
+                )
+            else:
+                score = F.col("rel")
+            top = (
+                cand.select("vec_id", "e", "rel", score.alias("score"))
+                .orderBy(F.col("score").desc(), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # corpus exhausted before k
+            r = top[0]
+            picked.append((rank, r["vec_id"], r["rel"], r["score"]))
+            sel_vecs.append([float(x) for x in r["e"]])
+    finally:
+        base.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, relevance double, mmr_score double"
+    )
