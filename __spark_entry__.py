@@ -2304,6 +2304,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mm.synth_ppm(_docs(spark, sf))
     )
 
+    # m7: integrity census over a deterministically mangled feed —
+    # doc_id%7 selects the corruption (t11's mangle-inside-the-query
+    # discipline); classification is pure Column math over a 32-char
+    # header slice, the oracle recomputes every status closed-form.
+    def _m7(spark: SparkSession, sf: str) -> DataFrame:
+        media = mm.synth_ppm(_docs(spark, sf))
+        s = F.decode(F.col("payload"), "ISO-8859-1")
+        d = F.col("doc_id")
+        mangled = (
+            F.when(
+                d % 7 == 0,
+                F.substring(s, F.lit(1), F.floor(F.length(s) / 2).cast("int")),
+            )
+            .when(
+                d % 7 == 1,
+                F.concat(F.lit("Q"), F.substring(s, F.lit(2), F.length(s))),
+            )
+            .when(d % 7 == 2, F.concat(s, F.lit("xxxxx")))
+            .otherwise(s)
+        )
+        mdf = media.select(
+            "doc_id", F.encode(mangled, "ISO-8859-1").alias("payload")
+        )
+        return mm.media_integrity_census(mdf)
+
+    q["m7_media_integrity"] = _m7
+
     # m6: perceptual-hash image near-dup — aHash bands from the decoded
     # plane, pigeonhole banded join + exact hamming filter (d3b's
     # discipline on pixels). The fixture's closed-form pixel function
@@ -4876,6 +4903,28 @@ SELECT doc_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes,
        CAST(1 AS INTEGER) AS n_channels, CAST(rate AS INTEGER) AS sample_rate,
        CAST(n AS INTEGER) AS n_samples, mean_abs
 FROM s
+""".strip()
+
+    # m7: statuses and byte counts recomputed closed-form from the
+    # generator arithmetic (m2's oracle philosophy) — header length is
+    # the literal P6 header string's length for (w, h).
+    o["m7_media_integrity"] = """
+WITH p AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+m AS (SELECT doc_id, w, h,
+        length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+               || chr(10) || '255' || chr(10)) + w * h * 3 AS full_len
+      FROM p),
+c AS (SELECT doc_id,
+   CASE WHEN doc_id % 7 = 0 THEN 'truncated'
+        WHEN doc_id % 7 = 1 THEN 'bad_magic'
+        WHEN doc_id % 7 = 2 THEN 'trailing_garbage'
+        ELSE 'ok' END AS status,
+   CASE WHEN doc_id % 7 = 0 THEN full_len // 2
+        WHEN doc_id % 7 = 2 THEN full_len + 5
+        ELSE full_len END AS n_bytes
+ FROM m)
+SELECT status, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM c GROUP BY status
 """.strip()
 
     o["m2_image_features"] = """

@@ -572,3 +572,68 @@ def phash_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Media integrity gate (m7): classify-before-decode, pure Column math.
+# ---------------------------------------------------------------------------
+
+#: bounded header slice: "P6\n" + up to 10-digit dims + "255\n" fits well
+#: inside 32 bytes — the integrity check never touches the pixel plane.
+_PPM_HEAD_CHARS = 32
+_PPM_HEAD_RE = r"^P6\n(\d+) (\d+)\n255\n"
+
+
+def media_integrity(media_df: DataFrame) -> DataFrame:
+    """Classify each media payload's structural integrity WITHOUT
+    decoding it — the quarantine gate (t7/x4's tolerant-parse
+    discipline applied to binary columns) an ingest runs before handing
+    bytes to the Arrow decode UDFs, so one corrupt blob quarantines
+    instead of killing the decode stage (`decode_ppm_features` asserts;
+    this classifies).
+
+    Statuses: ``bad_magic`` (not a P6 stream), ``bad_header``
+    (magic ok, unparseable dimensions), ``truncated`` (payload shorter
+    than header + w*h*3), ``trailing_garbage`` (longer), ``ok``.
+
+    Pure Column math, zero Python, zero decode: the payload is viewed
+    through a lossless ISO-8859-1 decode (byte == char, so ``length``
+    is the byte count), the header is parsed by an anchored regex over
+    a 32-char slice — per-row cost is O(header), independent of
+    payload size, and the whole check lives in the scan projection.
+    Output: (doc_id, status, n_bytes, expected_bytes — NULL when the
+    header never parsed)."""
+    s = F.decode(F.col("payload"), "ISO-8859-1")
+    head = F.substring(s, F.lit(1), F.lit(_PPM_HEAD_CHARS))
+    hdr = F.regexp_extract(head, _PPM_HEAD_RE, 0)
+    w = F.regexp_extract(head, _PPM_HEAD_RE, 1).cast("long")
+    h = F.regexp_extract(head, _PPM_HEAD_RE, 2).cast("long")
+    n_bytes = F.length(s).cast("long")
+    expected = (F.length(hdr) + w * h * 3).cast("long")
+    status = (
+        F.when(F.substring(s, F.lit(1), F.lit(3)) != F.lit("P6\n"), "bad_magic")
+        .when(hdr == "", "bad_header")
+        .when(n_bytes < expected, "truncated")
+        .when(n_bytes > expected, "trailing_garbage")
+        .otherwise("ok")
+    )
+    return media_df.select(
+        "doc_id",
+        status.alias("status"),
+        n_bytes.alias("n_bytes"),
+        F.when(hdr != "", expected).alias("expected_bytes"),
+    )
+
+
+def media_integrity_census(media_df: DataFrame) -> DataFrame:
+    """Corpus-level integrity report: files and bytes per status — the
+    number an ingest alert fires on. One map-side-combined aggregate
+    over the row-local classification (shuffle = |statuses| ≤ 5)."""
+    return (
+        media_integrity(media_df)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
