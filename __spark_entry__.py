@@ -28,7 +28,11 @@ from kafka_connect_mongo_spark.functions.schema_mapper import (
 )
 from kafka_connect_mongo_spark.model import topic_name
 from kafka_connect_mongo_spark.operators.lww import lww_collapse
-from kafka_connect_mongo_spark.operators.metrics import distinct_keys, op_counts
+from kafka_connect_mongo_spark.operators.metrics import (
+    distinct_keys,
+    hot_keys,
+    op_counts,
+)
 from kafka_connect_mongo_spark.operators.replay import replay
 from kafka_connect_mongo_spark.pipelines import code as cd
 from kafka_connect_mongo_spark.pipelines import dedup as dd
@@ -180,6 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a3_distinct_ids"] = lambda spark, sf: distinct_keys(_feed(spark, sf))
 
     q["a4_op_counts"] = lambda spark, sf: op_counts(_feed(spark, sf))
+
+    # Key-skew census: exact per-ns hot key + its event share — the
+    # feed-side measurement behind the salting decision (BENCH/SKEW.md).
+    q["x15_hot_keys"] = lambda spark, sf: hot_keys(_feed(spark, sf))
 
     q["x8_max_offset"] = lambda spark, sf: max_offset_per_ns(_feed(spark, sf))
 
@@ -1851,6 +1859,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), n_merges=8
     )
 
+    # Duplicated-gram fraction per doc (RefinedWeb's measurement; t12
+    # is the remediation): gram-occurrence counts joined back, slim
+    # (doc_id, h) rows only in the exchanges.
+    q["t23_duplication_profile"] = lambda spark, sf: dd.duplication_profile(
+        _docs(spark, sf), k=3
+    )
+
     # --- Code-corpus hygiene (pipelines/code.py) over the snapshot -------
     # Per-file line-shape features: one projection over the scan, zero
     # exchanges, whole-stage codegen end-to-end.
@@ -2677,6 +2692,39 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
     o["a4_op_counts"] = (
         f"SELECT ns, op, count(*) AS n_events FROM ({feed}) GROUP BY ns, op"
     )
+
+    # x15: hot-key census — struct-max ≡ (cnt DESC, id DESC) row_number 1.
+    o["x15_hot_keys"] = f"""
+WITH pk AS (SELECT ns, id, CAST(count(*) AS BIGINT) AS cnt FROM ({feed}) GROUP BY ns, id),
+r AS (SELECT ns, id, cnt,
+        row_number() OVER (PARTITION BY ns ORDER BY cnt DESC, id DESC) AS rn,
+        CAST(sum(cnt) OVER (PARTITION BY ns) AS BIGINT) AS n_events,
+        CAST(count(*) OVER (PARTITION BY ns) AS BIGINT) AS n_keys
+      FROM pk)
+SELECT ns, n_events, n_keys, cnt AS hot_key_events, id AS hot_key,
+  round(CAST(cnt AS DOUBLE) / n_events, 6) AS hot_frac
+FROM r WHERE rn = 1
+""".strip()
+
+    # t23: duplicated-gram fraction — occurrence (not distinct) grams,
+    # identical shingle construction and 60-bit md5 hash as d2's oracle.
+    o["t23_duplication_profile"] = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) >= 3
+      THEN [arr[i]||' '||arr[i+1]||' '||arr[i+2] for i in generate_series(1, len(arr)-2)]
+      ELSE [array_to_string(arr, ' ')] END AS shingles
+  FROM toks),
+occ AS (SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh0)),
+freq AS (SELECT h, CAST(count(*) AS BIGINT) AS occ FROM occ GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+  round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
+FROM occ JOIN freq USING (h) GROUP BY doc_id
+""".strip()
 
     # a8: top-level JSON keys per valid payload, one aggregation.
     # json_valid mirrors Spark's null-on-invalid json_object_keys.

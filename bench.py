@@ -56,6 +56,7 @@ def main() -> None:
         "t2_quality_score",
         "t10_repetition",       # Gopher repetition signals (1 scan)
         "t12_substring_dedup",  # duplicated-span removal (digest shuffle + rebuild)
+        "t23_duplication_profile",  # per-doc duplicated-gram fraction
         "c1_curation",          # composed curation: 1 scan + 1 shuffle end-to-end
         "m1_media_features",    # WAV binary decode (Arrow mapInPandas)
         "f1_funnel",            # chained filtered min-aggregates
@@ -70,6 +71,7 @@ def main() -> None:
         "a8_field_census",      # schema-drift census over the feed
         "x11_feed_gaps",        # feed-continuity audit (range-bucket census)
         "x14_rate_anomalies",   # robust rate spike/drought census (median/MAD)
+        "x15_hot_keys",         # per-ns key-skew census (struct-max hot key)
         "h1_scd2_history",      # full version-interval history (1 shuffle)
         "h2_churn_stats",       # key-lifecycle census (2 map-side aggs)
         "h3_scd2_incremental",  # batch fold into existing history

@@ -764,3 +764,34 @@ def score_rate_census(counts: DataFrame, z_threshold: float) -> DataFrame:
         )
         .withColumn("is_anomaly", flag)
     )
+
+
+def hot_keys(events: DataFrame) -> DataFrame:
+    """Per-namespace key-skew census: event count, exact distinct keys,
+    and the hottest key with its share of the namespace's events — the
+    measurement that decides whether the LWW collapse needs salting
+    (BENCH/SKEW.md's question, answerable from the feed itself before
+    committing to a plan shape).
+
+    Two aggregations: (ns, id) counts (map-side combined, shuffle =
+    |keys|), then a per-ns rollup whose hot key is an exact
+    lexicographic struct-max over (cnt, id) — deterministic (highest
+    count, ties by max id) and computed at |keys| cardinality, where
+    the SortAggregate fallback struct-max incurs is irrelevant (the
+    |events|-sized stage above it is a plain hash aggregate).
+    Output: (ns, n_events, n_keys, hot_key_events, hot_key, hot_frac).
+    """
+    per_key = events.groupBy("ns", "id").agg(F.count("*").alias("cnt"))
+    agg = per_key.groupBy("ns").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max(F.struct(F.col("cnt"), F.col("id"))).alias("top"),
+    )
+    return agg.select(
+        "ns",
+        "n_events",
+        "n_keys",
+        F.col("top.cnt").cast("long").alias("hot_key_events"),
+        F.col("top.id").alias("hot_key"),
+        F.round(F.col("top.cnt") / F.col("n_events"), 6).alias("hot_frac"),
+    )

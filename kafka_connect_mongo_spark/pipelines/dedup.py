@@ -717,3 +717,46 @@ def tfidf_allpairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def duplication_profile(
+    docs: DataFrame, k: int = 3, min_parallelism: int | None = None
+) -> DataFrame:
+    """Per-document duplicated-content MEASUREMENT: the fraction of a
+    doc's k-gram occurrences that are non-unique corpus-wide (within-doc
+    repeats count — a gram occurring twice anywhere is duplicated
+    content). This is the RefinedWeb/Gopher "duplicated fraction"
+    quality signal: t12 (exact substring dedup) is the remediation,
+    this is the per-doc score a curation gate thresholds on first.
+
+    One text scan → gram-occurrence explode (slim (doc_id, h) rows,
+    persisted for its two consumers); occurrence counts are a map-side
+    combined groupBy on the 60-bit gram hash; the join back carries two
+    longs per occurrence — no text in any exchange. Docs shorter than k
+    tokens contribute one whole-doc gram (the `_shingles` rule).
+    Output: (doc_id, n_grams, n_dup_grams, dup_fraction)."""
+    if k < 1:
+        raise ValueError(f"duplication_profile: k must be >= 1, got {k}")
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        docs = docs.repartition(min_parallelism)
+    occ = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), k)).alias("g")
+    ).select("doc_id", _h60(F.col("g")).alias("h"))
+    occ = occ.persist()
+    freq = occ.groupBy("h").agg(F.count("*").alias("occ"))
+    return (
+        occ.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("occ") > 1).cast("long")).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

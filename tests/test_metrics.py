@@ -485,3 +485,29 @@ def test_rate_anomalies_validation(spark):
         rate_anomalies(feed, window_secs=0)
     with pytest.raises(ValueError, match="z_threshold"):
         rate_anomalies(feed, z_threshold=0)
+
+
+# ---------------------------------------------------------------------------
+# x15: hot-key skew census
+# ---------------------------------------------------------------------------
+
+def test_hot_keys_census_and_ties(spark):
+    from kafka_connect_mongo_spark.operators.metrics import hot_keys
+
+    rows = (
+        [("db.a", "k1")] * 5          # hot key: 5 of 8 events
+        + [("db.a", "k2")] * 2
+        + [("db.a", "k3")]
+        + [("db.b", "x")] * 2         # tie: both keys at 2 events
+        + [("db.b", "y")] * 2
+        + [("db.c", "solo")]          # single-event namespace
+    )
+    df = spark.createDataFrame(rows, "ns string, id string")
+    got = {r["ns"]: r for r in hot_keys(df).collect()}
+    a = got["db.a"]
+    assert (a["n_events"], a["n_keys"]) == (8, 3)
+    assert (a["hot_key"], a["hot_key_events"]) == ("k1", 5)
+    assert a["hot_frac"] == round(5 / 8, 6)
+    # tie on count -> max id deterministically (struct-max ordering)
+    assert got["db.b"]["hot_key"] == "y"
+    assert got["db.c"]["hot_key"] == "solo" and got["db.c"]["hot_frac"] == 1.0
