@@ -870,6 +870,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), threshold=0.9
     )
 
+    # Incremental all-pairs: a derived batch (d8's staging rule) scored
+    # against the persisted postings index under FROZEN idf stats —
+    # corpus text never re-read.
+    def _d20(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        new_docs = docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        stats = dd.tfidf_index_stats(docs).persist()
+        corpus_postings = dd.weigh_against_stats(docs, stats)
+        return dd.incremental_allpairs(
+            new_docs, corpus_postings, stats, threshold=0.9
+        )
+
+    q["d20_incremental_allpairs"] = _d20
+
     # Near-dup CLUSTERING: pairs -> distributed connected components ->
     # canonical min-doc_id per cluster (what a dedup pass actually keys on).
     q["d7_neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
@@ -2724,6 +2741,36 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
   CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
   round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
 FROM occ JOIN freq USING (h) GROUP BY doc_id
+""".strip()
+
+    # d20: incremental all-pairs — batch weighted under the corpus's
+    # FROZEN stats (inner join drops out-of-vocabulary batch tokens),
+    # naive cross join on shared tokens, exact integer dots.
+    o["d20_incremental_allpairs"] = r"""
+WITH ctf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents) GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+stats AS (SELECT tok, CAST(round(ln(n_docs / df) * 1000, 0) AS BIGINT) AS idf_int FROM (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ctf GROUP BY tok), nd
+  WHERE CAST(round(ln(n_docs / df) * 1000, 0) AS BIGINT) > 0),
+cw AS (SELECT doc_id, tok, tf * idf_int AS wi FROM ctf JOIN stats USING (tok)),
+nb AS (SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+       FROM documents WHERE doc_id % 20 = 0),
+ntf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM nb) GROUP BY 1, 2),
+nw AS (SELECT doc_id, tok, tf * idf_int AS wi FROM ntf JOIN stats USING (tok)),
+cn AS (SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS nrm FROM cw GROUP BY doc_id),
+nn AS (SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS nrm FROM nw GROUP BY doc_id),
+d AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        CAST(sum(n.wi * c.wi) AS BIGINT) AS dot
+      FROM nw n JOIN cw c USING (tok) GROUP BY 1, 2)
+SELECT new_id, corpus_id, cos_sim FROM (
+  SELECT new_id, corpus_id,
+    round(CAST(dot AS DOUBLE) / (sqrt(CAST(nn.nrm AS DOUBLE)) * sqrt(CAST(cn.nrm AS DOUBLE))), 6) AS cos_sim
+  FROM d JOIN nn ON nn.doc_id = new_id JOIN cn ON cn.doc_id = corpus_id)
+WHERE cos_sim >= 0.9
 """.strip()
 
     # a8: top-level JSON keys per valid payload, one aggregation.

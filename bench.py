@@ -105,6 +105,7 @@ def main() -> None:
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)
         "d17_fork_clusters",    # fork collapse: CC over clone graph + election
         "d19_tfidf_allpairs",   # exact all-pairs cosine, prefix-filtered
+        "d20_incremental_allpairs",  # batch vs frozen-idf postings index
         "g1_import_degree",     # module popularity census (scan-local edges)
         "g2_repo_imports",      # per-repo distinct-import census (left join)
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)

@@ -595,6 +595,66 @@ def substring_dedup(
 # All-pairs weighted cosine similarity with prefix filtering (d19)
 # ---------------------------------------------------------------------------
 
+def _term_freqs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tok, tf) — whitespace tokens, map-side-combined counts."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _stats_from_tf(
+    tf: DataFrame, n_docs: DataFrame, idf_scale: int
+) -> DataFrame:
+    dfx = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        dfx.crossJoin(F.broadcast(n_docs))  # structurally 1 row
+        .select(
+            "tok",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * idf_scale, 0)
+            .cast("long")
+            .alias("idf_int"),
+        )
+        .filter(F.col("idf_int") > 0)
+    )
+
+
+def tfidf_index_stats(
+    docs: DataFrame, idf_scale: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """(tok, idf_int) — the FROZEN corpus statistics of the tf·idf
+    index, computed once at index build and persisted beside the
+    postings (the d8/d13 lifecycle rule: incremental probes weight new
+    batches with the INDEX's idf, never recomputed — recomputing would
+    silently re-score the whole corpus). ``idf_int =
+    round(ln(n_docs/df) * idf_scale)`` as BIGINT; zero-idf (ubiquitous)
+    tokens are dropped here, so every derived weight is positive."""
+    return _stats_from_tf(
+        _term_freqs(docs, id_col),
+        docs.select(F.countDistinct(id_col).alias("n_docs")),
+        idf_scale,
+    )
+
+
+def weigh_against_stats(
+    docs: DataFrame, stats: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weight a document set under a FROZEN stats table: (doc_id, tok,
+    wi = tf * idf_int). Tokens outside the stats vocabulary drop out
+    (inner join) — they cannot co-occur with any indexed doc, so the
+    cosine is defined over the index vocabulary projection (the
+    standard frozen-IDF practice for incremental scoring)."""
+    return (
+        _term_freqs(docs, id_col)
+        .join(stats, "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.col("idf_int")).alias("wi"))
+    )
+
+
 def tfidf_postings(
     docs: DataFrame, idf_scale: int = 1000, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -605,23 +665,15 @@ def tfidf_postings(
     product and norm an EXACT integer sum — order-independent, so the
     pair scores hash-match any engine; floats enter only in the final
     per-pair scalar). Zero-idf tokens (present in every doc) drop out —
-    they contribute nothing to any dot product."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    they contribute nothing to any dot product. The term-frequency
+    table is computed once and feeds both the stats and the weights —
+    one corpus scan."""
+    tf = _term_freqs(docs, id_col).persist()
+    stats = _stats_from_tf(
+        tf, docs.select(F.countDistinct(id_col).alias("n_docs")), idf_scale
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfx = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
-    wi = (
-        F.col("tf")
-        * F.round(F.log(F.col("n_docs") / F.col("df")) * idf_scale, 0).cast("long")
-    ).alias("wi")
-    return (
-        tf.join(dfx, "tok")
-        .crossJoin(F.broadcast(n_docs))  # structurally 1 row
-        .select("doc_id", "tok", wi)
-        .filter(F.col("wi") > 0)
+    return tf.join(stats, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_int")).alias("wi")
     )
 
 
@@ -759,4 +811,95 @@ def duplication_profile(
                 "dup_fraction"
             ),
         )
+    )
+
+
+def incremental_allpairs(
+    new_docs: DataFrame,
+    corpus_postings: DataFrame,
+    stats: DataFrame,
+    threshold: float = 0.9,
+    margin: float = 0.999,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a NEW batch against an EXISTING tf·idf postings index —
+    d19's daily-ingest form (the d8/d13/c7 lifecycle applied to
+    weighted cosine): the corpus text is never re-read, re-tokenized,
+    or re-weighted; the batch is weighted under the index's FROZEN
+    ``stats`` (``tfidf_index_stats``), probes the index with the same
+    prefix-filter theorem (maxu computed from the index side — a
+    qualifying pair must collide on a prefix feature of the batch doc),
+    and exact-verifies candidates with integer dot products. Batch
+    tokens outside the index vocabulary drop (they cannot co-occur
+    with any indexed doc; cosine is over the index-vocabulary
+    projection — the standard frozen-IDF scoring rule).
+
+    Output: (new_id, corpus_id, cos_sim) for every cross pair with
+    ``round(cos, 6) >= threshold`` — exact w.r.t. the frozen weights
+    (recall 1: the margin widens batch prefixes so float rounding in
+    the bound can never under-index)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"incremental_allpairs: threshold must be in (0, 1], got {threshold}"
+        )
+    nw = weigh_against_stats(new_docs, stats, id_col).persist()
+    cw = corpus_postings.persist()
+    n_norms = nw.groupBy("doc_id").agg(
+        F.sum(F.col("wi") * F.col("wi")).alias("nrm")
+    )
+    c_norms = cw.groupBy("doc_id").agg(
+        F.sum(F.col("wi") * F.col("wi")).alias("nrm")
+    )
+    maxu = (
+        cw.join(c_norms, "doc_id")
+        .select("tok", (F.col("wi") / F.sqrt(F.col("nrm"))).alias("u"))
+        .groupBy("tok")
+        .agg(F.max("u").alias("maxu"))
+    )
+    contrib = (
+        nw.join(n_norms, "doc_id")
+        .join(maxu, "tok", "left")
+        .withColumn("mu", F.coalesce("maxu", F.lit(0.0)))
+        .withColumn("c", (F.col("wi") / F.sqrt(F.col("nrm"))) * F.col("mu"))
+    )
+    per_doc = Window.partitionBy("doc_id")
+    by_bound = per_doc.orderBy(F.col("mu").desc(), "tok")
+    cum = F.sum("c").over(
+        by_bound.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("c").over(per_doc)
+    prefix = contrib.withColumn(
+        "bound_before", total - (cum - F.col("c"))
+    ).filter(F.col("bound_before") >= threshold * margin)
+    cand = (
+        prefix.select(F.col("doc_id").alias("new_id"), "tok")
+        .join(cw.select(F.col("doc_id").alias("corpus_id"), "tok"), "tok")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    pa = nw.select(F.col("doc_id").alias("new_id"), "tok", F.col("wi").alias("wa"))
+    pb = cw.select(
+        F.col("doc_id").alias("corpus_id"), "tok", F.col("wi").alias("wb")
+    )
+    dots = (
+        cand.join(pa, "new_id")
+        .join(pb, ["corpus_id", "tok"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = n_norms.select(F.col("doc_id").alias("new_id"), F.col("nrm").alias("na"))
+    nb = c_norms.select(
+        F.col("doc_id").alias("corpus_id"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "new_id")
+        .join(nb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
