@@ -887,6 +887,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d20_incremental_allpairs"] = _d20
 
+    # STREAMING all-pairs: even docs = the frozen base index, odd docs
+    # arrive in 3 micro-batches; accumulated pairs must equal the batch
+    # computation under the base's frozen stats exactly (pairs with at
+    # least one stream-side doc).
+    def _st30(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.allpairs_stream import (
+            run_allpairs_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-apstream-")
+        docs = _docs(spark, sf)
+        base_dir = os.path.join(work, "base")
+        strm_dir = os.path.join(work, "stream")
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(base_dir)
+        for i in (1, 3, 5):
+            docs.filter(F.col("doc_id") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(strm_dir)
+        return run_allpairs_stream(
+            spark, base_dir, strm_dir, os.path.join(work, "ap"), threshold=0.9
+        )
+
+    q["st30_streaming_allpairs"] = _st30
+
     # Near-dup CLUSTERING: pairs -> distributed connected components ->
     # canonical min-doc_id per cluster (what a dedup pass actually keys on).
     q["d7_neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
@@ -2771,6 +2795,34 @@ SELECT new_id, corpus_id, cos_sim FROM (
     round(CAST(dot AS DOUBLE) / (sqrt(CAST(nn.nrm AS DOUBLE)) * sqrt(CAST(cn.nrm AS DOUBLE))), 6) AS cos_sim
   FROM d JOIN nn ON nn.doc_id = new_id JOIN cn ON cn.doc_id = corpus_id)
 WHERE cos_sim >= 0.9
+""".strip()
+
+    # st30: streaming all-pairs ≡ batch — stats frozen from the even
+    # (base) half; every doc weighted under them; pairs with ≥1 odd
+    # (stream) side.
+    o["st30_streaming_allpairs"] = r"""
+WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM b)
+  GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM b),
+stats AS (SELECT tok, CAST(round(ln(n_docs / df) * 1000, 0) AS BIGINT) AS idf_int FROM (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY tok), nd
+  WHERE CAST(round(ln(n_docs / df) * 1000, 0) AS BIGINT) > 0),
+atf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+  GROUP BY 1, 2),
+w AS (SELECT doc_id, tok, tf * idf_int AS wi FROM atf JOIN stats USING (tok)),
+n AS (SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS nrm FROM w GROUP BY doc_id),
+d AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        CAST(sum(a.wi * b2.wi) AS BIGINT) AS dot
+      FROM w a JOIN w b2 ON a.tok = b2.tok AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT doc_a, doc_b,
+    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+  FROM d JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
+WHERE cos_sim >= 0.9 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
 """.strip()
 
     # a8: top-level JSON keys per valid payload, one aggregation.

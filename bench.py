@@ -124,6 +124,7 @@ def main() -> None:
     # full fresh stream (cold checkpoint), already worst-case.
     job_queries = [
         "st6_streaming_dedup",
+        "st30_streaming_allpairs",  # streaming tf-idf pairs vs frozen-stats index
         "st7_streaming_sessions",
         "st8_session_window",
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup

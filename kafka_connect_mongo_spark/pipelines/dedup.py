@@ -721,22 +721,53 @@ def tfidf_allpairs(
         )
     if not (0.0 < margin <= 1.0):
         raise ValueError(f"tfidf_allpairs: margin must be in (0, 1], got {margin}")
-    w = tfidf_postings(docs, idf_scale, id_col).persist()
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("nrm"))
-    unit = w.join(norms, "doc_id").withColumn(
-        "u", F.col("wi") / F.sqrt(F.col("nrm"))
+    return allpairs_from_postings(
+        tfidf_postings(docs, idf_scale, id_col), threshold, margin
     )
-    maxu = unit.groupBy("tok").agg(F.max("u").alias("maxu"))
-    contrib = unit.join(maxu, "tok").withColumn("c", F.col("u") * F.col("maxu"))
+
+
+def _prefix_postings(
+    w: DataFrame, norms: DataFrame, maxu: DataFrame, threshold: float, margin: float
+) -> DataFrame:
+    """Per-doc prefix selection under the suffix-bound theorem: order a
+    doc's features by descending ``maxu``, keep while the remaining
+    suffix bound (computed on UNIT weights) still reaches
+    ``threshold * margin``. ``maxu`` may come from the probed side
+    (incremental form) — absent tokens contribute 0 and sort last."""
+    contrib = (
+        w.join(norms, "doc_id")
+        .join(maxu, "tok", "left")
+        .withColumn("mu", F.coalesce("maxu", F.lit(0.0)))
+        .withColumn("c", (F.col("wi") / F.sqrt(F.col("nrm"))) * F.col("mu"))
+    )
     per_doc = Window.partitionBy("doc_id")
-    by_bound = per_doc.orderBy(F.col("maxu").desc(), "tok")
+    by_bound = per_doc.orderBy(F.col("mu").desc(), "tok")
     cum = F.sum("c").over(
         by_bound.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     total = F.sum("c").over(per_doc)
-    prefix = contrib.withColumn(
-        "bound_before", total - (cum - F.col("c"))
-    ).filter(F.col("bound_before") >= threshold * margin)
+    return contrib.withColumn("bound_before", total - (cum - F.col("c"))).filter(
+        F.col("bound_before") >= threshold * margin
+    )
+
+
+def allpairs_from_postings(
+    postings: DataFrame, threshold: float = 0.9, margin: float = 0.999
+) -> DataFrame:
+    """The all-pairs core over an EXISTING integer postings frame (the
+    sig-level split of ``tfidf_allpairs``, mirroring
+    ``pairs_from_sigs`` — reused by the streaming form where batch
+    postings are already materialized). Output (doc_a, doc_b, cos_sim)
+    with doc_a < doc_b."""
+    w = postings.persist()
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("nrm"))
+    maxu = (
+        w.join(norms, "doc_id")
+        .select("tok", (F.col("wi") / F.sqrt(F.col("nrm"))).alias("u"))
+        .groupBy("tok")
+        .agg(F.max("u").alias("maxu"))
+    )
+    prefix = _prefix_postings(w, norms, maxu, threshold, margin)
     cand = (
         prefix.select(F.col("doc_id").alias("pd"), "tok")
         .join(w.select(F.col("doc_id").alias("fd"), "tok"), "tok")
@@ -842,7 +873,26 @@ def incremental_allpairs(
         raise ValueError(
             f"incremental_allpairs: threshold must be in (0, 1], got {threshold}"
         )
-    nw = weigh_against_stats(new_docs, stats, id_col).persist()
+    return cross_pairs_from_postings(
+        weigh_against_stats(new_docs, stats, id_col),
+        corpus_postings,
+        threshold,
+        margin,
+    )
+
+
+def cross_pairs_from_postings(
+    new_postings: DataFrame,
+    corpus_postings: DataFrame,
+    threshold: float = 0.9,
+    margin: float = 0.999,
+) -> DataFrame:
+    """Cross-side all-pairs core over two EXISTING postings frames (the
+    weighted-cosine analog of ``cross_pairs_from_sigs``, reused by the
+    streaming form): batch prefixes computed against the CORPUS side's
+    maxu probe only corpus tokens — batch tokens absent from the index
+    contribute 0 to the bound and can never generate candidates."""
+    nw = new_postings.persist()
     cw = corpus_postings.persist()
     n_norms = nw.groupBy("doc_id").agg(
         F.sum(F.col("wi") * F.col("wi")).alias("nrm")
@@ -856,21 +906,7 @@ def incremental_allpairs(
         .groupBy("tok")
         .agg(F.max("u").alias("maxu"))
     )
-    contrib = (
-        nw.join(n_norms, "doc_id")
-        .join(maxu, "tok", "left")
-        .withColumn("mu", F.coalesce("maxu", F.lit(0.0)))
-        .withColumn("c", (F.col("wi") / F.sqrt(F.col("nrm"))) * F.col("mu"))
-    )
-    per_doc = Window.partitionBy("doc_id")
-    by_bound = per_doc.orderBy(F.col("mu").desc(), "tok")
-    cum = F.sum("c").over(
-        by_bound.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    total = F.sum("c").over(per_doc)
-    prefix = contrib.withColumn(
-        "bound_before", total - (cum - F.col("c"))
-    ).filter(F.col("bound_before") >= threshold * margin)
+    prefix = _prefix_postings(nw, n_norms, maxu, threshold, margin)
     cand = (
         prefix.select(F.col("doc_id").alias("new_id"), "tok")
         .join(cw.select(F.col("doc_id").alias("corpus_id"), "tok"), "tok")

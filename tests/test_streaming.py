@@ -1100,3 +1100,72 @@ def test_rate_stream_equals_batch_census_with_crash_retry(spark, tmp_path_factor
         run_rate_stream(spark, staged, str(work / "bad"), window_secs=0)
     with _pytest.raises(ValueError, match="z_threshold"):
         run_rate_stream(spark, staged, str(work / "bad2"), z_threshold=0)
+
+
+def test_allpairs_stream_resume_and_crash_retry(spark, tmp_path_factory):
+    """st30: streaming tf-idf all-pairs (frozen base stats) killed
+    mid-corpus, resumed, AND retried over a planted half-committed
+    batch attempt must converge to exactly the batch computation —
+    pairs among base∪stream docs with >= 1 stream side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.pipelines.dedup import (
+        allpairs_from_postings,
+        tfidf_index_stats,
+        weigh_against_stats,
+    )
+    from kafka_connect_mongo_spark.streaming.allpairs_stream import (
+        run_allpairs_stream,
+    )
+
+    work = tmp_path_factory.mktemp("ap-stream")
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    rows = [(i, base_txt * 2 + f"group {i % 5} tail{'y' * (i // 5)}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    strm = docs.filter(F.col("doc_id") % 2 == 1)
+    base_dir, strm_dir, ap = str(work / "base"), str(work / "strm"), str(work / "ap")
+    base.write.parquet(base_dir)
+
+    # batch reference: weight EVERYTHING under the base's frozen stats
+    stats = tfidf_index_stats(base)
+    ref = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in allpairs_from_postings(
+            weigh_against_stats(docs, stats), threshold=0.5
+        ).collect()
+        if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1
+    }
+    assert ref  # fixture must actually produce pairs
+
+    # phase 1: first stream file arrives, processes, "job dies"
+    strm.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode("append").parquet(strm_dir)
+    p1 = run_allpairs_stream(spark, base_dir, strm_dir, ap, threshold=0.5)
+    n1 = p1.count()
+    assert n1 > 0
+
+    # phase 2: second file arrives; plant a FAILED attempt of its batch
+    # (batch_id=1): garbage pairs + its postings written, no commit
+    second = strm.filter(F.col("doc_id") % 4 == 3)
+    second.coalesce(1).write.mode("append").parquet(strm_dir)
+    weigh_against_stats(second, stats).write.mode("overwrite").parquet(
+        os.path.join(ap, "postings_index", "batch_id=1")
+    )
+    spark.createDataFrame(
+        [(888, 999, 0.77)], "doc_a long, doc_b long, cos_sim double"
+    ).write.mode("overwrite").parquet(os.path.join(ap, "pairs", "batch_id=1"))
+
+    pairs = run_allpairs_stream(spark, base_dir, strm_dir, ap, threshold=0.5)
+    got_rows = [(r["doc_a"], r["doc_b"], r["cos_sim"]) for r in pairs.collect()]
+    got = {(a, b): c for a, b, c in got_rows}
+    assert got == ref                      # garbage gone, exact equality
+    assert len(got_rows) == len(got)       # no duplicate rows from the retry
+    assert len(got) > n1
+    # postings index holds each doc's postings exactly once per token
+    idx = spark.read.parquet(os.path.join(ap, "postings_index"))
+    assert idx.count() == idx.select("doc_id", "tok").distinct().count()
+    # finished re-run: nothing new, no growth
+    again = run_allpairs_stream(spark, base_dir, strm_dir, ap, threshold=0.5)
+    assert again.count() == len(got)
