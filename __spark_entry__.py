@@ -2387,6 +2387,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m7_media_integrity"] = _m7
 
+    # m8: mixed-container feed (PPM/WAV/raw-video by doc_id%3, every
+    # 5th payload truncated) sniffed + integrity-checked per container.
+    def _m8(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        d = F.col("doc_id")
+        mixed = (
+            mm.synth_ppm(docs.filter(d % 3 == 0))
+            .unionByName(mm.synth_wav(docs.filter(d % 3 == 1)))
+            .unionByName(mm.synth_video(docs.filter(d % 3 == 2)))
+        )
+        s = F.decode(F.col("payload"), "ISO-8859-1")
+        mangled = F.when(
+            d % 5 == 0,
+            F.substring(s, F.lit(1), F.floor(F.length(s) / 2).cast("int")),
+        ).otherwise(s)
+        mdf = mixed.select(
+            "doc_id", F.encode(mangled, "ISO-8859-1").alias("payload")
+        )
+        return mm.container_census(mdf)
+
+    q["m8_container_census"] = _m8
+
     # m6: perceptual-hash image near-dup — aHash bands from the decoded
     # plane, pigeonhole banded join + exact hamming filter (d3b's
     # discipline on pixels). The fixture's closed-form pixel function
@@ -5072,6 +5094,30 @@ c AS (SELECT doc_id,
  FROM m)
 SELECT status, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS n_bytes
 FROM c GROUP BY status
+""".strip()
+
+    # m8: the mixed-feed sizes recomputed closed-form — WAV total is
+    # the fixed 44-byte header + 2 bytes/sample; video is the PV header
+    # + 4·4·3 bytes/frame.
+    o["m8_container_census"] = """
+WITH m AS (SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'rawvideo' END AS container,
+    CASE doc_id % 3
+      WHEN 0 THEN length('P6' || chr(10) || CAST(8 + doc_id % 24 AS VARCHAR) || ' '
+                   || CAST(8 + doc_id % 16 AS VARCHAR) || chr(10) || '255' || chr(10))
+                  + (8 + doc_id % 24) * (8 + doc_id % 16) * 3
+      WHEN 1 THEN 44 + 2 * (100 + doc_id % 200)
+      ELSE length('PV' || chr(10) || '4 4 ' || CAST(4 + doc_id % 8 AS VARCHAR) || chr(10))
+           + 48 * (4 + doc_id % 8)
+    END AS full_len
+  FROM documents),
+c AS (SELECT doc_id, container,
+    CASE WHEN doc_id % 5 = 0 THEN 'truncated' ELSE 'ok' END AS status,
+    CASE WHEN doc_id % 5 = 0 THEN full_len // 2 ELSE full_len END AS n_bytes
+  FROM m)
+SELECT container, status, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM c GROUP BY container, status
 """.strip()
 
     o["m2_image_features"] = """

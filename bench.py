@@ -100,6 +100,7 @@ def main() -> None:
         "m5_pair_alignment",    # CLIP-score gate analog (row-local pair cosine)
         "m6_image_phash_dedup", # perceptual-hash near-dup (banded join + hamming)
         "m7_media_integrity",   # classify-before-decode gate, pure Column
+        "m8_container_census",  # mixed-feed container sniff + size invariants
         "t18_code_line_metrics",  # per-file line-shape features (1 scan, 0 exch)
         "c14_stack_gate",       # Stack hygiene filter inside the same scan
         "d15_repo_clones",      # cross-repo clone overlap (digest equi-join)

@@ -637,3 +637,108 @@ def media_integrity_census(media_df: DataFrame) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("n_bytes"),
         )
     )
+
+
+#: RIFF/WAVE total = declared chunk size + the 8-byte (magic, size) prelude.
+_RIFF_PRELUDE = 8
+_VID_HEAD_RE = r"^PV\n(\d+) (\d+) (\d+)\n"
+
+
+def _le_u32(s: F.Column, pos: int) -> F.Column:
+    """Little-endian u32 at 1-based byte offset ``pos`` of the latin-1
+    view — four ``ascii(substring)`` code points recombined (each char
+    IS its byte under ISO-8859-1)."""
+    b = [
+        F.ascii(F.substring(s, F.lit(pos + i), F.lit(1))).cast("long")
+        for i in range(4)
+    ]
+    return b[0] + b[1] * 256 + b[2] * 65_536 + b[3] * 16_777_216
+
+
+def sniff_container(media_df: DataFrame) -> DataFrame:
+    """Container sniffing + per-container structural integrity over a
+    MIXED media feed — the dispatch step an ingest runs when the blob
+    column carries heterogeneous assets (the real-world shape: one
+    object store, many producers). Pure Column math (m7's discipline):
+    magic bytes pick the container, then each container's own size
+    invariant is checked — PPM (header + w·h·3), RIFF/WAVE (declared
+    little-endian chunk size + 8), the raw-RGB video container
+    (header + w·h·3·n_frames). Unrecognized magics report
+    ``('unknown', 'bad_magic')``.
+
+    Output: (doc_id, container, status, n_bytes, expected_bytes — NULL
+    when no size invariant could be read). Statuses as m7's:
+    ok / truncated / trailing_garbage / bad_header / bad_magic."""
+    s = F.decode(F.col("payload"), "ISO-8859-1")
+    n_bytes = F.length(s).cast("long")
+    head = F.substring(s, F.lit(1), F.lit(_PPM_HEAD_CHARS))
+    # PPM
+    ppm_hdr = F.regexp_extract(head, _PPM_HEAD_RE, 0)
+    ppm_exp = (
+        F.length(ppm_hdr)
+        + F.regexp_extract(head, _PPM_HEAD_RE, 1).cast("long")
+        * F.regexp_extract(head, _PPM_HEAD_RE, 2).cast("long")
+        * 3
+    ).cast("long")
+    # RIFF/WAVE
+    is_riff = (F.substring(s, F.lit(1), F.lit(4)) == F.lit("RIFF")) & (
+        F.substring(s, F.lit(9), F.lit(4)) == F.lit("WAVE")
+    )
+    wav_exp = (_le_u32(s, 5) + _RIFF_PRELUDE).cast("long")
+    # raw-RGB video
+    vid_hdr = F.regexp_extract(head, _VID_HEAD_RE, 0)
+    vid_exp = (
+        F.length(vid_hdr)
+        + F.regexp_extract(head, _VID_HEAD_RE, 1).cast("long")
+        * F.regexp_extract(head, _VID_HEAD_RE, 2).cast("long")
+        * F.regexp_extract(head, _VID_HEAD_RE, 3).cast("long")
+        * 3
+    ).cast("long")
+
+    container = (
+        F.when(F.substring(s, F.lit(1), F.lit(3)) == F.lit("P6\n"), "ppm")
+        .when(is_riff, "wav")  # RIFF without WAVE is some OTHER container
+        .when(F.substring(s, F.lit(1), F.lit(3)) == F.lit("PV\n"), "rawvideo")
+        .otherwise("unknown")
+    )
+
+    def verdict(parsed_ok: F.Column, expected: F.Column) -> F.Column:
+        return (
+            F.when(~parsed_ok, "bad_header")
+            .when(n_bytes < expected, "truncated")
+            .when(n_bytes > expected, "trailing_garbage")
+            .otherwise("ok")
+        )
+
+    status = (
+        F.when(container == "ppm", verdict(ppm_hdr != "", ppm_exp))
+        .when(container == "wav", verdict(is_riff & (n_bytes >= 12), wav_exp))
+        .when(container == "rawvideo", verdict(vid_hdr != "", vid_exp))
+        .otherwise(F.lit("bad_magic"))
+    )
+    expected = (
+        F.when((container == "ppm") & (ppm_hdr != ""), ppm_exp)
+        .when((container == "wav") & is_riff & (n_bytes >= 12), wav_exp)
+        .when((container == "rawvideo") & (vid_hdr != ""), vid_exp)
+    )
+    return media_df.select(
+        "doc_id",
+        container.alias("container"),
+        status.alias("status"),
+        n_bytes.alias("n_bytes"),
+        expected.alias("expected_bytes"),
+    )
+
+
+def container_census(media_df: DataFrame) -> DataFrame:
+    """Files and bytes per (container, status) — the mixed-feed
+    integrity report. One map-side-combined aggregate over the
+    row-local sniff (shuffle = |containers| × |statuses|)."""
+    return (
+        sniff_container(media_df)
+        .groupBy("container", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
