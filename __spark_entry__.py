@@ -995,6 +995,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c11_domain_mix"] = _c11
 
+    # Exact per-domain token budgets: deterministic salted-md5 order,
+    # bucketed prefix sums (never one window per domain), keep through
+    # the budget-crossing doc. es absent -> dropped; zh budget 1 ->
+    # exactly one doc; fr over-supplied -> keeps all.
+    def _c20(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import budget_sample
+
+        return budget_sample(
+            _docs(spark, sf), {"en": 5000, "de": 2000, "fr": 4000, "zh": 1}
+        )
+
+    q["c20_budget_sample"] = _c20
+
     # Incremental decontamination: a deterministic "daily batch" (every
     # 20th doc perturbed, d8's fixture shape) probed against the
     # persisted train-gram index — train text never re-read.
@@ -4432,6 +4445,23 @@ FROM per, tot
     # c11: c6's weight formula verbatim, converted to basis points with
     # floor(w*10000 + 0.5) (IEEE-reproducible), gating the same salted
     # md5 bucket as the Spark side.
+    # c20: the single-global-window form proves the engine's bucketed
+    # prefix-sum two-phase decomposition exact.
+    o["c20_budget_sample"] = r"""
+WITH base AS (SELECT doc_id, lang AS domain,
+    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+    CAST(CAST(concat('0x', substr(md5('budget-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS sort_key
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')),
+c AS (SELECT doc_id, domain, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY sort_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT doc_id, domain, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens <
+  CASE domain WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+              WHEN 'fr' THEN 4000 WHEN 'zh' THEN 1 END
+""".strip()
+
     o["c11_domain_mix"] = """
 WITH per AS (
   SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,

@@ -84,6 +84,7 @@ def main() -> None:
         "s10_index_search",     # bucket-pruned conjunctive probe of the inverted index
         "s11_bm25_topk",        # BM25 ranking over the probed postings
         "c11_domain_mix",       # mixture weights executed as an id-local gate
+        "c20_budget_sample",    # exact per-domain token budgets (bucketed cumsum)
         "c12_chunk_windows",    # sliding token windows (1 scan, 0 exchanges)
         "t13_pmi_collocations", # bigram PMI (vocab-sized shuffles, AQE joins)
         "d12_semantic_dedup",   # SemDeDup: row-local assign + within-cell prune

@@ -34,7 +34,7 @@ training-pipeline family):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import MOD_P, _h60, _shingles
@@ -627,3 +627,99 @@ def export_webdataset(
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    salt: str = "budget-v1",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the corpus to EXACT per-domain token budgets — the step that
+    turns mixture weights (``mix_weights`` reports, ``apply_mixture``
+    rate-gates) into a dataset of a declared SIZE: each domain keeps
+    its deterministically-shuffled prefix of documents up to the first
+    doc that crosses the budget (inclusive, so a non-empty domain
+    always reaches its budget when it has the tokens). Domains absent
+    from ``budgets`` are dropped. The order is the salted-md5 sort key
+    (``shard_assignments``' id-local shuffle): a doc's keep/drop
+    decision never moves under repartitioning, retries, or engine
+    choice — and is ALSO stable under corpus growth for the prefix that
+    already fit (new docs only ever push out later-ordered ones).
+
+    Scale shape — deliberately NOT one window per domain (that would
+    serialize each domain through a single task at 100 TB): the sort
+    key's range splits into ``n_buckets`` ranges; per-(domain, bucket)
+    token sums are a map-side-combined aggregate collected driver-side
+    (bounded: |domains| × n_buckets — the model-artifact discipline),
+    prefix-summed into per-bucket offsets, and broadcast-joined back
+    (structurally bounded). The cumulative count inside each bucket is
+    then a window keyed by (domain, bucket) — parallelism n_buckets per
+    domain — and the keep rule is ``offset + cum_within − n_tokens <
+    budget``. The oracle's single global window per domain proves the
+    two-phase form exact.
+
+    Output: (doc_id, domain, n_tokens, cum_tokens) for kept docs.
+    """
+    from .text import _tokens
+
+    if not budgets:
+        raise ValueError("budget_sample: budgets must be non-empty")
+    for dom, b in budgets.items():
+        if b < 1:
+            raise ValueError(
+                f"budget_sample: budget for {dom!r} must be >= 1, got {b}"
+            )
+    if n_buckets < 1:
+        raise ValueError(f"budget_sample: n_buckets must be >= 1, got {n_buckets}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    step = (1 << 60) // n_buckets + 1  # sort_key < 16^15 = 2^60
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            h.alias("sort_key"),
+        )
+        .filter(F.col("domain").isin(list(budgets)))
+        .withColumn("bucket", F.floor(F.col("sort_key") / F.lit(step)).cast("int"))
+    )
+    per_bucket = base.groupBy("domain", "bucket").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    rows = per_bucket.collect()  # bounded: |domains| x n_buckets
+    offsets, running = [], {}
+    for r in sorted(rows, key=lambda r: (r["domain"], r["bucket"])):
+        off = running.get(r["domain"], 0)
+        offsets.append((r["domain"], r["bucket"], off))
+        running[r["domain"]] = off + r["t"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "domain string, bucket int, offset long"
+    )
+    budget = None
+    for dom, b in sorted(budgets.items()):
+        clause = (
+            F.when(F.col("domain") == dom, F.lit(int(b)))
+            if budget is None
+            else budget.when(F.col("domain") == dom, F.lit(int(b)))
+        )
+        budget = clause
+    w = Window.partitionBy("domain", "bucket").orderBy("sort_key", "doc_id")
+    cum_within = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = base.join(F.broadcast(off_df), ["domain", "bucket"])
+    cum = (F.col("offset") + cum_within).alias("cum_tokens")
+    return (
+        joined.select("doc_id", "domain", "n_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+    )

@@ -538,3 +538,68 @@ def test_export_webdataset_tars_reproducible_and_ordered(spark, tmp_path):
 
     with pytest.raises(ValueError):
         export_webdataset(docs, str(tmp_path / "bad"), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# c20: exact token-budget sampling
+# ---------------------------------------------------------------------------
+
+def _budget_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_budget_sample_semantics(spark):
+    from kafka_connect_mongo_spark.pipelines.splits import budget_sample
+
+    rows = [
+        (i, "en", "w " * 10) for i in range(10)        # 10 tokens+1 each
+    ] + [
+        (100 + i, "de", "w w w") for i in range(3)     # 3 tokens each
+    ] + [
+        (200, "es", "dropped entirely"),
+    ]
+    got = budget_sample(
+        _budget_docs(spark, rows), {"en": 25, "de": 1000}, n_buckets=4
+    ).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # en: docs are 11 whitespace tokens each ("w "*10 splits to 11);
+    # budget 25 -> keep docs while cum_before < 25: cums 11,22,33 ->
+    # three docs kept (the third CROSSES the budget, inclusive rule)
+    assert len(by_dom["en"]) == 3
+    assert max(r["cum_tokens"] for r in by_dom["en"]) == 33
+    assert sorted(r["cum_tokens"] for r in by_dom["en"]) == [11, 22, 33]
+    # de over-supplied: all 3 kept; es: absent from budgets -> dropped
+    assert len(by_dom["de"]) == 3
+    assert "es" not in by_dom
+
+
+def test_budget_sample_bucket_decomposition_invariant(spark):
+    # the two-phase bucketed prefix sum must equal the single-window
+    # semantics for ANY n_buckets and any input partitioning
+    from kafka_connect_mongo_spark.pipelines.splits import budget_sample
+
+    rows = [(i, "en" if i % 3 else "de", "tok " * (1 + i % 7)) for i in range(60)]
+    docs = _budget_docs(spark, rows)
+    budgets = {"en": 50, "de": 30}
+
+    def key_set(df):
+        return {(r["doc_id"], r["cum_tokens"]) for r in df.collect()}
+
+    base = key_set(budget_sample(docs, budgets, n_buckets=1))
+    assert base
+    assert key_set(budget_sample(docs, budgets, n_buckets=64)) == base
+    assert key_set(budget_sample(docs.repartition(13), budgets, n_buckets=8)) == base
+
+
+def test_budget_sample_validation(spark):
+    from kafka_connect_mongo_spark.pipelines.splits import budget_sample
+
+    docs = _budget_docs(spark, [(1, "en", "x")])
+    with pytest.raises(ValueError, match="non-empty"):
+        budget_sample(docs, {})
+    with pytest.raises(ValueError, match="must be >= 1"):
+        budget_sample(docs, {"en": 0})
+    with pytest.raises(ValueError, match="n_buckets"):
+        budget_sample(docs, {"en": 5}, n_buckets=0)
