@@ -613,6 +613,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mv1_incremental_view"] = _mv1
 
+    # mv2: the NON-invertible measures — MIN/MAX maintained by cheap
+    # assert-folds plus base re-aggregation of exactly the groups whose
+    # extreme was retracted (semi-join pruned). Same staging as mv1.
+    def _mv2(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators import mv
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import prepare_batch
+
+        feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
+        mid = _mid_ts(sf)
+        work = tempfile.mkdtemp(prefix="cdc-mv2-")
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
+        )
+        table.upsert(prepare_batch(feed.filter(F.col("ts") <= mid)), 0)
+        table.upsert(prepare_batch(feed.filter(F.col("ts") > mid)), 1)
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "repo", F.get_json_object("object", "$.repo")
+            ).withColumn(
+                "content_len",
+                F.length(F.get_json_object("object", "$.content")).cast("long"),
+            )
+
+        kw = dict(
+            count_col="n_docs",
+            min_cols={"min_chars": "content_len"},
+            max_cols={"max_chars": "content_len"},
+        )
+        mv0 = mv.build_minmax_mv(project(table.read_as_of(0)), ["repo"], **kw)
+        return mv.fold_minmax(
+            mv0,
+            project(table.changelog_rows(0, 1)),
+            project(table.read_as_of(1)),
+            ["repo"],
+            **kw,
+        )
+
+    q["mv2_minmax_view"] = _mv2
+
     def _st20(spark: SparkSession, sf: str) -> DataFrame:
         # Streaming MV maintenance: the same view as mv1, maintained
         # continuously — per micro-batch MERGE + changelog fold into
@@ -3288,6 +3329,19 @@ GROUP BY 1
 
     # st20: the streaming maintenance of the same view — identical oracle.
     o["st20_streaming_mv"] = o["mv1_incremental_view"]
+
+    # mv2: fold == rebuild for the non-invertible extremes too.
+    o["mv2_minmax_view"] = f"""
+SELECT object->>'$.repo' AS repo,
+       count(*) AS n_docs,
+       CAST(min(length(object->>'$.content')) AS BIGINT) AS min_chars,
+       CAST(max(length(object->>'$.content')) AS BIGINT) AS max_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed}) WHERE ns = 'code.docs'
+) WHERE rn = 1 AND op <> 'd'
+GROUP BY 1
+""".strip()
 
     # t11: after quarantine + repaired requeue the table equals the
     # UNMANGLED feed's LWW state (feed-only replay, no bootstrap).

@@ -141,3 +141,142 @@ def _validate(
     clash = [c for c in [count_col, *sum_cols] if c in group_cols]
     if clash:
         raise ValueError(f"mv: measure {clash[0]!r} collides with a group column")
+
+
+# ---------------------------------------------------------------------------
+# Non-invertible measures: MIN/MAX maintenance (mv2)
+# ---------------------------------------------------------------------------
+
+_ASSERTED = ("added", "update_post")
+_RETRACTED = ("deleted", "update_pre")
+
+
+def build_minmax_mv(
+    state: DataFrame,
+    group_cols: list[str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """The MIN/MAX view's defining aggregate over a table state —
+    initialization and the rebuild cross-check for :func:`fold_minmax`."""
+    min_cols, max_cols = min_cols or {}, max_cols or {}
+    _validate_minmax(state, group_cols, count_col, min_cols, max_cols, True)
+    return state.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias(count_col),
+        *[F.min(src).alias(out) for out, src in sorted(min_cols.items())],
+        *[F.max(src).alias(out) for out, src in sorted(max_cols.items())],
+    )
+
+
+def fold_minmax(
+    mv: DataFrame,
+    changelog: DataFrame,
+    post_state: DataFrame,
+    group_cols: list[str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+    change_col: str = "change",
+) -> DataFrame:
+    """Incremental maintenance of the NON-invertible measures: MIN/MAX
+    cannot be folded from a changelog alone (retracting the current
+    extreme leaves the new extreme unknown — the classic MV-maintenance
+    boundary ``fold_changelog`` deliberately refuses). The standard
+    algorithm: asserted images can only IMPROVE an extreme, so groups
+    whose retractions never touch their current extreme fold cheaply
+    (``least``/``greatest`` against the batch's asserted extremes);
+    ONLY groups where a retracted value ties-or-beats the current
+    extreme (or whose prior state is unknown) re-aggregate — against
+    ``post_state`` restricted by a semi-join to exactly those groups.
+
+    Cost shape: the changelog aggregate is |touched groups|; the
+    rescan reads the base ONCE, filtered to the affected groups —
+    O(affected groups' rows), not O(table), and zero base contact when
+    no batch retraction hits an extreme (the common case: appends and
+    non-extreme updates). On a lake bucketed by the group column the
+    semi-join prunes to the affected buckets.
+
+    Exactness (property-tested): ``fold_minmax(build_minmax_mv(A),
+    changelog(A,B), B) == build_minmax_mv(B)`` — counts are integer
+    folds, extremes either provably unchanged-or-improved or recomputed
+    from B itself."""
+    min_cols, max_cols = min_cols or {}, max_cols or {}
+    _validate_minmax(changelog, group_cols, count_col, min_cols, max_cols, True)
+    _validate_minmax(mv, group_cols, count_col, min_cols, max_cols, False)
+    if change_col not in changelog.columns:
+        raise ValueError(
+            f"fold_minmax: missing change column {change_col!r} "
+            f"(have {changelog.columns})"
+        )
+    w = changelog_weight(change_col)
+    asserted = F.col(change_col).isin(*_ASSERTED)
+    retracted = F.col(change_col).isin(*_RETRACTED)
+    aggs = [F.sum(w).cast("long").alias("__dc")]
+    for out, src in sorted(min_cols.items()):
+        aggs.append(F.min(F.when(asserted, F.col(src))).alias(f"__a_{out}"))
+        aggs.append(F.min(F.when(retracted, F.col(src))).alias(f"__r_{out}"))
+    for out, src in sorted(max_cols.items()):
+        aggs.append(F.max(F.when(asserted, F.col(src))).alias(f"__a_{out}"))
+        aggs.append(F.max(F.when(retracted, F.col(src))).alias(f"__r_{out}"))
+    deltas = changelog.groupBy(*group_cols).agg(*aggs)
+    merged = mv.join(deltas, group_cols, "full_outer").persist()
+    new_count = (
+        F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dc"), F.lit(0))
+    ).alias(count_col)
+    needs = F.lit(False)
+    for out in sorted(min_cols):
+        needs = needs | (
+            F.col(f"__r_{out}").isNotNull()
+            & (F.col(out).isNull() | (F.col(f"__r_{out}") <= F.col(out)))
+        )
+    for out in sorted(max_cols):
+        needs = needs | (
+            F.col(f"__r_{out}").isNotNull()
+            & (F.col(out).isNull() | (F.col(f"__r_{out}") >= F.col(out)))
+        )
+    live = merged.select(*group_cols, new_count, *[
+        F.least(F.col(out), F.col(f"__a_{out}")).alias(out)
+        for out in sorted(min_cols)
+    ] + [
+        F.greatest(F.col(out), F.col(f"__a_{out}")).alias(out)
+        for out in sorted(max_cols)
+    ], needs.alias("__rescan")).filter(F.col(count_col) > 0)
+    folded = live.filter(~F.col("__rescan")).drop("__rescan")
+    affected = live.filter(F.col("__rescan")).select(*group_cols)
+    rebuilt = build_minmax_mv(
+        post_state.join(affected, group_cols, "left_semi"),
+        group_cols,
+        min_cols,
+        max_cols,
+        count_col,
+    )
+    return folded.unionByName(rebuilt)
+
+
+def _validate_minmax(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    min_cols: dict[str, str],
+    max_cols: dict[str, str],
+    source_cols: bool,
+) -> None:
+    if not group_cols:
+        raise ValueError("mv: group_cols must be non-empty")
+    if not min_cols and not max_cols:
+        raise ValueError("fold_minmax: need at least one min or max column")
+    overlap = set(min_cols) & set(max_cols)
+    if overlap:
+        raise ValueError(
+            f"fold_minmax: output column {sorted(overlap)[0]!r} declared as "
+            "both min and max"
+        )
+    need = list(group_cols) + (
+        sorted(set(min_cols.values()) | set(max_cols.values()))
+        if source_cols
+        else [count_col, *sorted(min_cols), *sorted(max_cols)]
+    )
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(f"mv: missing column {missing[0]!r} (have {df.columns})")

@@ -238,3 +238,94 @@ def test_streaming_mv_overwrites_half_committed_batch(spark, gen_paths, tmp_path
     assert {r["repo"]: (r["n_docs"], r["sum_chars"]) for r in view.collect()} == {
         r["repo"]: (r["n_docs"], r["sum_chars"]) for r in want_df.collect()
     }
+
+
+def test_fold_minmax_rescan_only_touched_extremes(table, spark):
+    """Retracting the current extreme re-aggregates THAT group from the
+    post state; groups whose retractions miss their extremes fold
+    cheaply — proven by POISONING the post state for the untouched
+    group: if the fold read it, its extremes would be wrong."""
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "g": "a", "v": 10}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "g": "a", "v": 5}),
+        ev(100, 0, 2, "i", "t.a", key(3), {"_id": key(3), "g": "b", "v": 7}),
+        ev(100, 0, 3, "i", "t.a", key(4), {"_id": key(4), "g": "b", "v": 3}),
+    ]
+    b1 = [
+        # group a: delete the MIN (5) -> extreme retracted -> rescan
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+        # group b: update the NON-extreme 7 -> 6 (extremes 3/7: max IS 7,
+        # so b also rescans for max) — craft instead: update 3 -> 4? that
+        # retracts min 3 -> rescan. Use an APPEND: only asserts, no rescan.
+        ev(200, 0, 5, "i", "t.a", key(5), {"_id": key(5), "g": "b", "v": 5}),
+    ]
+    table.upsert(mk(spark, b0), 0)
+    table.upsert(mk(spark, b1), 1)
+    kw = dict(count_col="n", min_cols={"vmin": "v"}, max_cols={"vmax": "v"})
+    mv0 = mv.build_minmax_mv(_project(table.read_as_of(0)), ["g"], **kw)
+    post = _project(table.read_as_of(1))
+    # poison group b in the post state: if fold_minmax rescanned b, its
+    # extremes would become -999/999
+    poisoned = post.unionByName(
+        spark.createDataFrame(
+            [("zz", "t.a", None, "b", -999), ("zz2", "t.a", None, "b", 999)],
+            "id string, ns string, object string, g string, v long",
+        ),
+        allowMissingColumns=True,
+    )
+    folded = mv.fold_minmax(
+        mv0, _project(table.changelog_rows(0, 1)), poisoned, ["g"], **kw
+    )
+    got = {r["g"]: (r["n"], r["vmin"], r["vmax"]) for r in folded.collect()}
+    # a rescanned (from the poisoned frame too, but a's rows there are
+    # clean): min moves 5 -> 10; b folded cheaply: poison NOT read
+    assert got["a"] == (1, 10, 10)
+    assert got["b"] == (3, 3, 7)
+
+
+def test_fold_minmax_equals_rebuild_property(table, spark):
+    rnd = random.Random(7)
+    seq = 0
+
+    def batch(ts):
+        nonlocal seq
+        rows = []
+        for k in rnd.sample(range(30), 18):
+            op = rnd.choice(["i", "u", "u", "d"])
+            body = (
+                None
+                if op == "d"
+                else {"_id": key(k), "g": rnd.choice("abcd"), "v": rnd.randrange(100)}
+            )
+            rows.append(ev(ts, 0, seq, op, "t.a", key(k), body))
+            seq += 1
+        return rows
+
+    table.upsert(mk(spark, batch(100)), 0)
+    table.upsert(mk(spark, batch(200)), 1)
+    kw = dict(count_col="n", min_cols={"vmin": "v"}, max_cols={"vmax": "v"})
+    folded = mv.fold_minmax(
+        mv.build_minmax_mv(_project(table.read_as_of(0)), ["g"], **kw),
+        _project(table.changelog_rows(0, 1)),
+        _project(table.read_as_of(1)),
+        ["g"],
+        **kw,
+    )
+    rebuilt = mv.build_minmax_mv(_project(table.read()), ["g"], **kw)
+    as_map = lambda df: {r["g"]: (r["n"], r["vmin"], r["vmax"]) for r in df.collect()}
+    assert as_map(folded) == as_map(rebuilt)
+
+
+def test_fold_minmax_validates_loudly(spark):
+    df = spark.createDataFrame([("a", 1, "added")], "g string, v long, change string")
+    empty_mv = spark.createDataFrame([], "g string, n long, vmin long")
+    with pytest.raises(ValueError, match="at least one"):
+        mv.fold_minmax(empty_mv, df, df, ["g"])
+    with pytest.raises(ValueError, match="both min and max"):
+        mv.fold_minmax(
+            empty_mv, df, df, ["g"], min_cols={"x": "v"}, max_cols={"x": "v"}
+        )
+    with pytest.raises(ValueError, match="missing column"):
+        mv.fold_minmax(
+            empty_mv, df, df, ["g"], min_cols={"vmin": "nope"}
+        )
