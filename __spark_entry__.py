@@ -1049,6 +1049,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c20_budget_sample"] = _c20
 
+    # STREAMING quota fill: same budgets, arrival order (3 mtime-ordered
+    # batches by doc_id%3, md5 order within each); O(|domains|) state
+    # chained per batch. Oracle = ONE global window ordered by
+    # (batch, sort_key, doc_id).
+    def _st31(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.budget_stream import (
+            run_budget_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-budgetstream-")
+        staged = os.path.join(work, "docs")
+        os.makedirs(staged)
+        tagged = _docs(spark, sf).withColumn(
+            "__h", (F.col("doc_id") % 3).cast("int")
+        )
+        tmp = os.path.join(work, "halves")
+        (
+            tagged.repartition(F.col("__h"))
+            .write.mode("overwrite")
+            .partitionBy("__h")
+            .parquet(tmp)
+        )
+        for i in range(3):
+            d = os.path.join(tmp, f"__h={i}")
+            parts = [f for f in os.listdir(d) if f.startswith("part-")]
+            if len(parts) != 1:
+                raise RuntimeError(f"staged batch {i}: {len(parts)} files")
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(d, parts[0]), dst)
+            t = 1_700_000_000 + i * 10
+            os.utime(dst, (t, t))
+        return run_budget_stream(
+            spark,
+            staged,
+            os.path.join(work, "bs"),
+            {"en": 5000, "de": 2000, "fr": 4000, "zh": 1},
+        )
+
+    q["st31_streaming_budget"] = _st31
+
     # Incremental decontamination: a deterministic "daily batch" (every
     # 20th doc perturbed, d8's fixture shape) probed against the
     # persisted train-gram index — train text never re-read.
@@ -4508,6 +4548,23 @@ WITH base AS (SELECT doc_id, lang AS domain,
   FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')),
 c AS (SELECT doc_id, domain, n_tokens,
     CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY sort_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT doc_id, domain, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens <
+  CASE domain WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+              WHEN 'fr' THEN 4000 WHEN 'zh' THEN 1 END
+""".strip()
+
+    # st31: the streaming quota fill ≡ one global window in arrival
+    # order (batch index = doc_id % 3, then md5 sort key, then id).
+    o["st31_streaming_budget"] = r"""
+WITH base AS (SELECT doc_id, doc_id % 3 AS b, lang AS domain,
+    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+    CAST(CAST(concat('0x', substr(md5('budget-v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS sort_key
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')),
+c AS (SELECT doc_id, domain, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY b, sort_key, doc_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM base)
 SELECT doc_id, domain, n_tokens, cum_tokens FROM c

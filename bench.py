@@ -127,6 +127,7 @@ def main() -> None:
     job_queries = [
         "st6_streaming_dedup",
         "st30_streaming_allpairs",  # streaming tf-idf pairs vs frozen-stats index
+        "st31_streaming_budget",  # streaming quota fill (O(|domains|) state)
         "st7_streaming_sessions",
         "st8_session_window",
         "st12_point_lookup",    # lake MERGE of the full feed + pruned lookup

@@ -629,6 +629,33 @@ def export_webdataset(
     return manifest
 
 
+def budget_base(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    salt: str = "budget-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The budget family's row shape: (doc_id, domain, n_tokens,
+    sort_key) for docs in budgeted domains — shared by the batch cut
+    (:func:`budget_sample`) and the streaming quota fill."""
+    from .text import _tokens
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        h.alias("sort_key"),
+    ).filter(F.col("domain").isin(list(budgets)))
+
+
 def budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],
@@ -674,23 +701,9 @@ def budget_sample(
             )
     if n_buckets < 1:
         raise ValueError(f"budget_sample: n_buckets must be >= 1, got {n_buckets}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
     step = (1 << 60) // n_buckets + 1  # sort_key < 16^15 = 2^60
-    base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(domain_col).alias("domain"),
-            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-            h.alias("sort_key"),
-        )
-        .filter(F.col("domain").isin(list(budgets)))
-        .withColumn("bucket", F.floor(F.col("sort_key") / F.lit(step)).cast("int"))
+    base = budget_base(docs, budgets, domain_col, salt, id_col).withColumn(
+        "bucket", F.floor(F.col("sort_key") / F.lit(step)).cast("int")
     )
     per_bucket = base.groupBy("domain", "bucket").agg(
         F.sum("n_tokens").alias("t")

@@ -1,0 +1,139 @@
+"""Streaming token-budget quota fill — c20's dataset-size contract as
+a continuous job: documents arrive in micro-batches and each domain's
+quota fills in ARRIVAL order (batch order, then the salted-md5 order
+within a batch — the streaming semantics: you cannot globally shuffle
+docs you have not seen yet; the batch op `budget_sample` is the
+global-order form).
+
+State is O(|domains|): the per-domain token total seen so far. The
+keep rule is c20's exactly — a doc is kept iff the tokens BEFORE it in
+the arrival order are under the budget (the crossing doc is kept, so a
+non-empty domain reaches its budget) — and because the rule depends
+only on the running offset, the state needs no per-doc memory at all.
+Exceeded domains keep counting (counts are facts; the offset keeps
+growing) but emit nothing.
+
+Exactly-once: kept rows land under batch_id-keyed partition OVERWRITE;
+state versions chain (``state/batch_id=K`` is derived from the LATEST
+committed predecessor plus batch K, so a retried batch recomputes an
+identical state and overwrites its own dirs — st27's chained-state
+discipline; sums are not retry-idempotent, blind appends would
+double-count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..pipelines.splits import budget_base
+
+_STATE_SCHEMA = "domain string, consumed long"
+
+
+def _latest_state(
+    spark: SparkSession, state_dir: str, before_batch: int
+) -> DataFrame:
+    """The most recently committed state strictly before ``before_batch``
+    (a failed attempt of the CURRENT batch may have left its own dir —
+    it must not feed itself)."""
+    ids = []
+    if os.path.isdir(state_dir):
+        for entry in os.listdir(state_dir):
+            if entry.startswith("batch_id="):
+                bid = int(entry.split("=", 1)[1])
+                if bid < before_batch:
+                    ids.append(bid)
+    if not ids:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return spark.read.parquet(
+        os.path.join(state_dir, f"batch_id={max(ids)}")
+    ).select("domain", "consumed")
+
+
+def run_budget_stream(
+    spark: SparkSession,
+    docs_path: str,
+    work_dir: str,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    salt: str = "budget-v1",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream document files through the quota fill; returns the
+    accumulated kept rows (doc_id, domain, n_tokens, cum_tokens —
+    cumulative over the arrival order, offsets included)."""
+    if not budgets:
+        raise ValueError("run_budget_stream: budgets must be non-empty")
+    for dom, b in budgets.items():
+        if b < 1:
+            raise ValueError(
+                f"run_budget_stream: budget for {dom!r} must be >= 1, got {b}"
+            )
+    kept_dir = os.path.join(work_dir, "kept")
+    state_dir = os.path.join(work_dir, "state")
+    schema = spark.read.parquet(docs_path).schema
+    budget = None
+    for dom, b in sorted(budgets.items()):
+        clause = (
+            F.when(F.col("domain") == dom, F.lit(int(b)))
+            if budget is None
+            else budget.when(F.col("domain") == dom, F.lit(int(b)))
+        )
+        budget = clause
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prior = _latest_state(spark, state_dir, batch_id)
+        base = budget_base(batch_df, budgets, domain_col, salt)
+        w = Window.partitionBy("domain").orderBy("sort_key", "doc_id")
+        cum_within = F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = base.join(
+            F.broadcast(prior.withColumnRenamed("consumed", "offset")),
+            "domain",
+            "left",
+        ).withColumn("offset", F.coalesce("offset", F.lit(0)))
+        cum = (F.col("offset") + cum_within).alias("cum_tokens")
+        kept = joined.select("doc_id", "domain", "n_tokens", cum).filter(
+            F.col("cum_tokens") - F.col("n_tokens") < budget
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"batch_id={batch_id}")
+        )
+        batch_totals = base.groupBy("domain").agg(
+            F.sum("n_tokens").cast("long").alias("t")
+        )
+        new_state = (
+            prior.join(batch_totals, "domain", "full_outer")
+            .select(
+                "domain",
+                (
+                    F.coalesce("consumed", F.lit(0)) + F.coalesce("t", F.lit(0))
+                ).cast("long").alias("consumed"),
+            )
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(kept_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, domain string, n_tokens long, cum_tokens long"
+        )
+    return spark.read.parquet(kept_dir).select(
+        "doc_id", "domain", "n_tokens", "cum_tokens"
+    )

@@ -1169,3 +1169,77 @@ def test_allpairs_stream_resume_and_crash_retry(spark, tmp_path_factory):
     # finished re-run: nothing new, no growth
     again = run_allpairs_stream(spark, base_dir, strm_dir, ap, threshold=0.5)
     assert again.count() == len(got)
+
+
+def test_budget_stream_resume_retry_and_quota_semantics(spark, tmp_path_factory):
+    """st31: quota fills in arrival order; state is O(|domains|) and
+    chained per batch — a planted half-committed attempt recomputes
+    identical state; exceeded domains keep counting but emit nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.streaming.budget_stream import (
+        run_budget_stream,
+    )
+
+    work = tmp_path_factory.mktemp("budget-stream")
+    staged = str(work / "docs")
+    os.makedirs(staged)
+    # 3 batches x 4 docs; every doc = 5 tokens; en budget 22 -> keeps
+    # docs while cum_before < 22: 5,10,15,20,25 -> first five docs
+    # (the fifth crosses), spanning batch boundaries; de budget 7 ->
+    # two docs, both in batch 0.
+    rows = []
+    for b in range(3):
+        for j in range(4):
+            i = b * 10 + j
+            rows.append((i, "en" if j % 2 == 0 else "de", "t t t t t", b))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string, b int")
+    for b in range(3):
+        dst = os.path.join(staged, f"f{b}.parquet")
+        docs.filter(F.col("b") == b).drop("b").coalesce(1).write.parquet(
+            dst + ".tmp"
+        )
+        part = [f for f in os.listdir(dst + ".tmp") if f.startswith("part-")][0]
+        os.replace(os.path.join(dst + ".tmp", part), dst)
+        os.utime(dst, (1_700_000_000 + b * 10, 1_700_000_000 + b * 10))
+
+    budgets = {"en": 22, "de": 7}
+    bs = str(work / "bs")
+    kept = run_budget_stream(spark, staged, bs, budgets)
+    got = {r["doc_id"]: r for r in kept.collect()}
+    en = sorted(i for i in got if got[i]["domain"] == "en")
+    de = sorted(i for i in got if got[i]["domain"] == "de")
+    # en: cums 5,10,15,20,25 -> five docs kept, the CROSSING one landing
+    # in batch 2 (within-batch order is the md5 sort key: doc 22 sorts
+    # first there) — the quota spans batch boundaries
+    assert en == [0, 2, 10, 12, 22]
+    assert de == [1, 3]           # de exceeded inside batch 0
+    # cum_tokens carries the cross-batch offsets
+    assert max(got[i]["cum_tokens"] for i in en) == 25
+
+    # plant a half-committed NEXT attempt: garbage kept + state for a
+    # batch id the checkpoint never committed -> harmless: re-run with
+    # nothing new must neither re-emit nor grow
+    n_before = kept.count()
+    spark.createDataFrame(
+        [(999, "en", 5, 5)], "doc_id long, domain string, n_tokens long, cum_tokens long"
+    ).write.mode("overwrite").parquet(os.path.join(bs, "kept", "batch_id=7"))
+    spark.createDataFrame(
+        [("en", 1)], "domain string, consumed long"
+    ).write.mode("overwrite").parquet(os.path.join(bs, "state", "batch_id=7"))
+    again = run_budget_stream(spark, staged, bs, budgets)
+    # the stream is finished: no new batches run, the planted dirs stay
+    # (no batch 7 will ever commit through this checkpoint) — but a NEW
+    # batch arriving later must chain from the last COMMITTED state
+    # (batch_id=2), not the planted batch_id=7... the guard is
+    # _latest_state(before_batch=3) < 3, which excludes 7. Verify:
+    from kafka_connect_mongo_spark.streaming.budget_stream import _latest_state
+
+    st = {r["domain"]: r["consumed"] for r in _latest_state(spark, os.path.join(bs, "state"), 3).collect()}
+    assert st == {"en": 30, "de": 30}
+    assert again.count() == n_before + 1  # only the planted garbage row
+
+    with pytest.raises(ValueError, match="non-empty"):
+        run_budget_stream(spark, staged, str(work / "x"), {})
