@@ -212,6 +212,16 @@ def main() -> None:
         "t15_bigram_lm": lambda d, e: tx.bigram_lm_score(
             d, broadcast_counts=True
         ),
+        "t21_bpe_encode": lambda d, e: tx.bpe_encode(d, n_merges=8),
+        "t23_dup_profile": lambda d, e: dd.duplication_profile(d, k=3),
+        # d19: threshold 0.95 on the replicated corpus (replicas are NOT
+        # near-dups by construction, so the workload scales with size,
+        # not replica-clique combinatorics)
+        "d19_allpairs": lambda d, e: dd.tfidf_allpairs(d, threshold=0.95),
+        "d18_mmr": lambda d, e: sim.mmr_select(e, q, k=8, lam=0.7),
+        "c20_budget": lambda d, e: sp.budget_sample(
+            d, {"en": 5000, "de": 2000, "fr": 4000, "zh": 1}
+        ),
     }
 
     # code-corpus family over the repos snapshot (replica-disjoint
@@ -224,6 +234,9 @@ def main() -> None:
         "g1_import_degree": lambda r: cd.module_degree(r),
         "g3_module_rank": lambda r: cd.module_pagerank(r, iterations=3),
         "c15_secret_census": lambda r: cd.secret_census(r),
+        "d17_fork_clusters": lambda r: cd.repo_fork_clusters(
+            r, min_jaccard=0.9, fingerprint=cd.normalized_fingerprint()
+        ),
     }
 
     def timed(df):
