@@ -214,10 +214,12 @@ def main() -> None:
         ),
         "t21_bpe_encode": lambda d, e: tx.bpe_encode(d, n_merges=8),
         "t23_dup_profile": lambda d, e: dd.duplication_profile(d, k=3),
-        # d19: threshold 0.95 on the replicated corpus (replicas are NOT
-        # near-dups by construction, so the workload scales with size,
-        # not replica-clique combinatorics)
-        "d19_allpairs": lambda d, e: dd.tfidf_allpairs(d, threshold=0.95),
+        # the all-pairs family (d19/d20/st30) is deliberately NOT in this
+        # probe: on the template-saturated fixture its cost is the
+        # corpus's true pair density (~12M nonzero-similarity pairs at
+        # 10x), which no exact algorithm can probe in bounded time —
+        # PLANS.md decomposes the family's scaling with direct
+        # measurements (bound iterations, join volumes, oracle parity)
         "d18_mmr": lambda d, e: sim.mmr_select(e, q, k=8, lam=0.7),
         "c20_budget": lambda d, e: sp.budget_sample(
             d, {"en": 5000, "de": 2000, "fr": 4000, "zh": 1}
