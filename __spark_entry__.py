@@ -39,7 +39,11 @@ from kafka_connect_mongo_spark.pipelines import dedup as dd
 from kafka_connect_mongo_spark.pipelines import multimodal as mm
 from kafka_connect_mongo_spark.pipelines import similarity as sim
 from kafka_connect_mongo_spark.pipelines import text as tx
-from kafka_connect_mongo_spark.sources.export import read_snapshot, snapshot_as_events
+from kafka_connect_mongo_spark.sources.export import (
+    bootstrap_union_feed,
+    read_snapshot,
+    snapshot_as_events,
+)
 from kafka_connect_mongo_spark.sources.oplog import max_offset_per_ns, read_oplog
 
 T0 = gen.T0
@@ -190,6 +194,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x15_hot_keys"] = lambda spark, sf: hot_keys(_feed(spark, sf))
 
     q["x8_max_offset"] = lambda spark, sf: max_offset_per_ns(_feed(spark, sf))
+
+    # State certificate: per-ns order-independent sha256 digest of the
+    # replayed final state — the north-star's "sha256-verified final
+    # state" as a first-class operator (one scan, one map-side agg).
+    def _x16(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.certify import cdc_certificate
+        from kafka_connect_mongo_spark.operators.lww import drop_tombstones
+
+        boot = snapshot_as_events(read_snapshot(spark, gen.repos_path(sf)))
+        events = bootstrap_union_feed(boot, _feed(spark, sf))
+        live = drop_tombstones(lww_collapse(events, key="id"), payload_col="object")
+        return cdc_certificate(live)
+
+    q["x16_state_digest"] = _x16
 
     # Feed-continuity audit over a feed with PLANTED holes (every
     # 997th seq dropped + one 600-seq block): which seq ranges are
@@ -1540,6 +1558,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st28_streaming_changes"] = _st28
 
+    # Streaming state certificate: the per-ns sha256 digest maintained
+    # incrementally from per-batch change images (O(batch + touched
+    # keys) per batch, never a table re-scan) — final published
+    # certificate must equal the batch operator's over bootstrap ∪ feed
+    # (shares x16's oracle verbatim).
+    def _st32(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.certify_stream import (
+            run_certificate_stream,
+        )
+
+        mid = _mid_ts(sf)
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-certstream-",
+            [F.col("ts") <= mid, F.col("ts") > mid],
+        )
+        return run_certificate_stream(
+            spark,
+            staged,
+            os.path.join(work, "certs"),
+            snapshot_path=gen.repos_path(sf),
+        )
+
+    q["st32_streaming_digest"] = _st32
+
     # Bucket-pruned point lookup: the current row for 50 keys, reading
     # only the bucket dirs those keys hash to (Iceberg bucket-transform
     # data skipping; the engine-side form of the reference's
@@ -2841,6 +2883,28 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 
     # x12: compaction must be invisible — the oracle replays UNCOMPACTED
     o["x12_compacted_replay"] = o["q_final_state"]
+
+    # x16: state certificate — canonical row = (id, ns, sha256(object))
+    # NUL-sentineled and unit-separated; row_h = first 15 hex chars of
+    # its sha256; digests are order-independent folds (bit_xor + sum
+    # mod 2^61−1), replicated operation-for-operation.
+    from kafka_connect_mongo_spark.operators.certify import CERT_MOD
+
+    o["x16_state_digest"] = f"""
+WITH fs AS (SELECT id, ns, sha256(object) AS _psha FROM ({final})),
+h AS (SELECT ns, CAST(CAST(concat('0x', substr(sha256(
+        concat_ws(chr(31), coalesce(id, chr(0)), coalesce(ns, chr(0)),
+                  coalesce(_psha, chr(0)))), 1, 15)) AS UBIGINT) AS BIGINT) AS row_h
+      FROM fs)
+SELECT ns, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(row_h) AS BIGINT) AS xor_digest,
+       CAST(sum(row_h) % {CERT_MOD} AS BIGINT) AS sum_digest
+FROM h GROUP BY ns
+""".strip()
+
+    # st32: the streaming fold must land exactly where the batch
+    # certificate does — x16's oracle verbatim.
+    o["st32_streaming_digest"] = o["x16_state_digest"]
 
     o["a3_distinct_ids"] = (
         f"SELECT ns, count(DISTINCT id) AS n_distinct_ids FROM ({feed}) GROUP BY ns"

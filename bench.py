@@ -118,6 +118,7 @@ def main() -> None:
         "c17_license_gate",     # permissive keep-set census (semi-join)
         "c18_code_curation",    # composed license+hygiene+dedup (1 text scan)
         "x12_compacted_replay",  # log-compacted feed replay (prefix LWW + suffix)
+        "x16_state_digest",     # order-independent per-ns sha256 certificate
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per
@@ -152,6 +153,7 @@ def main() -> None:
         "st29_streaming_rates", # streaming rate monitor (sum-merged partials)
         "c19_incremental_curation",  # CDC-maintained curation fold (2-batch job wall)
         "st27_streaming_curation_code",  # streaming curation fold (chained state versions)
+        "st32_streaming_digest",  # streaming certificate fold (2-batch job wall)
     ]
 
     def run_noop(df) -> None:

@@ -360,6 +360,19 @@ def main(argv: list[str] | None = None) -> None:
     ph.add_argument("--oplog", default=None, help="feed path, for lag vs max offset")
     ph.add_argument("--metrics", default=None, help="metrics dir, for quarantine counts")
 
+    pvf = sub.add_parser(
+        "verify",
+        help="end-to-end state verification: per-ns sha256 certificate of "
+        "the replayed feed vs the sink table state (order-independent "
+        "digests — no row-by-row compare job); exits 1 on any mismatch",
+    )
+    pvf.add_argument("--oplog", required=True)
+    pvf.add_argument("--snapshot", default=None)
+    pvf.add_argument("--table", action="append", default=[],
+                     help="lake table root (repeatable)")
+    pvf.add_argument("--root", default=None,
+                     help="routed-tables parent dir: every child with a _meta.json")
+
     args = p.parse_args(argv)
     spark = get_spark(master=args.master)
 
@@ -840,6 +853,53 @@ def main(argv: list[str] | None = None) -> None:
         )
         print(json.dumps(report))
         if not report["healthy"]:
+            spark.stop()
+            sys.exit(1)
+    elif args.cmd == "verify":
+        import os
+        import sys
+
+        from .operators.certify import cdc_certificate, certificate_report
+        from .operators.lww import drop_tombstones, lww_collapse
+        from .sinks.lake import LakeTable
+        from .sources.export import (
+            bootstrap_union_feed,
+            read_snapshot,
+            snapshot_as_events,
+        )
+        from .sources.oplog import read_oplog
+
+        feed = read_oplog(spark, args.oplog)
+        events = feed
+        if args.snapshot:
+            events = bootstrap_union_feed(
+                snapshot_as_events(read_snapshot(spark, args.snapshot)), feed
+            )
+        expected_state = drop_tombstones(
+            lww_collapse(events, key="id"), payload_col="object"
+        ).select("id", "ns", "object")
+        roots = list(args.table)
+        if args.root:
+            roots.extend(
+                sorted(
+                    os.path.join(args.root, d)
+                    for d in os.listdir(args.root)
+                    if os.path.exists(os.path.join(args.root, d, "_meta.json"))
+                )
+            )
+        if not roots:
+            p.error("verify: need at least one --table or a --root")
+        actual_state = None
+        for r in roots:
+            part = LakeTable(spark, r).read().select("id", "ns", "object")
+            actual_state = part if actual_state is None else actual_state.unionByName(part)
+        report_df = certificate_report(
+            cdc_certificate(expected_state), cdc_certificate(actual_state)
+        )
+        rows = [r.asDict() for r in report_df.orderBy("ns").collect()]
+        healthy = all(r["status"] == "ok" for r in rows)
+        print(json.dumps({"healthy": healthy, "groups": rows}))
+        if not healthy:
             spark.stop()
             sys.exit(1)
     spark.stop()

@@ -1,0 +1,159 @@
+"""Streaming state certificates: the continuous end-to-end integrity
+monitor.
+
+After every micro-batch the job publishes the per-namespace certificate
+(``operators/certify``: n_rows / xor_digest / sum_digest) of the state
+the sink SHOULD be in — maintained incrementally by folding the batch's
+before/after change images, never by re-scanning the table. A deployment
+compares this against ``cdc_certificate(sink.read())`` (or the `verify`
+CLI) on whatever cadence it audits; a divergence pinpoints the namespace
+the moment it happens instead of at the next full-table compare.
+
+Per-batch cost is O(batch + touched keys): the before-images come from
+the same last-live-image state the change-pair stream keeps
+(``streaming/change_stream.py`` — one entry per touched key, LWW over
+commit order), and the certificate fold is a |touched namespaces|-row
+merge. The certificate itself is a handful of rows — the version chain
+is effectively free.
+
+Exactly-once discipline (the repo's versioned-state rule,
+``streaming/code_stream.py``): ``cert/batch_id={n}`` holds the FULL
+certificate as of batch n and is written with OVERWRITE after reading
+its committed predecessor (max batch_id < n) — a retried batch
+recomputes from the same predecessor and overwrites its own
+half-committed attempt, so duplicated delivery can never double-fold.
+
+Bootstrap: ``init_certificate_stream`` seeds version −1 with the
+snapshot's certificate and the snapshot keys' images (the initial-import
+batch a real deployment runs first), so the final certificate equals the
+batch operator's over bootstrap ∪ feed — ``st32`` shares ``x16``'s
+DuckDB oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..operators.certify import (
+    CERT_COLS,
+    cdc_certificate,
+    fold_certificate,
+    images_from_change_pairs,
+)
+from ..operators.history import FEED_HISTORY_COLS as FEED_COLS
+from ..operators.history import change_pairs
+from ..operators.lww import ORDER_COLS, top1_per_key, tombstone_cond
+from ..sources.export import read_snapshot, snapshot_as_events
+from ..sources.oplog import clean_feed_cond
+from .change_stream import _has_partitions, _resolve_state
+
+_CERT_SCHEMA = "ns string, n_rows long, xor_digest long, sum_digest long"
+
+
+def read_certificate(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The latest published certificate (highest committed version)."""
+    cert_dir = os.path.join(work_dir, "cert")
+    if not _has_partitions(cert_dir):
+        return spark.createDataFrame([], _CERT_SCHEMA)
+    df = spark.read.parquet(cert_dir)
+    latest = df.agg(F.max("batch_id")).collect()[0][0]
+    return df.filter(F.col("batch_id") == latest).select("ns", *CERT_COLS)
+
+
+def _predecessor_cert(
+    spark: SparkSession, cert_dir: str, batch_id: int
+) -> DataFrame:
+    if not _has_partitions(cert_dir):
+        return spark.createDataFrame([], _CERT_SCHEMA)
+    df = spark.read.parquet(cert_dir).filter(F.col("batch_id") < batch_id)
+    prev = df.agg(F.max("batch_id")).collect()[0][0]
+    if prev is None:
+        return spark.createDataFrame([], _CERT_SCHEMA)
+    return df.filter(F.col("batch_id") == prev).select("ns", *CERT_COLS)
+
+
+def init_certificate_stream(
+    spark: SparkSession, work_dir: str, snapshot_path: str
+) -> None:
+    """Seed version −1 from the initial import: the snapshot's
+    certificate plus its keys' last-live-image state entries (their
+    ordering coordinates precede every feed event — the bootstrap
+    contract, ``sources/export.snapshot_as_events``)."""
+    state_dir = os.path.join(work_dir, "state")
+    cert_dir = os.path.join(work_dir, "cert")
+    if _has_partitions(cert_dir):
+        return
+    boot = snapshot_as_events(read_snapshot(spark, snapshot_path))
+    boot.select(*FEED_COLS, F.lit(False).alias("_gone")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "batch_id=-1"))
+    cdc_certificate(boot.select("ns", "id", "object")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(cert_dir, "batch_id=-1"))
+
+
+def run_certificate_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    snapshot_path: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream feed files through the certificate fold; returns the final
+    published certificate after the stream drains (availableNow)."""
+    state_dir = os.path.join(work_dir, "state")
+    cert_dir = os.path.join(work_dir, "cert")
+    if snapshot_path:
+        init_certificate_stream(spark, work_dir, snapshot_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
+        state = _resolve_state(spark, state_dir, exclude_batch=batch_id)
+        bkeys = batch.select("ns", "id").distinct()
+        events = batch.withColumn("_seed", F.lit(False))
+        if state is not None:
+            seeds = (
+                state.join(bkeys, ["ns", "id"], "left_semi")
+                .withColumn("_seed", F.lit(True))
+            )
+            events = seeds.unionByName(events)
+        paired = change_pairs(events, keep_cols=("_seed",)).persist()
+        try:
+            images = images_from_change_pairs(paired.filter(~F.col("_seed")))
+            prev = _predecessor_cert(spark, cert_dir, batch_id)
+            folded = fold_certificate(prev, images)
+            folded.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cert_dir, f"batch_id={batch_id}")
+            )
+            last = top1_per_key(events, ["ns", "id"], desc_cols=ORDER_COLS)
+            gone = tombstone_cond("object")
+            last.select(
+                "ns",
+                "id",
+                *[
+                    F.when(gone, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in (*ORDER_COLS, "op", "object")
+                ],
+                gone.alias("_gone"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            paired.unpersist()
+
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(feed_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_certificate(spark, work_dir)

@@ -1,0 +1,332 @@
+"""State certificates (operators/certify.py): order-independence,
+sensitivity, the fold-vs-rebuild identity over change-pair images
+(telescoping intermediate versions), the loud failure modes, and the
+`verify` CLI's end-to-end exit-code contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark import generator as gen
+from kafka_connect_mongo_spark.operators import certify
+from kafka_connect_mongo_spark.operators.history import change_pairs
+from kafka_connect_mongo_spark.operators.lww import drop_tombstones, lww_collapse
+from kafka_connect_mongo_spark.sources.export import (
+    bootstrap_union_feed,
+    read_snapshot,
+    snapshot_as_events,
+)
+from kafka_connect_mongo_spark.sources.oplog import read_oplog
+from tests.test_lake import ev, key, mk
+
+
+def _cert_map(df):
+    return {tuple(r[:-3]): (r[-3], r[-2], r[-1])
+            for r in df.select("ns", *certify.CERT_COLS).collect()}
+
+
+def _live_state(spark, sf_dir):
+    boot = snapshot_as_events(read_snapshot(spark, gen.repos_path(sf_dir)))
+    events = bootstrap_union_feed(boot, read_oplog(spark, gen.oplog_path(sf_dir)))
+    return drop_tombstones(lww_collapse(events, key="id"), payload_col="object")
+
+
+def test_certificate_is_partitioning_and_order_independent(spark, sf_dir):
+    live = _live_state(spark, sf_dir).select("id", "ns", "object")
+    a = _cert_map(certify.cdc_certificate(live))
+    shuffled = live.repartition(17, "object").sortWithinPartitions(F.desc("id"))
+    b = _cert_map(certify.cdc_certificate(shuffled))
+    assert a == b
+    assert len(a) == 2  # both namespaces certified
+
+
+def test_certificate_detects_single_row_mutation(spark, sf_dir):
+    live = _live_state(spark, sf_dir).select("id", "ns", "object")
+    a = _cert_map(certify.cdc_certificate(live))
+    first = live.orderBy("id").limit(1).collect()[0]["id"]
+    mutated = live.withColumn(
+        "object",
+        F.when(F.col("id") == first, F.concat(F.col("object"), F.lit(" "))).otherwise(
+            F.col("object")
+        ),
+    )
+    b = _cert_map(certify.cdc_certificate(mutated))
+    assert a != b
+    # same row count everywhere — only the digests move, on exactly one ns
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
+    assert sum(1 for k in a if a[k] != b[k]) == 1
+
+
+def test_certificate_detects_dropped_and_duplicated_rows(spark, sf_dir):
+    live = _live_state(spark, sf_dir).select("id", "ns", "object")
+    a = _cert_map(certify.cdc_certificate(live))
+    first = live.orderBy("id").limit(1)
+    assert _cert_map(certify.cdc_certificate(live.subtract(first))) != a
+    dup = live.unionByName(first)
+    d = _cert_map(certify.cdc_certificate(dup))
+    assert d != a  # xor cancels the duplicate pair, but count + sum catch it
+    assert a != d
+
+
+def test_float_columns_refused(spark):
+    df = spark.createDataFrame([("a", 1.5)], "id string, stars double")
+    with pytest.raises(ValueError, match="not cross-engine bit-stable"):
+        certify.state_certificate(df, ["id", "stars"], by=("id",))
+
+
+def test_fold_equals_rebuild_over_change_pair_images(spark, sf_dir):
+    """cert(∅) folded with the images of every event (bootstrap ∪ feed,
+    in LWW order) must equal the certificate of the final state —
+    intermediate versions of a key telescope away in both digests."""
+    boot = snapshot_as_events(read_snapshot(spark, gen.repos_path(sf_dir)))
+    events = bootstrap_union_feed(boot, read_oplog(spark, gen.oplog_path(sf_dir)))
+    live = drop_tombstones(lww_collapse(events, key="id"), payload_col="object")
+    want = _cert_map(certify.cdc_certificate(live))
+
+    pairs = change_pairs(events)
+    images = certify.images_from_change_pairs(pairs)
+    empty = spark.createDataFrame(
+        [], "ns string, n_rows long, xor_digest long, sum_digest long"
+    )
+    got = _cert_map(certify.fold_certificate(empty, images))
+    assert got == want
+
+
+def test_fold_in_two_stages_equals_one_stage(spark):
+    rows0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 2}),
+    ]
+    rows1 = [
+        ev(200, 0, 2, "u", "t.a", key(1), {"_id": key(1), "v": 9}),
+        ev(200, 0, 3, "d", "t.a", key(2), None),
+        ev(200, 0, 4, "i", "t.a", key(3), {"_id": key(3), "v": 3}),
+    ]
+    all_events = mk(spark, rows0 + rows1)
+    live = drop_tombstones(lww_collapse(all_events, key="id"), payload_col="object")
+    want = _cert_map(certify.cdc_certificate(live))
+
+    empty = spark.createDataFrame(
+        [], "ns string, n_rows long, xor_digest long, sum_digest long"
+    )
+    c0 = certify.fold_certificate(
+        empty, certify.images_from_change_pairs(change_pairs(mk(spark, rows0)))
+    )
+    # second batch's before-images come from the first batch's state —
+    # seed the window with the live rows (the streaming fold's contract)
+    state0 = drop_tombstones(
+        lww_collapse(mk(spark, rows0), key="id"), payload_col="object"
+    )
+    seeded = state0.unionByName(mk(spark, rows1))
+    pairs1 = change_pairs(seeded).join(
+        mk(spark, rows1).select("seq").distinct(), "seq", "left_semi"
+    )
+    got = _cert_map(
+        certify.fold_certificate(c0, certify.images_from_change_pairs(pairs1))
+    )
+    assert got == want
+
+
+def test_fold_raises_on_inconsistent_images(spark):
+    rows = [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]
+    state = drop_tombstones(
+        lww_collapse(mk(spark, rows), key="id"), payload_col="object"
+    )
+    cert = certify.cdc_certificate(state)
+    # retract a DIFFERENT payload than the one certified: count reaches
+    # zero but the digests don't — must raise, not ship a bad certificate
+    bogus = spark.createDataFrame(
+        [("t.a", 12345, -1)], "ns string, row_h long, weight int"
+    )
+    with pytest.raises(Exception, match="emptied with nonzero digest"):
+        certify.fold_certificate(cert, bogus).collect()
+    # over-retraction: row count would go negative
+    twice = bogus.unionByName(bogus)
+    with pytest.raises(Exception, match="negative"):
+        certify.fold_certificate(cert, twice).collect()
+
+
+def test_certificate_report_statuses(spark):
+    a = spark.createDataFrame(
+        [("t.a", 2, 10, 20), ("t.b", 1, 5, 5), ("t.c", 1, 7, 7)],
+        "ns string, n_rows long, xor_digest long, sum_digest long",
+    )
+    b = spark.createDataFrame(
+        [("t.a", 2, 10, 20), ("t.b", 1, 6, 6), ("t.d", 1, 9, 9)],
+        "ns string, n_rows long, xor_digest long, sum_digest long",
+    )
+    got = {r["ns"]: r["status"] for r in certify.certificate_report(a, b).collect()}
+    assert got == {"t.a": "ok", "t.b": "mismatch", "t.c": "missing", "t.d": "unexpected"}
+
+
+def test_certificate_plan_is_one_scan_one_agg(spark):
+    # the certificate adds no join and no window on top of its input —
+    # one projection + one map-side-combined hash aggregate
+    cert_only = certify.state_certificate(
+        spark.read.parquet(gen.oplog_path("/root/testdata/sf0.001")),
+        ["id", "ns", "op"],
+    )
+    p2 = cert_only._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p2 and "Window" not in p2
+    assert "HashAggregate" in p2
+
+
+# ---------------------------------------------------------------------------
+# verify CLI: certificate(replayed feed) vs certificate(sink table)
+
+
+@pytest.fixture(scope="module")
+def verified_lake(spark, tmp_path_factory):
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    work = tmp_path_factory.mktemp("verify-cli")
+    feed_dir = str(work / "feed")
+    rows = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 2}),
+        ev(100, 0, 2, "i", "t.b", key(3), {"_id": key(3), "v": 3}),
+        ev(200, 0, 3, "u", "t.a", key(1), {"_id": key(1), "v": 9}),
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+    ]
+    spark.createDataFrame(rows, schema=OPLOG_SCHEMA).coalesce(1).write.parquet(
+        feed_dir
+    )
+    lake = str(work / "lake")
+    table = LakeTable(spark, lake, n_buckets=4, payload_col="object")
+    feed = read_oplog(spark, feed_dir).select(
+        "id", "ts", "inc", "seq", "op", "ns", "object"
+    )
+    table.upsert(feed, 0)
+    return feed_dir, lake, table
+
+
+def _run_verify(feed_dir, lake):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "verify",
+         "--oplog", feed_dir, "--table", lake],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1]) if out.stdout.strip() else {}
+    return out.returncode, report, out.stderr
+
+
+def test_verify_cli_clean_table_exits_zero(verified_lake):
+    feed_dir, lake, _ = verified_lake
+    rc, report, err = _run_verify(feed_dir, lake)
+    assert rc == 0, err[-2000:]
+    assert report["healthy"] is True
+    assert {g["ns"]: g["status"] for g in report["groups"]} == {
+        "t.a": "ok", "t.b": "ok"
+    }
+
+
+def test_verify_cli_detects_divergence(spark, verified_lake):
+    feed_dir, lake, table = verified_lake
+    # a rogue row the feed never carried — the sink diverged
+    table.upsert(
+        mk(spark, [ev(999, 0, 99, "i", "t.a", key(77), {"_id": key(77), "v": "x"})]),
+        1,
+    )
+    rc, report, err = _run_verify(feed_dir, lake)
+    assert rc == 1, err[-2000:]
+    assert report["healthy"] is False
+    by_ns = {g["ns"]: g["status"] for g in report["groups"]}
+    assert by_ns == {"t.a": "mismatch", "t.b": "ok"}
+    bad = next(g for g in report["groups"] if g["ns"] == "t.a")
+    assert bad["act_n_rows"] == bad["exp_n_rows"] + 1
+
+
+# ---------------------------------------------------------------------------
+# streaming certificate: incremental fold == batch certificate; retry-safe
+
+
+def _stage(spark, work, name, rows, mtime):
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+
+    d = str(work / "halves" / name)
+    spark.createDataFrame(rows, schema=OPLOG_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    part = next(f for f in os.listdir(d) if f.startswith("part-"))
+    staged = str(work / "feed")
+    os.makedirs(staged, exist_ok=True)
+    dst = os.path.join(staged, f"{name}.parquet")
+    os.replace(os.path.join(d, part), dst)
+    os.utime(dst, (mtime, mtime))
+    return staged
+
+
+def test_certificate_stream_equals_batch_and_survives_garbage_version(
+    spark, tmp_path_factory
+):
+    from kafka_connect_mongo_spark.streaming.certify_stream import (
+        read_certificate,
+        run_certificate_stream,
+    )
+
+    work = tmp_path_factory.mktemp("cert-stream")
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 2}),
+        ev(100, 0, 2, "i", "t.b", key(3), {"_id": key(3), "v": 3}),
+    ]
+    b1 = [
+        ev(200, 0, 3, "u", "t.a", key(1), {"_id": key(1), "v": 9}),
+        ev(200, 0, 4, "d", "t.a", key(2), None),
+        ev(200, 0, 5, "d", "t.b", key(3), None),  # t.b empties entirely
+        ev(200, 0, 6, "i", "t.a", key(4), {"_id": key(4), "v": 4}),
+    ]
+    staged = _stage(spark, work, "f0", b0, 1_700_000_000)
+    cert_work = str(work / "certs")
+    run_certificate_stream(spark, staged, cert_work)
+
+    # mid-state certificate matches the batch operator over b0
+    state0 = drop_tombstones(
+        lww_collapse(mk(spark, b0), key="id"), payload_col="object"
+    )
+    assert _cert_map(read_certificate(spark, cert_work)) == _cert_map(
+        certify.cdc_certificate(state0.select("ns", "id", "object"))
+    )
+
+    # a crashed attempt left garbage where the NEXT version will land —
+    # the retry must overwrite it, not trust or double-fold it
+    garbage = spark.createDataFrame(
+        [("t.zzz", 123, 456, 789)],
+        "ns string, n_rows long, xor_digest long, sum_digest long",
+    )
+    garbage.write.mode("overwrite").parquet(
+        os.path.join(cert_work, "cert", "batch_id=1")
+    )
+    _stage(spark, work, "f1", b1, 1_700_000_010)
+    run_certificate_stream(spark, staged, cert_work)
+
+    live = drop_tombstones(
+        lww_collapse(mk(spark, b0 + b1), key="id"), payload_col="object"
+    )
+    want = _cert_map(certify.cdc_certificate(live.select("ns", "id", "object")))
+    got = _cert_map(read_certificate(spark, cert_work))
+    assert got == want
+    assert ("t.zzz",) not in got
+    assert set(got) == {("t.a",)}  # t.b emptied cleanly (zero digests → dropped)
+
+
+def test_certificate_stream_finished_rerun_is_a_noop(spark, tmp_path_factory):
+    from kafka_connect_mongo_spark.streaming.certify_stream import (
+        read_certificate,
+        run_certificate_stream,
+    )
+
+    work = tmp_path_factory.mktemp("cert-stream-rerun")
+    rows = [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1})]
+    staged = _stage(spark, work, "f0", rows, 1_700_000_000)
+    cert_work = str(work / "certs")
+    a = _cert_map(run_certificate_stream(spark, staged, cert_work))
+    b = _cert_map(run_certificate_stream(spark, staged, cert_work))
+    assert a == b == _cert_map(read_certificate(spark, cert_work))
