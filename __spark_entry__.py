@@ -2456,6 +2456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weight_col="w",
     ).select("doc_id", "lang")
 
+    # DSIR importance weights (arXiv:2302.03169): target = the English
+    # sub-corpus; weight = hashed-ngram log-likelihood ratio, fixed-point
+    # exact; model fitted in one corpus scan, scored with zero exchanges.
+    q["d21_dsir_weights"] = lambda spark, sf: sel.dsir_weights(
+        _docs(spark, sf), F.col("lang") == "en"
+    )
+
     q["d11_weighted_sample_per_group"] = lambda spark, sf: (
         sel.weighted_sample_per_group(
             _docs(spark, sf).select(
@@ -3815,6 +3822,33 @@ FROM base, q ORDER BY score DESC, vec_id LIMIT 10
             f"m{_i} AS MATERIALIZED (SELECT {_i} AS rank, vec_id, e, rel, score "
             f"FROM s{_i} ORDER BY score DESC, vec_id LIMIT 1)"
         )
+    # d21: DSIR — hashed unigram+bigram buckets, add-one-smoothed
+    # log-ratio per bucket quantized to a BIGINT (single final rounding,
+    # fixed ln chain), per-doc weight = exact integer sum.
+    o["d21_dsir_weights"] = r"""
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+                  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+f AS (SELECT doc_id, is_t,
+        list_concat(toks,
+          CASE WHEN len(toks) >= 2
+            THEN list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])
+            ELSE [] END) AS feats
+      FROM t),
+e AS (SELECT doc_id, is_t,
+        CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) % 256 AS b
+      FROM (SELECT doc_id, is_t, unnest(feats) AS tok FROM f)),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+             CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+      FROM e GROUP BY b),
+tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt, CAST(sum(ct) AS DOUBLE) AS tt FROM c),
+lr AS (SELECT b, CAST(round((ln(ct + 1.0) - ln(tt + 256.0) - ln(cr + 1.0)
+                             + ln(rt + 256.0)) * 1000000.0) AS BIGINT) AS s
+       FROM c, tot)
+SELECT e.doc_id, CAST(sum(lr.s) AS BIGINT) AS weight_scaled
+FROM e JOIN lr USING (b) GROUP BY e.doc_id
+""".strip()
+
     o["d18_mmr_select"] = (
         "WITH "
         + ",\n".join(_mmr_cte)

@@ -119,6 +119,7 @@ def main() -> None:
         "c18_code_curation",    # composed license+hygiene+dedup (1 text scan)
         "x12_compacted_replay",  # log-compacted feed replay (prefix LWW + suffix)
         "x16_state_digest",     # order-independent per-ns sha256 certificate
+        "d21_dsir_weights",     # DSIR: 1 fit scan (dim-row shuffle) + literal-model score scan
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

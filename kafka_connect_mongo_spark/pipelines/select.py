@@ -420,3 +420,121 @@ def data_card(docs: DataFrame, round_digits: int = 6) -> DataFrame:
         ).alias("dup_rate"),
         F.round(F.avg("quality"), round_digits).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (Xie et al., NeurIPS 2023)
+
+DSIR_DIM = 256  #: hashed n-gram buckets — a MODEL size, not a corpus bound
+DSIR_SCALE = 1_000_000  #: fixed-point scale for the per-bucket log-ratios
+
+
+def _dsir_features(text: F.Column) -> F.Column:
+    """Hashed-n-gram feature stream: unigram tokens + adjacent bigrams
+    (the paper's n≤2 configuration), built ROW-LOCALLY as one array —
+    the bigram list is a zip of two slices of ONE tokenize (t13's
+    CollapseProject-safe shape)."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket(tok: F.Column, dim: int) -> F.Column:
+    """Feature hash: first 15 md5 hex digits (60 bits) mod dim — the
+    engine-portable bucket both engines compute identically
+    (``sample_hash`` / t14's classifier discipline)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % dim
+    ).cast("int")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_cond: F.Column,
+    dim: int = DSIR_DIM,
+    scale: int = DSIR_SCALE,
+) -> DataFrame:
+    """Per-document DSIR importance weight: how much more likely the
+    document is under a bag-of-hashed-ngrams model of the TARGET
+    distribution (rows matching ``target_cond`` — the trusted/in-domain
+    corpus) than under the model of the RAW corpus. Selecting the
+    top-weighted documents is the paper's importance-resampling recipe
+    for assembling domain-matched pretraining data
+    (arXiv:2302.03169) — compose with ``topk_per_group`` /
+    ``weighted_sample`` for the draw.
+
+    weight(d) = Σ_tokens s[bucket(tok)], where per bucket
+    s[b] = round(scale · (ln(ct+1) − ln(Σct+dim) − ln(cr+1) + ln(Σcr+dim)))
+    — add-one-smoothed log probability ratio, quantized to a BIGINT so
+    the per-doc sum is exact integer arithmetic in any order (t14's
+    fixed-point discipline; the fixed ln chain + single final rounding
+    is t13's cross-engine-exact recipe).
+
+    Scale shape: the bucket statistics need ONE corpus scan (raw and
+    target counted together — target rows are a FILTER of the same
+    scan, never a second pass) whose shuffle carries ``dim`` rows; the
+    fitted model is then a ``dim``-long literal array in the scoring
+    projection — the score scan has ZERO exchanges and no join
+    (plan-asserted), exactly like the distilled classifier. At 100 TB
+    both scans stream; nothing grows with the corpus but the two
+    passes.
+    """
+    if not 2 <= dim <= 65_536:
+        raise ValueError(f"dsir_weights: dim must be in [2, 65536], got {dim}")
+    feats = _dsir_features(F.col("text"))
+    base = docs.select(
+        "doc_id", target_cond.alias("_is_t"), F.explode(feats).alias("_tok")
+    )
+    counts = (
+        base.select(_dsir_bucket(F.col("_tok"), dim).alias("b"), "_is_t")
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("double").alias("rt"), F.sum("ct").cast("double").alias("tt")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(F.col("ct").cast("double") + F.lit(1.0))
+                - F.log(F.col("tt") + F.lit(float(dim)))
+                - F.log(F.col("cr").cast("double") + F.lit(1.0))
+                + F.log(F.col("rt") + F.lit(float(dim)))
+            )
+            * F.lit(float(scale))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    # the fitted model is dim rows — a bounded artifact, collected and
+    # compiled into the scoring projection as a literal (t14's shape).
+    # Buckets unseen in the raw corpus get the smoothed default so the
+    # model scores FUTURE documents correctly, not just this corpus.
+    import math
+
+    model_rows = {r["b"]: r["s"] for r in lr.collect()}
+    tot = totals.collect()[0]
+    default_s = round(
+        (math.log(tot["rt"] + dim) - math.log(tot["tt"] + dim)) * float(scale)
+    )
+    arr = F.array(
+        *[F.lit(int(model_rows.get(b, default_s))) for b in range(dim)]
+    )
+    weight = F.aggregate(
+        _dsir_features(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(arr, _dsir_bucket(t, dim) + 1),
+    )
+    return docs.select("doc_id", weight.alias("weight_scaled"))

@@ -603,3 +603,87 @@ def test_budget_sample_validation(spark):
         budget_sample(docs, {"en": 0})
     with pytest.raises(ValueError, match="n_buckets"):
         budget_sample(docs, {"en": 5}, n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+
+
+def _dsir_docs(spark):
+    rows = [
+        # target domain: 'spark'-heavy docs (is_t = lang == 'en')
+        (1, "en", "spark shuffle spark join spark agg"),
+        (2, "en", "spark plan spark codegen shuffle"),
+        # raw-only noise domain
+        (3, "de", "apfel birne kirsche apfel birne"),
+        (4, "de", "kirsche apfel birne kirsche birne"),
+        # held-out docs to score: one target-like, one noise-like
+        (5, "fr", "spark shuffle join agg plan"),
+        (6, "fr", "apfel kirsche birne apfel kirsche"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_dsir_target_vocabulary_outscores_noise(spark):
+    docs = _dsir_docs(spark)
+    w = {r["doc_id"]: r["weight_scaled"]
+         for r in sel.dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert set(w) == {1, 2, 3, 4, 5, 6}
+    # every target-vocabulary doc (including the held-out doc 5) must
+    # outscore every noise-vocabulary doc; noise docs score firmly
+    # negative (their buckets have ct = 0)
+    assert min(w[1], w[2], w[5]) > max(w[3], w[4], w[6])
+    assert max(w[3], w[4], w[6]) < 0
+
+
+def test_dsir_matches_plain_python_reference(spark):
+    import hashlib
+    import math
+
+    docs = _dsir_docs(spark)
+    dim = 16
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    def feats(text):
+        toks = text.split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    rows = docs.collect()
+    cr, ct = {}, {}
+    for r in rows:
+        for t in feats(r["text"]):
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if r["lang"] == "en":
+                ct[b] = ct.get(b, 0) + 1
+    rt, tt = float(sum(cr.values())), float(sum(ct.values()))
+    s = {
+        b: round(
+            (math.log(ct.get(b, 0) + 1.0) - math.log(tt + dim)
+             - math.log(cr[b] + 1.0) + math.log(rt + dim)) * 1_000_000.0
+        )
+        for b in cr
+    }
+    want = {
+        r["doc_id"]: sum(s[bucket(t)] for t in feats(r["text"])) for r in rows
+    }
+    got = {r["doc_id"]: r["weight_scaled"]
+           for r in sel.dsir_weights(docs, F.col("lang") == "en", dim=dim).collect()}
+    assert got == want
+
+
+def test_dsir_scoring_plan_is_scan_local(spark):
+    # the fitted model is a literal: the returned plan has no join and
+    # no exchange — fit jobs ran at construction time, scoring is pure
+    docs = _dsir_docs(spark)
+    scored = sel.dsir_weights(docs, F.col("lang") == "en", dim=8)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_dsir_validation(spark):
+    docs = _dsir_docs(spark)
+    with pytest.raises(ValueError, match="dim must be"):
+        sel.dsir_weights(docs, F.col("lang") == "en", dim=1)
