@@ -631,6 +631,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mv1_incremental_view"] = _mv1
 
+    # mv3: exact COUNT(DISTINCT) maintenance — the refcounted support
+    # relation folds like a COUNT view keyed by (group, value); the
+    # distinct count is its per-group row count. Same staging as mv1.
+    def _mv3(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators import mv
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import prepare_batch
+
+        feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
+        mid = _mid_ts(sf)
+        work = tempfile.mkdtemp(prefix="cdc-mv3-")
+        table = LakeTable(
+            spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
+        )
+        table.upsert(prepare_batch(feed.filter(F.col("ts") <= mid)), 0)
+        table.upsert(prepare_batch(feed.filter(F.col("ts") > mid)), 1)
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "repo", F.get_json_object("object", "$.repo")
+            ).withColumn("path", F.get_json_object("object", "$.path"))
+
+        sup0 = mv.build_distinct_support(project(table.read_as_of(0)), ["repo"], "path")
+        sup1 = mv.fold_distinct_support(
+            sup0, project(table.changelog_rows(0, 1)), ["repo"], "path"
+        )
+        return mv.distinct_view(sup1, ["repo"], out_col="n_paths")
+
+    q["mv3_distinct_view"] = _mv3
+
     # mv2: the NON-invertible measures — MIN/MAX maintained by cheap
     # assert-folds plus base re-aggregation of exactly the groups whose
     # extreme was retracted (semi-join pruned). Same staging as mv1.
@@ -3447,6 +3477,18 @@ SELECT object->>'$.repo' AS repo,
        count(*) AS n_docs,
        CAST(min(length(object->>'$.content')) AS BIGINT) AS min_chars,
        CAST(max(length(object->>'$.content')) AS BIGINT) AS max_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
+  FROM ({feed}) WHERE ns = 'code.docs'
+) WHERE rn = 1 AND op <> 'd'
+GROUP BY 1
+""".strip()
+
+    # mv3: fold == rebuild for exact COUNT(DISTINCT) via the support
+    # relation — oracle aggregates the final LWW state directly.
+    o["mv3_distinct_view"] = f"""
+SELECT object->>'$.repo' AS repo,
+       CAST(count(DISTINCT object->>'$.path') AS BIGINT) AS n_paths
 FROM (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, inc DESC, seq DESC) rn
   FROM ({feed}) WHERE ns = 'code.docs'

@@ -140,6 +140,7 @@ def main() -> None:
         "st19_consistent_read",  # two-table MERGE + cut-pinned snapshot read
         "mv1_incremental_view",  # MERGE + changelog fold into the grouped view
         "mv2_minmax_view",      # non-invertible extremes: fold + pruned rescan
+        "mv3_distinct_view",    # exact COUNT(DISTINCT): refcounted support fold
         "st20_streaming_mv",    # streamed MV: per-batch delta partitions
         "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe

@@ -280,3 +280,108 @@ def _validate_minmax(
     missing = [c for c in need if c not in df.columns]
     if missing:
         raise ValueError(f"mv: missing column {missing[0]!r} (have {df.columns})")
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) maintenance — the two-level support-relation form
+
+
+def build_distinct_support(
+    state: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Support relation for an exact COUNT(DISTINCT ``value_col``) view:
+    one row per live (group, value) with its reference count — how many
+    base rows in the group carry the value. COUNT(DISTINCT) is not
+    self-maintainable from the view alone (retracting a value needs to
+    know whether OTHER rows still carry it); the refcounted support
+    relation is the classical two-level fix (Gupta & Mumick's
+    view-maintenance framework): the support folds like a COUNT view
+    keyed by (group, value), and the distinct count is just its
+    per-group row count.
+
+    NULL values contribute nothing (SQL COUNT(DISTINCT) semantics).
+
+    Scale shape: |distinct (group, value)| rows — the exact-answer
+    price; the fold only ever touches CHANGED (group, value) pairs.
+    When the value domain is unbounded, the HLL sketch
+    (``operators/metrics.hll_distinct``) is the documented approximate
+    alternative."""
+    _validate_distinct(state, group_cols, value_col)
+    return (
+        state.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_ref"))
+    )
+
+
+def distinct_view(
+    support: DataFrame, group_cols: list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """The maintained answer: distinct values per group = the support's
+    per-group row count (every support row has _ref > 0 by invariant)."""
+    if "_ref" not in support.columns:
+        raise ValueError(
+            f"distinct_view: not a support relation (no _ref column; have {support.columns})"
+        )
+    return support.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(out_col)
+    )
+
+
+def fold_distinct_support(
+    support: DataFrame,
+    changelog: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    change_col: str = "change",
+) -> DataFrame:
+    """Fold a pre/post-image changelog into the support relation:
+    signed contributions aggregate per (group, value); refcounts that
+    reach zero drop the value from the group; a negative refcount means
+    the changelog retracted a value the support never held — raised
+    INSIDE the keep-filter (a separate projection would let the
+    _ref > 0 filter push beneath the check — operators/certify.py's
+    lesson). fold == rebuild is exact (property-tested)."""
+    _validate_distinct(changelog, group_cols, value_col)
+    if change_col not in changelog.columns:
+        raise ValueError(
+            f"fold_distinct_support: missing change column {change_col!r} "
+            f"(have {changelog.columns})"
+        )
+    for c in (*group_cols, value_col, "_ref"):
+        if c not in support.columns:
+            raise ValueError(
+                f"fold_distinct_support: missing column {c!r} (have {support.columns})"
+            )
+    keys = [*group_cols, value_col]
+    deltas = (
+        changelog.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.sum(changelog_weight(change_col)).cast("long").alias("_d"))
+    )
+    merged = support.join(deltas, on=keys, how="full_outer")
+    ref = F.coalesce(F.col("_ref"), F.lit(0)) + F.coalesce(F.col("_d"), F.lit(0))
+    out = merged.select(*keys, ref.alias("_ref"))
+    keep = F.when(
+        F.col("_ref") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "fold_distinct_support: refcount went negative "
+                    "(changelog retracted an untracked value) for "
+                ),
+                F.concat_ws("/", *[F.col(c).cast("string") for c in keys]),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.col("_ref") > 0)
+    return out.filter(keep)
+
+
+def _validate_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> None:
+    if not group_cols:
+        raise ValueError("distinct mv: group_cols must be non-empty")
+    for c in (*group_cols, value_col):
+        if c not in df.columns:
+            raise ValueError(f"distinct mv: missing column {c!r} (have {df.columns})")

@@ -329,3 +329,88 @@ def test_fold_minmax_validates_loudly(spark):
         mv.fold_minmax(
             empty_mv, df, df, ["g"], min_cols={"vmin": "nope"}
         )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) maintenance (support relation)
+
+
+def test_fold_distinct_equals_rebuild_property(table, spark):
+    """Random insert/update/delete workload: folding the changelog into
+    the refcounted support relation yields exactly the support (and the
+    distinct view) rebuilt from the final state — including values that
+    survive one retraction because another row still carries them."""
+    rnd = random.Random(7)
+    seq = 0
+
+    def batch(ts):
+        nonlocal seq
+        rows = []
+        for k in rnd.sample(range(30), 18):
+            op = rnd.choice(["i", "u", "u", "d"])
+            body = (
+                None
+                if op == "d"
+                # small value domain -> plenty of shared refcounts
+                else {"_id": key(k), "g": rnd.choice("ab"), "v": rnd.choice("xyz")}
+            )
+            rows.append(ev(ts, 0, seq, op, "t.a", key(k), body))
+            seq += 1
+        return rows
+
+    def project(df):
+        return df.withColumn(
+            "g", F.get_json_object("object", "$.g")
+        ).withColumn("v", F.get_json_object("object", "$.v"))
+
+    table.upsert(mk(spark, batch(100)), 0)
+    table.upsert(mk(spark, batch(200)), 1)
+    folded_sup = mv.fold_distinct_support(
+        mv.build_distinct_support(project(table.read_as_of(0)), ["g"], "v"),
+        project(table.changelog_rows(0, 1)),
+        ["g"],
+        "v",
+    )
+    rebuilt_sup = mv.build_distinct_support(project(table.read()), ["g"], "v")
+    sup_map = lambda df: {(r["g"], r["v"]): r["_ref"] for r in df.collect()}
+    assert sup_map(folded_sup) == sup_map(rebuilt_sup)
+    view_map = lambda df: {r["g"]: r["n_distinct"] for r in df.collect()}
+    assert view_map(mv.distinct_view(folded_sup, ["g"])) == view_map(
+        mv.distinct_view(rebuilt_sup, ["g"])
+    )
+
+
+def test_fold_distinct_shared_value_survives_single_retraction(spark):
+    # two rows carry ("a", "x"); deleting one must NOT drop the value
+    state = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y")], "g string, v string"
+    )
+    sup = mv.build_distinct_support(state, ["g"], "v")
+    images = spark.createDataFrame(
+        [("a", "x", "deleted")], "g string, v string, change string"
+    )
+    folded = mv.fold_distinct_support(sup, images, ["g"], "v")
+    assert {(r["g"], r["v"]): r["_ref"] for r in folded.collect()} == {
+        ("a", "x"): 1,
+        ("a", "y"): 1,
+    }
+    # the second retraction drops it; the view loses the value
+    folded2 = mv.fold_distinct_support(folded, images, ["g"], "v")
+    assert {(r["g"], r["v"]) for r in folded2.collect()} == {("a", "y")}
+    # a third retraction is inconsistent -> loud
+    with pytest.raises(Exception, match="refcount went negative"):
+        mv.fold_distinct_support(folded2, images, ["g"], "v").collect()
+
+
+def test_distinct_mv_null_values_ignored_and_validation(spark):
+    state = spark.createDataFrame(
+        [("a", "x"), ("a", None)], "g string, v string"
+    )
+    sup = mv.build_distinct_support(state, ["g"], "v")
+    assert {(r["g"], r["v"]) for r in sup.collect()} == {("a", "x")}
+    with pytest.raises(ValueError, match="group_cols"):
+        mv.build_distinct_support(state, [], "v")
+    with pytest.raises(ValueError, match="missing column"):
+        mv.build_distinct_support(state, ["g"], "nope")
+    with pytest.raises(ValueError, match="not a support relation"):
+        mv.distinct_view(state, ["g"])
