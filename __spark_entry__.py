@@ -2137,6 +2137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf))
     )
 
+    # Build-order layering: SCC condensation of the import graph +
+    # longest-path depth — layer 0 = leaf deps, layer k needs k−1 first.
+    q["g5_module_layers"] = lambda spark, sf: cd.module_layers(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
     # Identifier spelling-variant census: SymSpell delete-1 blocking
     # (recall 1 for edit distance 1, equi-join only) + exact levenshtein
     # verify — the record-linkage member of the dedup family.
@@ -5127,6 +5133,43 @@ r(src, dst) AS (
 SELECT src AS module, CAST(count(*) AS BIGINT) AS n_reachable,
   CAST(max(CASE WHEN dst = src THEN 1 ELSE 0 END) AS BOOLEAN) AS in_cycle
 FROM r GROUP BY 1
+""".strip()
+
+    # g5: SCC condensation + longest-path layering, each component
+    # replicated: mutual-reachability pairs from the same closure,
+    # scc_id = lexicographic min (singleton seeds), layers via a
+    # recursive depth CTE whose max is the longest path to a sink.
+    o["g5_module_layers"] = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT string_split(path, '/')[-2] AS src,
+    string_split(t, '.')[1] AS dst
+  FROM (SELECT path, unnest(regexp_extract_all(content,
+          '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+        FROM read_parquet('{rp}'))),
+r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
+nodes AS (SELECT src AS m FROM e UNION SELECT dst FROM e),
+mutual AS (
+  SELECT r1.src AS m, r1.dst AS peer
+  FROM r r1 JOIN r r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+scc AS (
+  SELECT m, min(peer) AS scc_id FROM (
+    SELECT m, m AS peer FROM nodes
+    UNION ALL SELECT m, peer FROM mutual) GROUP BY m),
+sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM scc GROUP BY 1),
+cond AS (
+  SELECT DISTINCT s.scc_id AS s_scc, d.scc_id AS d_scc
+  FROM e JOIN scc s ON s.m = e.src JOIN scc d ON d.m = e.dst
+  WHERE s.scc_id <> d.scc_id),
+lp(sid, d) AS (
+  SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM scc)
+  UNION
+  SELECT cond.s_scc, lp.d + 1 FROM lp JOIN cond ON cond.d_scc = lp.sid),
+layer AS (SELECT sid AS scc_id, CAST(max(d) AS BIGINT) AS layer FROM lp GROUP BY 1)
+SELECT scc.m AS module, scc.scc_id, sizes.scc_size, layer.layer
+FROM scc JOIN sizes USING (scc_id) JOIN layer USING (scc_id)
 """.strip()
 
     # d16: SymSpell delete-1 blocking replicated structurally (variant

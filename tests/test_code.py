@@ -599,3 +599,76 @@ def test_ident_variants_no_cartesian_product(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# g5: module build layers (SCC condensation + longest path)
+
+
+def test_module_layers_hand_check(spark):
+    # leaf F; cycle {D, E} importing F; chain A -> B -> C -> D; plus a
+    # shortcut A -> D (layering must take the LONGEST path, so A sits
+    # above the chain, not beside it).
+    edges = [
+        ("D", "E"), ("E", "D"), ("D", "F"),
+        ("A", "B"), ("B", "C"), ("C", "D"), ("A", "D"),
+    ]
+    got = {
+        r["module"]: (r["scc_id"], r["scc_size"], r["layer"])
+        for r in cd.module_layers(_edges_df(spark, edges)).collect()
+    }
+    assert got == {
+        "F": ("F", 1, 0),
+        "D": ("D", 2, 1),  # {D, E} collapse; the cycle never deadlocks layering
+        "E": ("D", 2, 1),
+        "C": ("C", 1, 2),
+        "B": ("B", 1, 3),
+        "A": ("A", 1, 4),  # longest path A->B->C->D, not the A->D shortcut
+    }
+
+
+def test_module_layers_matches_python_reference(spark):
+    edges = [
+        ("A", "B"), ("B", "C"), ("C", "A"),      # 3-cycle
+        ("X", "A"), ("X", "Y"), ("Y", "C"),
+        ("C", "Z"), ("Z", "W"),
+    ]
+    # plain-Python reference: Tarjan-free SCC via mutual reachability,
+    # then longest-path layers over the condensation
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes |= {s, d}
+
+    def reach(src):
+        seen, stack = set(), list(adj.get(src, ()))
+        while stack:
+            d = stack.pop()
+            if d not in seen:
+                seen.add(d)
+                stack.extend(adj.get(d, ()))
+        return seen
+
+    r = {m: reach(m) for m in nodes}
+    scc = {m: min([m] + [p for p in nodes if p in r[m] and m in r[p]]) for m in nodes}
+    cond = {(scc[s], scc[d]) for s, ds in adj.items() for d in ds if scc[s] != scc[d]}
+    layer = {c: 0 for c in set(scc.values())}
+    for _ in range(len(nodes)):
+        for s, d in cond:
+            layer[s] = max(layer[s], layer[d] + 1)
+    sizes = {}
+    for m in nodes:
+        sizes[scc[m]] = sizes.get(scc[m], 0) + 1
+    want = {m: (scc[m], sizes[scc[m]], layer[scc[m]]) for m in nodes}
+
+    got = {
+        r2["module"]: (r2["scc_id"], r2["scc_size"], r2["layer"])
+        for r2 in cd.module_layers(_edges_df(spark, edges)).collect()
+    }
+    assert got == want
+
+
+def test_module_layers_validation(spark):
+    with pytest.raises(ValueError, match="max_iterations"):
+        cd.module_layers(_edges_df(spark, [("A", "B")]), max_iterations=0)
