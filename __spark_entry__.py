@@ -734,6 +734,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st20_streaming_mv"] = _st20
 
+    # st33: streaming exact COUNT(DISTINCT) — mv3's support relation
+    # streamed through the same signed-delta machinery (it IS a COUNT
+    # view keyed by (group, value)); shares mv3's oracle.
+    def _st33(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming import mv_stream
+
+        work = tempfile.mkdtemp(prefix="cdc-dmv-stream-")
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "repo", F.get_json_object("object", "$.repo")
+            ).withColumn("path", F.get_json_object("object", "$.path"))
+
+        return mv_stream.run_distinct_mv_stream(
+            spark,
+            gen.oplog_path(sf),
+            work,
+            project,
+            ["repo"],
+            "path",
+            out_col="n_paths",
+            namespace="code.docs",
+            max_files_per_trigger=2,
+        )
+
+    q["st33_streaming_distinct"] = _st33
+
     def _t11(spark: SparkSession, sf: str) -> DataFrame:
         # Dead-letter round-trip: deterministically mangle ~1% of payloads
         # (seq % 97 == 13 → "CORRUPT>" prefix), replay with the quarantine
@@ -3501,6 +3528,9 @@ FROM (
 ) WHERE rn = 1 AND op <> 'd'
 GROUP BY 1
 """.strip()
+
+    # st33: the streamed support must land exactly on the rebuild.
+    o["st33_streaming_distinct"] = o["mv3_distinct_view"]
 
     # t11: after quarantine + repaired requeue the table equals the
     # UNMANGLED feed's LWW state (feed-only replay, no bootstrap).

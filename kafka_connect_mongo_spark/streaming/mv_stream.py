@@ -188,3 +188,52 @@ def compact_mv(
     os.rename(tmp, deltas_dir)
     shutil.rmtree(old)
     return {"before": len(parts), "after": 1}
+
+
+def run_distinct_mv_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    project: Callable[[DataFrame], DataFrame],
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+    **kwargs,
+) -> DataFrame:
+    """Streaming exact COUNT(DISTINCT): the refcounted support relation
+    (``operators/mv.build_distinct_support``) IS a COUNT view keyed by
+    (group, value), so it streams through the same signed-delta
+    machinery verbatim — per-batch support deltas under batch_id-keyed
+    OVERWRITE, sum-merge read — and the distinct count is the merged
+    support's per-group row count. NULL values are filtered ahead of
+    the fold (SQL COUNT(DISTINCT) semantics), mirroring the batch
+    operator. Returns the final view after the stream drains."""
+
+    def project_nonnull(df: DataFrame) -> DataFrame:
+        return project(df).filter(F.col(value_col).isNotNull())
+
+    support = run_mv_stream(
+        spark,
+        feed_path,
+        work_dir,
+        project_nonnull,
+        [*group_cols, value_col],
+        count_col="_ref",
+        **kwargs,
+    )
+    return mv.distinct_view(support, group_cols, out_col=out_col)
+
+
+def read_distinct_mv(
+    spark: SparkSession,
+    work_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Merge-on-read distinct view between batches (exact at any commit
+    boundary, same argument as ``read_mv``)."""
+    support = read_mv(
+        spark, work_dir, [*group_cols, value_col], count_col="_ref"
+    )
+    return mv.distinct_view(support, group_cols, out_col=out_col)

@@ -414,3 +414,33 @@ def test_distinct_mv_null_values_ignored_and_validation(spark):
         mv.build_distinct_support(state, ["g"], "nope")
     with pytest.raises(ValueError, match="not a support relation"):
         mv.distinct_view(state, ["g"])
+
+
+def test_streaming_distinct_mv_equals_rebuild(spark, gen_paths, tmp_path_factory):
+    """Streamed COUNT(DISTINCT) support == one-shot rebuild over the
+    final state, and the between-batch read helper agrees."""
+    from kafka_connect_mongo_spark.streaming import mv_stream
+
+    op_path, _ = gen_paths
+    work = str(tmp_path_factory.mktemp("dmv-stream"))
+
+    def project(df):
+        return df.withColumn(
+            "repo", F.get_json_object("object", "$.repo")
+        ).withColumn("path", F.get_json_object("object", "$.path"))
+
+    view = mv_stream.run_distinct_mv_stream(
+        spark, op_path, work, project, ["repo"], "path",
+        namespace="code.docs", max_files_per_trigger=1,
+    )
+    got = {r["repo"]: r["n_distinct"] for r in view.collect()}
+
+    table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=8)
+    sup = mv.build_distinct_support(project(table.read()), ["repo"], "path")
+    want = {
+        r["repo"]: r["n_distinct"]
+        for r in mv.distinct_view(sup, ["repo"]).collect()
+    }
+    assert got == want and len(got) > 1
+    reread = mv_stream.read_distinct_mv(spark, work, ["repo"], "path")
+    assert {r["repo"]: r["n_distinct"] for r in reread.collect()} == want
