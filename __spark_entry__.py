@@ -761,6 +761,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st33_streaming_distinct"] = _st33
 
+    # st34: transport-level duplicate suppression — the feed staged with
+    # PLANTED same-batch re-deliveries (every 17th seq, the at-least-once
+    # transport shape); dropDuplicatesWithinWatermark on the offset must
+    # return exactly the original clean feed.
+    def _st34(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.streaming.transport_stream import (
+            run_transport_dedup,
+        )
+
+        mid = _mid_ts(sf)
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-transport-",
+            [F.col("ts") <= mid, F.col("ts") > mid],
+            mutate=lambda half: half.unionAll(
+                half.filter(F.col("seq") % 17 == 0)
+            ),
+        )
+        return run_transport_dedup(spark, staged, os.path.join(work, "dedup"))
+
+    q["st34_transport_dedup"] = _st34
+
     def _t11(spark: SparkSession, sf: str) -> DataFrame:
         # Dead-letter round-trip: deterministically mangle ~1% of payloads
         # (seq % 97 == 13 → "CORRUPT>" prefix), replay with the quarantine
@@ -1230,10 +1251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files), then read EXACTLY batch 1's change rows from the delta
     # files added between snapshots 0 and 1 — cost scales with the
     # changes, not the table.
-    def _stage_feed_files(spark: SparkSession, sf: str, prefix: str, conds):
+    def _stage_feed_files(spark: SparkSession, sf: str, prefix: str, conds,
+                          mutate=None):
         """Stage the feed as one mtime-ordered file per condition (batch
         order = file mtime order under maxFilesPerTrigger=1); returns
-        (work_dir, staged_feed_dir)."""
+        (work_dir, staged_feed_dir). ``mutate`` (optional) maps each
+        half's DataFrame before staging — e.g. planting re-deliveries."""
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
 
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
@@ -1247,7 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured 16.5 s -> ~6 s at sf0.1).
         tagged = None
         for i, cond in enumerate(conds):
-            half = raw.filter(cond).withColumn("__h", F.lit(i))
+            half = raw.filter(cond)
+            if mutate is not None:
+                half = mutate(half)
+            half = half.withColumn("__h", F.lit(i))
             tagged = half if tagged is None else tagged.unionAll(half)
         tmp = os.path.join(work, "halves")
         (
@@ -3531,6 +3557,13 @@ GROUP BY 1
 
     # st33: the streamed support must land exactly on the rebuild.
     o["st33_streaming_distinct"] = o["mv3_distinct_view"]
+
+    # st34: duplicates are planted by the STAGING (deterministically,
+    # from the original feed), so the deduped stream must equal the
+    # plain clean feed — duplicate suppression is invisible.
+    o["st34_transport_dedup"] = (
+        f"SELECT ts, inc, seq, op, ns, id FROM ({feed})"
+    )
 
     # t11: after quarantine + repaired requeue the table equals the
     # UNMANGLED feed's LWW state (feed-only replay, no bootstrap).

@@ -144,6 +144,7 @@ def main() -> None:
         "mv3_distinct_view",    # exact COUNT(DISTINCT): refcounted support fold
         "st20_streaming_mv",    # streamed MV: per-batch delta partitions
         "st33_streaming_distinct",  # streamed COUNT(DISTINCT) support fold
+        "st34_transport_dedup",  # watermarked offset dedup (at-least-once -> exactly-once)
         "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe

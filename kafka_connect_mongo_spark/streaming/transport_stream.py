@@ -1,0 +1,76 @@
+"""Transport-level duplicate suppression: at-least-once delivery →
+exactly-once event stream, upstream of the sink.
+
+The reference ships events over Kafka, which re-delivers on producer
+retry / consumer rebalance — its sink absorbs duplicates only because
+every record is an idempotent upsert (MongoSinkTask.kt:52-79). Our sink
+has the same property (batch-id idempotence + LWW), but a pipeline also
+feeds NON-idempotent consumers — counters, the signed-delta MV folds,
+the certificate stream — and those need the duplicates gone at the
+transport boundary. This operator is that boundary:
+``dropDuplicatesWithinWatermark`` keyed on the feed's unique offset
+(``seq``), the one Structured Streaming stateful shape built exactly
+for it.
+
+Semantics/state contract: a re-delivery is guaranteed dropped when it
+arrives within ``delay`` (event time) of the first arrival — transport
+retries are near-immediate, so a modest delay covers them while the
+watermark EXPIRES state older than the horizon: state is O(events per
+delay window), never O(feed). Same-batch duplicates always drop (the
+watermark only advances between batches). Rows whose event time has
+fallen behind the watermark are filtered as LATE DATA (pytest-pinned):
+a late re-delivery vanishes harmlessly, but a late FIRST delivery is
+the watermark family's standard loss mode — the downstream sink's
+idempotent MERGE (and the feed's mtime-ordered staging, which keeps
+event time near-monotone across batches) is the backstop, exactly
+Kafka's ``enable.idempotence`` transaction-timeout shape.
+
+Output goes through the built-in parquet file sink (metadata-log
+exactly-once — ``streaming/windowed.py``'s append discipline), so a
+crash between batch and checkpoint cannot duplicate output rows either.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import OPLOG_SCHEMA
+from ..sources.oplog import clean_feed_cond
+
+OUT_COLS = ["ts", "inc", "seq", "op", "ns", "id"]
+
+
+def run_transport_dedup(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    delay: str = "600 seconds",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Drain ``feed_path`` (availableNow) through the watermarked
+    offset-dedup; returns the exactly-once event stream read back from
+    the file sink."""
+    out_dir = os.path.join(work_dir, "out")
+    reader = spark.readStream.schema(OPLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    deduped = (
+        reader.parquet(feed_path)
+        .filter(clean_feed_cond())
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", delay)
+        .dropDuplicatesWithinWatermark(["seq"])
+        .select(*OUT_COLS)
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(*OUT_COLS)

@@ -1,6 +1,7 @@
 """Streaming resume semantics (T4): kill mid-stream, restart from
 checkpoint, final state identical to batch replay; re-run applies nothing."""
 
+import json
 import os
 import shutil
 
@@ -1243,3 +1244,80 @@ def test_budget_stream_resume_retry_and_quota_semantics(spark, tmp_path_factory)
 
     with pytest.raises(ValueError, match="non-empty"):
         run_budget_stream(spark, staged, str(work / "x"), {})
+
+
+# ---------------------------------------------------------------------------
+# st34: transport-level duplicate suppression (dropDuplicatesWithinWatermark)
+
+
+def _stage_transport(spark, work, name, rows, mtime):
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+
+    d = str(work / "halves" / name)
+    spark.createDataFrame(rows, schema=OPLOG_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    part = next(f for f in os.listdir(d) if f.startswith("part-"))
+    staged = str(work / "feed")
+    os.makedirs(staged, exist_ok=True)
+    dst = os.path.join(staged, f"{name}.parquet")
+    os.replace(os.path.join(d, part), dst)
+    os.utime(dst, (mtime, mtime))
+    return staged
+
+
+def _tev(ts, seq, key_i):
+    kid = f"{key_i:024x}"
+    return (ts, 0, seq, "i", "t.a", kid, json.dumps({"_id": kid, "v": seq}), None, False)
+
+
+def test_transport_dedup_same_and_cross_batch(spark, tmp_path_factory):
+    from kafka_connect_mongo_spark.streaming.transport_stream import (
+        run_transport_dedup,
+    )
+
+    work = tmp_path_factory.mktemp("transport")
+    # batch 0: three events, seq 1 re-delivered IN the same file
+    b0 = [_tev(100, 1, 1), _tev(101, 2, 2), _tev(102, 3, 3), _tev(100, 1, 1)]
+    # batch 1: new events plus a re-delivery of seq 3 (event time within
+    # the watermark delay of its first arrival -> guaranteed dropped)
+    b1 = [_tev(200, 4, 4), _tev(102, 3, 3), _tev(201, 5, 5)]
+    staged = _stage_transport(spark, work, "f0", b0, 1_700_000_000)
+    _stage_transport(spark, work, "f1", b1, 1_700_000_010)
+
+    out_work = str(work / "dedup")
+    got = run_transport_dedup(spark, staged, out_work, delay="600 seconds")
+    assert sorted(r["seq"] for r in got.collect()) == [1, 2, 3, 4, 5]
+
+    # finished stream re-run: the file sink's metadata log emits nothing new
+    again = run_transport_dedup(spark, staged, out_work, delay="600 seconds")
+    assert sorted(r["seq"] for r in again.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_transport_dedup_state_expires_with_watermark(spark, tmp_path_factory):
+    """The contract boundary: a duplicate arriving AFTER the watermark
+    passed its event time is out of contract (state expired — that is
+    what keeps state O(delay window), not O(feed)); the sink's
+    idempotent MERGE is the documented backstop."""
+    from kafka_connect_mongo_spark.streaming.transport_stream import (
+        run_transport_dedup,
+    )
+
+    work = tmp_path_factory.mktemp("transport-exp")
+    b0 = [_tev(100, 1, 1)]
+    # batch 1 advances the watermark far past ts=100 (delay 10s), then
+    # batch 2 re-delivers seq 1 with its old event time
+    b1 = [_tev(10_000, 2, 2)]
+    b2 = [_tev(100, 1, 1), _tev(10_001, 3, 3)]
+    staged = _stage_transport(spark, work, "f0", b0, 1_700_000_000)
+    _stage_transport(spark, work, "f1", b1, 1_700_000_010)
+    _stage_transport(spark, work, "f2", b2, 1_700_000_020)
+    got = run_transport_dedup(
+        spark, staged, str(work / "dedup"), delay="10 seconds"
+    )
+    seqs = sorted(r["seq"] for r in got.collect())
+    # the expired duplicate is filtered as LATE DATA (not re-emitted and
+    # not matched against state — state really is bounded); a late FIRST
+    # delivery would be dropped the same way, which is the watermark
+    # loss mode the sink's idempotent MERGE backstops
+    assert seqs == [1, 2, 3]
