@@ -2196,6 +2196,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf))
     )
 
+    # Incremental reachability: close the SNAPSHOT's import graph once,
+    # then fold in only the NEW edges the CDC feed's final state adds
+    # (insert-only maintenance; monotone union semantics) — must equal
+    # the full closure over the union (g4's census shape).
+    def _g6(spark: SparkSession, sf: str) -> DataFrame:
+        snap = read_snapshot(spark, gen.repos_path(sf))
+        base_edges = cd._module_edges(snap, cd.IMPORT_RE)
+        base_closure = cd._transitive_closure(base_edges, 64, "g6_base")
+        final = replay(spark, gen.oplog_path(sf), gen.repos_path(sf)).select(
+            "repo", "path", "content"
+        )
+        final_edges = cd._module_edges(final, cd.IMPORT_RE)
+        delta = final_edges.join(base_edges, ["src", "dst"], "left_anti")
+        acc = cd.incremental_closure(base_closure, delta)
+        return acc.groupBy(F.col("src").alias("module")).agg(
+            F.count(F.lit(1)).alias("n_reachable"),
+            F.max(F.col("dst") == F.col("src")).alias("in_cycle"),
+        )
+
+    q["g6_incremental_reachability"] = _g6
+
     # Identifier spelling-variant census: SymSpell delete-1 blocking
     # (recall 1 for edit distance 1, equi-join only) + exact levenshtein
     # verify — the record-linkage member of the dedup family.
@@ -5233,6 +5254,32 @@ lp(sid, d) AS (
 layer AS (SELECT sid AS scc_id, CAST(max(d) AS BIGINT) AS layer FROM lp GROUP BY 1)
 SELECT scc.m AS module, scc.scc_id, sizes.scc_size, layer.layer
 FROM scc JOIN sizes USING (scc_id) JOIN layer USING (scc_id)
+""".strip()
+
+    # g6: fold == rebuild for the incremental closure — the oracle
+    # closes the UNION of snapshot edges and final-state edges directly.
+    o["g6_incremental_reachability"] = f"""
+WITH RECURSIVE fs AS (
+  SELECT object->>'$.path' AS path, object->>'$.content' AS content
+  FROM ({final})),
+e AS (
+  SELECT DISTINCT string_split(path, '/')[-2] AS src,
+    string_split(t, '.')[1] AS dst
+  FROM (
+    SELECT path, unnest(regexp_extract_all(content,
+        '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+    FROM read_parquet('{rp}')
+    UNION ALL
+    SELECT path, unnest(regexp_extract_all(content,
+        '(?m)^(?:import|from)\\s+([A-Za-z_][\\w.]*)', 1)) AS t
+    FROM fs)),
+r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+SELECT src AS module, CAST(count(*) AS BIGINT) AS n_reachable,
+  CAST(max(CASE WHEN dst = src THEN 1 ELSE 0 END) AS BOOLEAN) AS in_cycle
+FROM r GROUP BY 1
 """.strip()
 
     # d16: SymSpell delete-1 blocking replicated structurally (variant

@@ -113,6 +113,7 @@ def main() -> None:
         "g3_module_rank",       # fixed-point PageRank (K bounded shuffles)
         "g4_module_reachability",  # semi-naive transitive closure (diameter-bounded)
         "g5_module_layers",     # SCC condensation + longest-path build layers
+        "g6_incremental_reachability",  # insert-only closure fold vs rebuilt union
         "d16_ident_variants",   # SymSpell delete-1 blocking + levenshtein verify
         "c15_secret_census",    # gated-regex secret audit (1 scan + tiny agg)
         "c16_repo_license",     # repo license vote (scan-local detect)

@@ -672,3 +672,53 @@ def test_module_layers_matches_python_reference(spark):
 def test_module_layers_validation(spark):
     with pytest.raises(ValueError, match="max_iterations"):
         cd.module_layers(_edges_df(spark, [("A", "B")]), max_iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# g6: incremental closure maintenance (insert-only)
+
+
+def _closure_pairs(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def _full_closure(spark, edges):
+    return cd._transitive_closure(
+        spark.createDataFrame(edges, "src string, dst string").distinct(),
+        64,
+        "test",
+    )
+
+
+def test_incremental_closure_bridges_components(spark):
+    # base: two separate chains A->B and C->D (closed); the delta edge
+    # B->C must derive every cross pair (A->C, A->D, B->D) in the fold
+    base = _full_closure(spark, [("A", "B"), ("C", "D")])
+    delta = spark.createDataFrame([("B", "C")], "src string, dst string")
+    got = _closure_pairs(cd.incremental_closure(base, delta))
+    want = _closure_pairs(_full_closure(spark, [("A", "B"), ("C", "D"), ("B", "C")]))
+    assert got == want
+    assert ("A", "D") in got  # C-prefix · delta · C-suffix, the hard shape
+
+
+def test_incremental_closure_random_property(spark):
+    import random
+
+    rnd = random.Random(11)
+    nodes = [f"n{i}" for i in range(12)]
+    base_edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(14)]
+    delta_edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(6)]
+    base = _full_closure(spark, base_edges)
+    delta = spark.createDataFrame(delta_edges, "src string, dst string")
+    got = _closure_pairs(cd.incremental_closure(base, delta))
+    want = _closure_pairs(_full_closure(spark, base_edges + delta_edges))
+    assert got == want
+
+
+def test_incremental_closure_validation(spark):
+    ok = spark.createDataFrame([("a", "b")], "src string, dst string")
+    bad = spark.createDataFrame([("a",)], "src string")
+    with pytest.raises(ValueError, match="max_iterations"):
+        cd.incremental_closure(ok, ok, max_iterations=0)
+    with pytest.raises(ValueError, match="new_edges is missing"):
+        cd.incremental_closure(ok, bad)
