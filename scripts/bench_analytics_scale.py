@@ -221,6 +221,10 @@ def main() -> None:
         # PLANS.md decomposes the family's scaling with direct
         # measurements (bound iterations, join volumes, oracle parity)
         "d18_mmr": lambda d, e: sim.mmr_select(e, q, k=8, lam=0.7),
+        # d21: the dim-row model fits at construction (model artifact,
+        # outside the timed region — t14's discipline); the timed op is
+        # the zero-exchange literal-model scoring scan
+        "d21_dsir": lambda d, e: sel.dsir_weights(d, F.col("lang") == "en"),
         "c20_budget": lambda d, e: sp.budget_sample(
             d, {"en": 5000, "de": 2000, "fr": 4000, "zh": 1}
         ),
@@ -239,6 +243,9 @@ def main() -> None:
         "d17_fork_clusters": lambda r: cd.repo_fork_clusters(
             r, min_jaccard=0.9, fingerprint=cd.normalized_fingerprint()
         ),
+        # g5: the fixpoints run on the DISTINCT module graph — the slope
+        # should be the edge-extraction scan, nothing else
+        "g5_module_layers": lambda r: cd.module_layers(r),
     }
 
     def timed(df):
