@@ -1486,6 +1486,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st22_type_widening"] = _st22
 
+    # st35: metadata-only column DROP (Iceberg DROP COLUMN). Ingest an
+    # analyzed-shaped feed carrying two derived columns, drop one after
+    # a restart-with-schema-merge cycle; every read must project the
+    # drop while the surviving data is untouched; a compaction then
+    # rewrites the files without the column (same read).
+    def _st35(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+        feed = _feed(spark, sf).select(
+            "id", "ts", "inc", "seq", "op", "ns",
+            F.get_json_object("object", "$.lang").alias("lang"),
+            F.length(F.get_json_object("object", "$.content"))
+            .cast("long")
+            .alias("content_len"),
+        )
+        work = tempfile.mkdtemp(prefix="cdc-drop-")
+        t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        t.upsert(feed.filter(F.col("seq") % 2 == 0), 0)
+        t.upsert(feed.filter(F.col("seq") % 2 == 1), 1)
+        t.drop_field("content_len")
+        t.compact()
+        return t.read().select("id", "ts", "inc", "seq", "op", "ns", "lang")
+
+    q["st35_column_drop"] = _st35
+
     # GDPR key scrub: a deterministic ~3% deletion list (md5-bucket of
     # the key) is physically erased — every version, every snapshot —
     # and the surviving table must equal the final LWW state minus the
@@ -4524,6 +4549,16 @@ WITH u AS (SELECT id, ts, inc, seq, op, ns,
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
 SELECT id, ts, inc, seq, op, ns, metric FROM r WHERE rn = 1 AND op <> 'd'
+""".strip()
+
+    # st35: the drop is invisible to the surviving columns — LWW final
+    # state projected WITHOUT the dropped column.
+    o["st35_column_drop"] = f"""
+WITH u AS (SELECT id, ts, inc, seq, op, ns,
+           object->>'$.lang' AS lang FROM ({feed})),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, lang FROM r WHERE rn = 1 AND op <> 'd'
 """.strip()
 
     # st16: final LWW state minus the scrubbed deletion list (same

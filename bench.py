@@ -150,6 +150,7 @@ def main() -> None:
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
+        "st35_column_drop",     # metadata-only DROP COLUMN + compaction rewrite
         "st26_wap_lifecycle",   # WAP: stage on branch, audit, fast-forward publish
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)

@@ -482,6 +482,16 @@ class LakeTable:
         xxhash64(long 42) — a retyped key would re-bucket the table),
         raise before a byte is written. Returns the merged schema."""
         incoming = [f for f in df.schema.fields if f.name != "_bucket"]
+        dropped = set(self.meta.get("dropped_fields", []))
+        readds = sorted(f.name for f in incoming if f.name in dropped)
+        if readds:
+            raise ValueError(
+                f"column(s) {readds!r} were DROPPED from this table: "
+                "re-adding a dropped name would resurrect pre-drop values "
+                "from existing files under name-based schema matching "
+                "(Iceberg's field ids are what make re-add safe) — write "
+                "under a new column name, or rewrite into a new table"
+            )
         if self.meta["schema"] is None:
             merged = T.StructType(incoming)
         else:
@@ -1284,6 +1294,54 @@ class LakeTable:
             "oldest_snapshot": snaps[0]["batch_id"] if snaps else None,
             "newest_snapshot": snaps[-1]["batch_id"] if snaps else None,
         }
+
+    def drop_field(self, name: str) -> dict:
+        """Iceberg ``ALTER TABLE ... DROP COLUMN`` semantics: METADATA-
+        ONLY — no data file is touched. Reads apply the committed schema
+        explicitly (``_read_parquet``), so the column stops materializing
+        everywhere the moment the meta commits; the bytes physically
+        disappear as compaction rewrites files (Iceberg's behavior too).
+
+        Name-based approximation of Iceberg's field-id model, with the
+        one divergence made LOUD instead of wrong: re-adding a dropped
+        name is refused (``_merge_schema``) because name-based matching
+        would resurrect pre-drop values from old files — field ids are
+        what make re-add safe, and we don't have them on raw parquet.
+        Documented simplification: the committed schema is table-scoped,
+        so time-travel reads also project the drop (Iceberg pins a
+        schema-id per snapshot).
+
+        Required columns, the bucketing key, and the declared payload
+        column refuse (dropping 'object' would silently break the
+        null-payload-means-delete contract)."""
+        self._require_main("drop_field")
+        if self.meta["schema"] is None:
+            raise ValueError("drop_field: table has no committed schema yet")
+        protected = set(REQUIRED_COLS) | {self.key}
+        if self.payload_col is not None:
+            protected.add(self.payload_col)
+        if name in protected:
+            raise ValueError(
+                f"drop_field: {name!r} is structural (required columns, "
+                f"the key, and the declared payload column cannot drop)"
+            )
+        schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        if name not in {f.name for f in schema.fields}:
+            already = name in set(self.meta.get("dropped_fields", []))
+            raise ValueError(
+                f"drop_field: column {name!r} "
+                + ("is already dropped" if already else "does not exist")
+            )
+        remaining = T.StructType([f for f in schema.fields if f.name != name])
+        self.meta["schema"] = json.dumps(remaining.jsonValue())
+        self.meta["columns"] = sorted(f.name for f in remaining.fields)
+        self.meta["dropped_fields"] = sorted(
+            set(self.meta.get("dropped_fields", [])) | {name}
+        )
+        marker = f"drop-{name}-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        return {"commit": marker, "dropped": name, "columns": self.meta["columns"]}
 
     def evolve_bucket_layout(self, new_n_buckets: int) -> dict:
         """Partition-spec evolution (Iceberg's ``ALTER TABLE ... REPLACE

@@ -3,6 +3,7 @@ idempotent replay, monotonic guard, tombstone rules (T1/T6), schema
 evolution, compaction."""
 
 import json
+import os
 
 import pytest
 
@@ -1364,3 +1365,88 @@ def test_cli_bloom_build_and_probe(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["rows"] == 1 and out["stale"] == [] and out["skipped"]
+
+
+# ---------------------------------------------------------------------------
+# drop_field: metadata-only column drop (Iceberg DROP COLUMN semantics)
+
+
+def _analyzed_rows(spark, with_extra=True):
+    cols = "id string, ts int, inc int, seq long, op string, ns string, lang string"
+    rows = [
+        (key(1), 100, 0, 0, "i", "t.a", "py"),
+        (key(2), 100, 0, 1, "i", "t.a", "js"),
+    ]
+    if with_extra:
+        cols += ", stars long"
+        rows = [r + (i * 10,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_drop_field_metadata_only_and_compaction_rewrite(tmp_path, spark):
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    assert "stars" in t.read().columns
+    files_before = set()
+    for root, _, fs in os.walk(str(tmp_path / "lake")):
+        files_before |= {os.path.join(root, f) for f in fs if f.endswith(".parquet")}
+
+    rep = t.drop_field("stars")
+    assert rep["dropped"] == "stars" and "stars" not in rep["columns"]
+    # metadata-only: not a single data file changed
+    files_after = set()
+    for root, _, fs in os.walk(str(tmp_path / "lake")):
+        files_after |= {os.path.join(root, f) for f in fs if f.endswith(".parquet")}
+    assert files_after == files_before
+    # every read projects the drop — current, fresh handle, and time travel
+    assert "stars" not in t.read().columns
+    t2 = LakeTable(spark, str(tmp_path / "lake"))
+    assert "stars" not in t2.read().columns
+    assert "stars" not in t2.read_as_of(0).columns
+    # compaction physically rewrites without the column
+    t2.compact()
+    live = t2.read()
+    assert "stars" not in live.columns and live.count() == 2
+    for root, _, fs in os.walk(str(tmp_path / "lake")):
+        for f in fs:
+            if f.endswith(".parquet") and "gen=" in root:
+                cols = spark.read.parquet(os.path.join(root, f)).columns
+                assert "stars" not in cols
+
+
+def test_drop_field_readd_refused_and_validation(tmp_path, spark):
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.drop_field("stars")
+    # re-adding the dropped name would resurrect pre-drop values -> loud
+    with pytest.raises(ValueError, match="resurrect"):
+        t.upsert(_analyzed_rows(spark).withColumn("seq", F.col("seq") + 10), 1)
+    # a batch WITHOUT the dropped column is fine
+    t.upsert(
+        _analyzed_rows(spark, with_extra=False).withColumn(
+            "seq", F.col("seq") + 20
+        ),
+        2,
+    )
+    assert t.read().count() == 2
+    with pytest.raises(ValueError, match="already dropped"):
+        t.drop_field("stars")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_field("nope")
+    with pytest.raises(ValueError, match="structural"):
+        t.drop_field("id")
+    with pytest.raises(ValueError, match="structural"):
+        t.drop_field("op")
+
+
+def test_drop_field_protects_payload_col(tmp_path, spark):
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2, payload_col="object")
+    t.upsert(mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0)
+    with pytest.raises(ValueError, match="structural"):
+        t.drop_field("object")
