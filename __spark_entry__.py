@@ -33,6 +33,7 @@ from kafka_connect_mongo_spark.operators.metrics import (
     hot_keys,
     op_counts,
 )
+from kafka_connect_mongo_spark.operators.metrics import op_cube as metrics_op_cube
 from kafka_connect_mongo_spark.operators.replay import replay
 from kafka_connect_mongo_spark.pipelines import code as cd
 from kafka_connect_mongo_spark.pipelines import dedup as dd
@@ -2720,6 +2721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ann_topk_banded(corpus, qv, k=10)
 
     q["s7b_ann_topk_lsh"] = _s7b
+
+    # a13: OLAP CUBE over (ns, op, hour bucket) — the full grouping-set
+    # lattice in one scan + one Expand + one map-side-combined hash agg
+    # (additive measures collapse the ×8 blow-up before the shuffle).
+    q["a13_op_cube"] = lambda spark, sf: metrics_op_cube(_feed(spark, sf))
 
     return q
 
@@ -5661,5 +5667,16 @@ SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
        round(avg(CASE WHEN i % 3 = 1 THEN v END)::DOUBLE, 6) AS mean_g,
        round(avg(CASE WHEN i % 3 = 2 THEN v END)::DOUBLE, 6) AS mean_b
 FROM b GROUP BY doc_id, f
+""".strip()
+
+    # a13: CUBE lattice — GROUPING(ns, op, bucket) matches Spark's
+    # grouping_id() bit order (first column = most significant bit).
+    o["a13_op_cube"] = f"""
+WITH b AS (SELECT ns, op, CAST(ts - ts % 3600 AS BIGINT) AS bucket, object FROM ({feed}))
+SELECT ns, op, bucket,
+       count(*) AS n_events,
+       CAST(sum(len(object)) AS BIGINT) AS n_payload_chars,
+       CAST(GROUPING(ns, op, bucket) AS BIGINT) AS gid
+FROM b GROUP BY CUBE (ns, op, bucket)
 """.strip()
     return o

@@ -795,3 +795,33 @@ def hot_keys(events: DataFrame) -> DataFrame:
         F.col("top.id").alias("hot_key"),
         F.round(F.col("top.cnt") / F.col("n_events"), 6).alias("hot_frac"),
     )
+
+
+def op_cube(events: DataFrame, bucket_secs: int = 3600) -> DataFrame:
+    """OLAP CUBE over (ns, op, time bucket): every rollup an ops
+    dashboard slices the feed by — per namespace, per op, per hour, and
+    every combination including the grand total — in ONE pass.
+
+    The reference surfaces only flat per-collection counters
+    (``OplogReader.kt:74-82``); the engine generalizes the census to the
+    full lattice. Shape: one scan → Expand (×2^3 grouping sets) →
+    a single map-side-combined hash aggregate. The measures are purely
+    additive (count + sum), so partial aggregation collapses the ×8
+    row blow-up inside each task before the shuffle — the exchange
+    carries at most 8 × |distinct (ns, op, bucket)| rows regardless of
+    feed size, which is what makes CUBE viable at 10^10 events (a
+    grouping-set lattice over a low-cardinality dimension space, never
+    a multi-pass re-scan).
+
+    ``gid`` is the grouping bit-vector (``grouping_id()``; bit order =
+    column order) so a NULL dimension value is distinguishable from a
+    rolled-up one.
+    """
+    b = events.withColumn(
+        "bucket", (F.col("ts") - F.col("ts") % F.lit(bucket_secs)).cast("long")
+    )
+    return b.cube("ns", "op", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.length("object")).cast("long").alias("n_payload_chars"),
+        F.grouping_id().cast("long").alias("gid"),
+    )

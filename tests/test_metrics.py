@@ -511,3 +511,41 @@ def test_hot_keys_census_and_ties(spark):
     # tie on count -> max id deterministically (struct-max ordering)
     assert got["db.b"]["hot_key"] == "y"
     assert got["db.c"]["hot_key"] == "solo" and got["db.c"]["hot_frac"] == 1.0
+
+
+def test_op_cube_lattice_and_plan(spark):
+    from kafka_connect_mongo_spark.operators.metrics import op_cube
+
+    rows = [
+        (0, 1, 1, "i", "db.a", "k1", "xx"),
+        (10, 1, 2, "u", "db.a", "k1", "yyyy"),
+        (3600, 1, 3, "d", "db.b", "k2", None),
+    ]
+    feed = spark.createDataFrame(
+        rows, "ts int, inc int, seq long, op string, ns string, id string, object string"
+    )
+    out = op_cube(feed, bucket_secs=3600)
+    got = {
+        (r["ns"], r["op"], r["bucket"], r["gid"]): (r["n_events"], r["n_payload_chars"])
+        for r in out.collect()
+    }
+    # grand total: all three dims rolled up -> gid = 0b111
+    assert got[(None, None, None, 7)] == (3, 6)
+    # one dim kept: ns only (op+bucket rolled up -> bits 011)
+    assert got[("db.a", None, None, 3)] == (2, 6)
+    # delete payload is NULL -> sum skips it, count doesn't
+    assert got[("db.b", None, None, 3)] == (1, None)
+    # finest cell: nothing rolled up
+    assert got[("db.a", "u", 0, 0)] == (1, 4)
+    # 2^3 grouping sets over distinct values: lattice row count is the
+    # sum over subsets of the distinct combos each one leaves visible
+    assert out.count() == 19
+    # ONE scan, ONE Expand: the lattice never re-reads the input
+    plan = op_cube(feed)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert (
+        plan.count("ExistingRDD")
+        + plan.count("FileScan")
+        + plan.count("LocalTableScan")
+        == 1
+    ), plan
