@@ -2727,6 +2727,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (additive measures collapse the ×8 blow-up before the shuffle).
     q["a13_op_cube"] = lambda spark, sf: metrics_op_cube(_feed(spark, sf))
 
+    # f3: first-order Markov transition matrix over per-user event
+    # streams — one user-keyed shuffle (lead window), census-sized agg,
+    # conditional probabilities at |types|² cardinality.
+    def _f3(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import event_transitions
+
+        return event_transitions(_events(spark, sf))
+
+    q["f3_event_transitions"] = _f3
+
     return q
 
 
@@ -5678,5 +5688,20 @@ SELECT ns, op, bucket,
        CAST(sum(len(object)) AS BIGINT) AS n_payload_chars,
        CAST(GROUPING(ns, op, bucket) AS BIGINT) AS gid
 FROM b GROUP BY CUBE (ns, op, bucket)
+""".strip()
+
+    # f3: consecutive-event pairs per user ordered by (ts, event_id);
+    # probability = one rounding over an exact integer ratio.
+    o["f3_event_transitions"] = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+pairs AS (SELECT src, dst, count(*) AS n_transitions FROM nxt
+          WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY src), 6) AS p_given_src
+FROM pairs
 """.strip()
     return o

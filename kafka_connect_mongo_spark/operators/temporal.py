@@ -265,3 +265,53 @@ def cohort_retention(
         )
         .agg(F.count_distinct("_u").cast("long").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition census over per-user event streams:
+    for every ordered (src → dst) pair of consecutive events of one user,
+    the transition count and its probability given src — the
+    next-action model product analytics builds journey maps and
+    anomaly baselines from (the funnel/cohort family's missing member:
+    funnel asks "did the path happen", this asks "what does the path
+    look like").
+
+    Physical shape: ONE shuffle of the events keyed by user (the window
+    that pairs each event with its successor via ``lead``), then a hash
+    aggregate at |distinct (src, dst)| cardinality — map-side combined,
+    so the exchange above the pairing carries pair-census rows, not
+    events. The conditional probability divides by the src marginal
+    computed with a second window over the CENSUS (|event types|² rows
+    at most — metadata-sized, never a rescan of the events). Ordering
+    inside a user is (ts, tiebreak) so simultaneous events are
+    deterministic across partitionings and engines.
+
+    Probabilities are rounded to 6 decimals (one final rounding over an
+    exact integer ratio — cross-engine bit-stable, t13's discipline).
+    """
+    for c in (user, ts, type_col, order_tiebreak):
+        if c not in events.columns:
+            raise ValueError(f"event_transitions: column {c!r} not in frame")
+    w = Window.partitionBy(user).orderBy(ts, order_tiebreak)
+    pairs = (
+        events.select(user, ts, type_col, order_tiebreak)
+        .withColumn("dst", F.lead(type_col).over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col(type_col).alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    src_total = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(src_total), 6
+        ).alias("p_given_src"),
+    )

@@ -217,3 +217,59 @@ def test_funnel_and_cohort_validate_inputs(spark):
         cohort_retention(ev, ts="when")
     with pytest.raises(ValueError, match="positive"):
         cohort_retention(ev, bucket_seconds=0)
+
+
+class TestEventTransitions:
+    def _events(self, spark):
+        rows = [
+            # user 1: a -> b -> a   (ties: none)
+            (1, 1, 100.0, "a"), (2, 1, 200.0, "b"), (3, 1, 300.0, "a"),
+            # user 2: a -> a        (simultaneous pair broken by event_id)
+            (4, 2, 100.0, "a"), (5, 2, 100.0, "a"),
+            # user 3: single event -> no transition
+            (6, 3, 100.0, "b"),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts double, event_type string"
+        )
+
+    def test_hand_computed(self, spark):
+        from kafka_connect_mongo_spark.operators.temporal import event_transitions
+
+        out = event_transitions(self._events(spark))
+        got = {(r["src"], r["dst"]): (r["n_transitions"], r["p_given_src"])
+               for r in out.collect()}
+        # src 'a' outgoing: a->b (user 1), a->a (user 2) -> p = 1/2 each
+        assert got[("a", "b")] == (1, 0.5)
+        assert got[("a", "a")] == (1, 0.5)
+        # src 'b' outgoing: only b->a (user 1)
+        assert got[("b", "a")] == (1, 1.0)
+        assert len(got) == 3
+
+    def test_single_event_users_emit_nothing(self, spark):
+        from kafka_connect_mongo_spark.operators.temporal import event_transitions
+
+        out = event_transitions(self._events(spark))
+        assert out.filter("src = 'b' and dst = 'b'").count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from kafka_connect_mongo_spark.operators.temporal import event_transitions
+
+        df = self._events(spark).drop("event_type")
+        with _pytest.raises(ValueError, match="event_type"):
+            event_transitions(df)
+
+    def test_one_scan(self, spark):
+        from kafka_connect_mongo_spark.operators.temporal import event_transitions
+
+        plan = (
+            event_transitions(self._events(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert (
+            plan.count("ExistingRDD")
+            + plan.count("FileScan")
+            + plan.count("LocalTableScan")
+            == 1
+        ), plan
