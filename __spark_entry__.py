@@ -2737,6 +2737,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f3_event_transitions"] = _f3
 
+    # a14: regular-grid resample + LOCF gap-fill per user — one
+    # per-second collapse (persisted for its two consumers), grid via
+    # executor-side sequence(), carry-forward through asof_join's
+    # single user-keyed union window.
+    def _a14(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import resample_locf
+
+        return resample_locf(_events(spark, sf))
+
+    q["a14_resample_locf"] = _a14
+
     return q
 
 
@@ -5703,5 +5714,21 @@ SELECT src, dst, n_transitions,
        round(CAST(n_transitions AS DOUBLE)
              / sum(n_transitions) OVER (PARTITION BY src), 6) AS p_given_src
 FROM pairs
+""".strip()
+
+    # a14: DuckDB's native ASOF JOIN is the carry-forward oracle;
+    # floor(epoch(ts)) matches Spark's cast-to-long truncation.
+    o["a14_resample_locf"] = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse, value, event_id
+           FROM events),
+obs AS (SELECT user_id, tse, arg_max(value, event_id) AS obs
+        FROM e GROUP BY user_id, tse),
+b AS (SELECT user_id, min(tse) AS lo, max(tse) AS hi FROM obs GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo - lo % 21600, hi - hi % 21600, 21600)) AS grid_ts
+         FROM b)
+SELECT g.user_id, g.grid_ts, o.obs AS value_locf
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.tse
 """.strip()
     return o

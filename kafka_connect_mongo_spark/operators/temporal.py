@@ -315,3 +315,66 @@ def event_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(src_total), 6
         ).alias("p_given_src"),
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    step_secs: int = 21600,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resample with last-observation-carried-forward: per
+    user, one row per ``step_secs`` grid point spanning that user's own
+    observation window, carrying the latest observation at-or-before the
+    grid instant (NULL before the first one) — the gap-filling step that
+    turns an irregular event stream into the aligned series that
+    feature windows, forecasting inputs, and dashboard sparklines need.
+
+    Shape: the raw stream collapses once to per-(user, second)
+    observations (ties broken by the highest ``tiebreak`` — the stream's
+    own arrival order), PERSISTED because two consumers need it: the
+    per-user bounds that generate the grid (metadata-sized after the
+    collapse), and the as-of union itself. The carry-forward is
+    `asof_join` — ONE shuffle keyed by user over grid ∪ observations,
+    never an inequality join over the |grid|×|events| candidate space.
+    Grid memory is bounded by span/step per user and generated with
+    ``sequence`` at the executors, not the driver.
+
+    Timestamps compare at whole-second resolution (``unix_timestamp``
+    truncates, matching the oracle's ``floor(epoch(ts))``).
+    """
+    for c in (user, ts, value_col, tiebreak):
+        if c not in events.columns:
+            raise ValueError(f"resample_locf: column {c!r} not in frame")
+    if step_secs <= 0:
+        raise ValueError("resample_locf: step_secs must be positive")
+    e = events.select(
+        user,
+        F.unix_timestamp(F.col(ts)).alias("grid_ts"),
+        F.col(value_col).alias("_v"),
+        tiebreak,
+    )
+    obs = (
+        e.groupBy(user, "grid_ts")
+        .agg(F.max_by("_v", tiebreak).alias("obs"))
+        .persist()
+    )
+    step = F.lit(step_secs).cast("long")
+    grid = (
+        obs.groupBy(user)
+        .agg(F.min("grid_ts").alias("lo"), F.max("grid_ts").alias("hi"))
+        .select(
+            user,
+            F.explode(
+                F.sequence(
+                    F.col("lo") - F.col("lo") % step,
+                    F.col("hi") - F.col("hi") % step,
+                    step,
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    joined = asof_join(grid, obs, on=user, ts="grid_ts", payload=("obs",), suffix="_locf")
+    return joined.select(user, "grid_ts", F.col("obs_locf").alias("value_locf"))

@@ -273,3 +273,59 @@ class TestEventTransitions:
             + plan.count("LocalTableScan")
             == 1
         ), plan
+
+
+class TestResampleLocf:
+    def _events(self, spark):
+        from datetime import datetime
+
+        rows = [
+            # user 1: obs at t=100 (v=1.0) and t=250 (v=2.0); step 100
+            (1, 1, datetime(2024, 1, 1, 0, 1, 40), 1.0),
+            (2, 1, datetime(2024, 1, 1, 0, 4, 10), 2.0),
+            # user 2: two obs in the SAME second -> higher event_id wins
+            (3, 2, datetime(2024, 1, 1, 0, 1, 40), 5.0),
+            (4, 2, datetime(2024, 1, 1, 0, 1, 40), 7.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+
+    def test_grid_and_carry_forward(self, spark):
+        from kafka_connect_mongo_spark.operators.temporal import resample_locf
+
+        base = 1704067200  # 2024-01-01 00:00:00 UTC
+        out = resample_locf(self._events(spark), step_secs=100)
+        got = {(r["user_id"], r["grid_ts"]): r["value_locf"] for r in out.collect()}
+        t100, t250 = base + 100, base + 250
+        # user 1 grid: floor(100)=100 .. floor(250)=200, step 100
+        assert got[(1, t100)] == 1.0          # observation AT the grid point
+        assert got[(1, base + 200)] == 1.0    # carried forward
+        assert (1, base + 300) not in got     # grid ends at floor(max)
+        # user 2: same-second tie broken by max event_id
+        assert got[(2, t100)] == 7.0
+        assert len(got) == 3
+
+    def test_null_before_first_observation(self, spark):
+        from datetime import datetime
+        from kafka_connect_mongo_spark.operators.temporal import resample_locf
+
+        df = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1, 0, 0, 30), 9.0),
+             (2, 1, datetime(2024, 1, 1, 0, 3, 20), 3.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        out = resample_locf(df, step_secs=100).orderBy("grid_ts").collect()
+        # first grid point floor(30)=0 precedes the first obs at t=30
+        assert out[0]["value_locf"] is None
+        assert out[1]["value_locf"] == 9.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from kafka_connect_mongo_spark.operators.temporal import resample_locf
+
+        df = self._events(spark)
+        with _pytest.raises(ValueError, match="step_secs"):
+            resample_locf(df, step_secs=0)
+        with _pytest.raises(ValueError, match="nope"):
+            resample_locf(df, value_col="nope")
