@@ -2748,6 +2748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a14_resample_locf"] = _a14
 
+    # d22: function-granularity type-2 clone census — extract + rename-
+    # normalize row-locally in one content scan, digest-keyed agg.
+    q["d22_function_clones"] = lambda spark, sf: cd.function_clones(
+        read_snapshot(spark, gen.repos_path(sf))
+    )
+
     return q
 
 
@@ -5730,5 +5736,31 @@ grid AS (SELECT user_id,
 SELECT g.user_id, g.grid_ts, o.obs AS value_locf
 FROM grid g ASOF LEFT JOIN obs o
   ON g.user_id = o.user_id AND g.grid_ts >= o.tse
+""".strip()
+
+    # d22: identical FUNC_RE extraction + rename normalization; the
+    # param substitution uses the 'g' flag (Spark replaces all).
+    o["d22_function_clones"] = rf"""
+WITH u AS (
+  SELECT repo, repo || '/' || path AS file,
+    unnest(regexp_extract_all(content,
+      '(?m)^def[ \t]+[A-Za-z_]\w*\([^)\n]*\):\n(?:[ \t]+[^\n]*\n?)*')) AS unit
+  FROM read_parquet('{rp}')),
+n AS (
+  SELECT repo, file,
+    rtrim(CASE WHEN regexp_matches(regexp_extract(unit, '^def[ \t]+[A-Za-z_]\w*\(([^)\n]*)\):', 1), '^[A-Za-z_]\w*$')
+      THEN regexp_replace(
+             regexp_replace(unit, '^def[ \t]+[A-Za-z_]\w*\(([^)\n]*)\):', 'def F(P):'),
+             '\b' || regexp_extract(unit, '^def[ \t]+[A-Za-z_]\w*\(([^)\n]*)\):', 1) || '\b',
+             'P', 'g')
+      ELSE regexp_replace(unit, '^def[ \t]+[A-Za-z_]\w*\(([^)\n]*)\):', 'def F(P):')
+    END) AS normalized
+  FROM u)
+SELECT md5(normalized) AS fn_digest,
+       count(*) AS n_copies,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(max(len(string_split(normalized, chr(10)))) AS INTEGER) AS fn_lines,
+       min(file) AS first_file
+FROM n GROUP BY 1 HAVING count(*) >= 2
 """.strip()
     return o

@@ -722,3 +722,71 @@ def test_incremental_closure_validation(spark):
         cd.incremental_closure(ok, ok, max_iterations=0)
     with pytest.raises(ValueError, match="new_edges is missing"):
         cd.incremental_closure(ok, bad)
+
+
+class TestFunctionClones:
+    def _repos(self, spark):
+        fa = "def alpha(x):\n    return x * 4\n"
+        fb = "def beta(y):\n    return y * 4\n"          # type-2 clone of fa
+        fc = "def gamma(x):\n    return x * 9\n"          # different body
+        fd = "def multi(a, b):\n    return a + b\n"       # non-simple params
+        fe = "def multi2(a, b):\n    return a + b\n"      # same body, verbatim
+        rows = [
+            ("r1", "a.py", "c", "py", "import m\n" + fa),
+            ("r2", "b.py", "c", "py", fb + "# trailer\n"),
+            ("r1", "c.py", "c", "py", fc),
+            ("r3", "d.py", "c", "py", fd),
+            ("r4", "e.py", "c", "py", fe),
+        ]
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+
+    def test_type2_groups(self, spark):
+        from kafka_connect_mongo_spark.pipelines.code import function_clones
+
+        out = {r["first_file"]: r for r in function_clones(self._repos(spark)).collect()}
+        # alpha/beta unify under rename normalization of name + param
+        assert len(out) == 2
+        grp = out["r1/a.py"]
+        assert grp["n_copies"] == 2 and grp["n_repos"] == 2
+        # multi-arg functions clone only verbatim (params kept as-is)
+        grp2 = out["r3/d.py"]
+        assert grp2["n_copies"] == 2 and grp2["n_repos"] == 2
+
+    def test_different_bodies_not_grouped(self, spark):
+        from kafka_connect_mongo_spark.pipelines.code import function_clones
+
+        out = function_clones(self._repos(spark), min_copies=1)
+        # 5 functions -> 2 clone groups of 2 + 1 singleton = 3 digests
+        assert out.count() == 3
+
+    def test_param_rename_is_word_bounded(self, spark):
+        from kafka_connect_mongo_spark.pipelines.code import function_clones
+
+        # param 'x' must not rewrite 'extra' or 'x2'
+        f1 = "def f(x):\n    extra = x2\n    return x\n"
+        f2 = "def g(y):\n    extra = x2\n    return y\n"
+        df = spark.createDataFrame(
+            [("r1", "p1.py", "c", "py", f1), ("r2", "p2.py", "c", "py", f2)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        out = function_clones(df).collect()
+        assert len(out) == 1 and out[0]["n_copies"] == 2
+
+    def test_validation_and_one_scan(self, spark):
+        import pytest as _pytest
+        from kafka_connect_mongo_spark.pipelines.code import function_clones
+
+        with _pytest.raises(ValueError, match="min_copies"):
+            function_clones(self._repos(spark), min_copies=0)
+        plan = (
+            function_clones(self._repos(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert (
+            plan.count("ExistingRDD")
+            + plan.count("FileScan")
+            + plan.count("LocalTableScan")
+            == 1
+        ), plan
