@@ -2754,6 +2754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         read_snapshot(spark, gen.repos_path(sf))
     )
 
+    # s9: distributed full-corpus Lloyd k-means, integer-exact — 3 fixed
+    # iterations, each a row-local literal-centroid assignment + ONE
+    # k-row hash aggregate; oracle unrolls the same iterations as CTEs.
+    q["s9_kmeans_lloyd"] = lambda spark, sf: sim.kmeans_lloyd(
+        _emb(spark, sf), k=4, iterations=3
+    )
+
     return q
 
 
@@ -2766,6 +2773,55 @@ def _sql_clean_feed(op_path: str) -> str:
         f"SELECT ts, inc, seq, op, ns, id, object, initial_import "
         f"FROM read_parquet('{op_path}/*.parquet') "
         f"WHERE coalesce(from_migrate, false) = false AND op IN ('i','u','d')"
+    )
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    """Unrolled-CTE twin of ``similarity.kmeans_lloyd`` — identical
+    quantization, init, tie-break, empty-cluster rule, and truncating
+    (== floor on the offset-shifted non-negative sums) centroid update."""
+    parts = [
+        "vi AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, "
+        "embedding FROM embeddings)",
+        "v AS (SELECT vec_id, i, CAST(round(embedding[i] * 1e6) AS BIGINT) "
+        "+ 1000000 AS q FROM vi)",
+        f"init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT init.cid, v.i, v.q AS val FROM init JOIN v USING (vec_id))",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} AS (SELECT v.vec_id, c.cid, "
+            f"sum((v.q - c.val) * (v.q - c.val)) AS dist "
+            f"FROM v JOIN c{t} c ON v.i = c.i GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{t})"
+        )
+        parts.append(
+            f"u{t} AS (SELECT a.cid, v.i, sum(v.q) // count(*) AS val "
+            f"FROM a{t} a JOIN v ON a.vec_id = v.vec_id "
+            f"WHERE a.rn = 1 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT c.cid, c.i, coalesce(u.val, c.val) AS val "
+            f"FROM c{t} c LEFT JOIN u{t} u ON u.cid = c.cid AND u.i = c.i)"
+        )
+    parts.append(
+        f"dF AS (SELECT v.vec_id, c.cid, "
+        f"sum((v.q - c.val) * (v.q - c.val)) AS dist "
+        f"FROM v JOIN c{iters} c ON v.i = c.i GROUP BY 1, 2)"
+    )
+    parts.append(
+        "aF AS (SELECT vec_id, cid, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dF)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_vectors, "
+        "CAST(sum(dist) AS BIGINT) AS inertia FROM aF WHERE rn = 1 GROUP BY 1"
     )
 
 
@@ -5763,4 +5819,7 @@ SELECT md5(normalized) AS fn_digest,
        min(file) AS first_file
 FROM n GROUP BY 1 HAVING count(*) >= 2
 """.strip()
+
+    # s9: the same 3 Lloyd iterations, unrolled.
+    o["s9_kmeans_lloyd"] = _sql_kmeans(4, 3)
     return o

@@ -1580,3 +1580,108 @@ def mmr_select(
     return embeddings.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (s9)
+
+
+def _int_sq_dist(vq: F.Column, centroid: list[int]) -> F.Column:
+    """Exact integer squared-L2 between a quantized vector column and a
+    centroid literal — row-local fold, no exchange."""
+    return F.aggregate(
+        F.zip_with(vq, F.lit(centroid), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    scale: float = 1e6,
+    offset: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL corpus — the iterative-ML
+    shape ``train_ivf_centroids`` deliberately avoids (that one fits on a
+    bounded driver sample; this one runs every assignment and every
+    update as DataFrame jobs, so it is exact full-data Lloyd and scales
+    with the cluster, not the driver).
+
+    Per iteration: assignment is a ROW-LOCAL projection (centroids ride
+    as plan literals — zero joins, zero exchanges, ``ivf_assign``'s
+    discipline), the update is ONE map-side-combined hash aggregate with
+    k output rows of per-dimension sums; only the O(k·dim) model crosses
+    to the driver between iterations. ``iterations`` is fixed — never a
+    convergence loop — so the job graph is bounded and an oracle can
+    unroll it. The quantized input is persisted: Lloyd's inherent cost
+    is ``iterations + 1`` passes, and re-decoding the source each pass
+    would double the scan bill.
+
+    Every number is integer-exact, which is what makes a cross-engine
+    oracle possible: components quantize once to
+    ``round(v · scale) + offset`` (offset makes them non-negative, so
+    the centroid update's truncating integer division equals floor in
+    both engines), distances are exact BIGINT squared-L2, ties pick the
+    lowest centroid id, and an emptied cluster keeps its previous
+    centroid. Init = the k lowest-``id_col`` vectors (deterministic and
+    oracle-replicable; pair with ``train_ivf_centroids`` when you want
+    quality init instead of exactness).
+
+    Returns the converged census: (cluster_id, n_vectors, inertia).
+    """
+    if k < 1:
+        raise ValueError("kmeans_lloyd: k must be >= 1")
+    if iterations < 0:
+        raise ValueError("kmeans_lloyd: iterations must be >= 0")
+    for c in (vec_col, id_col):
+        if c not in embeddings.columns:
+            raise ValueError(f"kmeans_lloyd: column {c!r} not in frame")
+    vq = F.transform(
+        F.col(vec_col),
+        lambda e: F.round(e.cast("double") * F.lit(float(scale)), 0).cast("long")
+        + F.lit(int(offset)),
+    )
+    base = embeddings.select(F.col(id_col).alias("vid"), vq.alias("vq")).persist()
+    first = base.select(F.size("vq").alias("d")).first()
+    if first is None:
+        raise ValueError("kmeans_lloyd: empty input")
+    dim = first["d"]
+    init_rows = base.orderBy("vid").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans_lloyd: fewer than k={k} vectors")
+    cents: list[list[int]] = [list(r["vq"]) for r in init_rows]
+
+    def _best(cs: list[list[int]]) -> F.Column:
+        dists = F.array(*[_int_sq_dist(F.col("vq"), c) for c in cs])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iterations):
+        sums = (
+            base.select(_best(cents).alias("cluster"), "vq")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("vq")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            r["cluster"]: [r[f"s{i}"] // r["cnt"] for i in range(dim)] for r in sums
+        }
+        cents = [new.get(j, cents[j]) for j in range(k)]
+
+    dists = F.array(*[_int_sq_dist(F.col("vq"), c) for c in cents])
+    return (
+        base.select(
+            _best(cents).alias("cluster_id"), F.array_min(dists).alias("dist")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("inertia"),
+        )
+    )
