@@ -1512,6 +1512,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st35_column_drop"] = _st35
 
+    # st36: metadata-only column RENAME (Iceberg RENAME COLUMN). Batch 0
+    # lands under the original name, the rename commits, batch 1 writes
+    # under the NEW name (files keep the physical layout); read + compact
+    # + read must both surface the unified column under the new name.
+    def _st36(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+        feed = _feed(spark, sf).select(
+            "id", "ts", "inc", "seq", "op", "ns",
+            F.get_json_object("object", "$.lang").alias("lang"),
+            F.length(F.get_json_object("object", "$.content"))
+            .cast("long")
+            .alias("content_len"),
+        )
+        work = tempfile.mkdtemp(prefix="cdc-rename-")
+        t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
+        t.upsert(feed.filter(F.col("seq") % 2 == 0), 0)
+        t.rename_field("content_len", "payload_len")
+        t.upsert(
+            feed.filter(F.col("seq") % 2 == 1).withColumnRenamed(
+                "content_len", "payload_len"
+            ),
+            1,
+        )
+        cols = ("id", "ts", "inc", "seq", "op", "ns", "payload_len")
+
+        def _digest(df: DataFrame) -> tuple:
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*cols)).alias("h"),
+            ).collect()[0]
+            return (r["n"], r["h"])
+
+        # the pre-compaction view must equal the post-compaction one;
+        # materialize its digest BEFORE compaction rewrites the deltas.
+        before = _digest(t.read().select(*cols))
+        t.compact()
+        second = t.read().select(*cols)
+        if _digest(second) != before:
+            raise AssertionError("st36: rename read diverged across compaction")
+        return second
+
+    q["st36_column_rename"] = _st36
+
     # GDPR key scrub: a deterministic ~3% deletion list (md5-bucket of
     # the key) is physically erased — every version, every snapshot —
     # and the surviving table must equal the final LWW state minus the
@@ -4648,6 +4692,18 @@ WITH u AS (SELECT id, ts, inc, seq, op, ns,
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
 SELECT id, ts, inc, seq, op, ns, lang FROM r WHERE rn = 1 AND op <> 'd'
+""".strip()
+
+    # st36: the rename is a pure relabel — LWW final state with the
+    # derived column under its new name.
+    o["st36_column_rename"] = f"""
+WITH u AS (SELECT id, ts, inc, seq, op, ns,
+           object->>'$.lang' AS lang,
+           CAST(len(object->>'$.content') AS BIGINT) AS payload_len
+           FROM ({feed})),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, payload_len FROM r WHERE rn = 1 AND op <> 'd'
 """.strip()
 
     # st16: final LWW state minus the scrubbed deletion list (same

@@ -202,6 +202,15 @@ def main(argv: list[str] | None = None) -> None:
                      help="fold every non-current-layout bucket into the "
                      "current layout (single delta write)")
 
+    pal = sub.add_parser(
+        "alter",
+        help="metadata-only schema evolution: RENAME COLUMN (--rename "
+        "OLD NEW) and/or DROP COLUMN (--drop COL); no data rewrite",
+    )
+    pal.add_argument("--table", required=True, help="lake table root")
+    pal.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None)
+    pal.add_argument("--drop", default=None, help="column to drop")
+
     pp = sub.add_parser(
         "pipeline",
         help="training-data pipeline ops over a documents table "
@@ -572,6 +581,18 @@ def main(argv: list[str] | None = None) -> None:
         if args.migrate:
             out["migrate"] = table.migrate_layout()
         out["live_layouts"] = table._live_layouts()
+        print(json.dumps(out))
+    elif args.cmd == "alter":
+        from .sinks.lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        out = {"table": args.table}
+        if args.rename is None and args.drop is None:
+            raise SystemExit("alter: pass --rename and/or --drop")
+        if args.rename is not None:
+            out["rename"] = table.rename_field(args.rename[0], args.rename[1])
+        if args.drop is not None:
+            out["drop"] = table.drop_field(args.drop)
         print(json.dumps(out))
     elif args.cmd == "pipeline":
         docs = spark.read.parquet(args.docs)

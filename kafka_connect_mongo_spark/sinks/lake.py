@@ -60,6 +60,7 @@ import base64
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -532,7 +533,9 @@ class LakeTable:
                         ]
                     )
         self.meta["schema"] = json.dumps(merged.jsonValue())
-        self.meta["columns"] = sorted(f.name for f in merged.fields)
+        self.meta["columns"] = sorted(
+            self._renames.get(f.name, f.name) for f in merged.fields
+        )
         return merged
 
     # -- MERGE ---------------------------------------------------------------
@@ -571,6 +574,8 @@ class LakeTable:
             if c not in batch.columns:
                 raise ValueError(f"batch missing required column {c!r}")
 
+        # Callers write LOGICAL names; files store PHYSICAL names.
+        batch = self._to_physical(batch)
         collapsed = lww_collapse(batch, key=self.key)
         # Merge the schema BEFORE staging: a widened column (int→long,
         # float→double) casts the batch up to the table type so the
@@ -742,7 +747,7 @@ class LakeTable:
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
         # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
         # generation must stay multi-file/multi-task; readers take a dir.
-        merged.write.mode("overwrite").parquet(staging)
+        self._to_physical(merged).write.mode("overwrite").parquet(staging)
         if not any(f.startswith("part-") for f in os.listdir(staging)):
             # bucket compacted away entirely (all rows were purged
             # tombstones): no base generation, just forget the bucket.
@@ -775,11 +780,46 @@ class LakeTable:
         by the parquet reader (int32 pages read as long, float as
         double) — ``mergeSchema`` would instead refuse the int/long file
         mix outright. Falls back to mergeSchema only before the first
-        commit persists a schema (no committed files exist then)."""
+        commit persists a schema (no committed files exist then).
+
+        The committed schema is PHYSICAL (file column names); renamed
+        columns surface under their logical names here, so every read
+        path is rename-aware for free."""
         if self.meta["schema"] is not None:
             schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
-            return self.spark.read.schema(schema).parquet(*paths)
+            return self._to_logical(self.spark.read.schema(schema).parquet(*paths))
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -- column rename (Iceberg RENAME COLUMN, name-mapping emulation) -----
+
+    @property
+    def _renames(self) -> dict[str, str]:
+        """physical (file) column name → logical (visible) name."""
+        return self.meta.get("renames", {})
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        m = {p: l for p, l in self._renames.items() if p in df.columns}
+        return df.withColumnsRenamed(m) if m else df
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Translate a caller frame (logical names) to file names before
+        any data file is written — files ALWAYS store physical names, so
+        the layout stays uniform across a rename (Iceberg keeps writing
+        under the field id for the same reason). A caller column equal
+        to a SHADOWED physical name refuses loudly: under name-based
+        matching it would resurrect the renamed column's old values."""
+        shadowed = sorted(
+            p for p, l in self._renames.items() if p in df.columns and l != p
+        )
+        if shadowed:
+            raise ValueError(
+                f"column(s) {shadowed!r} are the physical names of RENAMED "
+                f"columns of this table: writing them would collide with "
+                f"the renamed columns' stored values — use the current "
+                f"(renamed) names, or pick a fresh column name"
+            )
+        m = {l: p for p, l in self._renames.items() if l in df.columns}
+        return df.withColumnsRenamed(m) if m else df
 
     def _payload_col_in(self, df: DataFrame) -> str | None:
         """The table's DECLARED payload column, if this frame carries it
@@ -793,7 +833,7 @@ class LakeTable:
             schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
         else:
             schema = T.StructType([T.StructField(c, T.StringType()) for c in REQUIRED_COLS])
-        return self.spark.createDataFrame([], schema)
+        return self._to_logical(self.spark.createDataFrame([], schema))
 
     def read(self, include_tombstones: bool = False) -> DataFrame:
         """Merge-on-read: base ∪ deltas → LWW per key → drop tombstones.
@@ -1287,6 +1327,7 @@ class LakeTable:
             "current_n_buckets": self.n_buckets,
             "layouts": [layouts[n] for n in sorted(layouts)],
             "columns": self.meta.get("columns") or [],
+            "renames": {p: l for p, l in self._renames.items()},
             "sort_order": self.meta.get("sort_order"),
             "zorder": self.meta.get("zorder"),
             "committed_watermark": self.meta["committed_watermark"],
@@ -1326,22 +1367,127 @@ class LakeTable:
                 f"the key, and the declared payload column cannot drop)"
             )
         schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
-        if name not in {f.name for f in schema.fields}:
+        logical_names = {self._renames.get(f.name, f.name) for f in schema.fields}
+        if name not in logical_names:
             already = name in set(self.meta.get("dropped_fields", []))
             raise ValueError(
                 f"drop_field: column {name!r} "
                 + ("is already dropped" if already else "does not exist")
             )
-        remaining = T.StructType([f for f in schema.fields if f.name != name])
+        # A renamed column drops by its LOGICAL name; both names become
+        # unreusable (files still physically carry the old one).
+        reverse = {l: p for p, l in self._renames.items()}
+        physical = reverse.get(name, name)
+        remaining = T.StructType([f for f in schema.fields if f.name != physical])
+        renames = dict(self._renames)
+        renames.pop(physical, None)
+        self.meta["renames"] = renames
         self.meta["schema"] = json.dumps(remaining.jsonValue())
-        self.meta["columns"] = sorted(f.name for f in remaining.fields)
+        self.meta["columns"] = sorted(
+            renames.get(f.name, f.name) for f in remaining.fields
+        )
         self.meta["dropped_fields"] = sorted(
-            set(self.meta.get("dropped_fields", [])) | {name}
+            set(self.meta.get("dropped_fields", [])) | {name, physical}
         )
         marker = f"drop-{name}-g{self._generation + 1}"
         self._record_commit(marker, [])
         self._write_meta()
         return {"commit": marker, "dropped": name, "columns": self.meta["columns"]}
+
+    def rename_field(self, old: str, new: str) -> dict:
+        """Iceberg ``ALTER TABLE ... RENAME COLUMN`` semantics: METADATA-
+        ONLY — no data file is touched, completing the evolution family
+        (add-only merge / widening / drop) with the one everyday ALTER it
+        still lacked.
+
+        Mechanism (the name-mapping emulation of Iceberg's field ids):
+        the committed schema keeps the PHYSICAL file column name forever;
+        ``meta['renames']`` maps it to the visible logical name. Every
+        read path already goes through ``_read_parquet`` → logical, and
+        every data-file write goes through ``_to_physical`` → physical,
+        so old files, new batches, compaction rewrites, layout
+        migrations, and scrubs all stay mutually consistent — a rename
+        chain (a→b→c) collapses to one mapping entry, and renaming back
+        to the physical name erases it.
+
+        Loud refusals where name-based matching would otherwise corrupt
+        silently: structural columns (required / key / payload) and
+        columns pinned by a declared sort/z-order never rename; the new
+        name may not collide with a visible column, a DROPPED name, or
+        any other column's physical name (old files would leak their
+        values into it). A batch writing the old (shadowed) physical
+        name refuses at upsert (``_to_physical``). Same table-scoped
+        simplification as ``drop_field``: time travel shows the CURRENT
+        names (Iceberg pins a schema-id per snapshot). A bloom sidecar
+        built under the old name is orphaned, never wrong: probes of the
+        new name find no sidecar and degrade to the conservative full
+        read until ``build_blooms`` runs again."""
+        self._require_main("rename_field")
+        if self.meta["schema"] is None:
+            raise ValueError("rename_field: table has no committed schema yet")
+        if not re.fullmatch(r"[A-Za-z_]\w*", new or ""):
+            raise ValueError(f"rename_field: invalid column name {new!r}")
+        if old == new:
+            raise ValueError("rename_field: old and new name are identical")
+        protected = set(REQUIRED_COLS) | {self.key}
+        if self.payload_col is not None:
+            protected.add(self.payload_col)
+        if old in protected:
+            raise ValueError(
+                f"rename_field: {old!r} is structural (required columns, "
+                f"the key, and the declared payload column cannot rename)"
+            )
+        pinned = list(self.meta.get("sort_order") or []) + list(
+            self.meta.get("zorder") or []
+        )
+        if old in pinned:
+            raise ValueError(
+                f"rename_field: {old!r} is pinned by the declared sort/"
+                f"z-order layout — re-declare the layout via compact() "
+                f"without it first"
+            )
+        schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
+        physical_names = {f.name for f in schema.fields}
+        logical_names = {self._renames.get(p, p) for p in physical_names}
+        if old not in logical_names:
+            hint = (
+                " (it was renamed; use its current name)"
+                if old in physical_names
+                else ""
+            )
+            raise ValueError(f"rename_field: column {old!r} does not exist{hint}")
+        if new in logical_names:
+            raise ValueError(f"rename_field: column {new!r} already exists")
+        if new in set(self.meta.get("dropped_fields", [])):
+            raise ValueError(
+                f"rename_field: {new!r} was DROPPED from this table — "
+                f"reusing the name would resurrect pre-drop values from "
+                f"existing files under name-based schema matching"
+            )
+        reverse = {l: p for p, l in self._renames.items()}
+        physical = reverse.get(old, old)
+        if new != physical and new in physical_names:
+            raise ValueError(
+                f"rename_field: {new!r} is the physical file name of "
+                f"another (renamed) column — old files would leak its "
+                f"values into the new name; pick a different name"
+            )
+        renames = dict(self._renames)
+        renames.pop(physical, None)
+        if new != physical:
+            renames[physical] = new
+        self.meta["renames"] = renames
+        self.meta["columns"] = sorted(
+            renames.get(p, p) for p in physical_names
+        )
+        marker = f"rename-{old}-to-{new}-g{self._generation + 1}"
+        self._record_commit(marker, [])
+        self._write_meta()
+        return {
+            "commit": marker,
+            "renamed": {old: new},
+            "columns": self.meta["columns"],
+        }
 
     def evolve_bucket_layout(self, new_n_buckets: int) -> dict:
         """Partition-spec evolution (Iceberg's ``ALTER TABLE ... REPLACE
@@ -1416,7 +1562,7 @@ class LakeTable:
         moved = 0
         if paths:
             df = self._read_parquet(paths)
-            staged = self._with_bucket(df)
+            staged = self._to_physical(self._with_bucket(df))
             staging = self._stage_partitioned(staged)
             delta_name = f"delta-migrate-{uuid.uuid4().hex[:8]}"
             for entry in sorted(os.listdir(staging)):
@@ -1561,9 +1707,9 @@ class LakeTable:
                 F.col("_layout"), F.col("_bucket")
             ).sortWithinPartitions("_layout", "_bucket", *present)
             staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-            kept.write.mode("overwrite").partitionBy("_layout", "_bucket").parquet(
-                staging
-            )
+            self._to_physical(kept).write.mode("overwrite").partitionBy(
+                "_layout", "_bucket"
+            ).parquet(staging)
             for bkey in affected:
                 n, b = self._layout_of(bkey)
                 state = self.meta["buckets"][str(bkey)]
@@ -1835,15 +1981,16 @@ class LakeTable:
         return hashlib.sha256("\n".join(rel).encode()).hexdigest()[:16]
 
     def _col_type(self, col: str) -> T.DataType:
+        """Type of a LOGICAL column name in the committed schema."""
         if self.meta["schema"] is None:
             raise ValueError("bloom: table has no committed schema yet")
         schema = T.StructType.fromJson(json.loads(self.meta["schema"]))
         for f in schema.fields:
-            if f.name == col:
+            if self._renames.get(f.name, f.name) == col:
                 return f.dataType
         raise ValueError(
             f"bloom: column {col!r} not in the committed schema "
-            f"({[f.name for f in schema.fields]})"
+            f"({sorted(self._renames.get(f.name, f.name) for f in schema.fields)})"
         )
 
     def build_blooms(self, col: str, bits: int = 1 << 14, k: int = 4) -> dict:

@@ -1450,3 +1450,136 @@ def test_drop_field_protects_payload_col(tmp_path, spark):
     t.upsert(mk(spark, [ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1)})]), 0)
     with pytest.raises(ValueError, match="structural"):
         t.drop_field("object")
+
+
+# rename_field: metadata-only column rename (Iceberg RENAME COLUMN)
+
+
+def test_rename_field_metadata_only_round_trip(tmp_path, spark):
+    import glob as _glob
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    before = sorted(_glob.glob(str(tmp_path / "lake") + "/**/*.parquet", recursive=True))
+    rep = t.rename_field("stars", "stargazers")
+    after = sorted(_glob.glob(str(tmp_path / "lake") + "/**/*.parquet", recursive=True))
+    assert before == after  # metadata-only
+    assert "stargazers" in rep["columns"] and "stars" not in rep["columns"]
+    got = {r["id"]: r["stargazers"] for r in t.read().collect()}
+    assert got == {key(1): 0, key(2): 10}
+    assert "stars" not in t.read().columns
+    # a fresh handle sees the rename too
+    t2 = LakeTable(spark, str(tmp_path / "lake"))
+    assert "stargazers" in t2.read().columns
+
+
+def test_rename_field_new_batches_write_under_new_name(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.rename_field("stars", "stargazers")
+    batch = spark.createDataFrame(
+        [(key(3), 200, 0, 5, "i", "t.a", "go", 99)],
+        "id string, ts int, inc int, seq long, op string, ns string, "
+        "lang string, stargazers long",
+    )
+    t.upsert(batch, 1)
+    got = {r["id"]: r["stargazers"] for r in t.read().collect()}
+    assert got == {key(1): 0, key(2): 10, key(3): 99}
+    # compaction rewrites keep old + new batches unified
+    t.compact()
+    got2 = {r["id"]: r["stargazers"] for r in t.read().collect()}
+    assert got2 == got
+    # files store the PHYSICAL name throughout (uniform layout)
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[p for p in t._current_paths()]
+    )
+    assert "stars" in raw.columns and "stargazers" not in raw.columns
+
+
+def test_rename_field_shadowed_physical_write_refused(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.rename_field("stars", "stargazers")
+    with pytest.raises(ValueError, match="physical"):
+        t.upsert(_analyzed_rows(spark), 1)  # still carries 'stars'
+
+
+def test_rename_field_chain_and_rename_back(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.rename_field("stars", "s2")
+    t.rename_field("s2", "s3")
+    assert t.meta["renames"] == {"stars": "s3"}  # chain collapses
+    assert "s3" in t.read().columns
+    t.rename_field("s3", "stars")  # back to the physical name
+    assert t.meta["renames"] == {}
+    assert {r["stars"] for r in t.read().collect()} == {0, 10}
+
+
+def test_rename_field_validation(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    with pytest.raises(ValueError, match="structural"):
+        t.rename_field("id", "key2")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_field("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_field("stars", "lang")
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.rename_field("stars", "bad name")
+    t.drop_field("lang")
+    with pytest.raises(ValueError, match="DROPPED"):
+        t.rename_field("stars", "lang")
+    # renaming onto another column's physical name refused
+    t.rename_field("stars", "s2")
+    t.upsert(
+        spark.createDataFrame(
+            [(key(9), 300, 0, 9, "i", "t.a", 1, 2)],
+            "id string, ts int, inc int, seq long, op string, ns string, "
+            "s2 long, other long",
+        ),
+        1,
+    )
+    with pytest.raises(ValueError, match="physical"):
+        t.rename_field("other", "stars")
+    # old name after a rename: loud hint
+    with pytest.raises(ValueError, match="current name"):
+        t.rename_field("stars", "s9")
+
+
+def test_rename_field_sort_pinned_and_time_travel(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.upsert(
+        spark.createDataFrame(
+            [(key(3), 200, 0, 5, "i", "t.a", "go", 99)],
+            "id string, ts int, inc int, seq long, op string, ns string, "
+            "lang string, stars long",
+        ),
+        1,
+    )
+    t.rename_field("lang", "language")
+    # table-scoped schema: time travel shows CURRENT (renamed) names
+    asof = t.read_as_of(0)
+    assert "language" in asof.columns and asof.count() == 2
+    t.compact(sort_by=["stars"])
+    with pytest.raises(ValueError, match="pinned"):
+        t.rename_field("stars", "s2")
+
+
+def test_rename_then_drop_blocks_both_names(tmp_path, spark):
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.upsert(_analyzed_rows(spark), 0)
+    t.rename_field("stars", "stargazers")
+    t.drop_field("stargazers")
+    assert "stargazers" not in t.read().columns
+    for name in ("stars", "stargazers"):
+        with pytest.raises(ValueError, match="DROPPED"):
+            t.upsert(
+                spark.createDataFrame(
+                    [(key(5), 400, 0, 11, "i", "t.a", "py", 1)],
+                    "id string, ts int, inc int, seq long, op string, "
+                    f"ns string, lang string, {name} long",
+                ),
+                2,
+            )
