@@ -122,6 +122,11 @@ def main() -> None:
         "x12_compacted_replay",  # log-compacted feed replay (prefix LWW + suffix)
         "x16_state_digest",     # order-independent per-ns sha256 certificate
         "d21_dsir_weights",     # DSIR: 1 fit scan (dim-row shuffle) + literal-model score scan
+        "a13_op_cube",          # full CUBE lattice over (ns, op, hour) in one Expand pass
+        "f3_event_transitions", # Markov next-event census (per-user lead window)
+        "a14_resample_locf",    # time-grid resample + LOCF gap fill (as-of union window)
+        "d22_function_clones",  # rename-normalized unit digests, one content scan
+        "s9_kmeans_lloyd",      # integer-exact Lloyd rounds, literal-centroid assign
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per
@@ -151,6 +156,7 @@ def main() -> None:
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
         "st35_column_drop",     # metadata-only DROP COLUMN + compaction rewrite
+        "st36_column_rename",   # metadata-only RENAME COLUMN: mixed-name batches unified
         "st26_wap_lifecycle",   # WAP: stage on branch, audit, fast-forward publish
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)
