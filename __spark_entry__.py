@@ -1365,6 +1365,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st14_rollback"] = _st14
 
+    # Distribution drift between snapshots: per-bucket TVD + chi-square
+    # over the content-length histogram of snapshot 0 vs the final
+    # state — the ML-monitoring read the time-travel family enables
+    # (did the DISTRIBUTION shift, not just which rows changed).
+    def _a16(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.drift import drift_report
+
+        t = _two_batch_lake(spark, sf, "cdc-drift-")
+        clen = F.length(F.get_json_object("object", "$.content")).alias("clen")
+        return drift_report(
+            t.read_as_of(0).select(clen),
+            t.read().select(clen),
+            "clen",
+            n_buckets=16,
+            lo=0,
+            hi=512,
+        )
+
+    q["a16_snapshot_drift"] = _a16
+
     # Bucket-layout evolution (Iceberg partition-spec evolution) across a
     # stream restart: batch 0 lands under the 8-bucket creation layout;
     # the operator evolves the table to 32 buckets (metadata-only — zero
@@ -4657,6 +4677,43 @@ FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
     # st14: rollback + expire + vacuum must land the live table on
     # exactly the snapshot-0 state — st10's even-half oracle verbatim.
     o["st14_rollback"] = o["st10_time_travel"]
+
+    # a16: bucketed drift census between the snapshot-0 state and the
+    # final state. Bucket = clamped integer division (engines agree for
+    # non-negative numerators); terms = identically-parenthesized IEEE
+    # +,-,*,/ over exact integer counts, ONE final 6-decimal rounding.
+    o["a16_snapshot_drift"] = f"""
+WITH half AS (SELECT * FROM ({feed}) WHERE seq % 2 = 0),
+rh AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM half),
+rf AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM ({feed})),
+bh AS (SELECT CAST(len(object->>'$.content') AS BIGINT) AS clen
+       FROM rh WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL),
+bf AS (SELECT CAST(len(object->>'$.content') AS BIGINT) AS clen
+       FROM rf WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL),
+u AS (SELECT CASE WHEN clen IS NULL THEN -1
+             ELSE (LEAST(511, GREATEST(0, clen)) * 16) // 512 END AS bucket,
+             0 AS side FROM bh
+      UNION ALL
+      SELECT CASE WHEN clen IS NULL THEN -1
+             ELSE (LEAST(511, GREATEST(0, clen)) * 16) // 512 END AS bucket,
+             1 AS side FROM bf),
+c AS (SELECT bucket,
+        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      FROM u GROUP BY bucket),
+t AS (SELECT *, CAST(SUM(n_before) OVER () AS DOUBLE) AS ta,
+                CAST(SUM(n_after) OVER () AS DOUBLE) AS tb FROM c)
+SELECT bucket, n_before, n_after,
+  ROUND(ABS((CAST(n_before AS DOUBLE) * tb) - (CAST(n_after AS DOUBLE) * ta))
+        / (2.0 * (ta * tb)), 6) AS tvd_term,
+  ROUND((((CAST(n_before AS DOUBLE) * tb) - (CAST(n_after AS DOUBLE) * ta))
+         * ((CAST(n_before AS DOUBLE) * tb) - (CAST(n_after AS DOUBLE) * ta)))
+        / ((ta * tb) * ((CAST(n_before AS DOUBLE) * tb)
+                        + (CAST(n_after AS DOUBLE) * ta))), 6) AS chi2_term
+FROM t
+""".strip()
 
     # st21: layout evolution + migration are storage-layout-only — the
     # final read is the plain full-feed LWW state, tombstones dropped.

@@ -157,6 +157,7 @@ def main() -> None:
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
         "st35_column_drop",     # metadata-only DROP COLUMN + compaction rewrite
         "st36_column_rename",   # metadata-only RENAME COLUMN: mixed-name batches unified
+        "a16_snapshot_drift",   # TVD/chi-square drift census between snapshots
         "st26_wap_lifecycle",   # WAP: stage on branch, audit, fast-forward publish
         "s8c_ann_ivfpq",        # IVF-PQ lifecycle: build (1 scan) + pruned ADC probe + re-rank
         "d13_incremental_semantic",  # SemDeDup steady state: cell-pruned batch probe (index built in warm-up)

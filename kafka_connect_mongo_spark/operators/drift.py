@@ -1,0 +1,127 @@
+"""Distribution-drift monitoring between two table states.
+
+The snapshot family answers "which rows changed" (``snapshot_diff``,
+``read_changes``); this answers the ML-monitoring question "did the
+DISTRIBUTION change" — the check a training-data pipeline runs between
+the snapshot a model was trained on and the table as it stands today.
+The reference has no analog (its surface ends at per-collection
+counters, ``OplogReader.kt:74-82``); the operator extends the lake's
+time-travel reads into the monitoring primitive they enable.
+
+Statistics: per-bucket total-variation-distance and chi-square terms
+over a fixed histogram. Deliberately NOT population-stability-index:
+PSI needs ``ln``, whose libm implementations differ across engines by
+an ulp; TVD and chi-square are pure rational arithmetic over integer
+counts rendered through identically-parenthesized IEEE +,-,*,/ (each
+correctly rounded, hence bit-identical in any engine), with ONE final
+6-decimal rounding — the t13/d21 cross-engine exactness discipline.
+
+Physical shape: each side collapses map-side to its bucket census
+(<= n_buckets + 1 rows) inside its own scan; everything after the two
+irreducible scans — the union, the conditional pivot, the grand-total
+window, the term projection — runs at census cardinality (metadata-
+sized, never a rescan). At 10^10 rows per side the exchange carries
+2 x (n_buckets + 1) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NULL_BUCKET = -1
+
+
+def bucket_of(value: Column, n_buckets: int, lo: int, hi: int) -> Column:
+    """Fixed-grid bucket id for a numeric column: ``[lo, hi)`` splits
+    into ``n_buckets`` equal integer-width buckets, values outside clamp
+    into the edge buckets, NULL gets its own bucket (-1).
+
+    Clamping happens BEFORE the division so the integer-division
+    numerator is never negative — engines disagree on negative integer
+    division (truncate vs floor), and a non-negative numerator makes
+    them identical. The quotient is computed as ``(x - x % w) / w``:
+    the numerator is then an exact multiple of ``w`` whose true quotient
+    (< n_buckets) is representable, so the IEEE division is EXACT — a
+    bare ``floor(x / w)`` could land on the wrong side of an integer
+    boundary once ``x`` exceeds 2^53."""
+    v = value.cast("long")
+    w = int(hi) - int(lo)
+    clamped = F.least(F.lit(int(hi) - 1), F.greatest(F.lit(int(lo)), v))
+    x = (clamped - F.lit(int(lo))) * F.lit(int(n_buckets))
+    q = ((x - (x % F.lit(w))) / F.lit(w)).cast("long")
+    return F.when(v.isNull(), F.lit(NULL_BUCKET)).otherwise(q)
+
+
+def drift_report(
+    before: DataFrame,
+    after: DataFrame,
+    col: str,
+    n_buckets: int = 16,
+    lo: int = 0,
+    hi: int = 4096,
+) -> DataFrame:
+    """Per-bucket drift census between two frames' distributions of
+    ``col``: ``(bucket, n_before, n_after, tvd_term, chi2_term)``.
+
+    ``sum(tvd_term)`` is the total variation distance between the two
+    bucketed distributions (0 = identical, 1 = disjoint) and
+    ``sum(chi2_term)`` the chi-square-style divergence
+    ``sum (p_b - p_a)^2 / (p_b + p_a)`` — both reported per bucket so
+    the drifting region is visible, not just the headline number.
+
+    Bucket edges are DECLARED (lo/hi/n_buckets), never fitted: fitted
+    edges would make the report depend on the very distribution it
+    monitors (and cost a quantile pass per side). Empty inputs refuse
+    loudly INSIDE the term expression — a separate pre-count would be a
+    driver round-trip, and a projection-level assertion can be
+    reordered away by pushdown (the certify.py lesson)."""
+    if n_buckets < 2:
+        raise ValueError("drift_report: n_buckets must be >= 2")
+    if hi <= lo:
+        raise ValueError(f"drift_report: need hi > lo, got [{lo}, {hi})")
+    for side, df in (("before", before), ("after", after)):
+        if col not in df.columns:
+            raise ValueError(f"drift_report: column {col!r} not in {side} frame")
+
+    def census(df: DataFrame, flag: int) -> DataFrame:
+        return df.select(
+            bucket_of(F.col(col), n_buckets, lo, hi).alias("bucket"),
+            F.lit(flag).alias("side"),
+        )
+
+    u = census(before, 0).unionByName(census(after, 1))
+    c = u.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    # grand totals ride a window over the census itself (<= n_buckets+1
+    # rows in one partition — metadata, not a second pass over the data)
+    w = Window.partitionBy()
+    a = F.col("n_before").cast("double")
+    b = F.col("n_after").cast("double")
+    big_a = F.sum("n_before").over(w).cast("double")
+    big_b = F.sum("n_after").over(w).cast("double")
+    # identically-parenthesized IEEE arithmetic (see module docstring):
+    # x = a*B - b*A  (scaled count difference; exact integers in double)
+    x = (a * big_b) - (b * big_a)
+    ok = (big_a > 0) & (big_b > 0)
+    err = "drift_report: a side is empty — no distribution to compare"
+    tvd = F.when(ok, F.round(F.abs(x) / (F.lit(2.0) * (big_a * big_b)), 6)).otherwise(
+        F.raise_error(F.lit(err))
+    )
+    chi2 = F.when(
+        ok,
+        F.round((x * x) / ((big_a * big_b) * ((a * big_b) + (b * big_a))), 6),
+    ).otherwise(F.raise_error(F.lit(err)))
+    return c.select(
+        "bucket",
+        "n_before",
+        "n_after",
+        tvd.alias("tvd_term"),
+        chi2.alias("chi2_term"),
+    )

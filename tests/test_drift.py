@@ -1,0 +1,102 @@
+"""drift_report: per-bucket TVD / chi-square drift between two frames.
+
+Hand-computed fixture values; null bucket; clamping; empty-side
+refusal; validation; and the plan property that both scans collapse
+map-side before the (census-sized) exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.operators.drift import bucket_of, drift_report
+
+
+def _mk(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def test_drift_report_hand_computed(spark):
+    # 4 buckets over [0, 8): width 2. before: 4 in b0, 4 in b1.
+    # after: 2 in b0, 6 in b1. A = B = 8.
+    before = _mk(spark, [0, 1, 0, 1, 2, 3, 2, 3])
+    after = _mk(spark, [0, 1, 2, 3, 2, 3, 2, 3])
+    rows = {
+        r["bucket"]: r
+        for r in drift_report(before, after, "v", n_buckets=4, lo=0, hi=8).collect()
+    }
+    assert set(rows) == {0, 1}
+    # b0: |4/8 - 2/8|/2 = 0.125 ; chi2: (2/8)^2 / (6/8) = 1/12
+    assert rows[0]["n_before"] == 4 and rows[0]["n_after"] == 2
+    assert rows[0]["tvd_term"] == pytest.approx(0.125)
+    assert rows[0]["chi2_term"] == pytest.approx(round(1 / 12, 6))
+    # b1 mirrors b0 with p_b + p_a = 10/8: chi2 = (2/8)^2 / (10/8) = 0.05
+    assert rows[1]["tvd_term"] == pytest.approx(0.125)
+    assert rows[1]["chi2_term"] == pytest.approx(0.05)
+    # identical distributions → all-zero terms
+    same = drift_report(before, before, "v", n_buckets=4, lo=0, hi=8).collect()
+    assert all(r["tvd_term"] == 0.0 and r["chi2_term"] == 0.0 for r in same)
+
+
+def test_drift_report_tvd_sums_to_one_for_disjoint(spark):
+    before = _mk(spark, [0, 0, 1])
+    after = _mk(spark, [6, 7, 7, 6])
+    out = drift_report(before, after, "v", n_buckets=4, lo=0, hi=8)
+    total = out.agg(F.sum("tvd_term")).first()[0]
+    assert total == pytest.approx(1.0)
+
+
+def test_bucket_of_null_and_clamp(spark):
+    df = _mk(spark, [None, -100, 0, 7, 8, 10_000])
+    got = [
+        r["b"]
+        for r in df.select(bucket_of(F.col("v"), 4, 0, 8).alias("b")).collect()
+    ]
+    # NULL → -1; below lo clamps to first; >= hi clamps to last bucket
+    assert got == [-1, 0, 0, 3, 3, 3]
+
+
+def test_drift_report_counts_unmatched_buckets(spark):
+    # a bucket present on one side only still reports (0 on the other)
+    before = _mk(spark, [0, 0])
+    after = _mk(spark, [6])
+    rows = {
+        r["bucket"]: (r["n_before"], r["n_after"])
+        for r in drift_report(before, after, "v", n_buckets=4, lo=0, hi=8).collect()
+    }
+    assert rows == {0: (2, 0), 3: (0, 1)}
+
+
+def test_drift_report_empty_side_raises(spark):
+    before = _mk(spark, [0, 1])
+    empty = _mk(spark, []).filter(F.lit(False))
+    with pytest.raises(Exception, match="side is empty"):
+        drift_report(before, empty, "v", n_buckets=4, lo=0, hi=8).collect()
+
+
+def test_drift_report_validation(spark):
+    df = _mk(spark, [0])
+    with pytest.raises(ValueError, match="n_buckets"):
+        drift_report(df, df, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        drift_report(df, df, "v", lo=5, hi=5)
+    with pytest.raises(ValueError, match="not in after frame"):
+        drift_report(df, df.withColumnRenamed("v", "w"), "v")
+
+
+def test_drift_report_exchange_is_census_sized(spark):
+    # the aggregate must be partial (map-side) BELOW the exchange: the
+    # shuffle carries census rows, never input rows.
+    before = _mk(spark, list(range(64)))
+    after = _mk(spark, list(range(64)))
+    plan = (
+        drift_report(before, after, "v", n_buckets=4, lo=0, hi=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # a partial (map-side) aggregate exists, and everything above the
+    # bucket exchange is census-cardinality work
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
