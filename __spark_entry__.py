@@ -735,6 +735,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st20_streaming_mv"] = _st20
 
+    # st37: STREAMING drift monitor — the bucket census is a COUNT view
+    # keyed by bucket, maintained by the shared signed-delta machinery
+    # (no new streaming code path to audit); the baseline is the view AS
+    # OF batch 0 via delta-log partition pruning (the batch_id-keyed log
+    # doubles as the view's time travel). Deterministic seq-parity
+    # batches make the report equal a16's BATCH drift exactly — streamed
+    # fold == batch computation, a16's oracle verbatim.
+    def _st37(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.drift import (
+            bucket_of,
+            drift_from_censuses,
+        )
+        from kafka_connect_mongo_spark.streaming import mv_stream
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-drift-stream-",
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
+
+        def project(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "bucket",
+                bucket_of(
+                    F.length(F.get_json_object("object", "$.content")),
+                    16, 0, 512,
+                ),
+            )
+
+        mv_dir = os.path.join(work, "mv")
+        final = mv_stream.run_mv_stream(
+            spark, staged, mv_dir, project, ["bucket"],
+            max_files_per_trigger=1,
+        )
+        baseline = mv_stream.read_mv(spark, mv_dir, ["bucket"], max_batch_id=0)
+        return drift_from_censuses(baseline, final)
+
+    q["st37_streaming_drift"] = _st37
+
     # st33: streaming exact COUNT(DISTINCT) — mv3's support relation
     # streamed through the same signed-delta machinery (it IS a COUNT
     # view keyed by (group, value)); shares mv3's oracle.
@@ -4714,6 +4752,10 @@ SELECT bucket, n_before, n_after,
                         + (CAST(n_after AS DOUBLE) * ta))), 6) AS chi2_term
 FROM t
 """.strip()
+
+    # st37: the streamed census fold must reproduce a16's batch drift
+    # exactly (deterministic seq-parity batches) — oracle shared verbatim.
+    o["st37_streaming_drift"] = o["a16_snapshot_drift"]
 
     # st21: layout evolution + migration are storage-layout-only — the
     # final read is the plain full-feed LWW state, tombstones dropped.

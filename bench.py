@@ -168,6 +168,7 @@ def main() -> None:
         "c19_incremental_curation",  # CDC-maintained curation fold (2-batch job wall)
         "st27_streaming_curation_code",  # streaming curation fold (chained state versions)
         "st32_streaming_digest",  # streaming certificate fold (2-batch job wall)
+        "st37_streaming_drift",  # streamed census fold + as-of-batch-0 baseline
     ]
 
     def run_noop(df) -> None:

@@ -99,6 +99,49 @@ def drift_report(
         .cast("long")
         .alias("n_after"),
     )
+    return _census_terms(c)
+
+
+def drift_from_censuses(
+    before: DataFrame,
+    after: DataFrame,
+    bucket_col: str = "bucket",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Same report, but from two PRE-COUNTED censuses ``(bucket, n)`` —
+    the entry point for maintained censuses (a streaming MV keyed by
+    bucket) where the row-level frames no longer exist. A bucket present
+    on one side only reports 0 on the other; the term chain is shared
+    with ``drift_report`` so both paths are bit-identical."""
+    for side, df in (("before", before), ("after", after)):
+        for col in (bucket_col, count_col):
+            if col not in df.columns:
+                raise ValueError(
+                    f"drift_from_censuses: column {col!r} not in {side} census"
+                )
+    b = before.select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.col(count_col).cast("long").alias("n_before"),
+    )
+    a = after.select(
+        F.col(bucket_col).cast("long").alias("bucket"),
+        F.col(count_col).cast("long").alias("n_after"),
+    )
+    c = (
+        b.join(a, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .filter((F.col("n_before") > 0) | (F.col("n_after") > 0))
+    )
+    return _census_terms(c)
+
+
+def _census_terms(c: DataFrame) -> DataFrame:
+    """Shared term chain over a ``(bucket, n_before, n_after)`` census
+    (see ``drift_report`` for the exactness contract)."""
     # grand totals ride a window over the census itself (<= n_buckets+1
     # rows in one partition — metadata, not a second pass over the data)
     w = Window.partitionBy()
@@ -110,7 +153,7 @@ def drift_report(
     # x = a*B - b*A  (scaled count difference; exact integers in double)
     x = (a * big_b) - (b * big_a)
     ok = (big_a > 0) & (big_b > 0)
-    err = "drift_report: a side is empty — no distribution to compare"
+    err = "drift: a side is empty — no distribution to compare"
     tvd = F.when(ok, F.round(F.abs(x) / (F.lit(2.0) * (big_a * big_b)), 6)).otherwise(
         F.raise_error(F.lit(err))
     )

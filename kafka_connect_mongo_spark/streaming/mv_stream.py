@@ -137,10 +137,17 @@ def read_mv(
     group_cols: list[str],
     count_col: str = "n_rows",
     sum_cols: dict[str, str] | None = None,
+    max_batch_id: int | None = None,
 ) -> DataFrame:
     """Merge-on-read view: sum the per-batch signed deltas, drop emptied
     groups. Only COMMITTED partitions exist (overwrite-on-retry), so
-    this is exact at any point between batches."""
+    this is exact at any point between batches.
+
+    ``max_batch_id`` reads the view AS OF that batch (inclusive): the
+    batch_id-keyed delta log doubles as the view's time travel —
+    partition pruning drops later deltas at the scan, no snapshot
+    bookkeeping needed (the fold of a prefix of batches IS the view the
+    stream had published at that point)."""
     sum_cols = sum_cols or {}
     deltas_dir = os.path.join(work_dir, "deltas")
     measures = [count_col] + sorted(sum_cols)
@@ -152,6 +159,8 @@ def read_mv(
             [], schema + ", " + ", ".join(f"`{m}` long" for m in measures)
         )
     df = spark.read.parquet(deltas_dir)
+    if max_batch_id is not None:
+        df = df.filter(F.col("batch_id") <= max_batch_id)
     out = df.groupBy(*group_cols).agg(
         *[F.sum(m).cast("long").alias(m) for m in measures]
     )

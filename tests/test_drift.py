@@ -100,3 +100,65 @@ def test_drift_report_exchange_is_census_sized(spark):
     # bucket exchange is census-cardinality work
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_drift_from_censuses_matches_drift_report(spark):
+    before = _mk(spark, [0, 1, 0, 1, 2, 3, 2, 3])
+    after = _mk(spark, [0, 1, 2, 3, 2, 3, 2, 3])
+    from kafka_connect_mongo_spark.operators.drift import drift_from_censuses
+
+    def census(df):
+        return (
+            df.select(bucket_of(F.col("v"), 4, 0, 8).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    via_rows = {
+        tuple(r) for r in drift_report(before, after, "v", 4, 0, 8).collect()
+    }
+    via_census = {
+        tuple(r)
+        for r in drift_from_censuses(census(before), census(after)).collect()
+    }
+    assert via_rows == via_census and len(via_rows) == 2
+
+
+def test_drift_from_censuses_one_sided_and_validation(spark):
+    from kafka_connect_mongo_spark.operators.drift import drift_from_censuses
+
+    b = spark.createDataFrame([(0, 2)], "bucket long, n_rows long")
+    a = spark.createDataFrame([(3, 1)], "bucket long, n_rows long")
+    rows = {
+        r["bucket"]: (r["n_before"], r["n_after"])
+        for r in drift_from_censuses(b, a).collect()
+    }
+    assert rows == {0: (2, 0), 3: (0, 1)}
+    with pytest.raises(ValueError, match="not in after census"):
+        drift_from_censuses(b, a.withColumnRenamed("n_rows", "n"))
+
+
+def test_read_mv_as_of_prefix(spark, tmp_path):
+    # the batch_id-keyed delta log IS the view's time travel: reading
+    # with max_batch_id folds only the prefix of batches.
+    import os
+
+    from kafka_connect_mongo_spark.streaming import mv_stream
+
+    work = str(tmp_path / "mv")
+    for bid, rows in ((0, [("a", 2)]), (1, [("a", 1), ("b", 3)]), (2, [("a", -3)])):
+        spark.createDataFrame(rows, "g string, n_rows long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, "deltas", f"batch_id={bid}"))
+
+    def view(max_bid):
+        return {
+            r["g"]: r["n_rows"]
+            for r in mv_stream.read_mv(
+                spark, work, ["g"], max_batch_id=max_bid
+            ).collect()
+        }
+
+    assert view(0) == {"a": 2}
+    assert view(1) == {"a": 3, "b": 3}
+    assert view(None) == {"b": 3}  # a emptied out (count filter drops it)
