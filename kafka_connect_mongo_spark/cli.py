@@ -211,6 +211,31 @@ def main(argv: list[str] | None = None) -> None:
     pal.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None)
     pal.add_argument("--drop", default=None, help="column to drop")
 
+    pdr = sub.add_parser(
+        "drift",
+        help="distribution drift (per-bucket TVD + chi-square) of a "
+        "numeric column between a baseline state and the table's live "
+        "state; baseline = --as-of snapshot of the same table or "
+        "--before-table; exits 1 when total TVD exceeds --threshold",
+    )
+    pdr.add_argument("--table", required=True, help="lake table root (the AFTER side)")
+    pdr.add_argument("--as-of", type=int, default=None,
+                     help="baseline = this table's snapshot at batch id N")
+    pdr.add_argument("--before-table", default=None,
+                     help="baseline = another table root's live state")
+    pdr.add_argument("--col", required=True,
+                     help="numeric column to histogram (or with "
+                     "--content-len: the JSON payload field whose "
+                     "text length is histogrammed)")
+    pdr.add_argument("--content-len", action="store_true",
+                     help="histogram len(payload->'$.<col>') instead of "
+                     "the raw column value")
+    pdr.add_argument("--buckets", type=int, default=16)
+    pdr.add_argument("--lo", type=int, default=0)
+    pdr.add_argument("--hi", type=int, default=4096)
+    pdr.add_argument("--threshold", type=float, default=None,
+                     help="exit 1 when sum(tvd_term) > this")
+
     pp = sub.add_parser(
         "pipeline",
         help="training-data pipeline ops over a documents table "
@@ -594,6 +619,55 @@ def main(argv: list[str] | None = None) -> None:
         if args.drop is not None:
             out["drop"] = table.drop_field(args.drop)
         print(json.dumps(out))
+    elif args.cmd == "drift":
+        import sys
+
+        from pyspark.sql import functions as F
+
+        from .operators.drift import drift_report
+        from .sinks.lake import LakeTable
+
+        if (args.as_of is None) == (args.before_table is None):
+            raise SystemExit("drift: pass exactly one of --as-of / --before-table")
+        table = LakeTable(spark, args.table)
+        after = table.read()
+        if args.before_table is not None:
+            before = LakeTable(spark, args.before_table).read()
+        else:
+            before = table.read_as_of(args.as_of)
+
+        def value(df):
+            if args.content_len:
+                pc = table.payload_col or "object"
+                return df.select(
+                    F.length(
+                        F.get_json_object(F.col(pc), f"$.{args.col}")
+                    ).alias("v")
+                )
+            return df.select(F.col(args.col).alias("v"))
+
+        rows = sorted(
+            (
+                r.asDict()
+                for r in drift_report(
+                    value(before), value(after), "v",
+                    n_buckets=args.buckets, lo=args.lo, hi=args.hi,
+                ).collect()
+            ),
+            key=lambda r: r["bucket"],
+        )
+        tvd = round(sum(r["tvd_term"] for r in rows), 6)
+        chi2 = round(sum(r["chi2_term"] for r in rows), 6)
+        print(json.dumps({
+            "table": args.table,
+            "baseline": args.before_table or f"as-of batch {args.as_of}",
+            "tvd": tvd,
+            "chi2": chi2,
+            "buckets": rows,
+        }))
+        if args.threshold is not None and tvd > args.threshold:
+            spark.stop()
+            sys.exit(1)
     elif args.cmd == "pipeline":
         docs = spark.read.parquet(args.docs)
         if args.op == "curate":

@@ -162,3 +162,51 @@ def test_read_mv_as_of_prefix(spark, tmp_path):
     assert view(0) == {"a": 2}
     assert view(1) == {"a": 3, "b": 3}
     assert view(None) == {"b": 3}  # a emptied out (count filter drops it)
+
+
+def test_cli_drift_as_of_and_threshold(spark, tmp_path_factory):
+    """Out-of-process `drift` surface: as-of baseline, JSON report,
+    threshold exit-code contract."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    work = tmp_path_factory.mktemp("cli-drift")
+    root = str(work / "lake")
+    t = LakeTable(spark, root, n_buckets=2)
+    t.upsert(
+        spark.createDataFrame(
+            [(f"k{i}", 100, 0, i, "i", "t.a", i % 8) for i in range(8)],
+            "id string, ts int, inc int, seq long, op string, ns string, v long",
+        ),
+        0,
+    )
+    # batch 1 shifts the distribution upward
+    t.upsert(
+        spark.createDataFrame(
+            [(f"k{i}", 200, 0, 100 + i, "u", "t.a", 7) for i in range(4)],
+            "id string, ts int, inc int, seq long, op string, ns string, v long",
+        ),
+        1,
+    )
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, "-m", "kafka_connect_mongo_spark.cli", "drift",
+             "--table", root, "--as-of", "0", "--col", "v",
+             "--buckets", "8", "--lo", "0", "--hi", "8", *extra],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-1500:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["tvd"] > 0 and len(rep["buckets"]) >= 2
+    assert rep["baseline"] == "as-of batch 0"
+    # threshold contract: generous bound passes, tight bound exits 1
+    assert run("--threshold", "1.0").returncode == 0
+    assert run("--threshold", "0.01").returncode == 1
