@@ -228,6 +228,10 @@ def main() -> None:
         "c20_budget": lambda d, e: sp.budget_sample(
             d, {"en": 5000, "de": 2000, "fr": 4000, "zh": 1}
         ),
+        # s9: the full-corpus iterative op — slope must be ~factor per
+        # Lloyd round (iterations+1 scans of the persisted quantized
+        # input; the k-row model is size-independent)
+        "s9_kmeans": lambda d, e: sim.kmeans_lloyd(e, k=8, iterations=2),
     }
 
     # code-corpus family over the repos snapshot (replica-disjoint
@@ -246,6 +250,9 @@ def main() -> None:
         # g5: the fixpoints run on the DISTINCT module graph — the slope
         # should be the edge-extraction scan, nothing else
         "g5_module_layers": lambda r: cd.module_layers(r),
+        # d22: units never leave the scan; the exchange is digest rows,
+        # so the slope is the content scan + a census-sized shuffle
+        "d22_function_clones": lambda r: cd.function_clones(r),
     }
 
     def timed(df):
