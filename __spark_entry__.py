@@ -1467,6 +1467,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st21_bucket_evolution"] = _st21
 
+    # st38: the FACT side of the lake — append-only events under HIDDEN
+    # partitioning (Iceberg transform semantics: writers derive day(ts) /
+    # identity(event_type) dirs internally; readers predicate on DATA
+    # columns only). Batch 0 lands under the creation spec day(ts); the
+    # spec then evolves (metadata-only) to (day(ts), event_type); a
+    # reopened handle (restart) re-delivers batch 0 — skipped by the
+    # committed watermark — and lands batch 1 under the new spec. The
+    # time-range + event-type read prunes each batch under ITS OWN spec
+    # (pytest asserts the inputFiles); the per-day census must equal the
+    # raw events table under the same predicates — hidden partitioning
+    # and spec evolution are invisible to correctness.
+    def _st38(spark: SparkSession, sf: str) -> DataFrame:
+        import datetime as dt
+
+        from kafka_connect_mongo_spark.sinks.fact import FactTable
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-fact-")
+        t = FactTable(spark, os.path.join(work, "fact"), spec=("day:ts",))
+        b0 = ev.filter(F.col("event_id") % 2 == 0)
+        t.append(b0, 0)
+        t.evolve_spec(("day:ts", "identity:event_type"))
+        t2 = FactTable(spark, t.root)  # restart: fresh handle
+        assert t2.append(b0, 0)["skipped"]  # re-delivery is a no-op
+        t2.append(ev.filter(F.col("event_id") % 2 == 1), 1)
+        lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 23)
+        got = t2.read(
+            equals={"event_type": "click"}, between={"ts": (lo, hi)}
+        )
+        return got.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    q["st38_fact_hidden_partitioning"] = _st38
+
     def _st26(spark: SparkSession, sf: str) -> DataFrame:
         """Write-audit-publish lifecycle: even half lands on main, odd
         half stages on a WAP branch (re-delivery of the even batch is
@@ -4756,6 +4796,23 @@ FROM t
     # st37: the streamed census fold must reproduce a16's batch drift
     # exactly (deterministic seq-parity batches) — oracle shared verbatim.
     o["st37_streaming_drift"] = o["a16_snapshot_drift"]
+
+    # st38: hidden partitioning + spec evolution are storage-layout-only —
+    # the pruned fact-table read equals the raw events table under the
+    # same data-column predicates (counts/distincts/extremes only: all
+    # order-independent, no float summation).
+    o["st38_fact_hidden_partitioning"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-23 00:00:00'
+GROUP BY 1
+""".strip()
 
     # st21: layout evolution + migration are storage-layout-only — the
     # final read is the plain full-feed LWW state, tombstones dropped.

@@ -169,6 +169,7 @@ def main() -> None:
         "st27_streaming_curation_code",  # streaming curation fold (chained state versions)
         "st32_streaming_digest",  # streaming certificate fold (2-batch job wall)
         "st37_streaming_drift",  # streamed census fold + as-of-batch-0 baseline
+        "st38_fact_hidden_partitioning",  # hidden-partitioned fact append + pruned census
     ]
 
     def run_noop(df) -> None:

@@ -1,0 +1,491 @@
+"""Append-only fact table with HIDDEN partitioning and partition-spec
+evolution — the event/metric side of the lake, complementing
+``LakeTable``'s keyed CDC upserts.
+
+The reference connector's source side emits an append-only event feed
+(OplogReader.kt:50-99); at analytics scale that feed (and any fact table
+derived from it) is read almost exclusively through time-range and
+dimension predicates. This sink stores those facts under Iceberg-style
+*hidden partitioning*: the table declares TRANSFORMS over data columns
+(``day(ts)``, ``identity(event_type)``, ``bucket[16](user_id)``,
+``truncate[4](domain)``); writers derive the partition values
+internally; readers state predicates over the DATA columns only and the
+table maps them to partition-directory constraints per spec. Users never
+see, write, or filter on a partition column — the Iceberg contract that
+kills Hive's wrong-partition-column class of bugs.
+
+Partition-spec EVOLUTION is metadata-only (Iceberg spec-id semantics):
+``evolve_spec()`` changes where NEW batches land without rewriting a
+byte; each committed batch remembers its spec id; reads prune every
+batch under ITS OWN spec (a spec lacking a transform for some predicate
+simply reads all its directories — the row-level filter, always applied,
+keeps pruning a pure performance layer).
+
+Exactly-once: ``append`` follows the engine's established discipline —
+committed batch ids are skipped, and a batch's files live under a
+``batch=<id>`` directory written with OVERWRITE, so a retried
+half-written batch replaces itself instead of duplicating rows
+(``streaming/dedup_stream.py`` rule). The meta commit is the same
+optimistic check-and-swap as ``LakeTable._write_meta``.
+
+Scale: the driver-side directory walk in ``_pruned_dirs`` is the
+manifest scan — O(partitions of matching batches), never O(rows), and
+pruned subtrees are never descended into. At 10^10 events/day with
+``day(ts)`` + ``bucket[256](user_id)`` that is a few thousand stat
+calls per read, while the data scan shrinks by the partition
+selectivity. On a real object store the same walk is one LIST per
+retained level, exactly what an Iceberg manifest read costs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .lake import LOCK_NAME, LOCK_STALE_SECONDS, ConcurrentWriteError
+
+META_NAME = "_fact_meta.json"
+FORMAT = 1
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: day/hour/month render through these formats; all are zero-padded so
+#: lexicographic directory-name order == chronological order, which is
+#: what makes string-range pruning on the walk correct.
+_TIME_FMT = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH", "month": "yyyy-MM"}
+_PY_FMT = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d-%H", "month": "%Y-%m"}
+
+
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """``"day:ts"`` → ("day", None, "ts"); ``"bucket:16:user_id"`` →
+    ("bucket", 16, "user_id"); ``"truncate:4:domain"`` likewise."""
+    parts = spec.split(":")
+    kind = parts[0]
+    if kind in ("day", "hour", "month", "identity") and len(parts) == 2:
+        return kind, None, parts[1]
+    if kind in ("bucket", "truncate") and len(parts) == 3:
+        try:
+            n = int(parts[1])
+        except ValueError:
+            raise ValueError(f"fact spec {spec!r}: width must be an int")
+        if n <= 0:
+            raise ValueError(f"fact spec {spec!r}: width must be positive")
+        return kind, n, parts[2]
+    raise ValueError(
+        f"fact spec {spec!r}: expected kind:col or kind:width:col with "
+        f"kind in day|hour|month|identity|bucket|truncate"
+    )
+
+
+def _pcol_name(spec: str) -> str:
+    kind, width, col = _parse_transform(spec)
+    return f"p_{kind}{width if width is not None else ''}_{col}"
+
+
+def _bucket_of(value) -> int:
+    """Driver-side twin of the bucket transform's md5 expression. md5 —
+    not xxhash64 — for the repo-wide reason: every engine (and this
+    Python mapper) agrees on md5 bit-for-bit."""
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+
+
+_INTEGRAL = ("byte", "short", "integer", "long")
+
+
+def _derive_col(spec: str, integral: bool) -> F.Column:
+    """The transform as a Column. ``integral`` is the COLUMN's type class
+    (truncate means floor-to-multiple for integrals, prefix for strings —
+    Iceberg's truncate semantics; dispatching on the value would misfile
+    digit-shaped strings)."""
+    kind, width, col = _parse_transform(spec)
+    c = F.col(col)
+    if kind in _TIME_FMT:
+        return F.date_format(c, _TIME_FMT[kind])
+    if kind == "identity":
+        return c.cast("string")
+    if kind == "bucket":
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        return (h.cast("long") % width).cast("string")
+    if integral:
+        t = c.cast("long")
+        return (t - ((t % width + width) % width)).cast("string")
+    return F.substring(c.cast("string"), 1, width)
+
+
+def _derive_value(spec: str, value, integral: bool) -> str:
+    """Driver-side twin of ``_derive_col`` for a single predicate value —
+    what maps data-domain predicates onto directory names."""
+    kind, width, col = _parse_transform(spec)
+    if kind in _PY_FMT:
+        if isinstance(value, str):
+            value = _dt.datetime.fromisoformat(value)
+        return value.strftime(_PY_FMT[kind])
+    if kind == "identity":
+        return str(value)
+    if kind == "bucket":
+        return str(_bucket_of(value) % width)
+    if integral:
+        v = int(value)
+        return str(v - ((v % width + width) % width))
+    return str(value)[:width]
+
+
+def _unescape(value: str) -> str:
+    """Hive %xx-escapes special chars in partition directory names
+    (':', ' ', '%', ...); undo it before comparing with derived values."""
+    if "%" not in value:
+        return value
+    from urllib.parse import unquote
+
+    return unquote(value)
+
+
+class FactTable:
+    """Hidden-partitioned append-only table rooted at ``root``.
+
+    ``spec`` (creation time only) is a tuple of transform strings, e.g.
+    ``("day:ts", "identity:event_type")``. Later writers reopen with
+    ``FactTable(spark, root)`` — the spec comes from the meta.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        spec: tuple[str, ...] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self._meta_path = os.path.join(root, META_NAME)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+            if self.meta.get("format") != FORMAT:
+                raise ValueError(
+                    f"fact table {root!r}: unsupported meta format "
+                    f"{self.meta.get('format')!r} (engine speaks {FORMAT})"
+                )
+            self._generation = int(self.meta.get("generation", 0))
+            return
+        if spec is None:
+            raise ValueError(
+                f"fact table {root!r}: no meta on disk and no creation "
+                f"spec given"
+            )
+        for s in spec:
+            _parse_transform(s)
+        os.makedirs(root, exist_ok=True)
+        self.meta = {
+            "format": FORMAT,
+            "specs": [list(spec)],
+            "current_spec": 0,
+            "commits": [],  # [{"batch_id", "spec"}] in commit order
+            "committed_watermark": -1,
+            "committed_extra": [],
+            "schema": None,  # StructType.jsonValue() after first append
+            "generation": 0,
+        }
+        self._generation = 0
+        self._write_meta()
+
+    # -- commit bookkeeping (LakeTable discipline) -----------------------
+
+    def _write_meta(self) -> None:
+        lock = os.path.join(self.root, LOCK_NAME)
+        t0 = time.monotonic()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > LOCK_STALE_SECONDS:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() - t0 > 2 * LOCK_STALE_SECONDS:
+                    raise TimeoutError(
+                        f"fact table {self.root!r}: commit lock held for "
+                        f"> {2 * LOCK_STALE_SECONDS:.0f}s"
+                    )
+                time.sleep(0.05)
+        try:
+            if os.path.exists(self._meta_path):
+                with open(self._meta_path) as f:
+                    on_disk = int(json.load(f).get("generation", 0))
+                if on_disk != self._generation:
+                    raise ConcurrentWriteError(
+                        f"fact table {self.root!r}: on-disk generation "
+                        f"{on_disk} != loaded {self._generation} — another "
+                        f"writer committed; reopen and retry"
+                    )
+            self.meta["generation"] = self._generation + 1
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(self.meta, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._meta_path)
+            self._generation += 1
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def is_committed(self, batch_id: int | str) -> bool:
+        try:
+            return int(batch_id) <= self.meta["committed_watermark"]
+        except (TypeError, ValueError):
+            return str(batch_id) in self.meta["committed_extra"]
+
+    @staticmethod
+    def _batch_dirname(batch_id: int | str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", str(batch_id))
+        return f"batch={safe}"
+
+    def _spec_dir(self, spec_id: int) -> str:
+        return os.path.join(self.root, "data", f"spec={spec_id}")
+
+    # -- write -----------------------------------------------------------
+
+    def append(self, df: DataFrame, batch_id: int | str) -> dict:
+        """Exactly-once append of one batch under the CURRENT spec."""
+        if self.is_committed(batch_id):
+            return {"skipped": True, "batch_id": str(batch_id)}
+        cols = [f.name for f in df.schema.fields]
+        if self.meta["schema"] is None:
+            stored = None
+        else:
+            stored = T.StructType.fromJson(self.meta["schema"])
+            if [f.name for f in stored.fields] != cols:
+                raise ValueError(
+                    f"fact table {self.root!r}: batch columns {cols} != "
+                    f"table columns {[f.name for f in stored.fields]} — "
+                    f"fact tables are append-only with a fixed schema"
+                )
+        spec_id = self.meta["current_spec"]
+        spec = self.meta["specs"][spec_id]
+        missing = [s for s in spec if _parse_transform(s)[2] not in cols]
+        if missing:
+            raise ValueError(
+                f"fact table {self.root!r}: spec transforms {missing} "
+                f"reference columns absent from the batch ({cols})"
+            )
+        pcols = [_pcol_name(s) for s in spec]
+        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        out = df
+        for s, p in zip(spec, pcols):
+            out = out.withColumn(
+                p, _derive_col(s, types[_parse_transform(s)[2]] in _INTEGRAL)
+            )
+        target = os.path.join(
+            self._spec_dir(spec_id), self._batch_dirname(batch_id)
+        )
+        # Idempotent retry: the batch directory is uncommitted (checked
+        # above), so it is owned by this batch id — clear any half-written
+        # attempt FIRST. The session runs dynamic partitionOverwriteMode,
+        # under which a bare overwrite only replaces partitions present in
+        # the retried data and would leave a crashed attempt's other
+        # partitions behind as duplicates.
+        if os.path.exists(target):
+            shutil.rmtree(target, ignore_errors=True)
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
+        if stored is None:
+            self.meta["schema"] = df.schema.jsonValue()
+        try:
+            self.meta["committed_watermark"] = max(
+                self.meta["committed_watermark"], int(batch_id)
+            )
+        except (TypeError, ValueError):
+            self.meta["committed_extra"].append(str(batch_id))
+        self.meta["commits"].append(
+            {"batch_id": str(batch_id), "spec": spec_id}
+        )
+        self._write_meta()
+        return {"batch_id": str(batch_id), "spec": spec_id, "dir": target}
+
+    # -- spec evolution ----------------------------------------------------
+
+    def evolve_spec(self, spec: tuple[str, ...]) -> dict:
+        """Metadata-only partition-spec change: new batches land under the
+        new spec; every existing byte stays where it is and keeps pruning
+        under the spec that wrote it (Iceberg spec-id semantics)."""
+        for s in spec:
+            kind, width, col = _parse_transform(s)
+            if self.meta["schema"] is not None:
+                known = [
+                    f["name"] for f in self.meta["schema"]["fields"]
+                ]
+                if col not in known:
+                    raise ValueError(
+                        f"evolve_spec: column {col!r} not in table "
+                        f"columns {known}"
+                    )
+        if list(spec) == self.meta["specs"][self.meta["current_spec"]]:
+            return {"spec": self.meta["current_spec"], "unchanged": True}
+        self.meta["specs"].append(list(spec))
+        self.meta["current_spec"] = len(self.meta["specs"]) - 1
+        self._write_meta()
+        return {"spec": self.meta["current_spec"]}
+
+    # -- read with per-spec pruning ---------------------------------------
+
+    def _col_integral(self, col: str) -> bool:
+        if self.meta["schema"] is None:
+            return False
+        for f in self.meta["schema"]["fields"]:
+            if f["name"] == col:
+                return f["type"] in _INTEGRAL
+        return False
+
+    def _dir_matches(self, spec: str, value: str, equals, between) -> bool:
+        """Does partition-directory value ``value`` (for transform
+        ``spec``) possibly hold rows matching the predicates? NULL
+        partitions always match (never prune what we can't bound)."""
+        if value == HIVE_NULL:
+            return True
+        value = _unescape(value)
+        kind, width, col = _parse_transform(spec)
+        integral = self._col_integral(col)
+        if equals is not None and col in equals:
+            if value != _derive_value(spec, equals[col], integral):
+                return False
+        if between is not None and col in between and kind != "bucket":
+            lo, hi = between[col]
+            # Directory-domain bounds: [floor(lo), floor(hi)] is a
+            # SUPERSET of the half-open row range [lo, hi) — the always-
+            # applied row filter trims the boundary partitions.
+            lo_d = _derive_value(spec, lo, integral)
+            hi_d = _derive_value(spec, hi, integral)
+            if (
+                kind in ("identity", "truncate")
+                and integral
+                and re.match(r"^-?\d+$", value)
+            ):
+                if not (int(lo_d) <= int(value) <= int(hi_d)):
+                    return False
+            elif not (lo_d <= value <= hi_d):
+                return False
+        return True
+
+    def _pruned_dirs(self, equals, between) -> list[str]:
+        """The manifest scan: walk committed batches' partition trees,
+        level by level, never descending into a pruned subtree."""
+        leafs: list[str] = []
+        for commit in self.meta["commits"]:
+            spec_id = commit["spec"]
+            spec = self.meta["specs"][spec_id]
+            d = os.path.join(
+                self._spec_dir(spec_id),
+                self._batch_dirname(commit["batch_id"]),
+            )
+            if not os.path.isdir(d):
+                continue
+            frontier = [d]
+            for s in spec:
+                prefix = _pcol_name(s) + "="
+                nxt = []
+                for base in frontier:
+                    for entry in os.listdir(base):
+                        if not entry.startswith(prefix):
+                            continue
+                        if self._dir_matches(
+                            s, entry[len(prefix):], equals, between
+                        ):
+                            nxt.append(os.path.join(base, entry))
+                frontier = nxt
+            leafs.extend(frontier)
+        return leafs
+
+    def _empty(self) -> DataFrame:
+        if self.meta["schema"] is None:
+            raise ValueError(
+                f"fact table {self.root!r}: no batch has been appended yet"
+            )
+        return self.spark.createDataFrame(
+            [], T.StructType.fromJson(self.meta["schema"])
+        )
+
+    def read(
+        self,
+        equals: dict | None = None,
+        between: dict | None = None,
+    ) -> DataFrame:
+        """Read with data-column predicates. ``equals`` maps column →
+        value; ``between`` maps column → (lo, hi) over the HALF-OPEN row
+        range [lo, hi). Partition pruning happens per spec; the same
+        predicates are re-applied row-level, so a spec that cannot prune
+        a predicate is slower, never wrong."""
+        dirs = self._pruned_dirs(equals, between)
+        if not dirs:
+            df = self._empty()
+        else:
+            df = self.spark.read.parquet(*dirs)
+            stored = T.StructType.fromJson(self.meta["schema"])
+            df = df.select(*[f.name for f in stored.fields])
+        for col, v in (equals or {}).items():
+            df = df.filter(F.col(col) == F.lit(v))
+        for col, (lo, hi) in (between or {}).items():
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+        return df
+
+    # -- metadata table -----------------------------------------------------
+
+    def partitions(self) -> list[dict]:
+        """Iceberg ``partitions`` metadata-table analog: per committed
+        batch and leaf partition, file count and bytes — from the
+        filesystem walk alone, no Spark job."""
+        rows = []
+        for commit in self.meta["commits"]:
+            spec_id = commit["spec"]
+            base = os.path.join(
+                self._spec_dir(spec_id),
+                self._batch_dirname(commit["batch_id"]),
+            )
+            for dirpath, _dirs, files in os.walk(base):
+                pq = [f for f in files if f.endswith(".parquet")]
+                if not pq:
+                    continue
+                rows.append({
+                    "batch_id": commit["batch_id"],
+                    "spec": spec_id,
+                    "partition": os.path.relpath(dirpath, base),
+                    "files": len(pq),
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(dirpath, f))
+                        for f in pq
+                    ),
+                })
+        return rows
+
+    def vacuum_uncommitted(self) -> list[str]:
+        """Remove batch directories that never committed (writer crashed
+        between the data write and the meta swap)."""
+        committed = {
+            (c["spec"], self._batch_dirname(c["batch_id"]))
+            for c in self.meta["commits"]
+        }
+        removed = []
+        data = os.path.join(self.root, "data")
+        if not os.path.isdir(data):
+            return removed
+        for sd in os.listdir(data):
+            if not sd.startswith("spec="):
+                continue
+            spec_id = int(sd.split("=", 1)[1])
+            for bd in os.listdir(os.path.join(data, sd)):
+                if bd.startswith("batch=") and (spec_id, bd) not in committed:
+                    p = os.path.join(data, sd, bd)
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+        return removed

@@ -1,0 +1,208 @@
+"""FactTable: hidden partitioning, per-spec pruning, spec evolution,
+exactly-once append, and the concurrent-commit CAS."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.sinks.fact import (
+    FactTable,
+    _bucket_of,
+    _parse_transform,
+    _pcol_name,
+)
+from kafka_connect_mongo_spark.sinks.lake import ConcurrentWriteError
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _mk(spark, tmp_path, spec=("day:ts",)):
+    return FactTable(spark, str(tmp_path / "fact"), spec=spec)
+
+
+def test_parse_transform_validation():
+    assert _parse_transform("day:ts") == ("day", None, "ts")
+    assert _parse_transform("bucket:16:user_id") == ("bucket", 16, "user_id")
+    for bad in ("week:ts", "bucket:ts", "bucket:0:ts", "truncate:x:ts", "ts"):
+        with pytest.raises(ValueError):
+            _parse_transform(bad)
+    assert _pcol_name("truncate:4:domain") == "p_truncate4_domain"
+
+
+def test_hidden_partitioning_and_roundtrip(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    out = t.read()
+    # the partition columns are HIDDEN: logical schema only
+    assert out.columns == events.columns
+    assert out.count() == events.count()
+    # and the data really is day-partitioned on disk
+    days = os.listdir(os.path.join(t.root, "data", "spec=0", "batch=0"))
+    assert all(d.startswith("p_day_ts=") or d.startswith("_") for d in days)
+    assert sum(d.startswith("p_day_ts=") for d in days) > 1
+
+
+def test_append_is_exactly_once_and_retry_idempotent(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    n = t.read().count()
+    # committed id is skipped
+    assert t.append(events, 0) == {"skipped": True, "batch_id": "0"}
+    assert t.read().count() == n
+    # a half-written uncommitted batch is OVERWRITTEN by the retry:
+    # plant garbage under the would-be batch dir first
+    junk = os.path.join(t.root, "data", "spec=0", "batch=1", "p_day_ts=x")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    t.append(events.limit(5), 1)
+    assert t.read().count() == n + 5
+    assert not os.path.exists(junk)
+
+
+def test_time_range_pruning_is_a_superset_and_filter_exact(
+    spark, tmp_path, events
+):
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4)
+    got = t.read(between={"ts": (lo, hi)})
+    exp = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    assert got.count() == exp.count() > 0
+    days = {
+        m.group(1)
+        for f in got.inputFiles()
+        if (m := re.search(r"p_day_ts=([^/]+)", f))
+    }
+    # only the covering day dirs were read (floor(hi) boundary included)
+    assert days <= {"2024-01-02", "2024-01-03", "2024-01-04"}
+    assert "2024-01-02" in days
+
+
+def test_equals_pruning_identity_and_bucket(spark, tmp_path, events):
+    t = _mk(
+        spark, tmp_path, spec=("identity:event_type", "bucket:8:user_id")
+    )
+    t.append(events, 0)
+    uid = events.select("user_id").first()[0]
+    got = t.read(equals={"event_type": "view", "user_id": uid})
+    exp = events.filter(
+        (F.col("event_type") == "view") & (F.col("user_id") == uid)
+    )
+    assert got.count() == exp.count()
+    b = str(_bucket_of(uid) % 8)
+    for f in got.inputFiles():
+        assert "p_identity_event_type=view" in f
+        assert f"p_bucket8_user_id={b}" in f
+
+
+def test_truncate_transform_integral_vs_string(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(7, "alpha"), (13, "alphabet"), (-3, "beta"), (25, "gamma")],
+        "n long, s string",
+    )
+    t = FactTable(
+        spark, str(tmp_path / "tr"), spec=("truncate:10:n", "truncate:4:s")
+    )
+    t.append(df, 0)
+    base = os.path.join(t.root, "data", "spec=0", "batch=0")
+    nd = sorted(d for d in os.listdir(base) if d.startswith("p_"))
+    # integral floors to the multiple below (Iceberg truncate), strings prefix
+    assert "p_truncate10_n=-10" in nd and "p_truncate10_n=0" in nd
+    got = t.read(equals={"s": "alpha"})
+    assert got.count() == 1
+    assert all("p_truncate4_s=alph" in f for f in got.inputFiles())
+    # integral range pruning
+    got = t.read(between={"n": (0, 20)})
+    assert {r.n for r in got.collect()} == {7, 13}
+    assert all("p_truncate10_n=-10" not in f for f in got.inputFiles())
+
+
+def test_spec_evolution_metadata_only_and_mixed_read(
+    spark, tmp_path, events
+):
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    t.append(b0, 0)
+    before = {
+        dirpath: sorted(files)
+        for dirpath, _d, files in os.walk(os.path.join(t.root, "data"))
+    }
+    t.evolve_spec(("day:ts", "identity:event_type"))
+    after = {
+        dirpath: sorted(files)
+        for dirpath, _d, files in os.walk(os.path.join(t.root, "data"))
+    }
+    assert before == after  # zero bytes rewritten
+    t.append(b1, 1)
+    # the union read spans both specs and equals the full input
+    assert t.read().count() == events.count()
+    # event_type pruning bites on spec-1 files; spec-0 batches read fully
+    got = t.read(equals={"event_type": "click"})
+    exp = events.filter(F.col("event_type") == "click")
+    assert got.count() == exp.count()
+    spec1 = [f for f in got.inputFiles() if "/spec=1/" in f]
+    assert spec1 and all("p_identity_event_type=click" in f for f in spec1)
+    # evolving to the same spec is a no-op
+    assert t.evolve_spec(("day:ts", "identity:event_type"))["unchanged"]
+
+
+def test_schema_is_fixed_and_empty_prune_returns_schema(
+    spark, tmp_path, events
+):
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    with pytest.raises(ValueError, match="fixed schema"):
+        t.append(events.withColumn("extra", F.lit(1)), 1)
+    got = t.read(
+        between={"ts": (dt.datetime(2030, 1, 1), dt.datetime(2031, 1, 1))}
+    )
+    assert got.count() == 0
+    assert got.columns == events.columns
+
+
+def test_concurrent_commit_cas(spark, tmp_path, events):
+    t1 = _mk(spark, tmp_path)
+    t2 = FactTable(spark, t1.root)
+    t1.append(events.limit(3), 0)
+    with pytest.raises(ConcurrentWriteError):
+        t2.append(events.limit(3), 1)
+    # a fresh handle sees batch 0 committed and lands batch 1 cleanly
+    t3 = FactTable(spark, t1.root)
+    t3.append(events.limit(3), 1)
+    assert t3.read().count() == 6
+
+
+def test_vacuum_uncommitted_and_partitions_meta(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    t.append(events.limit(10), 0)
+    orphan = os.path.join(t.root, "data", "spec=0", "batch=99", "p_day_ts=x")
+    os.makedirs(orphan)
+    removed = t.vacuum_uncommitted()
+    assert len(removed) == 1 and not os.path.exists(orphan)
+    parts = t.partitions()
+    assert parts and all(p["batch_id"] == "0" for p in parts)
+    assert sum(p["files"] for p in parts) >= len(parts)
+
+
+def test_spec_validation(spark, tmp_path, events):
+    with pytest.raises(ValueError, match="kind:col"):
+        FactTable(spark, str(tmp_path / "bad"), spec=("week:ts",))
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    with pytest.raises(ValueError, match="not in table"):
+        t.evolve_spec(("day:nope",))
+    with pytest.raises(ValueError, match="absent from the batch"):
+        t2 = FactTable(
+            spark, str(tmp_path / "f2"), spec=("identity:missing_col",)
+        )
+        t2.append(events, 0)
