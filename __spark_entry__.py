@@ -1507,6 +1507,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st38_fact_hidden_partitioning"] = _st38
 
+    # st39: the STREAMING fact ingest + small-file compaction lifecycle.
+    # The events feed drains into the fact table through an availableNow
+    # stream (two event_id-parity micro-batches, exactly-once via the
+    # committed watermark); compact() then folds the per-batch small
+    # files into one base batch, one file per day partition (Iceberg
+    # rewrite_data_files). The pruned census after the rewrite must
+    # still equal the raw events table — st38's oracle verbatim:
+    # streaming, batching, and compaction are all layout-only.
+    def _st39(spark: SparkSession, sf: str) -> DataFrame:
+        import datetime as dt
+
+        from kafka_connect_mongo_spark.sinks.fact import FactTable
+        from kafka_connect_mongo_spark.streaming.fact_stream import (
+            run_fact_stream,
+        )
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-factstream-")
+        staged = os.path.join(work, "staged")
+        os.makedirs(staged)
+        for i in range(2):
+            tmp = os.path.join(work, f"half{i}")
+            ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            )
+            dst = os.path.join(staged, f"f{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            mt = 1_700_000_000 + i * 10
+            os.utime(dst, (mt, mt))
+        t = FactTable(spark, os.path.join(work, "fact"), spec=("day:ts",))
+        run_fact_stream(
+            spark, staged, t, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        t.compact()
+        lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 23)
+        got = t.read(
+            equals={"event_type": "click"}, between={"ts": (lo, hi)}
+        )
+        return got.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    q["st39_fact_stream_compact"] = _st39
+
     def _st26(spark: SparkSession, sf: str) -> DataFrame:
         """Write-audit-publish lifecycle: even half lands on main, odd
         half stages on a WAP branch (re-delivery of the even batch is
@@ -4813,6 +4866,10 @@ WHERE event_type = 'click'
   AND ts <  TIMESTAMP '2024-01-23 00:00:00'
 GROUP BY 1
 """.strip()
+
+    # st39: streaming ingest + compaction are layout-only too — st38's
+    # oracle verbatim.
+    o["st39_fact_stream_compact"] = o["st38_fact_hidden_partitioning"]
 
     # st21: layout evolution + migration are storage-layout-only — the
     # final read is the plain full-feed LWW state, tombstones dropped.

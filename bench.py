@@ -170,6 +170,7 @@ def main() -> None:
         "st32_streaming_digest",  # streaming certificate fold (2-batch job wall)
         "st37_streaming_drift",  # streamed census fold + as-of-batch-0 baseline
         "st38_fact_hidden_partitioning",  # hidden-partitioned fact append + pruned census
+        "st39_fact_stream_compact",  # streaming fact drain + rewrite_data_files
     ]
 
     def run_noop(df) -> None:

@@ -181,6 +181,10 @@ class FactTable:
                 f"fact table {root!r}: no meta on disk and no creation "
                 f"spec given"
             )
+        if not spec:
+            raise ValueError(
+                f"fact table {root!r}: spec needs at least one transform"
+            )
         for s in spec:
             _parse_transform(s)
         os.makedirs(root, exist_ok=True)
@@ -320,6 +324,8 @@ class FactTable:
         """Metadata-only partition-spec change: new batches land under the
         new spec; every existing byte stays where it is and keeps pruning
         under the spec that wrote it (Iceberg spec-id semantics)."""
+        if not spec:
+            raise ValueError("evolve_spec: spec needs at least one transform")
         for s in spec:
             kind, width, col = _parse_transform(s)
             if self.meta["schema"] is not None:
@@ -438,6 +444,63 @@ class FactTable:
         for col, (lo, hi) in (between or {}).items():
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
         return df
+
+    # -- compaction ---------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Iceberg ``rewrite_data_files`` + spec migration in one pass:
+        fold EVERY committed batch (across all specs) into a single base
+        batch under the CURRENT spec, one file per partition value.
+
+        Streaming appends leave many small files per partition (batches ×
+        days); at 10^10 rows that is the classic small-file death — this
+        rewrite restores one-file-per-partition scans AND collapses mixed
+        historical specs so pruning runs single-spec again. The committed
+        watermark/extra set is untouched: re-delivered ingest batch ids
+        stay deduplicated after the fold.
+
+        Crash-safe without a WAL: the base lands under a generation-named
+        uncommitted batch dir (a crash before the meta swap leaves it
+        invisible; ``vacuum_uncommitted`` reclaims it), the meta swap is
+        the atomic commit point, and the superseded batch dirs become
+        unreferenced after it (same vacuum)."""
+        if not self.meta["commits"]:
+            return {"skipped": True}
+        spec_id = self.meta["current_spec"]
+        spec = self.meta["specs"][spec_id]
+        df = self.read()
+        types = {
+            f["name"]: f["type"] for f in self.meta["schema"]["fields"]
+        }
+        pcols = [_pcol_name(s) for s in spec]
+        out = df
+        for s, p in zip(spec, pcols):
+            out = out.withColumn(
+                p, _derive_col(s, types[_parse_transform(s)[2]] in _INTEGRAL)
+            )
+        base_id = f"__base-g{self._generation + 1}__"
+        target = os.path.join(
+            self._spec_dir(spec_id), self._batch_dirname(base_id)
+        )
+        if os.path.exists(target):
+            shutil.rmtree(target, ignore_errors=True)
+        # one shuffle keyed by the partition tuple → one file per
+        # partition dir (the rewrite's target layout)
+        out.repartition(*[F.col(p) for p in pcols]).write.mode(
+            "overwrite"
+        ).partitionBy(*pcols).parquet(target)
+        old = list(self.meta["commits"])
+        self.meta["commits"] = [{"batch_id": base_id, "spec": spec_id}]
+        self._write_meta()  # atomic commit point
+        removed = 0
+        for c in old:
+            p = os.path.join(
+                self._spec_dir(c["spec"]), self._batch_dirname(c["batch_id"])
+            )
+            if os.path.abspath(p) != os.path.abspath(target):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return {"base": base_id, "spec": spec_id, "folded": removed}
 
     # -- metadata table -----------------------------------------------------
 

@@ -1,0 +1,54 @@
+"""Streaming ingest into the hidden-partitioned fact table.
+
+The append-only dual of ``replay_stream``: the reference's source side
+emits an ever-growing event feed (OplogReader.kt:50-99); this job lands
+it in a ``FactTable`` micro-batch by micro-batch with the engine's
+exactly-once discipline — the checkpoint's offset log decides WHAT a
+batch contains, the table's committed watermark decides whether it has
+already been APPLIED, and the batch-dir clear-then-overwrite makes a
+retried half-written batch replace itself. Killing the job and
+restarting with the same checkpoint resumes cleanly; re-delivered
+batches are skipped.
+
+Scale: each micro-batch is one scan + a row-local partition projection +
+one ``partitionBy`` write — no joins, no aggregates, state O(1). The
+small files that per-batch appends accumulate are the documented
+trade-off; ``FactTable.compact()`` is the rewrite that pays that debt
+back (run it on the maintenance cadence, not per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.fact import FactTable
+
+
+def run_fact_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table: FactTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> list[dict]:
+    """Drain ``input_dir`` (parquet file feed) into ``table`` with
+    ``availableNow`` semantics; returns per-batch append stats."""
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    applied: list[dict] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied.append(table.append(batch_df, batch_id))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return applied

@@ -206,3 +206,74 @@ def test_spec_validation(spark, tmp_path, events):
             spark, str(tmp_path / "f2"), spec=("identity:missing_col",)
         )
         t2.append(events, 0)
+
+
+def test_compact_folds_batches_and_specs(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    t.append(events.filter(F.col("event_id") % 3 == 0), 0)
+    t.append(events.filter(F.col("event_id") % 3 == 1), 1)
+    t.evolve_spec(("day:ts", "identity:event_type"))
+    t.append(events.filter(F.col("event_id") % 3 == 2), 2)
+    before = sorted(
+        tuple(r) for r in t.read().collect()
+    )
+    stats = t.compact()
+    assert stats["folded"] == 3
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # single base batch under the CURRENT spec, one file per partition
+    parts = t.partitions()
+    assert {p["batch_id"] for p in parts} == {stats["base"]}
+    assert all(p["spec"] == 1 and p["files"] == 1 for p in parts)
+    # old batch dirs are gone; pruning now runs single-spec
+    assert not os.path.exists(
+        os.path.join(t.root, "data", "spec=0", "batch=0")
+    )
+    got = t.read(equals={"event_type": "click"})
+    assert all(
+        "p_identity_event_type=click" in f for f in got.inputFiles()
+    )
+    # re-delivery of a pre-compaction ingest batch is STILL skipped
+    assert t.append(events.limit(5), 1)["skipped"]
+
+
+def test_fact_stream_exactly_once_resume(spark, tmp_path, events):
+    from kafka_connect_mongo_spark.streaming.fact_stream import (
+        run_fact_stream,
+    )
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i in range(2):
+        half = events.filter(F.col("event_id") % 2 == i)
+        tmp = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        os.replace(
+            os.path.join(tmp, part), os.path.join(staged, f"f{i}.parquet")
+        )
+        ts = 1_700_000_000 + i * 10
+        os.utime(os.path.join(staged, f"f{i}.parquet"), (ts, ts))
+    # park the second file: first run sees only batch 0
+    parked = str(tmp_path / "parked")
+    st = os.stat(os.path.join(staged, "f1.parquet"))
+    os.replace(os.path.join(staged, "f1.parquet"), parked)
+    t = FactTable(spark, str(tmp_path / "fact"), spec=("day:ts",))
+    ckpt = str(tmp_path / "ckpt")
+    s1 = run_fact_stream(spark, staged, t, ckpt)
+    assert len(s1) == 1 and not s1[0].get("skipped")
+    n0 = t.read().count()
+    # restart with the same checkpoint: batch 0 not re-read, batch 1 lands
+    os.replace(parked, os.path.join(staged, "f1.parquet"))
+    os.utime(
+        os.path.join(staged, "f1.parquet"), (st.st_atime, st.st_mtime)
+    )
+    t2 = FactTable(spark, t.root)
+    s2 = run_fact_stream(spark, staged, t2, ckpt)
+    assert len(s2) == 1 and not s2[0].get("skipped")
+    assert t2.read().count() == events.count() > n0
+    # a FRESH checkpoint re-delivers both batches — the committed
+    # watermark (not the checkpoint) is what keeps the table exact
+    t3 = FactTable(spark, t.root)
+    s3 = run_fact_stream(spark, staged, t3, str(tmp_path / "ckpt2"))
+    assert all(s.get("skipped") for s in s3)
+    assert t3.read().count() == events.count()
