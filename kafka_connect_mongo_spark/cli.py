@@ -211,6 +211,30 @@ def main(argv: list[str] | None = None) -> None:
     pal.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None)
     pal.add_argument("--drop", default=None, help="column to drop")
 
+    pfa = sub.add_parser(
+        "fact",
+        help="hidden-partitioned fact-table lifecycle: create/ingest a "
+        "parquet feed (availableNow, exactly-once), evolve the partition "
+        "spec (metadata-only), compact small files, list partitions",
+    )
+    pfa.add_argument("--table", required=True, help="fact table root")
+    pfa.add_argument("--spec", default=None,
+                     help="comma-separated transforms (day:ts,identity:c,"
+                     "bucket:16:c,truncate:4:c) — creates the table, or "
+                     "the new spec with --evolve")
+    pfa.add_argument("--evolve", action="store_true",
+                     help="evolve the partition spec to --spec")
+    pfa.add_argument("--ingest", default=None,
+                     help="parquet feed dir to drain into the table")
+    pfa.add_argument("--checkpoint", default=None,
+                     help="stream checkpoint (required with --ingest)")
+    pfa.add_argument("--compact", action="store_true",
+                     help="fold committed batches into one base per "
+                     "partition under the current spec")
+    pfa.add_argument("--partitions", action="store_true",
+                     help="include the partitions metadata table")
+    pfa.add_argument("--max-files-per-trigger", type=int, default=8)
+
     pdr = sub.add_parser(
         "drift",
         help="distribution drift (per-bucket TVD + chi-square) of a "
@@ -618,6 +642,48 @@ def main(argv: list[str] | None = None) -> None:
             out["rename"] = table.rename_field(args.rename[0], args.rename[1])
         if args.drop is not None:
             out["drop"] = table.drop_field(args.drop)
+        print(json.dumps(out))
+    elif args.cmd == "fact":
+        import os
+
+        from .sinks.fact import FactTable
+
+        spec = tuple(s for s in (args.spec or "").split(",") if s) or None
+        if os.path.exists(os.path.join(args.table, "_fact_meta.json")):
+            table = FactTable(spark, args.table)
+            if spec and not args.evolve:
+                raise SystemExit(
+                    "fact: table exists — pass --evolve to change the spec"
+                )
+        else:
+            if not spec or args.evolve:
+                raise SystemExit(
+                    "fact: new table needs --spec (without --evolve)"
+                )
+            table = FactTable(spark, args.table, spec=spec)
+        out = {"table": args.table}
+        if args.evolve:
+            if not spec:
+                raise SystemExit("fact: --evolve needs --spec")
+            out["evolve"] = table.evolve_spec(spec)
+        if args.ingest:
+            if not args.checkpoint:
+                raise SystemExit("fact: --ingest needs --checkpoint")
+            from .streaming.fact_stream import run_fact_stream
+
+            stats = run_fact_stream(
+                spark, args.ingest, table, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            out["ingest"] = {
+                "batches": [s for s in stats if not s.get("skipped")],
+                "skipped": sum(1 for s in stats if s.get("skipped")),
+            }
+        if args.compact:
+            out["compact"] = table.compact()
+        if args.partitions:
+            out["partitions"] = table.partitions()
+        out["rows"] = table.read().count() if table.meta["schema"] else 0
         print(json.dumps(out))
     elif args.cmd == "drift":
         import sys

@@ -277,3 +277,50 @@ def test_fact_stream_exactly_once_resume(spark, tmp_path, events):
     s3 = run_fact_stream(spark, staged, t3, str(tmp_path / "ckpt2"))
     assert all(s.get("skipped") for s in s3)
     assert t3.read().count() == events.count()
+
+
+def test_cli_fact_lifecycle(spark, tmp_path_factory, sf_dir):
+    """Out-of-process `fact` surface: create+ingest (exactly-once across
+    re-runs), evolve, compact, partitions listing."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    work = tmp_path_factory.mktemp("cli-fact")
+    staged = str(work / "staged")
+    os.makedirs(staged)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tmp = str(work / "one")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.replace(os.path.join(tmp, part), os.path.join(staged, "f0.parquet"))
+    root = str(work / "fact")
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+             "fact", "--table", root, *extra],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+
+    r = run("--spec", "day:ts", "--ingest", staged,
+            "--checkpoint", str(work / "ckpt"))
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(out["ingest"]["batches"]) == 1
+    assert out["rows"] == ev.count()
+    # re-running with a FRESH checkpoint re-delivers; watermark skips it
+    r = run("--ingest", staged, "--checkpoint", str(work / "ckpt2"))
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["ingest"]["batches"] == [] and out["ingest"]["skipped"] == 1
+    assert out["rows"] == ev.count()
+    # evolve + compact + partitions in one invocation
+    r = run("--evolve", "--spec", "day:ts,identity:event_type",
+            "--compact", "--partitions")
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["evolve"]["spec"] == 1
+    assert out["compact"]["folded"] == 1
+    assert out["rows"] == ev.count()
+    assert all(p["spec"] == 1 and p["files"] == 1 for p in out["partitions"])
