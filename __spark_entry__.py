@@ -210,6 +210,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x16_state_digest"] = _x16
 
+    # x17: Schema Registry compatibility check over OBSERVED writer
+    # schemas — the generator's own producer evolution is the subject:
+    # phase 1 (seq < 0.6n) writes the 6 base fields; phases 2+3 add
+    # stars (double), topics (array), camelCase and the invalid key.
+    # The report classifies every (ns, field) transition and verdicts
+    # it under BACKWARD/FORWARD/FULL (all 'added' here ⇒ compatible in
+    # every mode — the nullable-world Avro mapping; the full verdict
+    # lattice incl. widened/narrowed/changed/mixed is pytest-covered).
+    def _x17(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.compat import (
+            schema_compat_report,
+        )
+
+        feed = _feed(spark, sf)
+        _, n_events, _ = gen.sizes_for_sf(gen.sf_from_dir(sf))
+        split = int(0.6 * n_events)
+        return schema_compat_report(
+            feed.filter(F.col("seq") < split),
+            feed.filter(F.col("seq") >= split),
+        )
+
+    q["x17_schema_compat"] = _x17
+
     # Feed-continuity audit over a feed with PLANTED holes (every
     # 997th seq dropped + one 600-seq block): which seq ranges are
     # missing — range-bucket census, never a global sort.
@@ -3309,6 +3332,93 @@ SELECT id, ns, sha256(object->>'$.content') AS content_sha FROM ({final})
 
     # x12: compaction must be invisible — the oracle replays UNCOMPACTED
     o["x12_compacted_replay"] = o["q_final_state"]
+
+    # x17: writer-schema compat census. Per window: per-(ns, field)
+    # canonical-type flag census (json_type names folded to the same
+    # 7-value set as schema_of_variant's), resolution lattice replicated
+    # (null-only → null; {bigint,double} promotes; single kind → itself;
+    # else mixed), then the full-outer transition classification and the
+    # per-mode verdicts.
+    _, _x17_n, _ = gen.sizes_for_sf(gen.sf_from_dir(ORACLE_SF_DIR))
+    _x17_split = int(0.6 * _x17_n)
+
+    def _x17_window(cond: str) -> str:
+        return f"""
+SELECT ns, field,
+  CASE WHEN nk = 0 THEN 'null'
+       WHEN has_bigint + has_double = nk AND has_double = 1 THEN 'double'
+       WHEN has_bigint + has_double = nk THEN 'bigint'
+       WHEN nk > 1 THEN 'mixed'
+       WHEN has_boolean = 1 THEN 'boolean'
+       WHEN has_string = 1 THEN 'string'
+       WHEN has_array = 1 THEN 'array'
+       WHEN has_object = 1 THEN 'object'
+       ELSE 'other' END AS wtype
+FROM (
+  SELECT ns, field,
+    has_boolean, has_bigint, has_double, has_string, has_array,
+    has_object, has_other,
+    has_boolean + has_bigint + has_double + has_string + has_array
+      + has_object + has_other AS nk
+  FROM (
+    SELECT ns, field,
+      max(CASE WHEN ctype = 'boolean' THEN 1 ELSE 0 END) AS has_boolean,
+      max(CASE WHEN ctype = 'bigint' THEN 1 ELSE 0 END) AS has_bigint,
+      max(CASE WHEN ctype = 'double' THEN 1 ELSE 0 END) AS has_double,
+      max(CASE WHEN ctype = 'string' THEN 1 ELSE 0 END) AS has_string,
+      max(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS has_array,
+      max(CASE WHEN ctype = 'object' THEN 1 ELSE 0 END) AS has_object,
+      max(CASE WHEN ctype = 'other' THEN 1 ELSE 0 END) AS has_other
+    FROM (
+      SELECT ns, field,
+        CASE WHEN jt IS NULL OR jt = 'NULL' THEN 'null'
+             WHEN jt = 'BOOLEAN' THEN 'boolean'
+             WHEN jt IN ('BIGINT', 'UBIGINT') THEN 'bigint'
+             WHEN jt = 'DOUBLE' THEN 'double'
+             WHEN jt = 'VARCHAR' THEN 'string'
+             WHEN jt = 'ARRAY' THEN 'array'
+             WHEN jt = 'OBJECT' THEN 'object'
+             ELSE 'other' END AS ctype
+      FROM (
+        SELECT ns, field,
+               json_type(object, '$."' || field || '"') AS jt
+        FROM (
+          SELECT ns, unnest(json_keys(object)) AS field, object
+          FROM ({feed})
+          WHERE object IS NOT NULL AND json_valid(object) AND ({cond})
+        ) keyed
+      ) typed
+    ) flags GROUP BY ns, field
+  ) census
+) resolved
+""".strip()
+
+    o["x17_schema_compat"] = f"""
+WITH old AS ({_x17_window(f"seq < {_x17_split}")}),
+new AS ({_x17_window(f"seq >= {_x17_split}")}),
+j AS (
+  SELECT coalesce(old.ns, new.ns) AS ns,
+         coalesce(old.field, new.field) AS field,
+         old.wtype AS old_type, new.wtype AS new_type
+  FROM old FULL OUTER JOIN new
+    ON old.ns = new.ns AND old.field = new.field),
+s AS (
+  SELECT ns, field, old_type, new_type,
+    CASE WHEN old_type IS NULL THEN 'added'
+         WHEN new_type IS NULL THEN 'removed'
+         WHEN old_type = new_type THEN 'stable'
+         WHEN old_type = 'bigint' AND new_type = 'double' THEN 'widened'
+         WHEN old_type = 'double' AND new_type = 'bigint' THEN 'narrowed'
+         ELSE 'changed' END AS status
+  FROM j)
+SELECT ns, field, old_type, new_type, status,
+  CAST(status IN ('stable', 'added', 'removed', 'widened') AS INT)
+    AS backward_ok,
+  CAST(status IN ('stable', 'added', 'removed', 'narrowed') AS INT)
+    AS forward_ok,
+  CAST(status IN ('stable', 'added', 'removed') AS INT) AS full_ok
+FROM s
+""".strip()
 
     # x16: state certificate — canonical row = (id, ns, sha256(object))
     # NUL-sentineled and unit-separated; row_h = first 15 hex chars of

@@ -127,6 +127,7 @@ def main() -> None:
         "a14_resample_locf",    # time-grid resample + LOCF gap fill (as-of union window)
         "d22_function_clones",  # rename-normalized unit digests, one content scan
         "s9_kmeans_lloyd",      # integer-exact Lloyd rounds, literal-centroid assign
+        "x17_schema_compat",    # writer-schema compat census (2 scans, census exchanges)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

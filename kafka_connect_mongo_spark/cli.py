@@ -211,6 +211,18 @@ def main(argv: list[str] | None = None) -> None:
     pal.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None)
     pal.add_argument("--drop", default=None, help="column to drop")
 
+    pcm = sub.add_parser(
+        "compat",
+        help="Schema Registry compatibility check over observed writer "
+        "schemas: classify every (ns, field) transition between two "
+        "feed windows; exits 1 if the transition violates --mode",
+    )
+    pcm.add_argument("--old", required=True, help="old window (parquet)")
+    pcm.add_argument("--new", required=True, help="new window (parquet)")
+    pcm.add_argument("--mode", default="BACKWARD",
+                     choices=["BACKWARD", "FORWARD", "FULL", "NONE"])
+    pcm.add_argument("--payload-col", default="object")
+
     pfa = sub.add_parser(
         "fact",
         help="hidden-partitioned fact-table lifecycle: create/ingest a "
@@ -643,6 +655,27 @@ def main(argv: list[str] | None = None) -> None:
         if args.drop is not None:
             out["drop"] = table.drop_field(args.drop)
         print(json.dumps(out))
+    elif args.cmd == "compat":
+        import sys
+
+        from .operators.compat import MODE_OK, schema_compat_report
+
+        report = schema_compat_report(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            payload_col=args.payload_col,
+        )
+        rows = [r.asDict() for r in report.collect()]
+        violations = [
+            r for r in rows if r["status"] not in MODE_OK[args.mode]
+        ]
+        print(json.dumps({
+            "mode": args.mode,
+            "fields": rows,
+            "violations": violations,
+        }))
+        if violations:
+            sys.exit(1)
     elif args.cmd == "fact":
         import os
 

@@ -1,0 +1,186 @@
+"""Schema-compatibility gate: Confluent Schema Registry semantics over
+OBSERVED writer schemas.
+
+The reference connector lives in the Kafka Connect ecosystem, where a
+producer upgrade is admitted or refused by the Schema Registry's
+compatibility modes (BACKWARD / FORWARD / FULL). This engine's payloads
+are schemaless JSON (SchemaMapper.kt:24-43 infers per-document), so the
+writer schema is not declared anywhere — it is OBSERVED: one scan per
+feed window infers each (ns, field)'s canonical type, and the compat
+report classifies every field's transition between two windows (the old
+producer's traffic vs the new producer's) with a verdict per mode.
+
+Mode mapping, documented against Avro's rules for this engine's world
+where every column is nullable (Mongo-style payloads ⇒ an absent field
+reads as null, i.e. every field has an implicit null default):
+
+- added / removed → compatible in ALL modes (the implicit default is
+  what Avro requires for these transitions);
+- widened (bigint → double, the schema_mapper's own promotion chain,
+  lake.py ``_widen``) → BACKWARD-compatible (a new double reader reads
+  old bigints), FORWARD-incompatible (an old bigint reader cannot read
+  new doubles);
+- narrowed (double → bigint) → the mirror image;
+- changed (any other type flip, or a window whose values mix
+  non-promotable types = ``mixed``) → incompatible in every mode.
+
+Scale: each window collapses map-side to its (ns, field, type-flag)
+census inside its own scan — the exchange carries O(namespaces ×
+fields) rows whatever the feed size; the full-outer join and every
+verdict run at census cardinality. Canonical types are chosen so the
+DuckDB oracle agrees bit-for-bit (``json_type`` names vs
+``schema_of_variant`` names both fold to the same 7-value set);
+integers beyond int64 are the one documented divergence (DuckDB says
+UBIGINT, Spark says DECIMAL(20,0) → double) — out of range for CDC ids
+and irrelevant to the verdict lattice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: transitions each mode admits (everything else is a violation)
+MODE_OK = {
+    "BACKWARD": ("stable", "added", "removed", "widened"),
+    "FORWARD": ("stable", "added", "removed", "narrowed"),
+    "FULL": ("stable", "added", "removed"),
+    "NONE": ("stable", "added", "removed", "widened", "narrowed", "changed"),
+}
+
+
+class SchemaCompatError(ValueError):
+    """A feed transition violates the declared compatibility mode."""
+
+
+def _canon(t: F.Column) -> F.Column:
+    """Fold ``schema_of_variant`` type names to the canonical 7-value
+    set shared with the DuckDB oracle's ``json_type`` names."""
+    return (
+        F.when(t == "VOID", "null")
+        .when(t == "BOOLEAN", "boolean")
+        .when(t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"), "bigint")
+        .when(
+            (t == "DOUBLE") | (t == "FLOAT") | t.startswith("DECIMAL"),
+            "double",
+        )
+        .when(t == "STRING", "string")
+        .when(t.startswith("ARRAY"), "array")
+        .when(t.startswith("OBJECT") | t.startswith("STRUCT"), "object")
+        .otherwise("other")
+    )
+
+
+#: non-null canonical kinds, one presence flag each in the census
+_KINDS = ("boolean", "bigint", "double", "string", "array", "object", "other")
+
+
+def writer_schema(feed: DataFrame, payload_col: str = "object") -> DataFrame:
+    """Observed writer schema: per (ns, field) the resolved canonical
+    type of one feed window — ``(ns, field, wtype)``.
+
+    One scan: ``try_parse_json → map<string, variant>`` (invalid JSON
+    yields a null map and drops out — the X4 tolerant-parse posture; the
+    error channel accounts for those rows), per-entry
+    ``schema_of_variant`` folded to canonical names row-locally, then a
+    map-side-combined flag census per (ns, field). Resolution: JSON
+    nulls carry no type (Avro null-union member); {bigint, double}
+    promotes to double (the widening chain); any other mixture is
+    ``mixed`` — which no mode admits."""
+    m = F.try_parse_json(F.col(payload_col)).try_cast("map<string, variant>")
+    typed = (
+        feed.filter(F.col(payload_col).isNotNull())
+        .select("ns", F.explode(m).alias("field", "v"))
+        .select(
+            "ns", "field", _canon(F.schema_of_variant("v")).alias("ctype")
+        )
+    )
+    flags = [
+        F.max((F.col("ctype") == k).cast("int")).alias(f"has_{k}")
+        for k in _KINDS
+    ]
+    census = typed.groupBy("ns", "field").agg(*flags)
+    n_kinds = sum(F.col(f"has_{k}") for k in _KINDS)
+    numeric_only = (
+        F.col("has_bigint") + F.col("has_double") == n_kinds
+    )
+    resolved = (
+        F.when(n_kinds == 0, "null")
+        .when(
+            numeric_only & (F.col("has_double") == 1), "double"
+        )
+        .when(numeric_only, "bigint")
+        .when(n_kinds > 1, "mixed")
+    )
+    for k in _KINDS:
+        resolved = resolved.when(F.col(f"has_{k}") == 1, k)
+    return census.select("ns", "field", resolved.alias("wtype"))
+
+
+def schema_compat_report(
+    old_feed: DataFrame,
+    new_feed: DataFrame,
+    payload_col: str = "object",
+) -> DataFrame:
+    """Classify every (ns, field) transition between two feed windows:
+    ``(ns, field, old_type, new_type, status, backward_ok, forward_ok,
+    full_ok)`` — the Schema Registry compatibility check re-expressed
+    over observed traffic."""
+    old = writer_schema(old_feed, payload_col).withColumnRenamed(
+        "wtype", "old_type"
+    )
+    new = writer_schema(new_feed, payload_col).withColumnRenamed(
+        "wtype", "new_type"
+    )
+    j = old.join(new, ["ns", "field"], "full_outer")
+    o, n = F.col("old_type"), F.col("new_type")
+    status = (
+        F.when(o.isNull(), "added")
+        .when(n.isNull(), "removed")
+        .when(o == n, "stable")
+        .when((o == "bigint") & (n == "double"), "widened")
+        .when((o == "double") & (n == "bigint"), "narrowed")
+        .otherwise("changed")
+    )
+    out = j.select("ns", "field", "old_type", "new_type", status.alias("status"))
+    for mode in ("BACKWARD", "FORWARD", "FULL"):
+        out = out.withColumn(
+            f"{mode.lower()}_ok",
+            F.col("status").isin(*MODE_OK[mode]).cast("int"),
+        )
+    return out
+
+
+def check_compat(report: DataFrame, mode: str = "BACKWARD") -> list[dict]:
+    """Collect the violations under ``mode`` (census-sized — never row
+    data). Empty list = the transition is admissible."""
+    if mode not in MODE_OK:
+        raise ValueError(
+            f"check_compat: unknown mode {mode!r} (have {sorted(MODE_OK)})"
+        )
+    bad = report.filter(~F.col("status").isin(*MODE_OK[mode]))
+    return [r.asDict() for r in bad.collect()]
+
+
+def assert_compat(
+    old_feed: DataFrame,
+    new_feed: DataFrame,
+    mode: str = "BACKWARD",
+    payload_col: str = "object",
+) -> None:
+    """Gate form: raise ``SchemaCompatError`` listing every violating
+    (ns, field, transition) if the new window is not admissible under
+    ``mode`` — what a deployment pipeline calls before cutting traffic
+    to an upgraded producer."""
+    bad = check_compat(
+        schema_compat_report(old_feed, new_feed, payload_col), mode
+    )
+    if bad:
+        lines = ", ".join(
+            f"{b['ns']}.{b['field']}: {b['old_type']}->{b['new_type']} "
+            f"({b['status']})"
+            for b in bad
+        )
+        raise SchemaCompatError(
+            f"schema transition violates {mode} compatibility: {lines}"
+        )

@@ -1,0 +1,139 @@
+"""Schema-compat gate: writer-schema inference, the transition lattice,
+mode verdicts, and the CLI exit contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_mongo_spark.operators.compat import (
+    MODE_OK,
+    SchemaCompatError,
+    assert_compat,
+    check_compat,
+    schema_compat_report,
+    writer_schema,
+)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [("t.a", r) for r in rows], "ns string, object string"
+    )
+
+
+def test_writer_schema_inference_and_promotion(spark):
+    w = writer_schema(
+        _feed(
+            spark,
+            [
+                '{"i":1,"f":1.5,"s":"x","b":true,"a":[1],"o":{"k":1},"n":null}',
+                '{"i":2}',
+                None,  # tombstone — no schema evidence
+                "not json",  # tolerant-parse posture: drops out
+            ],
+        )
+    )
+    got = {r.field: r.wtype for r in w.collect()}
+    assert got == {
+        "i": "bigint",
+        "f": "double",
+        "s": "string",
+        "b": "boolean",
+        "a": "array",
+        "o": "object",
+        "n": "null",
+    }
+
+
+def test_writer_schema_numeric_promotion_and_mixed(spark):
+    w = writer_schema(
+        _feed(
+            spark,
+            [
+                '{"p":1,"m":1,"nn":null}',
+                '{"p":2.5,"m":"oops","nn":3}',
+            ],
+        )
+    )
+    got = {r.field: r.wtype for r in w.collect()}
+    # {bigint, double} promotes along the widening chain; {bigint,
+    # string} is mixed; JSON null carries no type evidence
+    assert got == {"p": "double", "m": "mixed", "nn": "bigint"}
+
+
+def test_transition_lattice_and_mode_verdicts(spark):
+    old = _feed(spark, ['{"stay":1,"gone":1,"wide":1,"narrow":1.5,"flip":1}'])
+    new = _feed(spark, ['{"stay":1,"fresh":1,"wide":1.5,"narrow":1,"flip":"s"}'])
+    rep = {
+        r.field: r.asDict()
+        for r in schema_compat_report(old, new).collect()
+    }
+    assert rep["stay"]["status"] == "stable"
+    assert rep["gone"]["status"] == "removed"
+    assert rep["fresh"]["status"] == "added"
+    assert rep["wide"]["status"] == "widened"
+    assert rep["narrow"]["status"] == "narrowed"
+    assert rep["flip"]["status"] == "changed"
+    # verdicts: widened is BACKWARD-only, narrowed FORWARD-only,
+    # changed nowhere, add/remove/stable everywhere
+    assert (rep["wide"]["backward_ok"], rep["wide"]["forward_ok"]) == (1, 0)
+    assert (rep["narrow"]["backward_ok"], rep["narrow"]["forward_ok"]) == (0, 1)
+    assert rep["flip"]["full_ok"] == 0 and rep["flip"]["backward_ok"] == 0
+    for f in ("stay", "gone", "fresh"):
+        assert rep[f]["full_ok"] == 1
+    # gate form
+    with pytest.raises(SchemaCompatError, match="narrow.*narrowed"):
+        assert_compat(old, new, "BACKWARD")
+    with pytest.raises(SchemaCompatError, match="wide.*widened"):
+        assert_compat(old, new, "FORWARD")
+    assert assert_compat(old, old, "FULL") is None
+    # NONE admits everything
+    assert check_compat(schema_compat_report(old, new), "NONE") == []
+    with pytest.raises(ValueError, match="unknown mode"):
+        check_compat(schema_compat_report(old, new), "SIDEWAYS")
+
+
+def test_per_namespace_isolation(spark):
+    old = spark.createDataFrame(
+        [("t.a", '{"x":1}'), ("t.b", '{"x":"s"}')], "ns string, object string"
+    )
+    new = spark.createDataFrame(
+        [("t.a", '{"x":1}'), ("t.b", '{"x":"s"}')], "ns string, object string"
+    )
+    rep = schema_compat_report(old, new).collect()
+    # same field name, different type per ns — both stable, no cross-talk
+    assert {(r.ns, r.old_type, r.status) for r in rep} == {
+        ("t.a", "bigint", "stable"),
+        ("t.b", "string", "stable"),
+    }
+
+
+def test_cli_compat_exit_contract(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    old = _feed(spark, ['{"x":1}'] * 3)
+    new = _feed(spark, ['{"x":1.5}'] * 3)
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+
+    def run(mode):
+        return subprocess.run(
+            [_sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+             "compat", "--old", po, "--new", pn, "--mode", mode],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+
+    r = run("BACKWARD")  # widened is BACKWARD-compatible
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["violations"] == []
+    assert out["fields"][0]["status"] == "widened"
+    r = run("FULL")  # but not FULL-compatible
+    assert r.returncode == 1
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert [v["field"] for v in out["violations"]] == ["x"]
