@@ -233,6 +233,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x17_schema_compat"] = _x17
 
+    # st40: the STREAMING schema-drift monitor — per-batch writer-schema
+    # flag censuses under batch_id-keyed OVERWRITE; flags MAX-merge
+    # (associative, commutative, idempotent — st17's register argument),
+    # so the census of any batch range read from the partials equals the
+    # batch census over those rows exactly. Two deterministic batches at
+    # x17's phase boundary make compat_between(batch 0 | batch 1) equal
+    # x17's batch report — oracle shared verbatim (st37's proof shape).
+    def _st40(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sources.oplog import clean_feed_cond
+        from kafka_connect_mongo_spark.streaming.compat_stream import (
+            compat_between,
+            run_compat_stream,
+        )
+
+        _, n_events, _ = gen.sizes_for_sf(gen.sf_from_dir(sf))
+        split = int(0.6 * n_events)
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-compatmon-",
+            [
+                clean_feed_cond() & (F.col("seq") < split),
+                clean_feed_cond() & (F.col("seq") >= split),
+            ],
+        )
+        mon = os.path.join(work, "mon")
+        run_compat_stream(spark, staged, mon, max_files_per_trigger=1)
+        return compat_between(spark, mon, old_max_batch_id=0)
+
+    q["st40_streaming_compat"] = _st40
+
     # Feed-continuity audit over a feed with PLANTED holes (every
     # 997th seq dropped + one 600-seq block): which seq ranges are
     # missing — range-bucket census, never a global sort.
@@ -3419,6 +3448,10 @@ SELECT ns, field, old_type, new_type, status,
   CAST(status IN ('stable', 'added', 'removed') AS INT) AS full_ok
 FROM s
 """.strip()
+
+    # st40: the streamed census fold must reproduce x17's batch report
+    # exactly (deterministic phase-boundary batches) — oracle shared.
+    o["st40_streaming_compat"] = o["x17_schema_compat"]
 
     # x16: state certificate — canonical row = (id, ns, sha256(object))
     # NUL-sentineled and unit-separated; row_h = first 15 hex chars of

@@ -172,6 +172,7 @@ def main() -> None:
         "st37_streaming_drift",  # streamed census fold + as-of-batch-0 baseline
         "st38_fact_hidden_partitioning",  # hidden-partitioned fact append + pruned census
         "st39_fact_stream_compact",  # streaming fact drain + rewrite_data_files
+        "st40_streaming_compat",  # streamed writer-schema censuses + compat report
     ]
 
     def run_noop(df) -> None:

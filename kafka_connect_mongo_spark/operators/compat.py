@@ -75,18 +75,19 @@ def _canon(t: F.Column) -> F.Column:
 _KINDS = ("boolean", "bigint", "double", "string", "array", "object", "other")
 
 
-def writer_schema(feed: DataFrame, payload_col: str = "object") -> DataFrame:
-    """Observed writer schema: per (ns, field) the resolved canonical
-    type of one feed window — ``(ns, field, wtype)``.
+def writer_flag_census(
+    feed: DataFrame, payload_col: str = "object"
+) -> DataFrame:
+    """Per-(ns, field) type-evidence flags for one feed window —
+    ``(ns, field, has_boolean … has_other)``, each flag 0/1.
 
     One scan: ``try_parse_json → map<string, variant>`` (invalid JSON
     yields a null map and drops out — the X4 tolerant-parse posture; the
     error channel accounts for those rows), per-entry
     ``schema_of_variant`` folded to canonical names row-locally, then a
-    map-side-combined flag census per (ns, field). Resolution: JSON
-    nulls carry no type (Avro null-union member); {bigint, double}
-    promotes to double (the widening chain); any other mixture is
-    ``mixed`` — which no mode admits."""
+    map-side-combined flag census. The flags MAX-merge (associative,
+    commutative, idempotent) — what makes the streaming monitor's
+    per-batch partials fold exactly (st17's HLL-register argument)."""
     m = F.try_parse_json(F.col(payload_col)).try_cast("map<string, variant>")
     typed = (
         feed.filter(F.col(payload_col).isNotNull())
@@ -99,7 +100,14 @@ def writer_schema(feed: DataFrame, payload_col: str = "object") -> DataFrame:
         F.max((F.col("ctype") == k).cast("int")).alias(f"has_{k}")
         for k in _KINDS
     ]
-    census = typed.groupBy("ns", "field").agg(*flags)
+    return typed.groupBy("ns", "field").agg(*flags)
+
+
+def resolve_schema(census: DataFrame) -> DataFrame:
+    """Resolve a flag census to ``(ns, field, wtype)``. JSON nulls carry
+    no type (Avro null-union member); {bigint, double} promotes to
+    double (the widening chain); any other mixture is ``mixed`` — which
+    no mode admits."""
     n_kinds = sum(F.col(f"has_{k}") for k in _KINDS)
     numeric_only = (
         F.col("has_bigint") + F.col("has_double") == n_kinds
@@ -117,21 +125,18 @@ def writer_schema(feed: DataFrame, payload_col: str = "object") -> DataFrame:
     return census.select("ns", "field", resolved.alias("wtype"))
 
 
-def schema_compat_report(
-    old_feed: DataFrame,
-    new_feed: DataFrame,
-    payload_col: str = "object",
-) -> DataFrame:
-    """Classify every (ns, field) transition between two feed windows:
-    ``(ns, field, old_type, new_type, status, backward_ok, forward_ok,
-    full_ok)`` — the Schema Registry compatibility check re-expressed
-    over observed traffic."""
-    old = writer_schema(old_feed, payload_col).withColumnRenamed(
-        "wtype", "old_type"
-    )
-    new = writer_schema(new_feed, payload_col).withColumnRenamed(
-        "wtype", "new_type"
-    )
+def writer_schema(feed: DataFrame, payload_col: str = "object") -> DataFrame:
+    """Observed writer schema: per (ns, field) the resolved canonical
+    type of one feed window — ``(ns, field, wtype)``."""
+    return resolve_schema(writer_flag_census(feed, payload_col))
+
+
+def compat_from_schemas(old: DataFrame, new: DataFrame) -> DataFrame:
+    """The transition classification over two RESOLVED schemas
+    (``(ns, field, wtype)`` each) — shared by the batch report and the
+    streaming monitor's census reads."""
+    old = old.withColumnRenamed("wtype", "old_type")
+    new = new.withColumnRenamed("wtype", "new_type")
     j = old.join(new, ["ns", "field"], "full_outer")
     o, n = F.col("old_type"), F.col("new_type")
     status = (
@@ -149,6 +154,21 @@ def schema_compat_report(
             F.col("status").isin(*MODE_OK[mode]).cast("int"),
         )
     return out
+
+
+def schema_compat_report(
+    old_feed: DataFrame,
+    new_feed: DataFrame,
+    payload_col: str = "object",
+) -> DataFrame:
+    """Classify every (ns, field) transition between two feed windows:
+    ``(ns, field, old_type, new_type, status, backward_ok, forward_ok,
+    full_ok)`` — the Schema Registry compatibility check re-expressed
+    over observed traffic."""
+    return compat_from_schemas(
+        writer_schema(old_feed, payload_col),
+        writer_schema(new_feed, payload_col),
+    )
 
 
 def check_compat(report: DataFrame, mode: str = "BACKWARD") -> list[dict]:

@@ -1,0 +1,109 @@
+"""Streaming schema-drift monitor: per-batch writer-schema evidence
+folded into a persisted type-flag census, compat reports between any
+two batch ranges.
+
+The streaming form of x17 (``operators/compat.py``): each micro-batch
+computes its own (ns, field, has_*) flag census — one map-side-combined
+aggregation over the batch, never a history re-scan — and writes it
+under a ``batch_id``-keyed partition with OVERWRITE (the idempotent-
+retry discipline). Because the flags MAX-merge (associative,
+commutative, idempotent — st17's HLL-register argument), the census of
+any batch RANGE read back from the partials is EXACTLY the batch
+pipeline's census over that range's rows, regardless of batch
+boundaries, replay, or arrival order. ``compat_between`` then resolves
+two ranges and classifies the transition — the Schema Registry check
+running continuously against live traffic, with the batch-id-keyed
+partial log doubling as the census's time travel (st37's rule).
+
+Scale: state is O(namespaces × fields) rows per batch — a few KB — and
+the report never touches row data after each batch's one scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compat import (
+    _KINDS,
+    compat_from_schemas,
+    resolve_schema,
+    writer_flag_census,
+)
+
+
+def read_flag_census(
+    spark: SparkSession,
+    work_dir: str,
+    min_batch_id: int | None = None,
+    max_batch_id: int | None = None,
+) -> DataFrame:
+    """The accumulated census over a batch range: MAX-merge of every
+    selected batch's flag partials (partition pruning drops the rest at
+    the scan)."""
+    flags_dir = os.path.join(work_dir, "flags")
+    if not (
+        os.path.isdir(flags_dir)
+        and any(e.startswith("batch_id=") for e in os.listdir(flags_dir))
+    ):
+        cols = ", ".join(f"has_{k} int" for k in _KINDS)
+        return spark.createDataFrame([], f"ns string, field string, {cols}")
+    df = spark.read.parquet(flags_dir)
+    if min_batch_id is not None:
+        df = df.filter(F.col("batch_id") >= min_batch_id)
+    if max_batch_id is not None:
+        df = df.filter(F.col("batch_id") <= max_batch_id)
+    return df.groupBy("ns", "field").agg(
+        *[F.max(f"has_{k}").alias(f"has_{k}") for k in _KINDS]
+    )
+
+
+def compat_between(
+    spark: SparkSession,
+    work_dir: str,
+    old_max_batch_id: int,
+) -> DataFrame:
+    """The compat report between the traffic up to (and including)
+    ``old_max_batch_id`` and everything after it — x17's report shape,
+    computed purely from the persisted census partials."""
+    old = resolve_schema(
+        read_flag_census(spark, work_dir, max_batch_id=old_max_batch_id)
+    )
+    new = resolve_schema(
+        read_flag_census(spark, work_dir, min_batch_id=old_max_batch_id + 1)
+    )
+    return compat_from_schemas(old, new)
+
+
+def run_compat_stream(
+    spark: SparkSession,
+    feed_path: str,
+    work_dir: str,
+    payload_col: str = "object",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Drain ``feed_path`` (parquet file feed), folding each micro-batch
+    into the persisted flag-census log."""
+    flags_dir = os.path.join(work_dir, "flags")
+    schema = spark.read.parquet(feed_path).schema
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer_flag_census(batch_df, payload_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(flags_dir, f"batch_id={batch_id}"))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    q = (
+        reader.parquet(feed_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -137,3 +137,80 @@ def test_cli_compat_exit_contract(spark, tmp_path):
     assert r.returncode == 1
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert [v["field"] for v in out["violations"]] == ["x"]
+
+
+def test_compat_stream_fold_equals_batch_and_retry(spark, tmp_path):
+    """Streamed flag partials MAX-merge to the batch census; a
+    half-written batch partition is replaced on retry, not doubled."""
+    import os
+
+    from kafka_connect_mongo_spark.operators.compat import (
+        schema_compat_report,
+        writer_schema,
+    )
+    from kafka_connect_mongo_spark.streaming.compat_stream import (
+        compat_between,
+        read_flag_census,
+        resolve_schema,
+        run_compat_stream,
+    )
+
+    halves = [
+        ['{"x":1,"gone":true}', '{"x":2}'],
+        ['{"x":1.5,"fresh":"s"}', "garbage"],
+    ]
+    staged = str(tmp_path / "feed")
+    os.makedirs(staged)
+    for i, rows in enumerate(halves):
+        tmp = str(tmp_path / f"h{i}")
+        _feed(spark, rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        os.replace(
+            os.path.join(tmp, part), os.path.join(staged, f"f{i}.parquet")
+        )
+        mt = 1_700_000_000 + i * 10
+        os.utime(os.path.join(staged, f"f{i}.parquet"), (mt, mt))
+    mon = str(tmp_path / "mon")
+    # plant a half-written batch-0 attempt: the stream's overwrite must
+    # replace it (junk flags would otherwise poison the max-merge)
+    junk = os.path.join(mon, "flags", "batch_id=0")
+    os.makedirs(junk)
+    _feed(spark, ['{"poison":[1]}']).write.mode("overwrite").parquet(junk)
+    run_compat_stream(spark, staged, mon, max_files_per_trigger=1)
+    fields = {
+        r.field for r in read_flag_census(spark, mon).collect()
+    }
+    assert "poison" not in fields
+    # streamed report == batch report over the same windows
+    got = sorted(
+        tuple(r)
+        for r in compat_between(spark, mon, old_max_batch_id=0).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in schema_compat_report(
+            _feed(spark, halves[0]), _feed(spark, halves[1])
+        ).collect()
+    )
+    assert got == exp
+    # range census == batch writer_schema per window
+    for rng, rows in ((dict(max_batch_id=0), halves[0]),
+                      (dict(min_batch_id=1), halves[1])):
+        a = sorted(
+            tuple(r)
+            for r in resolve_schema(
+                read_flag_census(spark, mon, **rng)
+            ).collect()
+        )
+        b = sorted(tuple(r) for r in writer_schema(_feed(spark, rows)).collect())
+        assert a == b
+
+
+def test_compat_stream_empty_monitor_reads_empty(spark, tmp_path):
+    from kafka_connect_mongo_spark.streaming.compat_stream import (
+        read_flag_census,
+    )
+
+    got = read_flag_census(spark, str(tmp_path / "nothing"))
+    assert got.count() == 0
+    assert got.columns[:2] == ["ns", "field"]
