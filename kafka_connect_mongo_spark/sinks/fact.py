@@ -384,11 +384,13 @@ class FactTable:
                 return False
         return True
 
-    def _pruned_dirs(self, equals, between) -> list[str]:
+    def _pruned_dirs(self, equals, between, commits=None) -> list[str]:
         """The manifest scan: walk committed batches' partition trees,
         level by level, never descending into a pruned subtree."""
         leafs: list[str] = []
-        for commit in self.meta["commits"]:
+        for commit in (
+            self.meta["commits"] if commits is None else commits
+        ):
             spec_id = commit["spec"]
             spec = self.meta["specs"][spec_id]
             d = os.path.join(
@@ -422,6 +424,30 @@ class FactTable:
             [], T.StructType.fromJson(self.meta["schema"])
         )
 
+    def read_as_of(
+        self,
+        batch_id: int | str,
+        equals: dict | None = None,
+        between: dict | None = None,
+    ) -> DataFrame:
+        """The table AS OF ingest batch ``batch_id`` — for an append-only
+        table, simply the commit-list prefix through that batch (no
+        snapshot bookkeeping needed). Raises loudly if the batch is no
+        longer addressable: ``compact()`` folds history into one base,
+        expiring pre-compaction as-of points (the lake's
+        compaction-expires-snapshots rule)."""
+        want = str(batch_id)
+        prefix = []
+        for c in self.meta["commits"]:
+            prefix.append(c)
+            if c["batch_id"] == want:
+                return self._read_commits(prefix, equals, between)
+        raise ValueError(
+            f"fact table {self.root!r}: no commit for batch {want!r} — "
+            f"never appended, or expired by compact() "
+            f"(have: {[c['batch_id'] for c in self.meta['commits']]})"
+        )
+
     def read(
         self,
         equals: dict | None = None,
@@ -432,7 +458,15 @@ class FactTable:
         range [lo, hi). Partition pruning happens per spec; the same
         predicates are re-applied row-level, so a spec that cannot prune
         a predicate is slower, never wrong."""
-        dirs = self._pruned_dirs(equals, between)
+        return self._read_commits(None, equals, between)
+
+    def _read_commits(
+        self,
+        commits: list | None,
+        equals: dict | None,
+        between: dict | None,
+    ) -> DataFrame:
+        dirs = self._pruned_dirs(equals, between, commits=commits)
         if not dirs:
             df = self._empty()
         else:
@@ -447,7 +481,7 @@ class FactTable:
 
     # -- compaction ---------------------------------------------------------
 
-    def compact(self) -> dict:
+    def compact(self, sort_by: tuple[str, ...] | None = None) -> dict:
         """Iceberg ``rewrite_data_files`` + spec migration in one pass:
         fold EVERY committed batch (across all specs) into a single base
         batch under the CURRENT spec, one file per partition value.
@@ -466,6 +500,20 @@ class FactTable:
         unreferenced after it (same vacuum)."""
         if not self.meta["commits"]:
             return {"skipped": True}
+        if sort_by:
+            known = [f["name"] for f in self.meta["schema"]["fields"]]
+            bad = [c for c in sort_by if c not in known]
+            if bad:
+                raise ValueError(
+                    f"compact: sort_by column(s) {bad!r} not in table "
+                    f"columns {known}"
+                )
+            # persisted (lake.compact's rule): later compactions keep
+            # honoring it — within-file order is what makes parquet
+            # row-group min/max stats selective for secondary predicates
+            # the partitioning can't prune
+            self.meta["sort_order"] = list(sort_by)
+        order = self.meta.get("sort_order") or []
         spec_id = self.meta["current_spec"]
         spec = self.meta["specs"][spec_id]
         df = self.read()
@@ -485,10 +533,12 @@ class FactTable:
         if os.path.exists(target):
             shutil.rmtree(target, ignore_errors=True)
         # one shuffle keyed by the partition tuple → one file per
-        # partition dir (the rewrite's target layout)
-        out.repartition(*[F.col(p) for p in pcols]).write.mode(
-            "overwrite"
-        ).partitionBy(*pcols).parquet(target)
+        # partition dir (the rewrite's target layout); the declared sort
+        # order applies within each partition's file
+        out = out.repartition(*[F.col(p) for p in pcols])
+        if order:
+            out = out.sortWithinPartitions(*pcols, *order)
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
         old = list(self.meta["commits"])
         self.meta["commits"] = [{"batch_id": base_id, "spec": spec_id}]
         self._write_meta()  # atomic commit point

@@ -324,3 +324,55 @@ def test_cli_fact_lifecycle(spark, tmp_path_factory, sf_dir):
     assert out["compact"]["folded"] == 1
     assert out["rows"] == ev.count()
     assert all(p["spec"] == 1 and p["files"] == 1 for p in out["partitions"])
+
+
+def test_read_as_of_prefix_and_expiry(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    t.append(b0, 0)
+    t.append(events.filter(F.col("event_id") % 2 == 1), 1)
+    assert t.read_as_of(0).count() == b0.count()
+    assert t.read_as_of(1).count() == events.count()
+    # predicates compose with the as-of prefix
+    got = t.read_as_of(0, equals={"event_type": "click"})
+    assert got.count() == b0.filter(F.col("event_type") == "click").count()
+    with pytest.raises(ValueError, match="no commit for batch"):
+        t.read_as_of(7)
+    # compaction folds history -> pre-compaction as-of points expire loudly
+    t.compact()
+    with pytest.raises(ValueError, match="expired by compact"):
+        t.read_as_of(0)
+
+
+def test_compact_sort_order_persisted_and_applied(spark, tmp_path, events):
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path)
+    t.append(events, 0)
+    t.compact(sort_by=("user_id", "ts"))
+    with pytest.raises(ValueError, match="not in table"):
+        t.compact(sort_by=("nope",))
+    base = os.path.join(t.root, "data", "spec=0")
+    batch = next(
+        d for d in os.listdir(base) if d.startswith("batch=__base")
+    )
+    day = sorted(
+        d
+        for d in os.listdir(os.path.join(base, batch))
+        if d.startswith("p_day_ts=")
+    )[0]
+    f = next(
+        f
+        for f in os.listdir(os.path.join(base, batch, day))
+        if f.endswith(".parquet")
+    )
+    rows = pq.read_table(
+        os.path.join(base, batch, day, f), columns=["user_id", "ts"]
+    ).to_pylist()
+    assert rows == sorted(rows, key=lambda r: (r["user_id"], r["ts"]))
+    # the declared order persists: a later compaction (no args) re-sorts
+    t2 = FactTable(spark, t.root)
+    assert t2.meta["sort_order"] == ["user_id", "ts"]
+    t2.append(events.limit(50), 99)
+    t2.compact()
+    assert t2.read().count() == events.count() + 50
