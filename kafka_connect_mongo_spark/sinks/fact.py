@@ -479,6 +479,154 @@ class FactTable:
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
         return df
 
+    def read_changes(
+        self,
+        since_batch_id: int | str | None,
+        equals: dict | None = None,
+        between: dict | None = None,
+    ) -> DataFrame:
+        """Incremental consumption: rows appended STRICTLY AFTER
+        ``since_batch_id`` (None = everything) — the CDC-out scan for an
+        append-only table; cost scales with the new batches, not the
+        table. Raises if the cursor batch is gone (compact() folded it):
+        the consumer must restart from a full read, never silently
+        re-consume the base."""
+        if since_batch_id is None:
+            return self._read_commits(None, equals, between)
+        want = str(since_batch_id)
+        ids = [c["batch_id"] for c in self.meta["commits"]]
+        if want not in ids:
+            raise ValueError(
+                f"fact table {self.root!r}: change cursor {want!r} not in "
+                f"the commit log (expired by compact()?) — restart from a "
+                f"full read (have: {ids})"
+            )
+        after = self.meta["commits"][ids.index(want) + 1:]
+        return self._read_commits(after, equals, between)
+
+    # -- partition-aligned retention deletes --------------------------------
+
+    def _exact_dir_range(self, spec: str, equals, between):
+        """Directory-domain constraint for an EXACT (not superset) match
+        under transform ``spec`` — or raise if the predicate cannot be
+        expressed exactly in this transform's partition domain."""
+        kind, width, col = _parse_transform(spec)
+        if equals is not None and col in equals:
+            if kind != "identity":
+                raise ValueError(
+                    f"drop_partitions: equals on {col!r} needs an "
+                    f"identity transform; {spec!r} directories also hold "
+                    f"OTHER values of {col!r}"
+                )
+            v = _derive_value(spec, equals[col], self._col_integral(col))
+            return (v, v, True)
+        if between is not None and col in between:
+            if kind not in _PY_FMT:
+                raise ValueError(
+                    f"drop_partitions: range on {col!r} needs a "
+                    f"day/hour/month transform; {spec!r} cannot express "
+                    f"it partition-exactly"
+                )
+            lo, hi = between[col]
+            for v in (lo, hi):
+                d = _derive_value(spec, v, False)
+                rt = _dt.datetime.strptime(d, _PY_FMT[kind])
+                vv = (
+                    _dt.datetime.fromisoformat(v)
+                    if isinstance(v, str)
+                    else v
+                )
+                if rt != vv:
+                    raise ValueError(
+                        f"drop_partitions: bound {v!r} is not a {kind} "
+                        f"boundary — a partition-aligned delete of "
+                        f"[lo, hi) needs exact transform boundaries"
+                    )
+            return (
+                _derive_value(spec, lo, False),
+                _derive_value(spec, hi, False),
+                False,  # hi EXCLUSIVE: [lo, hi) maps to dirs [lo, hi)
+            )
+        return None
+
+    def drop_partitions(
+        self,
+        equals: dict | None = None,
+        between: dict | None = None,
+    ) -> dict:
+        """Retention/erasure by PARTITION (Iceberg DROP PARTITION): remove
+        every directory matching the predicates — no rewrite, no scan,
+        the only affordable delete at 10^10 rows (expire old days, drop a
+        quarantined source).
+
+        Refuses unless the predicate maps EXACTLY onto partition
+        boundaries under EVERY live spec: ``equals`` needs an identity
+        transform (bucket/truncate dirs hold other values too), a range
+        needs a day/hour/month transform with bounds exactly on the
+        transform's grid — otherwise rows outside the predicate would be
+        deleted with it. Idempotent: re-running after a crash removes
+        whatever remains."""
+        if not (equals or between):
+            raise ValueError("drop_partitions: pass equals and/or between")
+        cols = set(equals or ()) | set(between or ())
+        live_specs = sorted({c["spec"] for c in self.meta["commits"]})
+        plans: dict[int, dict] = {}
+        for sid in live_specs:
+            spec = self.meta["specs"][sid]
+            plan = {}
+            for s in spec:
+                rng = self._exact_dir_range(s, equals, between)
+                if rng is not None:
+                    plan[s] = rng
+            covered = {_parse_transform(s)[2] for s in plan}
+            missing = cols - covered
+            if missing:
+                raise ValueError(
+                    f"drop_partitions: spec {sid} ({spec}) has no exact "
+                    f"transform for column(s) {sorted(missing)} — a "
+                    f"partition-aligned delete is impossible; rewrite via "
+                    f"compact() after a filtered read instead"
+                )
+            plans[sid] = plan
+        removed: list[str] = []
+        for commit in self.meta["commits"]:
+            spec = self.meta["specs"][commit["spec"]]
+            plan = plans[commit["spec"]]
+            d = os.path.join(
+                self._spec_dir(commit["spec"]),
+                self._batch_dirname(commit["batch_id"]),
+            )
+            if not os.path.isdir(d):
+                continue
+            frontier = [(d, True)]  # (path, all-transforms-matched-so-far)
+            for s in spec:
+                prefix = _pcol_name(s) + "="
+                rng = plan.get(s)
+                nxt = []
+                for base, _m in frontier:
+                    for entry in os.listdir(base):
+                        if not entry.startswith(prefix):
+                            continue
+                        v = _unescape(entry[len(prefix):])
+                        if rng is None:
+                            ok = True  # unconstrained level
+                        elif v == HIVE_NULL:
+                            ok = False  # null partitions never match
+                        else:
+                            lo, hi, hi_incl = rng
+                            ok = (
+                                v == lo
+                                if hi_incl and lo == hi
+                                else (lo <= v < hi or (hi_incl and v == hi))
+                            )
+                        if ok:
+                            nxt.append((os.path.join(base, entry), True))
+                frontier = nxt
+            for leaf, _m in frontier:
+                shutil.rmtree(leaf, ignore_errors=True)
+                removed.append(leaf)
+        return {"dropped_dirs": len(removed)}
+
     # -- compaction ---------------------------------------------------------
 
     def compact(self, sort_by: tuple[str, ...] | None = None) -> dict:

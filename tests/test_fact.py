@@ -376,3 +376,63 @@ def test_compact_sort_order_persisted_and_applied(spark, tmp_path, events):
     t2.append(events.limit(50), 99)
     t2.compact()
     assert t2.read().count() == events.count() + 50
+
+
+def test_read_changes_incremental_and_expired_cursor(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    t.append(b0, 0)
+    t.append(b1, 1)
+    assert t.read_changes(0).count() == b1.count()
+    assert t.read_changes(1).count() == 0
+    assert t.read_changes(None).count() == events.count()
+    with pytest.raises(ValueError, match="not in the commit log"):
+        t.read_changes(42)
+    t.compact()
+    with pytest.raises(ValueError, match="restart from a full read"):
+        t.read_changes(0)
+
+
+def test_drop_partitions_time_retention(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)  # day:ts
+    t.append(events, 0)
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    n_old = events.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    ).count()
+    stats = t.drop_partitions(between={"ts": (lo, hi)})
+    assert stats["dropped_dirs"] == 7
+    assert t.read().count() == events.count() - n_old
+    # idempotent re-run
+    assert t.drop_partitions(between={"ts": (lo, hi)})["dropped_dirs"] == 0
+    # non-boundary bounds refused (would delete rows outside [lo, hi))
+    with pytest.raises(ValueError, match="not a day boundary"):
+        t.drop_partitions(
+            between={"ts": (lo, dt.datetime(2024, 1, 8, 12))}
+        )
+
+
+def test_drop_partitions_exactness_refusals(spark, tmp_path, events):
+    t = _mk(spark, tmp_path, spec=("bucket:8:user_id", "day:ts"))
+    t.append(events, 0)
+    uid = events.select("user_id").first()[0]
+    # bucket dirs hold other users too — equals is never partition-exact
+    with pytest.raises(ValueError, match="needs an identity transform"):
+        t.drop_partitions(equals={"user_id": uid})
+    # a column with no transform at all in a live spec
+    with pytest.raises(ValueError, match="no exact transform"):
+        t.drop_partitions(equals={"event_type": "view"})
+    with pytest.raises(ValueError, match="pass equals"):
+        t.drop_partitions()
+    # identity equals IS exact
+    t2 = FactTable(
+        spark, str(tmp_path / "f2"), spec=("identity:event_type",)
+    )
+    t2.append(events, 0)
+    n_click = events.filter(F.col("event_type") == "click").count()
+    assert (
+        t2.drop_partitions(equals={"event_type": "click"})["dropped_dirs"]
+        == 1
+    )
+    assert t2.read().count() == events.count() - n_click
