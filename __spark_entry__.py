@@ -388,6 +388,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j5_range_join"] = _j5
 
+    # j6: shuffle-free co-located join via bucketed (SMB) exports. The
+    # churn-since-bootstrap audit — final LWW state × bootstrap snapshot,
+    # both exported as same-layout bucketed catalog tables keyed by _id —
+    # joins with ZERO shuffle Exchange (pytest plan-asserts it; at 100 TB
+    # the export pays the key shuffle ONCE and every downstream key join
+    # rides the layout for free). Per-ns census of added / updated /
+    # unchanged / deleted keys relative to the bootstrap.
+    def _j6(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.bucketed import (
+            colocated_join,
+            export_bucketed,
+            scratch_name,
+        )
+
+        work = tempfile.mkdtemp(prefix="cdc-smb-")
+        fin = replay(spark, gen.oplog_path(sf), gen.repos_path(sf)).select(
+            "id", "ns", "content_sha"
+        )
+        boot = read_snapshot(spark, gen.repos_path(sf)).select(
+            F.col("_id").alias("id"),
+            F.col("ns").alias("boot_ns"),
+            F.sha2("content", 256).alias("boot_sha"),
+        )
+        tf, tb = scratch_name("j6_final"), scratch_name("j6_boot")
+        export_bucketed(
+            fin, tf, os.path.join(work, "final"), key="id", n_buckets=8
+        )
+        export_bucketed(
+            boot, tb, os.path.join(work, "boot"), key="id", n_buckets=8
+        )
+        j = colocated_join(spark, tf, tb, how="full_outer")
+        status = (
+            F.when(F.col("boot_sha").isNull(), "added")
+            .when(F.col("content_sha").isNull(), "deleted")
+            .when(F.col("content_sha") == F.col("boot_sha"), "unchanged")
+            .otherwise("updated")
+        )
+        return (
+            j.select(
+                F.coalesce("ns", "boot_ns").alias("ns"),
+                status.alias("status"),
+            )
+            .groupBy("ns", "status")
+            .agg(F.count("*").alias("n_keys"))
+        )
+
+    q["j6_colocated_join"] = _j6
+
     def _a5(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.operators.temporal import sessionize
 
@@ -1611,6 +1659,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["st39_fact_stream_compact"] = _st39
+
+    # st41: column-stats manifest skipping (Iceberg manifest min/max
+    # metrics). The fact table is partitioned by event_type ONLY — the
+    # time dimension lives in the per-batch manifests (one column-pruned
+    # agg at commit; the ingest batches arrive time-clustered, the
+    # usual pattern, so ts bounds are selective per batch). The
+    # ts-range read prunes whole batches via their manifests with no
+    # time transform anywhere (pytest asserts inputFiles); the census
+    # must equal the raw events table under the same predicates —
+    # stats skipping is a pure performance layer.
+    def _st41(spark: SparkSession, sf: str) -> DataFrame:
+        import datetime as dt
+
+        from kafka_connect_mongo_spark.sinks.fact import FactTable
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-factstats-")
+        t = FactTable(
+            spark,
+            os.path.join(work, "fact"),
+            spec=("identity:event_type",),
+            stats_columns=("ts", "event_id"),
+        )
+        for i, (lo_d, hi_d) in enumerate(((1, 11), (11, 21), (21, 32))):
+            t.append(
+                ev.filter(
+                    (F.dayofmonth("ts") >= lo_d) & (F.dayofmonth("ts") < hi_d)
+                ),
+                i,
+            )
+        lo, hi = dt.datetime(2024, 1, 12), dt.datetime(2024, 1, 19)
+        got = t.read(equals={"event_type": "view"}, between={"ts": (lo, hi)})
+        return got.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+    q["st41_fact_stats_skip"] = _st41
 
     def _st26(spark: SparkSession, sf: str) -> DataFrame:
         """Write-audit-publish lifecycle: even half lands on main, odd
@@ -3776,6 +3866,22 @@ SELECT coalesce(object->>'$._id', id) AS __pkey,
 FROM ({feed}) WHERE ns = 'code.repos'
 """.strip()
 
+    # j6: the SMB export/register/join mechanics are storage-layout-only —
+    # the census equals a plain full-outer join of final state × bootstrap.
+    o["j6_colocated_join"] = f"""
+WITH fin AS (SELECT id, ns, sha256(object->>'$.content') AS content_sha
+             FROM ({final})),
+boot AS (SELECT _id AS id, ns AS boot_ns, sha256(content) AS boot_sha
+         FROM read_parquet('{rp}')),
+j AS (SELECT coalesce(fin.ns, boot.boot_ns) AS ns,
+             CASE WHEN boot_sha IS NULL THEN 'added'
+                  WHEN content_sha IS NULL THEN 'deleted'
+                  WHEN content_sha = boot_sha THEN 'unchanged'
+                  ELSE 'updated' END AS status
+      FROM fin FULL OUTER JOIN boot ON fin.id = boot.id)
+SELECT ns, status, CAST(count(*) AS BIGINT) AS n_keys FROM j GROUP BY 1, 2
+""".strip()
+
     o["j4_asof_join"] = """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 errs AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
@@ -5013,6 +5119,21 @@ GROUP BY 1
     # st39: streaming ingest + compaction are layout-only too — st38's
     # oracle verbatim.
     o["st39_fact_stream_compact"] = o["st38_fact_hidden_partitioning"]
+
+    # st41: manifest stats skipping is a pure performance layer — the
+    # pruned read equals the raw events table under the same predicates.
+    o["st41_fact_stats_skip"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+WHERE event_type = 'view'
+  AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-19 00:00:00'
+GROUP BY 1
+""".strip()
 
     # st21: layout evolution + migration are storage-layout-only — the
     # final read is the plain full-feed LWW state, tombstones dropped.

@@ -130,6 +130,11 @@ def main() -> None:
         "x17_schema_compat",    # writer-schema compat census (2 scans, census exchanges)
     ]
 
+    job_queries_extra = [
+        "j6_colocated_join",    # bucketed SMB export x2 + zero-Exchange full-outer churn audit
+        "st41_fact_stats_skip",  # 3-batch fact ingest + manifest-stats-pruned census
+    ]
+
     # Streaming jobs: the closure stages files + runs the whole stream per
     # call, so the JOB WALL is the metric (re-nooping the returned batch
     # read would only time reading the output). min-of-2 — each run is a
@@ -173,7 +178,7 @@ def main() -> None:
         "st38_fact_hidden_partitioning",  # hidden-partitioned fact append + pruned census
         "st39_fact_stream_compact",  # streaming fact drain + rewrite_data_files
         "st40_streaming_compat",  # streamed writer-schema censuses + compat report
-    ]
+    ] + job_queries_extra
 
     def run_noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()

@@ -1,0 +1,218 @@
+"""Bucketed (SMB) table export — shuffle-free co-located joins.
+
+At 10^10 rows the single most expensive physical operation a consumer of
+the CDC lake runs is a key join: final state × bootstrap snapshot
+(churn audit), final state × an enrichment dim, two sink tables sharing
+the ``_id`` key space. A plain parquet-to-parquet join shuffles BOTH
+sides on every query — at 100 TB the shuffle IS the query. Spark's
+answer is bucketed tables (Hive/Iceberg bucket transform; Spark
+``bucketBy`` + ``saveAsTable``): both sides are hash-partitioned into
+the same number of key buckets AT WRITE TIME, so every later join on
+that key is planned as a SortMergeJoin over co-located bucket pairs
+with ZERO Exchange on either side — the shuffle is paid once, at
+export, and amortized over every downstream join.
+
+This module is the engine's export surface for that contract:
+
+- :func:`export_bucketed` writes a DataFrame as a parquet-backed
+  bucketed catalog table (one file per bucket: the writer repartitions
+  by the key into exactly ``n_buckets`` tasks first, so task == bucket)
+  and drops a ``_bucket_spec.json`` sidecar beside the data.
+- :func:`register_bucketed` re-creates the catalog entry in a FRESH
+  session from the sidecar alone (``CREATE TABLE … CLUSTERED BY …
+  LOCATION``) — the bucket layout is a property of the files, the
+  catalog row is just its declaration, exactly Iceberg's
+  bucket-transform metadata model.
+- :func:`colocated_join` joins two exported tables on their shared
+  bucket key and REFUSES mismatched layouts (different bucket counts
+  or keys would silently re-introduce the shuffle Spark hides in the
+  plan — the failure mode this module exists to prevent).
+- :func:`assert_no_exchange` is the plan gate: raises if any shuffle
+  Exchange survives in the executed plan. Tests and plan audits call
+  it; production callers can too (it is cheap — plan inspection only).
+
+Relation to the reference: the sink side of kafka-connect-mongo keys
+every record by ``_id`` into topic partitions (MongoSinkTask.kt:40-52 —
+partition co-location is what makes its per-key upsert ordering safe);
+this module is the lake-side generalization — key co-location persisted
+in the table layout instead of a broker's partitioning.
+
+Note on the residual per-bucket ``Sort``: Spark only elides the sort
+for single-file buckets under the legacy ``bucketedTableScan.
+outputOrdering`` flag; the default plan keeps a per-bucket in-memory
+sort. That sort is local (no exchange), O(bucket) memory, and is the
+documented Spark trade — the win here is the eliminated shuffle, which
+at 100 TB is the network, not the CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPEC_NAME = "_bucket_spec.json"
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ddl_of(df: DataFrame) -> str:
+    """Column DDL for CREATE TABLE — ``simpleString`` forms are valid
+    Spark DDL for every type the engine exports (incl. nested structs
+    and arrays)."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def export_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> dict:
+    """Write ``df`` as a bucketed parquet catalog table at ``path``.
+
+    One shuffle keyed by ``key`` into exactly ``n_buckets`` partitions
+    (task == bucket → ONE file per bucket, the layout every later
+    SMB join wants), then ``bucketBy(n_buckets, key)`` so the catalog
+    records the layout. ``sort=True`` additionally sorts each bucket
+    file by the key (Iceberg sort-order analog; makes the files
+    merge-ready and row-group stats selective on the key).
+
+    The table is EXTERNAL (explicit ``path``): dropping the catalog
+    entry never deletes data, and :func:`register_bucketed` can rebuild
+    the entry in any later session from the sidecar.
+    """
+    if not _NAME_RE.match(name):
+        raise ValueError(
+            f"export_bucketed: table name {name!r} must match "
+            f"{_NAME_RE.pattern} (it is used unquoted in SQL)"
+        )
+    if key not in df.columns:
+        raise ValueError(
+            f"export_bucketed: key {key!r} not in columns {df.columns}"
+        )
+    if n_buckets <= 0:
+        raise ValueError("export_bucketed: n_buckets must be positive")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .option("path", path)
+        .mode("overwrite")
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)
+    spec = {
+        "key": key,
+        "n_buckets": int(n_buckets),
+        "sorted": bool(sort),
+        "columns": [
+            {"name": f.name, "ddl": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+    }
+    with open(os.path.join(path, SPEC_NAME), "w") as f:
+        json.dump(spec, f, indent=1, sort_keys=True)
+    return {"table": name, "path": path, **spec, "columns": df.columns}
+
+
+def read_spec(path: str) -> dict:
+    p = os.path.join(path, SPEC_NAME)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"register_bucketed: no {SPEC_NAME} at {path!r} — not a "
+            f"bucketed export (write one with export_bucketed)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def register_bucketed(
+    spark: SparkSession, name: str, path: str
+) -> dict:
+    """Re-create the catalog entry for an existing bucketed export —
+    a fresh session (new job, different cluster) declares the on-disk
+    layout instead of re-writing it. Metadata-only: no job runs."""
+    if not _NAME_RE.match(name):
+        raise ValueError(
+            f"register_bucketed: table name {name!r} must match "
+            f"{_NAME_RE.pattern}"
+        )
+    spec = read_spec(path)
+    ddl = ", ".join(f"`{c['name']}` {c['ddl']}" for c in spec["columns"])
+    sort_clause = (
+        f"SORTED BY (`{spec['key']}`) " if spec.get("sorted") else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY (`{spec['key']}`) {sort_clause}"
+        f"INTO {spec['n_buckets']} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return {"table": name, "path": path, **spec}
+
+
+def colocated_join(
+    spark: SparkSession,
+    left: str,
+    right: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed exports on their shared bucket key — planned
+    by Spark as a zero-Exchange SortMergeJoin over co-located buckets.
+
+    Refuses layouts that CANNOT join co-located (different keys or
+    bucket counts): Spark would still execute the join, but silently
+    shuffle one or both sides — the cost this export exists to avoid
+    must never reappear without the caller noticing.
+    """
+    meta = {}
+    for t in (left, right):
+        # catalog-agnostic: read the layout from DESCRIBE EXTENDED
+        rows = spark.sql(f"DESCRIBE EXTENDED {t}").collect()
+        info = {r["col_name"]: r["data_type"] for r in rows}
+        meta[t] = {
+            "n_buckets": info.get("Num Buckets"),
+            "key": info.get("Bucket Columns"),
+        }
+    lm, rm = meta[left], meta[right]
+    if lm["n_buckets"] != rm["n_buckets"] or lm["key"] != rm["key"]:
+        raise ValueError(
+            f"colocated_join: layouts differ — {left}: "
+            f"key={lm['key']} buckets={lm['n_buckets']}, {right}: "
+            f"key={rm['key']} buckets={rm['n_buckets']}; a co-located "
+            f"join needs identical (key, n_buckets). Re-export one side."
+        )
+    key = lm["key"].strip("[]` ")
+    return spark.table(left).join(spark.table(right), on=key, how=how)
+
+
+def assert_no_exchange(df: DataFrame, what: str = "plan") -> None:
+    """Raise if the executed plan contains a shuffle Exchange — the
+    plan gate for co-located reads (BroadcastExchange is allowed: a
+    broadcast is not the shuffle this guards against)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(
+                f"assert_no_exchange: {what} contains a shuffle "
+                f"Exchange:\n{line.strip()}\n--- full plan ---\n{plan}"
+            )
+
+
+def scratch_name(prefix: str) -> str:
+    """A collision-free catalog table name for scoped exports (gate
+    queries, notebooks sharing one session)."""
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"

@@ -139,6 +139,49 @@ def _derive_value(spec: str, value, integral: bool) -> str:
     return str(value)[:width]
 
 
+MANIFEST_NAME = "_manifest.json"
+
+#: column types a stats manifest can bound. Floats are allowed here —
+#: stats are advisory pruning, never row values, so cross-engine float
+#: text-form instability (the reason certify.py refuses floats) does
+#: not apply: both the bound and the predicate live in THIS engine.
+_STATS_TYPES = _INTEGRAL + (
+    "float", "double", "string", "timestamp", "timestamp_ntz", "date",
+)
+
+_STAT_STR_CAP = 64
+
+
+def _stat_encode(v, is_upper: bool):
+    """JSON-encodable, ORDER-PRESERVING form of a stats bound.
+
+    datetimes/dates → zero-padded ISO strings (lexicographic == temporal);
+    long strings → 64-char prefix for the LOWER bound (a prefix is ≤ the
+    true min, so pruning stays a superset) and ``None`` (= unbounded,
+    never prunes) for the UPPER bound — truncating a max would fabricate
+    a tighter-than-true bound and prune live rows (Iceberg solves this
+    with truncate+increment; dropping the bound is the simpler safe
+    choice at this manifest's granularity)."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str) and len(v) > _STAT_STR_CAP:
+        return None if is_upper else v[:_STAT_STR_CAP]
+    return v
+
+
+def _stat_canon(v):
+    """Predicate value → the same comparable domain as stored bounds."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _unescape(value: str) -> str:
     """Hive %xx-escapes special chars in partition directory names
     (':', ' ', '%', ...); undo it before comparing with derived values."""
@@ -162,10 +205,12 @@ class FactTable:
         spark: SparkSession,
         root: str,
         spec: tuple[str, ...] | None = None,
+        stats_columns: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self._meta_path = os.path.join(root, META_NAME)
+        self._manifest_cache: dict[str, dict | None] = {}
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
@@ -196,6 +241,7 @@ class FactTable:
             "committed_watermark": -1,
             "committed_extra": [],
             "schema": None,  # StructType.jsonValue() after first append
+            "stats_columns": list(stats_columns or ()),
             "generation": 0,
         }
         self._generation = 0
@@ -301,9 +347,21 @@ class FactTable:
         # under which a bare overwrite only replaces partitions present in
         # the retried data and would leave a crashed attempt's other
         # partitions behind as duplicates.
+        stats_cols = self.meta.get("stats_columns") or []
+        if stats_cols:
+            # validate BEFORE any byte lands — a bad declaration must not
+            # leave a half-written batch behind
+            self._validate_stats_cols(
+                stats_cols,
+                [
+                    {"name": f.name, "type": f.dataType.typeName()}
+                    for f in df.schema.fields
+                ],
+            )
         if os.path.exists(target):
             shutil.rmtree(target, ignore_errors=True)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
+        self._write_manifest(target, df.schema, pcols)
         if stored is None:
             self.meta["schema"] = df.schema.jsonValue()
         try:
@@ -343,6 +401,120 @@ class FactTable:
         self.meta["current_spec"] = len(self.meta["specs"]) - 1
         self._write_meta()
         return {"spec": self.meta["current_spec"]}
+
+    # -- column-stats manifests (Iceberg manifest min/max metrics) ---------
+
+    def _validate_stats_cols(self, cols, schema_fields) -> None:
+        types = {f["name"]: f["type"] for f in schema_fields}
+        for c in cols:
+            if c not in types:
+                raise ValueError(
+                    f"stats column {c!r} not in table columns "
+                    f"{sorted(types)}"
+                )
+            if types[c] not in _STATS_TYPES:
+                raise ValueError(
+                    f"stats column {c!r} has type {types[c]!r} — manifest "
+                    f"bounds support {sorted(_STATS_TYPES)} only"
+                )
+
+    def declare_stats(self, cols: tuple[str, ...]) -> dict:
+        """Declare the columns whose per-partition min/max go into each
+        batch's manifest — the Iceberg ``write.metadata.metrics`` knob.
+        Takes effect for batches appended FROM NOW ON; earlier batches
+        have no manifest and read conservatively (stats are advisory:
+        absent stats never exclude). ``compact()`` rewrites the folded
+        base WITH a manifest, back-filling history in one pass."""
+        if not cols:
+            raise ValueError("declare_stats: pass at least one column")
+        if self.meta["schema"] is not None:
+            self._validate_stats_cols(cols, self.meta["schema"]["fields"])
+        self.meta["stats_columns"] = list(cols)
+        self._write_meta()
+        return {"stats_columns": list(cols)}
+
+    def _write_manifest(
+        self, target: str, data_schema: T.StructType, pcols: list[str]
+    ) -> None:
+        """One column-pruned aggregate over the just-written batch —
+        (partition tuple) → [min, max] per declared stats column — into
+        ``_manifest.json`` beside the batch's partition dirs. The scan
+        reads ONLY the stats columns (partition values come from
+        directory names: the explicit read schema types them as raw
+        strings, immune to partition-value type inference); the agg is
+        map-side-combined with O(partitions) output. This is the
+        in-sandbox analog of Iceberg harvesting parquet footer stats
+        into the manifest at commit time — here it costs one re-read of
+        the stats columns of the new batch, never a table scan."""
+        cols = self.meta.get("stats_columns") or []
+        if not cols:
+            return
+        read_schema = T.StructType(
+            [f for f in data_schema.fields]
+            + [T.StructField(p, T.StringType()) for p in pcols]
+        )
+        df = self.spark.read.schema(read_schema).parquet(target)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        parts = []
+        for r in df.groupBy(*pcols).agg(*aggs).collect():
+            parts.append({
+                "values": [
+                    r[p] if r[p] is not None else HIVE_NULL for p in pcols
+                ],
+                "stats": {
+                    c: [
+                        _stat_encode(r[f"__lo_{c}"], False),
+                        _stat_encode(r[f"__hi_{c}"], True),
+                    ]
+                    for c in cols
+                },
+            })
+        path = os.path.join(target, MANIFEST_NAME)
+        with open(path, "w") as f:
+            json.dump({"columns": cols, "partitions": parts}, f)
+        self._manifest_cache[target] = None  # invalidate stale cache
+
+    def _manifest_for(self, batch_dir: str) -> dict | None:
+        """Load (and cache) a batch's manifest as {partition-value
+        tuple → stats dict}; None when the batch predates stats."""
+        cached = self._manifest_cache.get(batch_dir)
+        if cached is not None:
+            return cached
+        p = os.path.join(batch_dir, MANIFEST_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            raw = json.load(f)
+        idx = {
+            tuple(part["values"]): part["stats"]
+            for part in raw["partitions"]
+        }
+        out = {"columns": raw["columns"], "index": idx}
+        self._manifest_cache[batch_dir] = out
+        return out
+
+    @staticmethod
+    def _stats_exclude(stats: dict, equals, between) -> bool:
+        """True iff the partition's bounds PROVE no row matches. Null /
+        missing bounds never exclude (all-null partitions, truncated
+        string maxima, undeclared columns — all conservative)."""
+        for col, (lo, hi) in stats.items():
+            if equals is not None and col in equals and lo is not None \
+                    and hi is not None:
+                v = _stat_canon(equals[col])
+                if v < lo or v > hi:
+                    return True
+            if between is not None and col in between:
+                plo, phi = between[col]
+                # row range is half-open [plo, phi)
+                if hi is not None and hi < _stat_canon(plo):
+                    return True
+                if lo is not None and lo >= _stat_canon(phi):
+                    return True
+        return False
 
     # -- read with per-spec pruning ---------------------------------------
 
@@ -412,6 +584,29 @@ class FactTable:
                         ):
                             nxt.append(os.path.join(base, entry))
                 frontier = nxt
+            # second pruning stage: the batch's column-stats manifest —
+            # bounds over DATA columns the transforms can't see (Iceberg
+            # manifest min/max skipping). Absent manifest = conservative.
+            if frontier and (equals or between):
+                mf = self._manifest_for(d)
+                if mf is not None:
+                    kept = []
+                    for leaf in frontier:
+                        rel = os.path.relpath(leaf, d)
+                        vals = (
+                            tuple(
+                                _unescape(level.split("=", 1)[1])
+                                for level in rel.split(os.sep)
+                            )
+                            if rel != "."
+                            else ()
+                        )
+                        stats = mf["index"].get(vals)
+                        if stats is None or not self._stats_exclude(
+                            stats, equals, between
+                        ):
+                            kept.append(leaf)
+                    frontier = kept
             leafs.extend(frontier)
         return leafs
 
@@ -687,6 +882,11 @@ class FactTable:
         if order:
             out = out.sortWithinPartitions(*pcols, *order)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
+        # the rewrite back-fills stats for the whole folded history —
+        # batches appended before declare_stats() become prunable here
+        self._write_manifest(
+            target, T.StructType.fromJson(self.meta["schema"]), pcols
+        )
         old = list(self.meta["commits"])
         self.meta["commits"] = [{"batch_id": base_id, "spec": spec_id}]
         self._write_meta()  # atomic commit point

@@ -1,0 +1,131 @@
+"""Bucketed (SMB) export + shuffle-free co-located joins.
+
+The contract under test: export pays the key shuffle ONCE; every later
+join of two same-layout exports plans with ZERO shuffle Exchange; a
+fresh session re-declares the layout from the sidecar without touching
+a byte; mismatched layouts refuse instead of silently shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_mongo_spark.sinks.bucketed import (
+    assert_no_exchange,
+    colocated_join,
+    export_bucketed,
+    register_bucketed,
+    scratch_name,
+)
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("va")
+    )
+    b = spark.range(0, 5000, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 23).alias("vb")
+    )
+    ta, tb = scratch_name("smb_a"), scratch_name("smb_b")
+    export_bucketed(a, ta, str(tmp_path / "ta"), key="k", n_buckets=8)
+    export_bucketed(b, tb, str(tmp_path / "tb"), key="k", n_buckets=8)
+    yield a, b, ta, tb
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_join_zero_exchange_and_correct(spark, pair):
+    a, b, ta, tb = pair
+    with _no_broadcast(spark):
+        j = colocated_join(spark, ta, tb)
+        assert_no_exchange(j, "colocated_join")
+        got = {(r["k"], r["va"], r["vb"]) for r in j.collect()}
+    want = {(r["k"], r["va"], r["vb"]) for r in a.join(b, "k").collect()}
+    assert got == want and len(got) == 1667
+
+
+def test_full_outer_zero_exchange(spark, pair):
+    # the j6_colocated_join gate shape: full-outer churn audit
+    a, b, ta, tb = pair
+    with _no_broadcast(spark):
+        j = colocated_join(spark, ta, tb, how="full_outer")
+        assert_no_exchange(j, "full_outer colocated_join")
+        assert j.count() == 5000  # a covers every k of b
+
+
+def test_control_plain_parquet_join_shuffles(spark, pair, tmp_path):
+    # the counterfactual: the same data NOT bucketed must shuffle —
+    # proving the zero-Exchange plan comes from the layout, not the data
+    a, b, _ta, _tb = pair
+    a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+    b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+    with _no_broadcast(spark):
+        j = spark.read.parquet(str(tmp_path / "pa")).join(
+            spark.read.parquet(str(tmp_path / "pb")), "k"
+        )
+        with pytest.raises(AssertionError, match="shuffle Exchange"):
+            assert_no_exchange(j, "plain join")
+
+
+def test_one_file_per_bucket(pair, tmp_path):
+    files = [
+        f
+        for f in os.listdir(tmp_path / "ta")
+        if f.endswith(".parquet") and f.startswith("part-")
+    ]
+    assert len(files) == 8  # task == bucket: exactly one file per bucket
+
+
+def test_register_in_fresh_catalog_entry(spark, pair, tmp_path):
+    a, _b, ta, tb = pair
+    # simulate a fresh session: drop the catalog entry, re-register from
+    # the sidecar (metadata-only), then the SMB join must still plan
+    # co-located
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    register_bucketed(spark, ta, str(tmp_path / "ta"))
+    with _no_broadcast(spark):
+        j = colocated_join(spark, ta, tb)
+        assert_no_exchange(j, "re-registered join")
+        assert j.count() == 1667
+
+
+def test_mismatched_layouts_refuse(spark, pair, tmp_path):
+    a, _b, ta, _tb = pair
+    t16 = scratch_name("smb_c")
+    export_bucketed(a, t16, str(tmp_path / "tc"), key="k", n_buckets=16)
+    try:
+        with pytest.raises(ValueError, match="layouts differ"):
+            colocated_join(spark, ta, t16)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t16}")
+
+
+def test_validation(spark, pair, tmp_path):
+    a, _b, _ta, _tb = pair
+    with pytest.raises(ValueError, match="not in columns"):
+        export_bucketed(a, "t_x", str(tmp_path / "x"), key="zz", n_buckets=4)
+    with pytest.raises(ValueError, match="must be positive"):
+        export_bucketed(a, "t_x", str(tmp_path / "x"), key="k", n_buckets=0)
+    with pytest.raises(ValueError, match="must match"):
+        export_bucketed(a, "bad name;", str(tmp_path / "x"), key="k", n_buckets=4)
+    with pytest.raises(ValueError, match="no _bucket_spec"):
+        register_bucketed(spark, "t_x", str(tmp_path))
+
+
+class _no_broadcast:
+    """Force SMJ so the Exchange assertion tests the bucket layout, not
+    a broadcast escape hatch."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.old)

@@ -436,3 +436,165 @@ def test_drop_partitions_exactness_refusals(spark, tmp_path, events):
         == 1
     )
     assert t2.read().count() == events.count() - n_click
+
+
+# -- column-stats manifests (Iceberg manifest min/max metrics) -------------
+
+
+def _batches_by_seqrange(events):
+    """Three batches clustered on event_id — the stats column — so the
+    manifest bounds are selective (an unclustered column would bound
+    [global_min, global_max] everywhere and prune nothing: honest)."""
+    n = events.count()
+    c1, c2 = n // 3, 2 * n // 3
+    return [
+        events.filter(F.col("event_id") < c1),
+        events.filter((F.col("event_id") >= c1) & (F.col("event_id") < c2)),
+        events.filter(F.col("event_id") >= c2),
+        (c1, c2),
+    ]
+
+
+def test_stats_pruning_reads_only_matching_batches(spark, tmp_path, events):
+    b0, b1, b2, (c1, c2) = _batches_by_seqrange(events)
+    t = FactTable(
+        spark,
+        str(tmp_path / "fact"),
+        spec=("identity:event_type",),
+        stats_columns=("event_id",),
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        t.append(b, i)
+    lo, hi = c1 + 5, c1 + 105  # strictly inside batch 1's range
+    got = t.read(between={"event_id": (lo, hi)})
+    # correctness: equals the unpruned filter
+    want = events.filter(
+        (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+    )
+    assert got.count() == want.count() == 100
+    # pruning: every scanned file lives under batch 1 — batches 0 and 2
+    # are excluded by their manifests alone (event_type partitions carry
+    # no event_id information)
+    files = got.inputFiles()
+    assert files and all("batch=1" in f for f in files)
+    # equals pruning too
+    got_eq = t.read(equals={"event_id": c1 + 7})
+    assert got_eq.count() == 1
+    assert all("batch=1" in f for f in got_eq.inputFiles())
+
+
+def test_stats_absent_manifest_is_conservative_and_compact_backfills(
+    spark, tmp_path, events
+):
+    b0, b1, b2, (c1, c2) = _batches_by_seqrange(events)
+    t = FactTable(spark, str(tmp_path / "fact"), spec=("identity:event_type",))
+    t.append(b0, 0)  # appended BEFORE stats were declared: no manifest
+    t.declare_stats(("event_id",))
+    t.append(b1, 1)
+    t.append(b2, 2)
+    lo, hi = c1 + 5, c1 + 105
+    got = t.read(between={"event_id": (lo, hi)})
+    files = got.inputFiles()
+    # batch 0 has no manifest → read conservatively; batch 2 pruned
+    assert any("batch=0" in f for f in files)
+    assert any("batch=1" in f for f in files)
+    assert not any("batch=2" in f for f in files)
+    assert got.count() == 100
+    # compact() rewrites ONE base batch WITH a manifest → history
+    # becomes prunable; a reopened handle prunes to the matching
+    # event_type × stats range partitions only
+    t.compact()
+    t2 = FactTable(spark, t.root)
+    got2 = t2.read(
+        equals={"event_type": "click"}, between={"event_id": (lo, hi)}
+    )
+    want = events.filter(
+        (F.col("event_id") >= lo)
+        & (F.col("event_id") < hi)
+        & (F.col("event_type") == "click")
+    )
+    assert got2.count() == want.count()
+    mf = os.path.join(
+        os.path.dirname(got2.inputFiles()[0].replace("file:", "")),
+        "..",
+    )
+    _ = mf  # path sanity exercised via read; manifest existence below
+    base_dirs = os.listdir(os.path.join(t.root, "data", "spec=0"))
+    base = [d for d in base_dirs if d.startswith("batch=__base")][0]
+    assert os.path.exists(
+        os.path.join(t.root, "data", "spec=0", base, "_manifest.json")
+    )
+
+
+def test_stats_null_and_string_bounds_safe(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    rows = [
+        (1, "a", "x" * 200),   # long string: upper bound dropped
+        (2, "a", None),        # null never bounds
+        (50, "b", "short"),
+        (None, "b", "zz"),     # null stat value in the min/max
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("v", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("s", T.StringType()),
+        ])
+    )
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:g",),
+        stats_columns=("v", "s"),
+    )
+    t.append(df, 0)
+    # long-string partition: s-min is a 64-char prefix (safe lower
+    # bound), s-max unbounded → an equals probe above the prefix still
+    # reads the partition (no false prune)
+    got = t.read(equals={"s": "x" * 300})
+    assert any("p_identity_g=a" in f for f in got.inputFiles())
+    assert got.count() == 0  # the always-applied row filter decides
+    # null stats value: partition g=b has v in {50, null} → bounds
+    # [50, 50]; equals v=50 keeps it, equals v=99 prunes it
+    assert t.read(equals={"v": 50}).count() == 1
+    pruned = t.read(equals={"v": 99})
+    assert not any("p_identity_g=b" in f for f in pruned.inputFiles())
+    assert pruned.count() == 0
+
+
+def test_stats_validation(spark, tmp_path, events):
+    t = FactTable(
+        spark, str(tmp_path / "f1"), spec=("day:ts",),
+        stats_columns=("nope",),
+    )
+    with pytest.raises(ValueError, match="not in table columns"):
+        t.append(events, 0)
+    t2 = FactTable(spark, str(tmp_path / "f2"), spec=("day:ts",))
+    t2.append(events, 0)
+    with pytest.raises(ValueError, match="not in table columns"):
+        t2.declare_stats(("nope",))
+    with pytest.raises(ValueError, match="at least one column"):
+        t2.declare_stats(())
+    # a validation failure must not have left a half-written batch
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "f1"), "data")
+    )
+
+
+def test_stats_timestamp_bounds(spark, tmp_path, events):
+    # ts as a stats column under an identity spec: time-range pruning
+    # WITHOUT a time transform — the manifest carries it
+    halves = [
+        events.filter(F.dayofmonth("ts") <= 15),
+        events.filter(F.dayofmonth("ts") > 15),
+    ]
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:event_type",),
+        stats_columns=("ts",),
+    )
+    for i, h in enumerate(halves):
+        t.append(h, i)
+    lo, hi = dt.datetime(2024, 1, 20), dt.datetime(2024, 1, 25)
+    got = t.read(between={"ts": (lo, hi)})
+    assert all("batch=1" in f for f in got.inputFiles())
+    want = events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    assert got.count() == want.count() > 0
