@@ -1702,6 +1702,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st41_fact_stats_skip"] = _st41
 
+    # st42: Bloom sidecar point lookups (Iceberg Puffin blobs / parquet
+    # bloom_filter metadata). The ingest batches are INTERLEAVED on
+    # event_id (id % 3), so every batch's min/max manifest bounds span
+    # the whole id domain and stats skipping prunes nothing for a point
+    # lookup — the per-leaf Bloom bitsets (sha256 double hashing,
+    # build ≡ probe pinned by pytest) are what narrow each equality read
+    # to the one leaf holding the key. Three mid-domain lookups union to
+    # the result; correctness must equal the raw events table under the
+    # same IN-list — sidecars are a pure skipping layer.
+    def _st42(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.fact import FactTable
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-factbloom-")
+        t = FactTable(
+            spark,
+            os.path.join(work, "fact"),
+            spec=("identity:event_type",),
+            stats_columns=("event_id",),
+        )
+        # ~14 bits/key at sf0.1 leaf sizes (≈6.7k keys/leaf) → ~1% FPR
+        t.declare_blooms(("event_id",), bits=131072)
+        for i in range(3):
+            t.append(ev.filter(F.col("event_id") % 3 == i), i)
+        n = ev.agg(F.max("event_id")).first()[0] + 1
+        keys = [n // 7, n // 2 + 1, (5 * n) // 6]
+        parts = [t.read(equals={"event_id": k}) for k in keys]
+        got = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return got.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+
+    q["st42_fact_bloom_lookup"] = _st42
+
     def _st26(spark: SparkSession, sf: str) -> DataFrame:
         """Write-audit-publish lifecycle: even half lands on main, odd
         half stages on a WAP branch (re-delivery of the even batch is
@@ -5133,6 +5171,20 @@ WHERE event_type = 'view'
   AND ts >= TIMESTAMP '2024-01-12 00:00:00'
   AND ts <  TIMESTAMP '2024-01-19 00:00:00'
 GROUP BY 1
+""".strip()
+
+    # st42: sidecar skipping is a pure performance layer — the three
+    # point lookups must equal the raw table under the same IN-list.
+    o["st42_fact_bloom_lookup"] = """
+WITH n AS (SELECT max(event_id) + 1 AS n FROM events)
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+WHERE event_id IN (
+    SELECT n // 7 FROM n
+    UNION ALL SELECT n // 2 + 1 FROM n
+    UNION ALL SELECT (5 * n) // 6 FROM n
+)
 """.strip()
 
     # st21: layout evolution + migration are storage-layout-only — the

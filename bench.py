@@ -133,6 +133,7 @@ def main() -> None:
     job_queries_extra = [
         "j6_colocated_join",    # bucketed SMB export x2 + zero-Exchange full-outer churn audit
         "st41_fact_stats_skip",  # 3-batch fact ingest + manifest-stats-pruned census
+        "st42_fact_bloom_lookup",  # bloom-sidecar build + 3 point lookups (1 leaf each)
     ]
 
     # Streaming jobs: the closure stages files + runs the whole stream per

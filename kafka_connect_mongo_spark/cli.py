@@ -246,6 +246,17 @@ def main(argv: list[str] | None = None) -> None:
     pfa.add_argument("--partitions", action="store_true",
                      help="include the partitions metadata table")
     pfa.add_argument("--max-files-per-trigger", type=int, default=8)
+    pfa.add_argument("--declare-blooms", default=None,
+                     help="comma-separated string/integer columns to get "
+                     "Bloom sidecars (Iceberg Puffin analog) for equality "
+                     "skipping on future batches; compact back-fills")
+    pfa.add_argument("--bloom-bits", type=int, default=4096,
+                     help="bitset width per partition leaf (size ~14x "
+                     "expected distinct keys per leaf for ~1%% FPR)")
+    pfa.add_argument("--lookup", action="append", default=None,
+                     metavar="COL=VALUE",
+                     help="point lookup: repeatable equality predicate; "
+                     "prints matched rows + files actually scanned")
 
     pdr = sub.add_parser(
         "drift",
@@ -712,10 +723,36 @@ def main(argv: list[str] | None = None) -> None:
                 "batches": [s for s in stats if not s.get("skipped")],
                 "skipped": sum(1 for s in stats if s.get("skipped")),
             }
+        if args.declare_blooms:
+            cols = tuple(
+                c for c in args.declare_blooms.split(",") if c
+            )
+            out["blooms"] = table.declare_blooms(cols, bits=args.bloom_bits)
         if args.compact:
             out["compact"] = table.compact()
         if args.partitions:
             out["partitions"] = table.partitions()
+        if args.lookup:
+            equals = {}
+            types = {
+                f["name"]: f["type"]
+                for f in (table.meta["schema"] or {"fields": []})["fields"]
+            }
+            for item in args.lookup:
+                if "=" not in item:
+                    raise SystemExit(f"fact: --lookup wants COL=VALUE, got {item!r}")
+                col, _, val = item.partition("=")
+                equals[col] = (
+                    int(val)
+                    if types.get(col) in ("byte", "short", "integer", "long")
+                    else val
+                )
+            got = table.read(equals=equals)
+            out["lookup"] = {
+                "equals": {k: str(v) for k, v in equals.items()},
+                "rows": got.count(),
+                "files_scanned": len(got.inputFiles()),
+            }
         out["rows"] = table.read().count() if table.meta["schema"] else 0
         print(json.dumps(out))
     elif args.cmd == "drift":

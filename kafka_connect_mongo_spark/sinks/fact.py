@@ -192,6 +192,54 @@ def _unescape(value: str) -> str:
     return unquote(value)
 
 
+# -- Bloom sidecars (Iceberg Puffin / parquet bloom_filter analog) ----------
+
+PUFFIN_NAME = "_puffin.json"
+
+#: column types a Bloom sidecar can index: the hashed key is the value's
+#: CANONICAL STRING form, which must render identically in the JVM
+#: (``CAST(col AS STRING)`` at build time) and in Python (``str(v)`` at
+#: lookup time). Integers and strings render identically by construction;
+#: floats/timestamps do NOT (format drift would silently break membership,
+#: i.e. wrongly prune live rows), so they are refused at declare time.
+_BLOOM_TYPES = _INTEGRAL + ("string",)
+
+
+def _bloom_positions(value, bits: int, k: int) -> list[int]:
+    """The k bit positions for ``value`` — Kirsch-Mitzenmacher double
+    hashing over sha256. MUST stay bit-identical to
+    ``_bloom_position_cols``: h1 = first 15 hex chars (60 bits), h2 =
+    next 15, position_i = (h1 + i * (h2 % bits)) % bits. All terms stay
+    far below 2**63, so JVM long arithmetic and Python ints agree."""
+    hx = hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+    h1 = int(hx[0:15], 16)
+    h2m = int(hx[15:30], 16) % bits
+    return [(h1 + i * h2m) % bits for i in range(k)]
+
+
+def _bloom_position_cols(col: F.Column, bits: int, k: int) -> list[F.Column]:
+    """Spark-side twin of ``_bloom_positions`` — pure built-in Columns
+    (sha2/conv/pmod), whole-stage codegen, no UDF. ``conv`` of 15 hex
+    chars maxes at 2**60-1: no sign bit, no overflow in h1 + i*h2m."""
+    h = F.sha2(col.cast("string"), 256)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2m = F.pmod(F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
+                 F.lit(bits))
+    return [F.pmod(h1 + F.lit(i) * h2m, F.lit(bits)) for i in range(k)]
+
+
+def _bloom_contains(hex_bitset: str, positions: list[int]) -> bool:
+    """Membership test against the dense hex encoding (16 hex chars per
+    64-bit word, word w = bits [64w, 64w+64), bit b = 1 << b within its
+    word)."""
+    for pos in positions:
+        w = pos >> 6
+        word = int(hex_bitset[w * 16:(w + 1) * 16], 16)
+        if not (word >> (pos & 63)) & 1:
+            return False
+    return True
+
+
 class FactTable:
     """Hidden-partitioned append-only table rooted at ``root``.
 
@@ -206,11 +254,13 @@ class FactTable:
         root: str,
         spec: tuple[str, ...] | None = None,
         stats_columns: tuple[str, ...] | None = None,
+        bloom_columns: tuple[str, ...] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self._meta_path = os.path.join(root, META_NAME)
         self._manifest_cache: dict[str, dict | None] = {}
+        self._puffin_cache: dict[str, dict | None] = {}
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
@@ -242,6 +292,10 @@ class FactTable:
             "committed_extra": [],
             "schema": None,  # StructType.jsonValue() after first append
             "stats_columns": list(stats_columns or ()),
+            "bloom": (
+                {"columns": list(bloom_columns), "bits": 4096, "k": 7}
+                if bloom_columns else None
+            ),
             "generation": 0,
         }
         self._generation = 0
@@ -358,10 +412,20 @@ class FactTable:
                     for f in df.schema.fields
                 ],
             )
+        bloom = self.meta.get("bloom")
+        if bloom:
+            self._validate_bloom_cols(
+                bloom["columns"],
+                [
+                    {"name": f.name, "type": f.dataType.typeName()}
+                    for f in df.schema.fields
+                ],
+            )
         if os.path.exists(target):
             shutil.rmtree(target, ignore_errors=True)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
         self._write_manifest(target, df.schema, pcols)
+        self._write_puffin(target, df.schema, pcols)
         if stored is None:
             self.meta["schema"] = df.schema.jsonValue()
         try:
@@ -432,6 +496,179 @@ class FactTable:
         self.meta["stats_columns"] = list(cols)
         self._write_meta()
         return {"stats_columns": list(cols)}
+
+    # -- Bloom sidecars (Iceberg Puffin blob / parquet bloom_filter) -------
+
+    def _validate_bloom_cols(self, cols, schema_fields) -> None:
+        types = {f["name"]: f["type"] for f in schema_fields}
+        for c in cols:
+            if c not in types:
+                raise ValueError(
+                    f"bloom column {c!r} not in table columns "
+                    f"{sorted(types)}"
+                )
+            if types[c] not in _BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {types[c]!r} — Bloom "
+                    f"sidecars hash the canonical string form, which only "
+                    f"{sorted(_BLOOM_TYPES)} render identically in the JVM "
+                    f"and in Python (floats/timestamps would drift and "
+                    f"wrongly prune live rows)"
+                )
+
+    def declare_blooms(
+        self, cols: tuple[str, ...], bits: int = 4096, k: int = 7
+    ) -> dict:
+        """Declare Bloom-filter sidecars for point-lookup (``equals``)
+        pruning on high-cardinality DATA columns the partition transforms
+        and min/max manifests can't make selective — the in-sandbox
+        analog of Iceberg's Puffin blobs / parquet ``bloom_filter``
+        column metadata.
+
+        Each batch (and each compacted base) gets one ``_puffin.json``
+        beside its ``_manifest.json``: per partition leaf, per declared
+        column, a ``bits``-wide bitset (k sha256-derived probes per
+        value, Kirsch-Mitzenmacher). ``read(equals={col: v})`` then
+        skips every leaf whose bitset provably lacks ``v`` — false
+        positives only cost a read; false negatives are impossible
+        because build and probe share one hash definition
+        (``_bloom_positions`` ≡ ``_bloom_position_cols``, pinned by
+        pytest). Sidecars are self-describing (bits/k stored per file),
+        so re-declaring with different parameters never corrupts
+        history; absent sidecars read conservatively and ``compact()``
+        back-fills them.
+
+        Size ``bits`` ≈ 14× the expected distinct values per partition
+        leaf for ~1% false positives (k=7's optimum). At 10^10 rows/day
+        under day+bucket[256] partitioning that is a few MB of sidecar
+        per day — manifest-scale metadata buying point lookups that
+        touch one leaf instead of every file of the day."""
+        if not cols:
+            raise ValueError("declare_blooms: pass at least one column")
+        if bits < 64 or bits % 64:
+            raise ValueError(
+                f"declare_blooms: bits must be a positive multiple of 64 "
+                f"(got {bits})"
+            )
+        if k < 1:
+            raise ValueError(f"declare_blooms: k must be >= 1 (got {k})")
+        if self.meta["schema"] is not None:
+            self._validate_bloom_cols(cols, self.meta["schema"]["fields"])
+        self.meta["bloom"] = {"columns": list(cols), "bits": bits, "k": k}
+        self._write_meta()
+        return dict(self.meta["bloom"])
+
+    def _write_puffin(
+        self, target: str, data_schema: T.StructType, pcols: list[str]
+    ) -> None:
+        """One column-pruned scan of the just-written batch → per
+        partition leaf, per bloom column, a dense bitset. The k probe
+        positions per value explode to (leaf, column, word) groups and
+        ``bit_or``-fold map-side, so the shuffle carries at most
+        |leafs| × |columns| × bits/64 rows regardless of batch size;
+        the driver only assembles hex words. No UDF anywhere."""
+        bl = self.meta.get("bloom")
+        if not bl:
+            return
+        cols, bits, k = bl["columns"], bl["bits"], bl["k"]
+        read_schema = T.StructType(
+            [f for f in data_schema.fields]
+            + [T.StructField(p, T.StringType()) for p in pcols]
+        )
+        df = self.spark.read.schema(read_schema).parquet(target)
+        tagged = []
+        for ci, c in enumerate(cols):
+            arr = F.array(*[
+                F.struct(
+                    F.lit(ci).alias("ci"), pos.alias("pos")
+                )
+                for pos in _bloom_position_cols(F.col(c), bits, k)
+            ])
+            # null keys are never added; a lookup for NULL can't use the
+            # bloom (callers can't express it via equals anyway)
+            tagged.append(
+                F.when(
+                    F.col(c).isNull(),
+                    F.array().cast("array<struct<ci:int,pos:bigint>>"),
+                ).otherwise(arr)
+            )
+        words = (
+            df.select(*pcols, F.explode(F.concat(*tagged)).alias("x"))
+            .select(
+                *pcols,
+                F.col("x.ci").alias("ci"),
+                F.shiftright(F.col("x.pos"), 6).alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(x.pos, 64) AS INT))"
+                ).alias("m"),
+            )
+            .groupBy(*pcols, "ci", "w")
+            .agg(F.bit_or("m").alias("bits"))
+            .collect()
+        )
+        n_words = bits // 64
+        leafs: dict[tuple, list[list[int]]] = {}
+        for r in words:
+            key = tuple(
+                r[p] if r[p] is not None else HIVE_NULL for p in pcols
+            )
+            per_col = leafs.setdefault(key, [[0] * n_words for _ in cols])
+            per_col[r["ci"]][r["w"]] = r["bits"] & 0xFFFFFFFFFFFFFFFF
+        parts = []
+        for key, per_col in leafs.items():
+            parts.append({
+                "values": list(key),
+                "blooms": {
+                    c: "".join(f"{w:016x}" for w in per_col[ci])
+                    for ci, c in enumerate(cols)
+                },
+            })
+        path = os.path.join(target, PUFFIN_NAME)
+        with open(path, "w") as f:
+            json.dump(
+                {"columns": cols, "bits": bits, "k": k,
+                 "partitions": parts},
+                f,
+            )
+        self._puffin_cache[target] = None
+
+    def _puffin_for(self, batch_dir: str) -> dict | None:
+        cached = self._puffin_cache.get(batch_dir)
+        if cached is not None:
+            return cached
+        p = os.path.join(batch_dir, PUFFIN_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            raw = json.load(f)
+        out = {
+            "columns": raw["columns"],
+            "bits": raw["bits"],
+            "k": raw["k"],
+            "index": {
+                tuple(part["values"]): part["blooms"]
+                for part in raw["partitions"]
+            },
+        }
+        self._puffin_cache[batch_dir] = out
+        return out
+
+    @staticmethod
+    def _bloom_excludes(puffin: dict, vals: tuple, equals: dict) -> bool:
+        """True iff some bloom PROVES the leaf lacks an equality key.
+        Missing leaf entries / undeclared columns / null probes never
+        exclude."""
+        blooms = puffin["index"].get(vals)
+        if blooms is None:
+            return False
+        for col, v in equals.items():
+            if v is None or col not in blooms:
+                continue
+            positions = _bloom_positions(v, puffin["bits"], puffin["k"])
+            if not _bloom_contains(blooms[col], positions):
+                return True
+        return False
 
     def _write_manifest(
         self, target: str, data_schema: T.StructType, pcols: list[str]
@@ -586,10 +823,13 @@ class FactTable:
                 frontier = nxt
             # second pruning stage: the batch's column-stats manifest —
             # bounds over DATA columns the transforms can't see (Iceberg
-            # manifest min/max skipping). Absent manifest = conservative.
+            # manifest min/max skipping); third stage: Bloom sidecars for
+            # equality keys too high-cardinality for bounds to help.
+            # Absent manifest/sidecar = conservative.
             if frontier and (equals or between):
                 mf = self._manifest_for(d)
-                if mf is not None:
+                pf = self._puffin_for(d) if equals else None
+                if mf is not None or pf is not None:
                     kept = []
                     for leaf in frontier:
                         rel = os.path.relpath(leaf, d)
@@ -601,11 +841,17 @@ class FactTable:
                             if rel != "."
                             else ()
                         )
-                        stats = mf["index"].get(vals)
-                        if stats is None or not self._stats_exclude(
-                            stats, equals, between
+                        if mf is not None:
+                            stats = mf["index"].get(vals)
+                            if stats is not None and self._stats_exclude(
+                                stats, equals, between
+                            ):
+                                continue
+                        if pf is not None and self._bloom_excludes(
+                            pf, vals, equals
                         ):
-                            kept.append(leaf)
+                            continue
+                        kept.append(leaf)
                     frontier = kept
             leafs.extend(frontier)
         return leafs
@@ -882,9 +1128,13 @@ class FactTable:
         if order:
             out = out.sortWithinPartitions(*pcols, *order)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(target)
-        # the rewrite back-fills stats for the whole folded history —
-        # batches appended before declare_stats() become prunable here
+        # the rewrite back-fills stats AND bloom sidecars for the whole
+        # folded history — batches appended before declare_stats() /
+        # declare_blooms() become prunable here
         self._write_manifest(
+            target, T.StructType.fromJson(self.meta["schema"]), pcols
+        )
+        self._write_puffin(
             target, T.StructType.fromJson(self.meta["schema"]), pcols
         )
         old = list(self.meta["commits"])

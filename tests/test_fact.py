@@ -598,3 +598,239 @@ def test_stats_timestamp_bounds(spark, tmp_path, events):
     assert all("batch=1" in f for f in got.inputFiles())
     want = events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
     assert got.count() == want.count() > 0
+
+
+# -- Bloom sidecars (Iceberg Puffin / parquet bloom_filter analog) ----------
+
+
+def test_bloom_positions_python_spark_parity(spark):
+    """The build (Spark Columns) and the probe (Python) MUST share one
+    hash definition — a drift here silently prunes live rows. Pin it by
+    computing the same positions both ways for strings and integers
+    (including negatives and values that exercise high hex digits)."""
+    from kafka_connect_mongo_spark.sinks.fact import (
+        _bloom_position_cols,
+        _bloom_positions,
+    )
+
+    values = ["abc", "", "dbA.collection1", "-17", 0, -17, 999, 2**40 + 3]
+    bits, k = 4096, 7
+    df = spark.createDataFrame(
+        [(str(i), v if isinstance(v, str) else None,
+          v if isinstance(v, int) else None)
+         for i, v in enumerate(values)],
+        "idx string, s string, n long",
+    )
+    rows = {}
+    for col in ("s", "n"):
+        got = df.filter(F.col(col).isNotNull()).select(
+            "idx", F.array(*_bloom_position_cols(F.col(col), bits, k)).alias("p")
+        ).collect()
+        for r in got:
+            rows[int(r["idx"])] = list(r["p"])
+    for i, v in enumerate(values):
+        assert rows[i] == _bloom_positions(v, bits, k), v
+
+
+def _interleaved_batches(events):
+    """Three batches INTERLEAVED on event_id (id % 3): every batch's
+    min/max bounds span the whole domain, so the stats manifest prunes
+    NOTHING for an event_id point lookup — only the bloom can."""
+    return [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+
+def test_bloom_point_lookup_prunes_and_matches(spark, tmp_path, events):
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:event_type",),
+        stats_columns=("event_id",), bloom_columns=("event_id",),
+    )
+    for i, b in enumerate(_interleaved_batches(events)):
+        t.append(b, i)
+    # a MID-domain key: interleaving makes every leaf's [min, max] span
+    # it (bounds only ever catch domain extremes), so the stats manifest
+    # prunes nothing — the bloom narrows to the one leaf (batch ×
+    # event_type) actually holding the key
+    target = events.agg(F.max("event_id")).first()[0] // 2 + 1
+    all_leafs = t._pruned_dirs(None, None)
+    stats_only = t._pruned_dirs(None, {"event_id": (target, target + 1)})
+    bloomed = t._pruned_dirs({"event_id": target}, None)
+    assert len(stats_only) == len(all_leafs)
+    assert len(bloomed) == 1
+    got = t.read(equals={"event_id": target})
+    want = events.filter(F.col("event_id") == target)
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+    assert len(got.inputFiles()) < len(t.read().inputFiles())
+    # an absent key is PROVEN absent by the sidecars alone: zero leafs,
+    # zero rows, no data scan
+    assert t._pruned_dirs({"event_id": target + 10**9}, None) == []
+    assert t.read(equals={"event_id": target + 10**9}).count() == 0
+
+
+def test_bloom_never_false_negative(spark, tmp_path, events):
+    """False positives cost a read; false negatives lose rows. Probe
+    every 17th live key through the driver-side pruner and require the
+    holding leaf to survive."""
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:event_type",),
+        bloom_columns=("event_id",),
+    )
+    for i, b in enumerate(_interleaved_batches(events)):
+        t.append(b, i)
+    keys = [
+        r["event_id"]
+        for r in events.select("event_id").collect()
+        if r["event_id"] % 17 == 0
+    ]
+    for key in keys:
+        assert t._pruned_dirs({"event_id": key}, None), key
+
+
+def test_bloom_absent_sidecar_conservative_and_compact_backfills(
+    spark, tmp_path, events
+):
+    b0, b1, b2 = _interleaved_batches(events)
+    t = FactTable(spark, str(tmp_path / "fact"), spec=("identity:event_type",))
+    t.append(b0, 0)  # appended BEFORE blooms were declared: no sidecar
+    t.declare_blooms(("event_id",), bits=8192)
+    t.append(b1, 1)
+    t.append(b2, 2)
+    # a key living in batch 1: batch 0 read conservatively (no sidecar),
+    # batch 2 pruned by its bloom
+    key = events.filter(F.col("event_id") % 3 == 1).agg(
+        F.max("event_id")
+    ).first()[0]
+    got = t.read(equals={"event_id": key})
+    files = got.inputFiles()
+    assert any("batch=0" in f for f in files)
+    assert any("batch=1" in f for f in files)
+    assert not any("batch=2" in f for f in files)
+    assert got.count() == 1
+    # compact() back-fills sidecars for the folded history
+    t.compact()
+    t2 = FactTable(spark, t.root)
+    assert len(t2._pruned_dirs({"event_id": key}, None)) == 1
+    assert t2.read(equals={"event_id": key}).count() == 1
+    base = [
+        d
+        for d in os.listdir(os.path.join(t.root, "data", "spec=0"))
+        if d.startswith("batch=__base")
+    ][0]
+    assert os.path.exists(
+        os.path.join(t.root, "data", "spec=0", base, "_puffin.json")
+    )
+
+
+def test_bloom_null_keys_and_undeclared_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), (None, 2, "x"), ("b", 3, "y"), (None, 4, "y")],
+        "name string, n long, grp string",
+    )
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:grp",),
+        bloom_columns=("name",),
+    )
+    t.append(df, 0)
+    # live keys found; nulls were never inserted but never break a probe
+    assert t.read(equals={"name": "a"}).count() == 1
+    assert t.read(equals={"name": "zz"}).count() == 0
+    assert t._pruned_dirs({"name": "zz"}, None) == []
+    # None probe / undeclared column: conservative, row filter decides
+    assert t.read(equals={"n": 3}).count() == 1
+    assert t.read(equals={"name": None}).count() == 0
+
+
+def test_bloom_declare_validation(spark, tmp_path, events):
+    t = FactTable(spark, str(tmp_path / "fact"), spec=("day:ts",))
+    t.append(events, 0)
+    with pytest.raises(ValueError, match="not in table columns"):
+        t.declare_blooms(("nope",))
+    with pytest.raises(ValueError, match="render identically"):
+        t.declare_blooms(("value",))  # double: canonical form drifts
+    with pytest.raises(ValueError, match="render identically"):
+        t.declare_blooms(("ts",))  # timestamp: same reason
+    with pytest.raises(ValueError, match="multiple of 64"):
+        t.declare_blooms(("event_id",), bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        t.declare_blooms(("event_id",), k=0)
+    with pytest.raises(ValueError, match="at least one column"):
+        t.declare_blooms(())
+    # declared pre-schema on a fresh table: the FIRST append validates
+    # before any byte lands
+    t2 = FactTable(
+        spark, str(tmp_path / "f2"), spec=("day:ts",),
+        bloom_columns=("value",),
+    )
+    with pytest.raises(ValueError, match="render identically"):
+        t2.append(events, 0)
+    assert not os.path.exists(os.path.join(str(tmp_path / "f2"), "data"))
+
+
+def test_bloom_retry_rewrites_sidecar(spark, tmp_path, events):
+    """A crashed append retried with DIFFERENT rows (upstream replay
+    variance) must leave sidecars describing the retried data, not the
+    half-written attempt's."""
+    t = FactTable(
+        spark, str(tmp_path / "fact"), spec=("identity:event_type",),
+        bloom_columns=("event_id",),
+    )
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    spec_dir = os.path.join(t.root, "data", "spec=0")
+    # simulate the half-written attempt: data + sidecar on disk, meta
+    # never committed
+    t.append(first_half, 0)
+    t.meta["commits"] = []
+    t.meta["committed_watermark"] = -1
+    t._write_meta()
+    t._puffin_cache.clear()
+    # retry with the full batch
+    t.append(events, 0)
+    assert os.path.exists(os.path.join(spec_dir, "batch=0", "_puffin.json"))
+    odd = events.filter(F.col("event_id") % 2 == 1).agg(
+        F.max("event_id")
+    ).first()[0]
+    got = t.read(equals={"event_id": odd})
+    assert got.count() == 1
+
+
+def test_cli_fact_bloom_lookup(spark, tmp_path_factory, sf_dir):
+    """Out-of-process bloom surface: declare → compact back-fills →
+    --lookup prunes the scan and reports files actually read."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    work = tmp_path_factory.mktemp("cli-bloom")
+    staged = str(work / "staged")
+    os.makedirs(staged)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tmp = str(work / "one")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.replace(os.path.join(tmp, part), os.path.join(staged, "f0.parquet"))
+    root = str(work / "fact")
+
+    def run(*extra):
+        return subprocess.run(
+            [_sys.executable, "-m", "kafka_connect_mongo_spark.cli",
+             "fact", "--table", root, *extra],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+
+    r = run("--spec", "identity:event_type", "--ingest", staged,
+            "--checkpoint", str(work / "ckpt"))
+    assert r.returncode == 0, r.stderr[-1500:]
+    # declare + compact (back-fill) + a live and an absent lookup
+    key = ev.agg(F.max("event_id")).first()[0] // 2 + 1
+    r = run("--declare-blooms", "event_id", "--bloom-bits", "65536",
+            "--compact", "--lookup", f"event_id={key}")
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["blooms"]["columns"] == ["event_id"]
+    assert out["lookup"]["rows"] == 1
+    assert out["lookup"]["files_scanned"] == 1
+    r = run("--lookup", "event_id=99999999")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["lookup"] == {
+        "equals": {"event_id": "99999999"}, "rows": 0, "files_scanned": 0,
+    }
