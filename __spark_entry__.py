@@ -1478,6 +1478,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st10_time_travel"] = _st10
 
+    # st43: row-level predicate DELETE (Iceberg v2 equality deletes,
+    # merge-on-read). Replay the even half, DELETE FROM ... WHERE the
+    # payload's lang is python, then replay the odd half: deleted keys
+    # must vanish UNLESS a later CDC op re-inserts them — the tombstone
+    # is ordered just above its victim (ts, inc+1, seq) so any
+    # subsequent oplog event on the key wins LWW over it. Final state =
+    # LWW over (full feed ∪ synthesized tombstones).
+    def _st43(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-predel-",
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
+        f1 = os.path.join(staged, "f1.parquet")
+        parked = os.path.join(work, "f1.parked")
+        stat = os.stat(f1)
+        os.replace(f1, parked)  # odd half not yet arrived
+        root = os.path.join(work, "lake")
+        table = LakeTable(spark, root, n_buckets=16, payload_col="object")
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        table.delete_where(
+            "get_json_object(object, '$.lang') = 'py'", "predel-0"
+        )
+        os.replace(parked, f1)
+        os.utime(f1, (stat.st_atime, stat.st_mtime))
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return LakeTable(spark, root).read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st43_predicate_delete"] = _st43
+
     # Changelog VIEW between two snapshots: the NET per-key change set
     # (added | updated | deleted), robust to intermediate updates —
     # what read_changes' raw rows are not.
@@ -5095,6 +5137,28 @@ FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
     # st14: rollback + expire + vacuum must land the live table on
     # exactly the snapshot-0 state — st10's even-half oracle verbatim.
     o["st14_rollback"] = o["st10_time_travel"]
+
+    # st43: predicate DELETE between the two halves — replicate the
+    # engine's tombstone synthesis exactly (victim's ts/seq, inc+1,
+    # op='d', null payload over the even-half LWW winners matching the
+    # predicate), then LWW over feed ∪ tombstones. Keys deleted at the
+    # cut vanish unless an odd-half op outranks the tombstone.
+    o["st43_predicate_delete"] = f"""
+WITH f AS ({feed}),
+pre AS (SELECT * FROM f WHERE seq % 2 = 0),
+w AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM pre),
+del AS (SELECT ts, inc + 1 AS inc, seq, 'd' AS op, ns, id,
+               CAST(NULL AS JSON) AS object, initial_import
+        FROM w WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+          AND json_extract_string(object, '$.lang') = 'py'),
+u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
+      UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM del),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
 
     # a16: bucketed drift census between the snapshot-0 state and the
     # final state. Bucket = clamped integer division (engines agree for

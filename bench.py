@@ -179,6 +179,7 @@ def main() -> None:
         "st38_fact_hidden_partitioning",  # hidden-partitioned fact append + pruned census
         "st39_fact_stream_compact",  # streaming fact drain + rewrite_data_files
         "st40_streaming_compat",  # streamed writer-schema censuses + compat report
+        "st43_predicate_delete",  # MoR DELETE WHERE between two replay halves
     ] + job_queries_extra
 
     def run_noop(df) -> None:

@@ -1747,6 +1747,66 @@ class LakeTable:
             "files_removed": len(obsolete) + swept["removed"],
         }
 
+    def delete_where(
+        self, predicate, batch_id: int | str
+    ) -> dict:
+        """Row-level ``DELETE FROM table WHERE predicate`` — Iceberg v2
+        equality deletes, CDC-consistent.
+
+        The predicate (SQL string or Column over the table's LOGICAL
+        columns) selects rows of the CURRENT merge-on-read state; each
+        match becomes an EQUALITY TOMBSTONE (op='d', null payload)
+        written through the normal exactly-once ``upsert``, so only the
+        matched keys' buckets gain a delta (O(matches) bytes — never a
+        rewrite), retry is idempotent via ``batch_id``, and every
+        existing read/compact/snapshot path applies unchanged — exactly
+        how Iceberg's merge-on-read DELETE emits equality-delete files
+        against the matching partitions.
+
+        Ordering vs later CDC: the tombstone inherits its victim's
+        (ts, seq) with inc+1, which places it strictly ABOVE every
+        stored version of the key (the matched row IS the key's LWW
+        maximum, and (ts, inc+1) > (ts, inc)) and strictly BELOW any
+        feed event that arrives later in the oplog's (ts, inc) domain —
+        Mongo's (ts, inc) pairs are monotone per oplog, so a subsequent
+        op on the key carries (ts', inc') > (ts, inc), ≥ (ts, inc+1)
+        with the globally-unique seq breaking the one possible tie. A
+        deleted key therefore re-inserts on its next upstream change —
+        DELETE removes state, it never blocks the stream. (Contrast
+        ``scrub_keys``: that is physical right-to-be-forgotten erasure
+        of every stored version; this is a logical delete that keeps
+        history and time travel intact.)"""
+        if self.is_committed(batch_id):
+            return {
+                "batch_id": str(batch_id), "skipped": True,
+                "deleted_keys": 0,
+            }
+        state = self.read()
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        matched = state.filter(cond)
+        types = {f.name: f.dataType for f in state.schema.fields}
+        keep = {self.key, "ns", "ts", "seq"}
+        cols = []
+        for c in state.columns:
+            if c in keep:
+                cols.append(F.col(c))
+            elif c == "inc":
+                cols.append(
+                    (F.col("inc") + F.lit(1)).cast(types["inc"]).alias("inc")
+                )
+            elif c == "op":
+                cols.append(F.lit("d").cast(types["op"]).alias("op"))
+            else:
+                # payload + data columns: a tombstone carries no values
+                cols.append(F.lit(None).cast(types[c]).alias(c))
+        tomb = matched.select(*cols).persist()
+        try:
+            n = tomb.count()
+            stats = self.upsert(tomb, batch_id)
+        finally:
+            tomb.unpersist()
+        return {**stats, "deleted_keys": n}
+
     # -- snapshot lifecycle --------------------------------------------------
 
     def _snapshot_for(self, batch_id: int | str, op: str) -> dict:

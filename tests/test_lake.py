@@ -1583,3 +1583,96 @@ def test_rename_then_drop_blocks_both_names(tmp_path, spark):
                 ),
                 2,
             )
+
+
+# -- delete_where: Iceberg v2 merge-on-read predicate DELETE ----------------
+
+
+def _dw_table(spark, tmp_path):
+    import json as _json
+
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "dw"), n_buckets=4,
+                  payload_col="object", max_deltas=100)
+    df = spark.createDataFrame(
+        [(key(i), 100, 0, i, "i",
+          _json.dumps({"_id": key(i), "lang": "py" if i % 2 else "go",
+                       "n": i}), "t.a")
+         for i in range(20)],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string",
+    )
+    t.upsert(df, 0)
+    return t
+
+
+def test_delete_where_removes_matches_only(spark, tmp_path):
+    t = _dw_table(spark, tmp_path)
+    stats = t.delete_where(
+        "get_json_object(object, '$.lang') = 'py'", "del-0"
+    )
+    assert stats["deleted_keys"] == 10 and not stats["skipped"]
+    live = t.read()
+    assert live.count() == 10
+    assert live.filter(
+        F.get_json_object("object", "$.lang") == "py"
+    ).count() == 0
+    # logical delete: history keeps the tombstones (vs scrub_keys)
+    assert t.read(include_tombstones=True).count() == 20
+
+
+def test_delete_where_idempotent_retry(spark, tmp_path):
+    t = _dw_table(spark, tmp_path)
+    t.delete_where("get_json_object(object, '$.n') < 5", "del-1")
+    before = t.read().count()
+    again = t.delete_where("get_json_object(object, '$.n') < 5", "del-1")
+    assert again["skipped"] and again["deleted_keys"] == 0
+    assert t.read().count() == before
+
+
+def test_delete_where_column_predicate_and_empty_match(spark, tmp_path):
+    t = _dw_table(spark, tmp_path)
+    stats = t.delete_where(
+        F.get_json_object("object", "$.lang") == "rs", "del-2"
+    )
+    assert stats["deleted_keys"] == 0
+    assert t.read().count() == 20
+
+
+def test_delete_where_later_cdc_op_reinserts(spark, tmp_path):
+    """DELETE removes state, never blocks the stream: the tombstone sits
+    at (victim ts, inc+1) so a later oplog event on the key wins LWW,
+    while a re-delivery of the victim event itself stays deleted."""
+    import json as _json
+
+    t = _dw_table(spark, tmp_path)
+    t.delete_where("get_json_object(object, '$.lang') = 'py'", "del-3")
+    victim, other = key(1), key(3)
+    # later oplog event (higher ts) re-inserts its key
+    t.upsert(spark.createDataFrame(
+        [(victim, 200, 0, 100, "u",
+          _json.dumps({"_id": victim, "lang": "py", "n": 1}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b1")
+    # stale re-delivery of another victim's ORIGINAL event: loses to
+    # the tombstone's (ts, inc+1)
+    t.upsert(spark.createDataFrame(
+        [(other, 100, 0, 3, "i",
+          _json.dumps({"_id": other, "lang": "py", "n": 3}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b2")
+    ids = {r["id"] for r in t.read().collect()}
+    assert victim in ids and other not in ids
+    assert t.read().count() == 11  # 10 'go' rows + the re-insert
+
+
+def test_delete_where_time_travel_and_write_amplification(spark, tmp_path):
+    """The delete is O(matches): only buckets holding matches gain a
+    delta; pre-delete snapshots still show the rows."""
+    t = _dw_table(spark, tmp_path)
+    stats = t.delete_where("get_json_object(object, '$.n') = 7", "del-4")
+    assert stats["deleted_keys"] == 1
+    assert stats["buckets_touched"] == 1  # not a table rewrite
+    assert t.read_as_of(0).count() == 20  # time travel intact
+    assert t.read().count() == 19
