@@ -1520,6 +1520,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st43_predicate_delete"] = _st43
 
+    # st44: row-level predicate UPDATE (Iceberg v2 merge-on-read
+    # UPDATE) — delete_where's value-rewriting dual. Replay the even
+    # half, UPDATE ... SET payload WHERE lang is python (each match
+    # re-emitted at (ts, inc+1, seq) with op='u'), then replay the odd
+    # half: updated values survive unless a later CDC op on the key
+    # outranks (ts, inc+1); a stale re-delivery of the pre-update event
+    # cannot resurrect the old value. content_sha is a derived column,
+    # so the UPDATE sets it alongside the payload (the SQL-UPDATE
+    # contract). Final state = LWW over (full feed ∪ updated versions).
+    def _st44(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        work, staged = _stage_feed_files(
+            spark, sf, "cdc-predup-",
+            [F.col("seq") % 2 == 0, F.col("seq") % 2 == 1],
+        )
+        f1 = os.path.join(staged, "f1.parquet")
+        parked = os.path.join(work, "f1.parked")
+        stat = os.stat(f1)
+        os.replace(f1, parked)  # odd half not yet arrived
+        root = os.path.join(work, "lake")
+        table = LakeTable(spark, root, n_buckets=16, payload_col="object")
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        table.update_where(
+            "get_json_object(object, '$.lang') = 'py'",
+            {
+                "object": "concat('{\"_id\": \"', id, "
+                          "'\", \"content\": \"updated\"}')",
+                "content_sha": "sha2('updated', 256)",
+            },
+            "predup-0",
+        )
+        os.replace(parked, f1)
+        os.utime(f1, (stat.st_atime, stat.st_mtime))
+        run_replay_stream(
+            spark, staged, table, os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return LakeTable(spark, root).read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st44_predicate_update"] = _st44
+
     # Changelog VIEW between two snapshots: the NET per-key change set
     # (added | updated | deleted), robust to intermediate updates —
     # what read_changes' raw rows are not.
@@ -5154,6 +5204,30 @@ del AS (SELECT ts, inc + 1 AS inc, seq, 'd' AS op, ns, id,
           AND json_extract_string(object, '$.lang') = 'py'),
 u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
       UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM del),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st44: predicate UPDATE between the two halves — replicate the
+    # engine's version synthesis exactly (victim's ts/seq, inc+1,
+    # op='u', rewritten payload over the even-half LWW winners matching
+    # the predicate), then LWW over feed ∪ updated versions. The final
+    # content_sha re-derives from the payload, so both engines hash the
+    # same rewritten content.
+    o["st44_predicate_update"] = f"""
+WITH f AS ({feed}),
+pre AS (SELECT * FROM f WHERE seq % 2 = 0),
+w AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM pre),
+upd AS (SELECT ts, inc + 1 AS inc, seq, 'u' AS op, ns, id,
+               CAST(concat('{{"_id": "', id, '", "content": "updated"}}')
+                    AS JSON) AS object
+        FROM w WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+          AND json_extract_string(object, '$.lang') = 'py'),
+u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
+      UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM upd),
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha

@@ -180,6 +180,7 @@ def main() -> None:
         "st39_fact_stream_compact",  # streaming fact drain + rewrite_data_files
         "st40_streaming_compat",  # streamed writer-schema censuses + compat report
         "st43_predicate_delete",  # MoR DELETE WHERE between two replay halves
+        "st44_predicate_update",  # MoR UPDATE SET..WHERE between two replay halves
     ] + job_queries_extra
 
     def run_noop(df) -> None:

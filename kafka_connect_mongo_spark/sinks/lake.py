@@ -1807,6 +1807,89 @@ class LakeTable:
             tomb.unpersist()
         return {**stats, "deleted_keys": n}
 
+    def update_where(
+        self, predicate, assignments: dict, batch_id: int | str
+    ) -> dict:
+        """Row-level ``UPDATE table SET ... WHERE predicate`` — Iceberg
+        v2 merge-on-read UPDATE, CDC-consistent; ``delete_where``'s
+        value-rewriting dual.
+
+        ``predicate`` (SQL string or Column over LOGICAL columns)
+        selects rows of the CURRENT merge-on-read state; ``assignments``
+        maps column name → expression (SQL string or Column, evaluated
+        over the matched row — self-references like
+        ``replace(object, 'a', 'b')`` work). Each match is re-emitted
+        as a NEW VERSION at (victim ts, inc+1, seq) with op='u' and the
+        set columns replaced, written through the normal exactly-once
+        ``upsert`` — O(matches) delta bytes into only the matched keys'
+        buckets, never a rewrite, exactly how Iceberg's merge-on-read
+        UPDATE stages a delete file + a data file for the matching
+        rows. Idempotent retry via ``batch_id``; history + time travel
+        keep the pre-update versions.
+
+        Ordering is ``delete_where``'s argument verbatim: (ts, inc+1)
+        outranks every stored version of the key yet loses LWW to any
+        later oplog event, so an upstream change simply supersedes the
+        update while a stale re-delivery of the pre-update event cannot
+        resurrect the old value. Chained row-level ops compose: a
+        second ``update_where`` matches the inc+1 winner and writes at
+        inc+2.
+
+        The ordering/identity domain — the key, ``ts``/``inc``/``seq``,
+        ``op``, and ``ns`` (bucket + routing identity) — is not
+        settable; Iceberg's UPDATE likewise refuses identity/partition
+        source columns under row-level operation semantics.
+
+        Derived columns the table carries (e.g. a ``content_sha``
+        computed at ingest from the payload) are the CALLER's to keep
+        consistent: set them alongside the payload, exactly as a SQL
+        UPDATE must list every column it changes."""
+        frozen = {self.key, "ts", "inc", "seq", "op", "ns"}
+        bad = sorted(frozen.intersection(assignments))
+        if bad:
+            raise ValueError(
+                f"update_where cannot set ordering/identity columns {bad}; "
+                "emit a CDC event upstream to change them"
+            )
+        if not assignments:
+            raise ValueError("update_where requires at least one SET column")
+        state = self.read()
+        unknown = sorted(c for c in assignments if c not in state.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where SET columns {unknown} not in table columns "
+                f"{sorted(state.columns)}"
+            )
+        if self.is_committed(batch_id):
+            return {
+                "batch_id": str(batch_id), "skipped": True,
+                "updated_keys": 0,
+            }
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        matched = state.filter(cond)
+        types = {f.name: f.dataType for f in state.schema.fields}
+        cols = []
+        for c in state.columns:
+            if c == "inc":
+                cols.append(
+                    (F.col("inc") + F.lit(1)).cast(types["inc"]).alias("inc")
+                )
+            elif c == "op":
+                cols.append(F.lit("u").cast(types["op"]).alias("op"))
+            elif c in assignments:
+                e = assignments[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                cols.append(e.cast(types[c]).alias(c))
+            else:
+                cols.append(F.col(c))
+        upd = matched.select(*cols).persist()
+        try:
+            n = upd.count()
+            stats = self.upsert(upd, batch_id)
+        finally:
+            upd.unpersist()
+        return {**stats, "updated_keys": n}
+
     # -- snapshot lifecycle --------------------------------------------------
 
     def _snapshot_for(self, batch_id: int | str, op: str) -> dict:

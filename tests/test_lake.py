@@ -1676,3 +1676,110 @@ def test_delete_where_time_travel_and_write_amplification(spark, tmp_path):
     assert stats["buckets_touched"] == 1  # not a table rewrite
     assert t.read_as_of(0).count() == 20  # time travel intact
     assert t.read().count() == 19
+
+
+# -- update_where: Iceberg v2 merge-on-read predicate UPDATE ----------------
+
+
+def test_update_where_rewrites_matches_only(spark, tmp_path):
+    t = _dw_table(spark, tmp_path)
+    stats = t.update_where(
+        "get_json_object(object, '$.lang') = 'py'",
+        {"object": "concat('{\"_id\": \"', id, '\", \"lang\": \"py\", "
+                   "\"n\": 999}')"},
+        "upd-0",
+    )
+    assert stats["updated_keys"] == 10 and not stats["skipped"]
+    live = t.read()
+    assert live.count() == 20  # UPDATE never changes cardinality
+    py = live.filter(F.get_json_object("object", "$.lang") == "py")
+    assert py.count() == 10
+    assert {r["n"] for r in py.select(
+        F.get_json_object("object", "$.n").cast("long").alias("n")
+    ).collect()} == {999}
+    assert {r["op"] for r in py.select("op").collect()} == {"u"}
+    # unmatched rows untouched
+    go = live.filter(F.get_json_object("object", "$.lang") == "go")
+    assert go.filter(F.get_json_object("object", "$.n") == "999").count() == 0
+    # history keeps the pre-update versions
+    assert t.read_as_of(0).filter(
+        F.get_json_object("object", "$.n") == "999"
+    ).count() == 0
+
+
+def test_update_where_idempotent_retry(spark, tmp_path):
+    t = _dw_table(spark, tmp_path)
+    t.update_where("get_json_object(object, '$.n') < 5",
+                   {"object": "replace(object, '\"n\"', '\"m\"')"}, "upd-1")
+    before = t.read().filter(
+        F.get_json_object("object", "$.m").isNotNull()
+    ).count()
+    again = t.update_where(
+        "get_json_object(object, '$.n') < 5",
+        {"object": "replace(object, '\"n\"', '\"m\"')"}, "upd-1")
+    assert again["skipped"] and again["updated_keys"] == 0
+    assert t.read().filter(
+        F.get_json_object("object", "$.m").isNotNull()
+    ).count() == before == 5
+
+
+def test_update_where_rejects_bad_assignments(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _dw_table(spark, tmp_path)
+    for col in ("id", "ts", "inc", "seq", "op", "ns"):
+        with _pytest.raises(ValueError, match="ordering/identity"):
+            t.update_where("true", {col: "'x'"}, f"bad-{col}")
+    with _pytest.raises(ValueError, match="at least one SET"):
+        t.update_where("true", {}, "bad-empty")
+    with _pytest.raises(ValueError, match="not in table columns"):
+        t.update_where("true", {"nope": "'x'"}, "bad-unknown")
+    # nothing committed by the refused calls
+    assert t.read().count() == 20
+
+
+def test_update_where_later_cdc_supersedes_stale_loses(spark, tmp_path):
+    """The updated version sits at (victim ts, inc+1): a later oplog
+    event on the key supersedes the update, while a stale re-delivery
+    of the pre-update event cannot resurrect the old value."""
+    import json as _json
+
+    t = _dw_table(spark, tmp_path)
+    t.update_where("get_json_object(object, '$.lang') = 'py'",
+                   {"object": "replace(object, '\"py\"', '\"rs\"')"}, "upd-3")
+    victim, other = key(1), key(3)
+    # later oplog event (higher ts) wins over the update
+    t.upsert(spark.createDataFrame(
+        [(victim, 200, 0, 100, "u",
+          _json.dumps({"_id": victim, "lang": "py", "n": 1}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b1")
+    # stale re-delivery of another victim's ORIGINAL event: loses to
+    # the update's (ts, inc+1)
+    t.upsert(spark.createDataFrame(
+        [(other, 100, 0, 3, "i",
+          _json.dumps({"_id": other, "lang": "py", "n": 3}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b2")
+    live = {r["id"]: r["lang"] for r in t.read().select(
+        "id", F.get_json_object("object", "$.lang").alias("lang")
+    ).collect()}
+    assert live[victim] == "py"  # superseded by the later event
+    assert live[other] == "rs"   # stale original could not resurrect
+
+
+def test_update_where_chains_and_write_amplification(spark, tmp_path):
+    """Chained updates compose (second matches the inc+1 winner, writes
+    inc+2); each update touches only the matched keys' buckets."""
+    t = _dw_table(spark, tmp_path)
+    s1 = t.update_where("get_json_object(object, '$.n') = 7",
+                        {"object": "replace(object, '7', '70')"}, "upd-4a")
+    assert s1["updated_keys"] == 1 and s1["buckets_touched"] == 1
+    s2 = t.update_where("get_json_object(object, '$.n') = 70",
+                        {"object": "replace(object, '70', '700')"}, "upd-4b")
+    assert s2["updated_keys"] == 1
+    row = t.read().filter(
+        F.get_json_object("object", "$.n") == "700").collect()
+    assert len(row) == 1 and row[0]["inc"] == 2
+    assert t.read().count() == 20
+    assert t.read_as_of(0).count() == 20  # time travel intact
