@@ -1570,6 +1570,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st44_predicate_update"] = _st44
 
+    # st45: generic executed MERGE INTO — merge_into_sql's statement
+    # semantics run against the engine (the sandbox has no Iceberg jar,
+    # so the LakeTable executes the arms itself). Replay the full feed,
+    # derive a deterministic patch source from the final state (py keys
+    # → UPDATE arm, go keys → DELETE arm, every other lang under a
+    # fresh 'n-' key → NOT MATCHED INSERT), merge, read the final
+    # state: untouched rows (js/rs/java originals) keep their versions,
+    # first-match-wins arms synthesize versions at (ts, inc+1, seq).
+    def _st45(spark: SparkSession, sf: str) -> DataFrame:
+        table = _two_batch_lake(spark, sf, "cdc-mergeinto-")
+        base = table.read().select(
+            "id", "ts", "seq", "ns",
+            F.get_json_object("object", "$.lang").alias("lang"),
+        )
+        src = base.select(
+            F.when(F.col("lang").isin("py", "go"), F.col("id"))
+            .otherwise(F.concat(F.lit("n-"), F.col("id"))).alias("id"),
+            "lang", "ts", "seq", "ns",
+        )
+        table.merge_into(
+            src, "merge-0",
+            when_matched=[
+                ("update", "src_lang = 'py'", {
+                    "object": "concat('{\"_id\": \"', id, "
+                              "'\", \"content\": \"merged\"}')",
+                    "content_sha": "sha2('merged', 256)",
+                }),
+                ("delete", "src_lang = 'go'"),
+            ],
+            when_not_matched=(None, {
+                "ts": "src_ts", "seq": "src_seq", "ns": "src_ns",
+                "object": "concat('{\"_id\": \"', id, "
+                          "'\", \"content\": \"inserted\"}')",
+                "content_sha": "sha2('inserted', 256)",
+            }),
+        )
+        return table.read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st45_merge_into"] = _st45
+
     # Changelog VIEW between two snapshots: the NET per-key change set
     # (added | updated | deleted), robust to intermediate updates —
     # what read_changes' raw rows are not.
@@ -5228,6 +5270,39 @@ upd AS (SELECT ts, inc + 1 AS inc, seq, 'u' AS op, ns, id,
           AND json_extract_string(object, '$.lang') = 'py'),
 u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
       UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM upd),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st45: generic MERGE over the full-feed final state — replicate
+    # each arm's version synthesis over the LWW winners (source = py/go
+    # keys as themselves, other langs as fresh 'n-' keys), then LWW
+    # over feed ∪ synthesized versions. The source derives injectively
+    # from the winners, so the matched-arm joins collapse to predicates
+    # on the winners themselves.
+    o["st45_merge_into"] = f"""
+WITH f AS ({feed}),
+r0 AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM f),
+w AS (SELECT *, json_extract_string(object, '$.lang') AS lang
+      FROM r0 WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL),
+upd AS (SELECT ts, inc + 1 AS inc, seq, 'u' AS op, ns, id,
+               CAST(concat('{{"_id": "', id, '", "content": "merged"}}')
+                    AS JSON) AS object
+        FROM w WHERE lang = 'py'),
+del AS (SELECT ts, inc + 1 AS inc, seq, 'd' AS op, ns, id,
+               CAST(NULL AS JSON) AS object
+        FROM w WHERE lang = 'go'),
+ins AS (SELECT ts, 0 AS inc, seq, 'i' AS op, ns, concat('n-', id) AS id,
+               CAST(concat('{{"_id": "n-', id,
+                           '", "content": "inserted"}}') AS JSON) AS object
+        FROM w WHERE lang IS NULL OR lang NOT IN ('py', 'go')),
+u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
+      UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM upd
+      UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM del
+      UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM ins),
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha

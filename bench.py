@@ -181,6 +181,7 @@ def main() -> None:
         "st40_streaming_compat",  # streamed writer-schema censuses + compat report
         "st43_predicate_delete",  # MoR DELETE WHERE between two replay halves
         "st44_predicate_update",  # MoR UPDATE SET..WHERE between two replay halves
+        "st45_merge_into",  # generic 3-arm MERGE INTO over the full-feed state
     ] + job_queries_extra
 
     def run_noop(df) -> None:

@@ -1783,3 +1783,132 @@ def test_update_where_chains_and_write_amplification(spark, tmp_path):
     assert len(row) == 1 and row[0]["inc"] == 2
     assert t.read().count() == 20
     assert t.read_as_of(0).count() == 20  # time travel intact
+
+
+# -- merge_into: generic executed MERGE with arbitrary WHEN arms ------------
+
+
+def _merge_src(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, action string, ts long, seq long, patch string")
+
+
+def test_merge_into_three_arms(spark, tmp_path):
+    """UPDATE / DELETE / INSERT arms in one statement; untouched rows
+    keep their versions; conditions see src_ columns."""
+    import json as _json
+
+    t = _dw_table(spark, tmp_path)  # 20 rows, lang py (odd n) / go (even n)
+    src = _merge_src(spark, [
+        (key(1), "patch", 500, 1000, "P1"),   # matched, update arm
+        (key(2), "drop", 500, 1001, None),    # matched, delete arm
+        (key(99), "add", 500, 1002, "NEW"),   # not matched, insert arm
+        (key(3), "noop", 500, 1003, None),    # matched, NO arm satisfied
+    ])
+    stats = t.merge_into(
+        src, "m-0",
+        when_matched=[
+            ("update", "src_action = 'patch'",
+             {"object": "concat('{\"_id\": \"', id, '\", \"v\": \"', "
+                        "src_patch, '\"}')"}),
+            ("delete", "src_action = 'drop'"),
+        ],
+        when_not_matched=(
+            "src_action = 'add'",
+            {"ts": "src_ts", "seq": "src_seq", "ns": "'t.a'",
+             "object": "concat('{\"_id\": \"', id, '\", \"v\": \"', "
+                       "src_patch, '\"}')"},
+        ),
+    )
+    assert (stats["updated_keys"], stats["deleted_keys"],
+            stats["inserted_keys"]) == (1, 1, 1)
+    live = {r["id"]: r for r in t.read().collect()}
+    assert len(live) == 20  # 20 - 1 delete + 1 insert
+    assert key(2) not in live
+    assert _json.loads(live[key(1)]["object"])["v"] == "P1"
+    assert live[key(1)]["op"] == "u" and live[key(1)]["inc"] == 1
+    assert _json.loads(live[key(99)]["object"])["v"] == "NEW"
+    assert live[key(99)]["op"] == "i" and live[key(99)]["ts"] == 500
+    assert _json.loads(live[key(3)]["object"])["n"] == 3  # untouched
+
+
+def test_merge_into_first_match_wins_and_null_condition(spark, tmp_path):
+    """Overlapping arm conditions: clause order decides (Spark/Iceberg
+    MERGE semantics); a NULL condition is not-satisfied, not an error."""
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [
+        (key(1), "both", 500, 1000, "A"),
+        (key(3), None, 500, 1001, "B"),  # NULL action: every cond NULL
+    ])
+    stats = t.merge_into(
+        src, "m-1",
+        when_matched=[
+            ("update", "src_action = 'both'", {"object": "'{\"w\": 1}'"}),
+            ("delete", "src_action = 'both'"),  # shadowed by arm 0
+        ],
+    )
+    assert stats["updated_keys"] == 1 and stats["deleted_keys"] == 0
+    live = {r["id"] for r in t.read().collect()}
+    assert key(1) in live and key(3) in live  # NULL cond left key(3) alone
+
+
+def test_merge_into_cardinality_violation(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [
+        (key(1), "patch", 500, 1000, "X"),
+        (key(1), "drop", 501, 1001, None),
+    ])
+    with _pytest.raises(ValueError, match="cardinality"):
+        t.merge_into(src, "m-2", when_matched=[("delete", None)])
+
+
+def test_merge_into_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [(key(1), "patch", 500, 1000, "X")])
+    with _pytest.raises(ValueError, match="at least one WHEN"):
+        t.merge_into(src, "m-3")
+    with _pytest.raises(ValueError, match="ordering/identity"):
+        t.merge_into(src, "m-3",
+                     when_matched=[("update", None, {"ts": "1"})])
+    with _pytest.raises(ValueError, match="ordering/routing"):
+        t.merge_into(src, "m-3",
+                     when_not_matched=(None, {"object": "'{}'"}))
+    with _pytest.raises(ValueError, match="unknown merge_into arm"):
+        t.merge_into(src, "m-3", when_matched=[("upsert", None)])
+    with _pytest.raises(ValueError, match="not in table columns"):
+        t.merge_into(src, "m-3",
+                     when_matched=[("update", None, {"nope": "'x'"})])
+    with _pytest.raises(ValueError, match="key column"):
+        t.merge_into(src.drop("id"), "m-3",
+                     when_matched=[("delete", None)])
+    assert t.read().count() == 20  # nothing committed
+
+
+def test_merge_into_idempotent_retry_and_lww(spark, tmp_path):
+    """Retry skips; synthesized versions sit at (ts, inc+1) so later CDC
+    supersedes and stale re-deliveries lose — row-level DML ordering."""
+    import json as _json
+
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [(key(1), "drop", 500, 1000, None)])
+    t.merge_into(src, "m-4", when_matched=[("delete", None)])
+    again = t.merge_into(src, "m-4", when_matched=[("delete", None)])
+    assert again["skipped"] and again["deleted_keys"] == 0
+    # stale re-delivery of the victim's original event loses
+    t.upsert(spark.createDataFrame(
+        [(key(1), 100, 0, 1, "i",
+          _json.dumps({"_id": key(1), "lang": "py", "n": 1}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b1")
+    assert key(1) not in {r["id"] for r in t.read().collect()}
+    # later oplog event re-inserts
+    t.upsert(spark.createDataFrame(
+        [(key(1), 200, 0, 99, "u",
+          _json.dumps({"_id": key(1), "lang": "py", "n": 1}), "t.a")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string"), "b2")
+    assert key(1) in {r["id"] for r in t.read().collect()}
