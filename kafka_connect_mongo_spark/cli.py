@@ -342,6 +342,36 @@ def main(argv: list[str] | None = None) -> None:
                      help="keep time-travel snapshots (NOT a complete "
                      "erasure: superseded files may retain the keys)")
 
+    pdl = sub.add_parser(
+        "delete",
+        help="row-level DELETE FROM table WHERE predicate (Iceberg v2 "
+        "merge-on-read equality tombstones; history/time travel kept — "
+        "contrast scrub)",
+    )
+    pdl.add_argument("--table", required=True, help="lake table root")
+    pdl.add_argument("--where", required=True,
+                     help="SQL predicate over the table's logical columns")
+    pdl.add_argument("--batch-id", required=True,
+                     help="idempotency key: a retry with the same id is "
+                     "skipped")
+
+    pup = sub.add_parser(
+        "update",
+        help="row-level UPDATE table SET col=expr WHERE predicate "
+        "(merge-on-read version rewrite at (ts, inc+1); ordering/"
+        "identity columns refused)",
+    )
+    pup.add_argument("--table", required=True, help="lake table root")
+    pup.add_argument("--where", required=True,
+                     help="SQL predicate over the table's logical columns")
+    pup.add_argument("--set", required=True, action="append",
+                     metavar="COL=EXPR",
+                     help="column assignment (SQL expression over the "
+                     "matched row; repeatable)")
+    pup.add_argument("--batch-id", required=True,
+                     help="idempotency key: a retry with the same id is "
+                     "skipped")
+
     prb = sub.add_parser(
         "rollback",
         help="roll the table's live state back to a retained snapshot "
@@ -994,6 +1024,24 @@ def main(argv: list[str] | None = None) -> None:
             args.keys.split(","), expire_history=not args.keep_history
         )
         print(json.dumps({"table": args.table, **receipt}))
+    elif args.cmd == "delete":
+        table = _open_existing_table(spark, args.table)
+        print(json.dumps({
+            "table": args.table,
+            **table.delete_where(args.where, args.batch_id),
+        }))
+    elif args.cmd == "update":
+        table = _open_existing_table(spark, args.table)
+        assignments: dict = {}
+        for kv in args.set:
+            if "=" not in kv:
+                raise SystemExit(f"--set expects COL=EXPR, got {kv!r}")
+            c, e = kv.split("=", 1)
+            assignments[c.strip()] = e
+        print(json.dumps({
+            "table": args.table,
+            **table.update_where(args.where, assignments, args.batch_id),
+        }))
     elif args.cmd == "rollback":
         table = _open_existing_table(spark, args.table)
         print(json.dumps(table.rollback(args.to_batch)))

@@ -1912,3 +1912,45 @@ def test_merge_into_idempotent_retry_and_lww(spark, tmp_path):
         "id string, ts long, inc int, seq long, op string, "
         "object string, ns string"), "b2")
     assert key(1) in {r["id"] for r in t.read().collect()}
+
+
+def test_cli_delete_update_dml(spark, tmp_path):
+    """Out-of-process row-level DML: delete + update subcommands apply
+    through the same exactly-once path (retry with the same batch id is
+    a skip), and the results match the in-process operators."""
+    import os
+    import subprocess
+    import sys
+
+    t = _dw_table(spark, tmp_path)
+    root = t.root
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def run(args):
+        out = subprocess.run(
+            [sys.executable, "-m", "kafka_connect_mongo_spark.cli", *args],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        import json as _json
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = run(["delete", "--table", root,
+             "--where", "get_json_object(object, '$.n') < 4",
+             "--batch-id", "cli-del-0"])
+    assert r["deleted_keys"] == 4 and not r["skipped"]
+    again = run(["delete", "--table", root,
+                 "--where", "get_json_object(object, '$.n') < 4",
+                 "--batch-id", "cli-del-0"])
+    assert again["skipped"]
+    r = run(["update", "--table", root,
+             "--where", "get_json_object(object, '$.lang') = 'go'",
+             "--set", "object=replace(object, '\"go\"', '\"zig\"')",
+             "--batch-id", "cli-upd-0"])
+    assert r["updated_keys"] == 8  # 10 'go' rows minus n in {0, 2}
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    live = LakeTable(spark, root).read()  # reopen: CLI wrote new commits
+    assert live.count() == 16
+    assert live.filter(
+        F.get_json_object("object", "$.lang") == "zig").count() == 8
