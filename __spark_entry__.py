@@ -1612,6 +1612,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st45_merge_into"] = _st45
 
+    # st46: Iceberg v3 deletion vectors on the append-only fact side —
+    # POSITION deletes, observably different from a predicate filter:
+    # the vector pins the physical (file, row_index) addresses live at
+    # delete time, so the later batch's rows satisfying the SAME
+    # predicate survive. Append even-event_id half → DV-delete its
+    # 'error' rows → append odd half → census. Oracle removes exactly
+    # (error ∧ even) — odd errors remain.
+    def _st46(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.fact import FactTable
+
+        ev = _events(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-factdv-")
+        t = FactTable(spark, os.path.join(work, "fact"), spec=("day:ts",))
+        t.append(ev.filter(F.col("event_id") % 2 == 0), 0)
+        t.delete_vector("event_type = 'error'", "dv-0")
+        t.append(ev.filter(F.col("event_id") % 2 == 1), 1)
+        return t.read().groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    q["st46_fact_deletion_vectors"] = _st46
+
     # Changelog VIEW between two snapshots: the NET per-key change set
     # (added | updated | deleted), robust to intermediate updates —
     # what read_changes' raw rows are not.
@@ -5307,6 +5332,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st46: position-delete semantics — exactly (error ∧ even event_id)
+    # rows vanish; the odd half's errors survive the identical
+    # predicate. The observable difference between an Iceberg v3 DV
+    # and a predicate filter, in one census.
+    o["st46_fact_deletion_vectors"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE NOT (event_type = 'error' AND event_id % 2 = 0)
+GROUP BY event_type
 """.strip()
 
     # a16: bucketed drift census between the snapshot-0 state and the

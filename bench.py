@@ -182,6 +182,7 @@ def main() -> None:
         "st43_predicate_delete",  # MoR DELETE WHERE between two replay halves
         "st44_predicate_update",  # MoR UPDATE SET..WHERE between two replay halves
         "st45_merge_into",  # generic 3-arm MERGE INTO over the full-feed state
+        "st46_fact_deletion_vectors",  # Iceberg v3 position deletes on the fact side
     ] + job_queries_extra
 
     def run_noop(df) -> None:

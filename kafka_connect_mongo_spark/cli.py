@@ -257,6 +257,12 @@ def main(argv: list[str] | None = None) -> None:
                      metavar="COL=VALUE",
                      help="point lookup: repeatable equality predicate; "
                      "prints matched rows + files actually scanned")
+    pfa.add_argument("--delete-where", default=None,
+                     help="deletion vector (Iceberg v3 position delete): "
+                     "SQL predicate over current live rows; O(matches) "
+                     "sidecar, no rewrite; needs --batch-id")
+    pfa.add_argument("--batch-id", default=None,
+                     help="idempotency key for --delete-where")
 
     pdr = sub.add_parser(
         "drift",
@@ -758,6 +764,12 @@ def main(argv: list[str] | None = None) -> None:
                 c for c in args.declare_blooms.split(",") if c
             )
             out["blooms"] = table.declare_blooms(cols, bits=args.bloom_bits)
+        if args.delete_where:
+            if not args.batch_id:
+                raise SystemExit("fact: --delete-where needs --batch-id")
+            out["delete"] = table.delete_vector(
+                args.delete_where, args.batch_id
+            )
         if args.compact:
             out["compact"] = table.compact()
         if args.partitions:

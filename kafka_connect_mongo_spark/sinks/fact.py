@@ -56,7 +56,15 @@ from .lake import LOCK_NAME, LOCK_STALE_SECONDS, ConcurrentWriteError
 
 META_NAME = "_fact_meta.json"
 FORMAT = 1
+#: format 2 = format 1 + deletion-vector commits (kind='dv'). Tables are
+#: created at (and stay on) format 1 until the first delete_vector commit
+#: bumps them — Iceberg's rule exactly: the format version only rises when
+#: a feature an older reader would silently mis-read (here: ignoring
+#: position deletes) actually lands in the metadata.
+DV_FORMAT = 2
+READABLE_FORMATS = {FORMAT, DV_FORMAT}
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+DV_SCHEMA = "file string, pos long"
 
 #: day/hour/month render through these formats; all are zero-padded so
 #: lexicographic directory-name order == chronological order, which is
@@ -264,10 +272,11 @@ class FactTable:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
-            if self.meta.get("format") != FORMAT:
+            if self.meta.get("format") not in READABLE_FORMATS:
                 raise ValueError(
                     f"fact table {root!r}: unsupported meta format "
-                    f"{self.meta.get('format')!r} (engine speaks {FORMAT})"
+                    f"{self.meta.get('format')!r} (engine reads "
+                    f"{sorted(READABLE_FORMATS)})"
                 )
             self._generation = int(self.meta.get("generation", 0))
             return
@@ -800,6 +809,8 @@ class FactTable:
         for commit in (
             self.meta["commits"] if commits is None else commits
         ):
+            if commit.get("kind") == "dv":
+                continue  # deletion vectors hold positions, not data dirs
             spec_id = commit["spec"]
             spec = self.meta["specs"][spec_id]
             d = os.path.join(
@@ -901,23 +912,63 @@ class FactTable:
         a predicate is slower, never wrong."""
         return self._read_commits(None, equals, between)
 
+    def _dv_dirs(self, commits: list | None) -> list[str]:
+        """On-disk deletion-vector directories for the given commit set
+        (None = all): DVs apply as-of their commit, so a commit-prefix
+        read only sees the prefix's vectors."""
+        out = []
+        for c in self.meta["commits"] if commits is None else commits:
+            if c.get("kind") != "dv":
+                continue
+            d = os.path.join(
+                self.root, "_dv", self._batch_dirname(c["batch_id"])
+            )
+            if os.path.isdir(d):
+                out.append(d)
+        return out
+
     def _read_commits(
         self,
         commits: list | None,
         equals: dict | None,
         between: dict | None,
+        with_pos: bool = False,
     ) -> DataFrame:
         dirs = self._pruned_dirs(equals, between, commits=commits)
+        dv_dirs = self._dv_dirs(commits)
+        need_pos = with_pos or bool(dv_dirs)
         if not dirs:
             df = self._empty()
+            if need_pos:
+                df = df.withColumn("_file", F.lit(None).cast("string")) \
+                       .withColumn("_pos", F.lit(None).cast("long"))
         else:
             df = self.spark.read.parquet(*dirs)
             stored = T.StructType.fromJson(self.meta["schema"])
-            df = df.select(*[f.name for f in stored.fields])
+            names = [f.name for f in stored.fields]
+            if need_pos:
+                # file identity + in-file ordinal: the address a deletion
+                # vector marks (Iceberg v3 DVs / parquet row_index)
+                df = df.select(
+                    *names,
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+            else:
+                df = df.select(*names)
         for col, v in (equals or {}).items():
             df = df.filter(F.col(col) == F.lit(v))
         for col, (lo, hi) in (between or {}).items():
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+        if dv_dirs:
+            pos = self.spark.read.schema(DV_SCHEMA).parquet(*dv_dirs)
+            df = df.join(
+                pos,
+                (df["_file"] == pos["file"]) & (df["_pos"] == pos["pos"]),
+                "left_anti",
+            )
+        if need_pos and not with_pos:
+            df = df.drop("_file", "_pos")
         return df
 
     def read_changes(
@@ -931,7 +982,13 @@ class FactTable:
         append-only table; cost scales with the new batches, not the
         table. Raises if the cursor batch is gone (compact() folded it):
         the consumer must restart from a full read, never silently
-        re-consume the base."""
+        re-consume the base.
+
+        Deletion vectors committed AFTER the cursor apply to the slice
+        (a consumer never receives a row that was position-deleted
+        before it consumed); vectors BEFORE the cursor address earlier
+        batches' files and are naturally no-ops here. A DV batch_id is
+        a valid cursor — it emits the appends after the delete."""
         if since_batch_id is None:
             return self._read_commits(None, equals, between)
         want = str(since_batch_id)
@@ -1010,7 +1067,10 @@ class FactTable:
         if not (equals or between):
             raise ValueError("drop_partitions: pass equals and/or between")
         cols = set(equals or ()) | set(between or ())
-        live_specs = sorted({c["spec"] for c in self.meta["commits"]})
+        live_specs = sorted({
+            c["spec"] for c in self.meta["commits"]
+            if c.get("kind") != "dv"
+        })
         plans: dict[int, dict] = {}
         for sid in live_specs:
             spec = self.meta["specs"][sid]
@@ -1031,6 +1091,8 @@ class FactTable:
             plans[sid] = plan
         removed: list[str] = []
         for commit in self.meta["commits"]:
+            if commit.get("kind") == "dv":
+                continue  # positions into dropped dirs become no-ops
             spec = self.meta["specs"][commit["spec"]]
             plan = plans[commit["spec"]]
             d = os.path.join(
@@ -1069,6 +1131,74 @@ class FactTable:
         return {"dropped_dirs": len(removed)}
 
     # -- compaction ---------------------------------------------------------
+
+    def delete_vector(self, predicate, batch_id: int | str) -> dict:
+        """Row-level delete on the append-only side — Iceberg v3
+        DELETION VECTORS (Delta DVs; parquet ``row_index`` position
+        deletes): mark the (file, row_index) addresses of the CURRENT
+        live rows matching ``predicate`` in an O(matches) sidecar, no
+        rewrite of any data file.
+
+        POSITION semantics, not predicate semantics: the vector pins the
+        physical rows that matched at delete time, so batches appended
+        AFTERWARDS are untouched even where they satisfy the same
+        predicate — exactly how an Iceberg v3 DV against sealed data
+        files behaves, and the observable difference from a predicate
+        filter. Vectors commit into the ordinary commit log, so
+        ``read_as_of`` a pre-delete batch still shows the rows and
+        as-of the DV's own batch_id shows the post-delete table.
+        ``compact()`` applies every vector during the rewrite and drops
+        the sidecars (Iceberg's rewrite_position_delete_files fold).
+
+        The first vector bumps the table's meta format (1 → 2) so an
+        older reader that would silently ignore position deletes refuses
+        the table loudly instead — Iceberg's format-version rule.
+
+        Contrast ``drop_partitions`` (partition-aligned, zero-scan) and
+        the lake side's ``delete_where`` (CDC-versioned equality
+        tombstones): this is the middle ground for sealed fact data —
+        one predicate scan, O(matches) sidecar bytes."""
+        if self.meta["schema"] is None:
+            raise ValueError(
+                f"fact table {self.root!r}: no batch has been appended yet"
+            )
+        if self.is_committed(batch_id):
+            return {
+                "skipped": True, "batch_id": str(batch_id),
+                "deleted_positions": 0,
+            }
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        live = self._read_commits(None, None, None, with_pos=True)
+        matched = live.filter(cond).select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        dv_dir = os.path.join(
+            self.root, "_dv", self._batch_dirname(batch_id)
+        )
+        if os.path.exists(dv_dir):
+            # uncommitted leftovers of a crashed attempt: ours to replace
+            shutil.rmtree(dv_dir, ignore_errors=True)
+        # per-file sorted position runs — the bitmap layout a reader scans
+        matched = matched.repartition("file").sortWithinPartitions(
+            "file", "pos"
+        ).persist()
+        try:
+            n = matched.count()
+            matched.write.mode("overwrite").parquet(dv_dir)
+        finally:
+            matched.unpersist()
+        self.meta["format"] = DV_FORMAT
+        try:
+            self.meta["committed_watermark"] = max(
+                self.meta["committed_watermark"], int(batch_id)
+            )
+        except (TypeError, ValueError):
+            self.meta["committed_extra"].append(str(batch_id))
+        self.meta["commits"].append(
+            {"batch_id": str(batch_id), "kind": "dv"}
+        )
+        self._write_meta()
+        return {"batch_id": str(batch_id), "deleted_positions": n}
 
     def compact(self, sort_by: tuple[str, ...] | None = None) -> dict:
         """Iceberg ``rewrite_data_files`` + spec migration in one pass:
@@ -1142,6 +1272,17 @@ class FactTable:
         self._write_meta()  # atomic commit point
         removed = 0
         for c in old:
+            if c.get("kind") == "dv":
+                # applied by the rewrite (the folded read was DV-filtered);
+                # the sidecar is now unreferenced
+                shutil.rmtree(
+                    os.path.join(
+                        self.root, "_dv", self._batch_dirname(c["batch_id"])
+                    ),
+                    ignore_errors=True,
+                )
+                removed += 1
+                continue
             p = os.path.join(
                 self._spec_dir(c["spec"]), self._batch_dirname(c["batch_id"])
             )
@@ -1158,6 +1299,8 @@ class FactTable:
         filesystem walk alone, no Spark job."""
         rows = []
         for commit in self.meta["commits"]:
+            if commit.get("kind") == "dv":
+                continue  # sidecar, not a partition tree
             spec_id = commit["spec"]
             base = os.path.join(
                 self._spec_dir(spec_id),
@@ -1185,8 +1328,22 @@ class FactTable:
         committed = {
             (c["spec"], self._batch_dirname(c["batch_id"]))
             for c in self.meta["commits"]
+            if c.get("kind") != "dv"
         }
         removed = []
+        # deletion-vector sidecars whose commit never landed
+        dv_committed = {
+            self._batch_dirname(c["batch_id"])
+            for c in self.meta["commits"]
+            if c.get("kind") == "dv"
+        }
+        dv_root = os.path.join(self.root, "_dv")
+        if os.path.isdir(dv_root):
+            for bd in os.listdir(dv_root):
+                if bd.startswith("batch=") and bd not in dv_committed:
+                    p = os.path.join(dv_root, bd)
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
         data = os.path.join(self.root, "data")
         if not os.path.isdir(data):
             return removed

@@ -834,3 +834,117 @@ def test_cli_fact_bloom_lookup(spark, tmp_path_factory, sf_dir):
     assert out["lookup"] == {
         "equals": {"event_id": "99999999"}, "rows": 0, "files_scanned": 0,
     }
+
+
+# -- deletion vectors: Iceberg v3 position deletes --------------------------
+
+
+def test_dv_position_semantics_not_predicate(spark, tmp_path, events):
+    """The vector pins physical rows live at delete time: a later append
+    satisfying the same predicate is untouched."""
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    t.append(b0, 0)
+    r = t.delete_vector("event_type = 'error'", "dv-0")
+    n_err0 = b0.filter("event_type = 'error'").count()
+    assert r["deleted_positions"] == n_err0 and n_err0 > 0
+    t.append(b1, 1)
+    got = t.read()
+    # batch-1 errors survive; batch-0 errors are gone
+    assert got.filter("event_type = 'error'").count() == \
+        b1.filter("event_type = 'error'").count()
+    assert got.count() == events.count() - n_err0
+
+
+def test_dv_as_of_compact_and_idempotency(spark, tmp_path, events):
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    t.append(b0, 0)
+    t.delete_vector("event_type = 'error'", "dv-0")
+    n_live = t.read().count()
+    # retry skips
+    again = t.delete_vector("event_type = 'error'", "dv-0")
+    assert again["skipped"] and t.read().count() == n_live
+    # second vector over the REMAINING rows only
+    r2 = t.delete_vector("event_type = 'click'", "dv-1")
+    assert r2["deleted_positions"] == b0.filter(
+        "event_type = 'click'").count()
+    # as-of: before any DV, after the first, after the second
+    assert t.read_as_of(0).count() == b0.count()
+    assert t.read_as_of("dv-0").count() == n_live
+    assert t.read_as_of("dv-1").count() == t.read().count()
+    # format bumped: a v1-only reader must refuse (Iceberg's rule)
+    import json as _json
+    with open(t._meta_path) as f:
+        assert _json.load(f)["format"] == 2
+    # compact applies + clears the vectors; counts unchanged
+    n_final = t.read().count()
+    t.compact()
+    assert t.read().count() == n_final
+    assert not os.path.isdir(os.path.join(t.root, "_dv")) or not os.listdir(
+        os.path.join(t.root, "_dv"))
+    assert all(c.get("kind") != "dv" for c in t.meta["commits"])
+
+
+def test_dv_read_changes_and_vacuum(spark, tmp_path, events):
+    """DVs after the cursor apply to the incremental slice; uncommitted
+    sidecars are vacuumed."""
+    t = _mk(spark, tmp_path)
+    b0 = events.filter(F.col("event_id") % 3 == 0)
+    b1 = events.filter(F.col("event_id") % 3 == 1)
+    t.append(b0, 0)
+    t.append(b1, 1)
+    # delete batch-1 errors AFTER batch 1 committed
+    t.delete_vector(
+        "event_type = 'error' AND event_id % 3 = 1", "dv-0")
+    inc = t.read_changes(0)  # consume after batch 0
+    assert inc.count() == b1.count() - b1.filter(
+        "event_type = 'error'").count()
+    # a DV batch id is a valid cursor: nothing appended after it
+    assert t.read_changes("dv-0").count() == 0
+    # uncommitted sidecar (crash before meta swap) is reclaimed
+    stray = os.path.join(t.root, "_dv", "batch=stray")
+    os.makedirs(stray)
+    removed = t.vacuum_uncommitted()
+    assert stray in removed and not os.path.isdir(stray)
+
+
+def test_dv_empty_match_and_validation(spark, tmp_path, events):
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path)
+    with _pytest.raises(ValueError, match="no batch"):
+        t.delete_vector("true", "dv-x")
+    t.append(events.limit(100), 0)
+    r = t.delete_vector("event_type = 'nope'", "dv-0")
+    assert r["deleted_positions"] == 0
+    assert t.read().count() == 100
+    # drop_partitions still refuses/executes with a DV commit present
+    t2 = FactTable(spark, str(tmp_path / "f2"), spec=("day:ts",))
+    t2.append(events.limit(100), 0)
+    t2.delete_vector("event_type = 'error'", "dv-0")
+    assert t2.partitions()  # metadata walk skips the DV commit
+
+
+def test_cli_fact_delete_vector(spark, tmp_path, events):
+    """Out-of-process DV: fact --delete-where applies a position delete
+    through the same exactly-once path."""
+    import json as _json
+    import subprocess
+    import sys
+
+    t = _mk(spark, tmp_path)
+    t.append(events.limit(500), 0)
+    n_err = t.read().filter("event_type = 'error'").count()
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_mongo_spark.cli", "fact",
+         "--table", t.root, "--delete-where", "event_type = 'error'",
+         "--batch-id", "dv-cli-0"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["delete"]["deleted_positions"] == n_err
+    assert r["rows"] == 500 - n_err
