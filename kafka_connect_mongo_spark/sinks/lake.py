@@ -1957,6 +1957,11 @@ class LakeTable:
             raise ValueError(
                 f"merge_into source must carry the key column {self.key!r}"
             )
+        if "_s_present" in source.columns:
+            raise ValueError(
+                "merge_into source must not carry a '_s_present' column "
+                "(reserved join marker)"
+            )
         if self.is_committed(batch_id):
             return {
                 "batch_id": str(batch_id), "skipped": True,
@@ -2005,65 +2010,86 @@ class LakeTable:
             col = F.expr(c) if isinstance(c, str) else c
             return F.coalesce(col, F.lit(False))  # NULL = not satisfied
 
+        # Iceberg's MergeRows shape: ONE full-outer join, ONE projection
+        # that evaluates every arm per row as a chained CASE — not a
+        # union of per-arm filtered branches. (The union form was
+        # measured re-planning each branch's join independently under
+        # AQE — filters null-reject the outer sides, so every branch
+        # specializes to a different join and the merge-on-read state
+        # collapse runs once PER ARM; this form scans and collapses the
+        # state exactly once regardless of arm count.) First-match-wins
+        # is the chained ``when``'s own evaluation order.
         src = source.select(
             F.col(self.key),
             *[F.col(c).alias(f"src_{c}") for c in source.columns
               if c != self.key],
+        ).withColumn("_s_present", F.lit(True))
+        joined = state.withColumn("_t_present", F.lit(True)).join(
+            src, self.key, "full_outer"
         )
-        parts: list[DataFrame] = []
-        tags: list[str] = []
-        if arms:
-            matched = state.join(src, self.key, "inner")
-            prev = F.lit(True)
-            for i, arm in enumerate(arms):
-                cond = as_cond(arm[1])
-                rows = matched.filter(prev & cond)
-                prev = prev & ~cond
-                cols = []
-                for c in state.columns:
-                    if c == "inc":
-                        cols.append((F.col("inc") + F.lit(1))
-                                    .cast(types["inc"]).alias("inc"))
-                    elif c == "op":
-                        cols.append(
-                            F.lit("u" if arm[0] == "update" else "d")
-                            .cast(types["op"]).alias("op"))
-                    elif arm[0] == "update" and c in arm[2]:
-                        e = arm[2][c]
-                        e = F.expr(e) if isinstance(e, str) else e
-                        cols.append(e.cast(types[c]).alias(c))
-                    elif arm[0] == "delete" and c not in (
-                        self.key, "ns", "ts", "seq"
-                    ):
-                        cols.append(F.lit(None).cast(types[c]).alias(c))
-                    else:
-                        cols.append(F.col(c))
-                parts.append(rows.select(*cols))
-                tags.append(f"{arm[0]}_{i}")
+        is_matched = (
+            F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+        )
+        tags = [f"{arm[0]}_{i}" for i, arm in enumerate(arms)]
+        action = None
+        for arm, tag in zip(arms, tags):
+            branch = (is_matched & as_cond(arm[1]), F.lit(tag))
+            action = F.when(*branch) if action is None else action.when(*branch)
         if when_not_matched is not None:
-            cond, values = when_not_matched
-            not_m = src.join(
-                state.select(self.key), self.key, "left_anti"
-            ).filter(as_cond(cond))
-            cols = []
-            for c in state.columns:
-                if c == self.key:
-                    cols.append(F.col(self.key))
-                elif c == "op":
-                    cols.append(F.lit("i").cast(types["op"]).alias("op"))
-                elif c in values:
-                    e = values[c]
-                    e = F.expr(e) if isinstance(e, str) else e
-                    cols.append(e.cast(types[c]).alias(c))
-                elif c == "inc":
-                    cols.append(F.lit(0).cast(types["inc"]).alias("inc"))
-                else:
-                    cols.append(F.lit(None).cast(types[c]).alias(c))
-            parts.append(not_m.select(*cols))
+            branch = (
+                F.col("_t_present").isNull() & as_cond(when_not_matched[0]),
+                F.lit("insert"),
+            )
+            action = F.when(*branch) if action is None else action.when(*branch)
             tags.append("insert")
-        tagged = parts[0].withColumn("_arm", F.lit(tags[0]))
-        for df, tag in zip(parts[1:], tags[1:]):
-            tagged = tagged.unionByName(df.withColumn("_arm", F.lit(tag)))
+
+        def arm_value(arm, c) -> F.Column:
+            """Output value of column ``c`` under a matched arm."""
+            if c == "inc":
+                return (F.col("inc") + F.lit(1)).cast(types["inc"])
+            if c == "op":
+                return F.lit("u" if arm[0] == "update" else "d").cast(
+                    types["op"]
+                )
+            if arm[0] == "update" and c in arm[2]:
+                e = arm[2][c]
+                e = F.expr(e) if isinstance(e, str) else e
+                return e.cast(types[c])
+            if arm[0] == "delete" and c not in (self.key, "ns", "ts", "seq"):
+                return F.lit(None).cast(types[c])
+            return F.col(c)
+
+        def insert_value(values: dict, c) -> F.Column:
+            if c == self.key:
+                return F.col(self.key)  # USING-join key = source key here
+            if c == "op":
+                return F.lit("i").cast(types["op"])
+            if c in values:
+                e = values[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                return e.cast(types[c])
+            if c == "inc":
+                return F.lit(0).cast(types["inc"])
+            return F.lit(None).cast(types[c])
+
+        out_cols = []
+        for c in state.columns:
+            chain = None
+            for arm, tag in zip(arms, tags):
+                branch = (F.col("_arm") == tag, arm_value(arm, c))
+                chain = F.when(*branch) if chain is None else chain.when(*branch)
+            if when_not_matched is not None:
+                branch = (
+                    F.col("_arm") == "insert",
+                    insert_value(when_not_matched[1], c),
+                )
+                chain = F.when(*branch) if chain is None else chain.when(*branch)
+            out_cols.append(chain.alias(c))
+        tagged = (
+            joined.withColumn("_arm", action)
+            .filter(F.col("_arm").isNotNull())
+            .select(*out_cols, F.col("_arm"))
+        )
         tagged = tagged.persist()
         try:
             by_arm = {r["_arm"]: r["n"] for r in tagged.groupBy("_arm")

@@ -1954,3 +1954,52 @@ def test_cli_delete_update_dml(spark, tmp_path):
     assert live.count() == 16
     assert live.filter(
         F.get_json_object("object", "$.lang") == "zig").count() == 8
+
+
+def test_merge_into_single_state_scan_plan(spark, tmp_path):
+    """MergeRows shape: however many arms, the merge-on-read state is
+    scanned and collapsed ONCE (one join, one CASE projection) — never
+    one specialized join per arm."""
+    import re
+
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [
+        (key(1), "patch", 500, 1000, "P"),
+        (key(2), "drop", 500, 1001, None),
+        (key(99), "add", 500, 1002, "N"),
+    ])
+    t.merge_into(
+        src, "m-plan",
+        when_matched=[
+            ("update", "src_action = 'patch'", {"object": "'{}'"}),
+            ("delete", "src_action = 'drop'"),
+        ],
+        when_not_matched=(
+            "src_action = 'add'",
+            {"ts": "src_ts", "seq": "src_seq", "ns": "'t.a'"},
+        ),
+    )
+    # rebuild the tagged frame the way merge_into does and inspect its
+    # executed plan: the table root must appear in exactly one scan per
+    # plan rendering (AQE prints final + initial = 2 copies max)
+    state = t.read()
+    srcp = src.select(
+        F.col("id"),
+        *[F.col(c).alias(f"src_{c}") for c in src.columns if c != "id"],
+    ).withColumn("_s_present", F.lit(True))
+    joined = state.withColumn("_t_present", F.lit(True)).join(
+        srcp, "id", "full_outer")
+    m = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    tagged = joined.withColumn(
+        "_arm",
+        F.when(m & (F.col("src_action") == "patch"), "u")
+         .when(m & (F.col("src_action") == "drop"), "d")
+         .when(F.col("_t_present").isNull(), "i"),
+    ).filter(F.col("_arm").isNotNull())
+    tagged.collect()
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    renders = max(1, len(re.findall(r"== Initial Plan ==", plan)) + 1)
+    scans = len(re.findall(re.escape(t.root), plan))
+    assert scans <= renders, (
+        f"{scans} state scans across {renders} plan renderings — "
+        "the merge is re-scanning the state per arm")
