@@ -1682,6 +1682,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a16_snapshot_drift"] = _a16
 
+    # a17: k-anonymity census over (lang, source, banded n_chars) — the
+    # privacy release gate: one map-side-combined groupBy on the
+    # generalized quasi-identifier tuple; groups under k are flagged
+    # for suppression. Census-sized output at any corpus size.
+    def _a17(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.select import k_anonymity
+
+        return k_anonymity(
+            _docs(spark, sf), ("lang", "source", "n_chars"),
+            k=5, bands={"n_chars": 256},
+        )
+
+    q["a17_k_anonymity"] = _a17
+
     # Bucket-layout evolution (Iceberg partition-spec evolution) across a
     # stream restart: batch 0 lands under the 8-bucket creation layout;
     # the operator evolves the table to 32 buckets (metadata-only — zero
@@ -5389,6 +5403,17 @@ FROM t
     # st37: the streamed census fold must reproduce a16's batch drift
     # exactly (deterministic seq-parity batches) — oracle shared verbatim.
     o["st37_streaming_drift"] = o["a16_snapshot_drift"]
+
+    # a17: k-anonymity census — generalization is value − value % width
+    # (exact integer arithmetic, engine-agnostic); NULLs group as NULL.
+    o["a17_k_anonymity"] = """
+SELECT lang, source,
+       n_chars - (n_chars % 256) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS suppressed
+FROM documents
+GROUP BY 1, 2, 3
+""".strip()
 
     # st38: hidden partitioning + spec evolution are storage-layout-only —
     # the pruned fact-table read equals the raw events table under the

@@ -538,3 +538,99 @@ def dsir_weights(
         lambda acc, t: acc + F.element_at(arr, _dsir_bucket(t, dim) + 1),
     )
     return docs.select("doc_id", weight.alias("weight_scaled"))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi: tuple[str, ...],
+    k: int = 5,
+    bands: dict | None = None,
+) -> DataFrame:
+    """k-anonymity census over declared quasi-identifier columns — the
+    release gate a privacy review runs before a corpus ships (the
+    census dual of ``scrub_keys``' per-key erasure: instead of removing
+    known identities, find the GROUPS small enough to identify one).
+
+    ``quasi`` names the quasi-identifier columns; ``bands`` maps an
+    integral column to a generalization width (value − value % width —
+    the standard k-anonymity generalization step; raw high-cardinality
+    integers make every row its own group). Returns one row per
+    generalized group: the quasi values, ``n_docs``, and ``suppressed``
+    (1 when the group is smaller than k — its rows would be withheld).
+
+    100 TB shape: a single map-side-combined groupBy on the generalized
+    tuple; output is census-sized (product of generalized
+    cardinalities), never corpus-sized. NULL quasi values form their
+    own group, per the standard treatment."""
+    if k < 2:
+        raise ValueError(f"k_anonymity: k must be >= 2, got {k}")
+    if not quasi:
+        raise ValueError("k_anonymity: need at least one quasi-identifier")
+    missing = sorted(set(quasi) - set(df.columns))
+    if missing:
+        raise ValueError(
+            f"k_anonymity: quasi-identifier(s) {missing} not in columns "
+            f"{sorted(df.columns)}"
+        )
+    integral = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    for c, w in (bands or {}).items():
+        if c not in quasi:
+            raise ValueError(f"k_anonymity: band column {c!r} not in quasi")
+        if c not in integral:
+            raise ValueError(
+                f"k_anonymity: band column {c!r} is not integral — "
+                "generalize it explicitly before the census"
+            )
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"k_anonymity: band width for {c!r} must be a positive "
+                f"int, got {w!r}"
+            )
+    cols = []
+    for c in quasi:
+        if bands and c in bands:
+            cols.append(
+                (F.col(c) - (F.col(c) % F.lit(bands[c]))).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return (
+        df.select(*cols)
+        .groupBy(*quasi)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "suppressed", (F.col("n_docs") < k).cast("int")
+        )
+    )
+
+
+def k_anonymity_release(
+    df: DataFrame,
+    quasi: tuple[str, ...],
+    k: int = 5,
+    bands: dict | None = None,
+) -> DataFrame:
+    """Apply the census: rows whose generalized quasi-identifier group
+    has >= k members (the releasable subset, original columns intact).
+    One census + one semi-join on the generalized tuple — the corpus is
+    scanned twice but only census-sized data moves in the exchange."""
+    keep = k_anonymity(df, quasi, k=k, bands=bands).filter(
+        F.col("suppressed") == 0
+    ).select(*quasi)
+    out = df
+    join_cols = []
+    for c in quasi:
+        if bands and c in bands:
+            g = f"_g_{c}"
+            out = out.withColumn(
+                g, F.col(c) - (F.col(c) % F.lit(bands[c]))
+            )
+            keep = keep.withColumnRenamed(c, g)
+            join_cols.append(g)
+        else:
+            join_cols.append(c)
+    # USING-join puts join keys first; restore the caller's column order
+    return out.join(keep, join_cols, "left_semi").select(*df.columns)

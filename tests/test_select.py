@@ -687,3 +687,63 @@ def test_dsir_validation(spark):
     docs = _dsir_docs(spark)
     with pytest.raises(ValueError, match="dim must be"):
         sel.dsir_weights(docs, F.col("lang") == "en", dim=1)
+
+
+# -- k-anonymity census + release gate --------------------------------------
+
+
+def test_k_anonymity_census_and_release(spark):
+    rows = [
+        # group (py, web, band 0): 5 docs -> releasable at k=5
+        *[(i, "t", "py", "web", 100 + i) for i in range(5)],
+        # group (go, web, band 0): 2 docs -> suppressed
+        (10, "t", "go", "web", 50),
+        (11, "t", "go", "web", 60),
+        # band split: 300 vs 100 land in different n_chars bands
+        (12, "t", "py", "web", 300),
+        # NULL lang groups as its own group
+        (13, "t", None, "web", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    from kafka_connect_mongo_spark.pipelines.select import (
+        k_anonymity,
+        k_anonymity_release,
+    )
+
+    cen = {(r["lang"], r["source"], r["n_chars"]): (r["n_docs"], r["suppressed"])
+           for r in k_anonymity(
+               df, ("lang", "source", "n_chars"), k=5,
+               bands={"n_chars": 256}).collect()}
+    assert cen[("py", "web", 0)] == (5, 0)
+    assert cen[("go", "web", 0)] == (2, 1)
+    assert cen[("py", "web", 256)] == (1, 1)
+    assert cen[(None, "web", 0)] == (1, 1)
+    rel = k_anonymity_release(
+        df, ("lang", "source", "n_chars"), k=5, bands={"n_chars": 256})
+    assert rel.columns == df.columns  # original columns intact
+    assert {r["doc_id"] for r in rel.collect()} == set(range(5))
+
+
+def test_k_anonymity_validation(spark):
+    import pytest as _pytest
+
+    from kafka_connect_mongo_spark.pipelines.select import k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, "a", "py", "web", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        k_anonymity(df, ("lang",), k=1)
+    with _pytest.raises(ValueError, match="at least one"):
+        k_anonymity(df, ())
+    with _pytest.raises(ValueError, match="not in columns"):
+        k_anonymity(df, ("nope",))
+    with _pytest.raises(ValueError, match="not in quasi"):
+        k_anonymity(df, ("lang",), bands={"n_chars": 10})
+    with _pytest.raises(ValueError, match="not integral"):
+        k_anonymity(df, ("lang",), bands={"lang": 10})
+    with _pytest.raises(ValueError, match="positive int"):
+        k_anonymity(df, ("n_chars",), bands={"n_chars": 0})
