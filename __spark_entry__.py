@@ -2966,6 +2966,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s7e_ann_ivf_indexed"] = _ann_ivf_indexed
 
+    # s7h: FILTERED vector search — predicate + similarity in one probe
+    # (the vector-store operation every retrieval stack needs). The
+    # index carries the label attribute inline (Qdrant/Vespa payload
+    # model), the predicate fuses into the pruned cell scan, and at
+    # n_probe = n_centroids the result is EXACT = brute force over the
+    # filtered corpus (the oracle form; recall at pruned n_probe is the
+    # usual IVF trade, pytest-covered).
+    def _ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _emb(spark, sf)
+        work = tempfile.mkdtemp(prefix="cdc-ivffilt-")
+        path = os.path.join(work, "index")
+        sim.build_ivf_index(emb, path, n_centroids=16, carry=("label",))
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        return sim.ann_topk_ivf_filtered(
+            spark, path, qvec, "label = 1", k=10, n_probe=16
+        )
+
+    q["s7h_ann_filtered"] = _ann_filtered
+
     # Incremental index maintenance: build the IVF index on 4/5 of the
     # corpus, APPEND the held-out 1/5 against the persisted quantizer
     # (centroids fixed — FAISS add-after-train semantics; corpus already
@@ -4797,6 +4819,18 @@ ORDER BY score DESC, a.vec_id LIMIT 10
 
     # persisted-index probe = identical IVF semantics to s7c
     o["s7e_ann_ivf_indexed"] = o["s7c_ann_topk_ivf"]
+
+    # s7h: full-probe filtered search is exact — brute-force cosine
+    # top-k over the label-filtered corpus.
+    o["s7h_ann_filtered"] = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+              FROM embeddings),
+q AS (SELECT e AS pe FROM base WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_inner_product(pe, e) /
+        (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(e, e))), 4) AS score
+FROM base, q WHERE label = 1 ORDER BY score DESC, vec_id LIMIT 10
+""".strip()
 
     # s7f: same IVF semantics, but the quantizer is the first-16 of the
     # BUILD subset (vec_id % 5 != 2); every vector — built or appended —

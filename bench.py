@@ -162,6 +162,8 @@ def main() -> None:
         "t11_dlq_requeue",      # quarantine-channel replay + repaired requeue
         "s7f_ann_ivf_append",   # IVF index lifecycle: build 4/5 + append 1/5 + probe
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
+        "s7h_ann_filtered",     # filtered vector search: payload predicate in the pruned probe
+        "s7h_ann_filtered",     # filtered vector search: payload predicate in the pruned probe
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
         "st35_column_drop",     # metadata-only DROP COLUMN + compaction rewrite
         "st36_column_rename",   # metadata-only RENAME COLUMN: mixed-name batches unified

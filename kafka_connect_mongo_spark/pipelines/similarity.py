@@ -431,9 +431,13 @@ def ivf_assign(
     n_centroids: int = 16,
     round_digits: int = 6,
     centroids: list[tuple[int, list[float]]] | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector joins its
-    max-cosine centroid's cell. Output (vec_id, cell, e).
+    max-cosine centroid's cell. Output (vec_id, cell, e) plus any
+    ``carry`` attribute columns stored inline for filtered search (the
+    vector-store payload model — Qdrant/Vespa store filterable
+    attributes beside the vector so a filtered probe never joins out).
 
     Default centroids are the first ``n_centroids`` vectors — a
     deterministic sampled quantizer the DuckDB oracle can replicate
@@ -451,9 +455,15 @@ def ivf_assign(
     (``array_position`` returns the FIRST max; the centroid array is
     cent_id-ascending) — the same total order the SQL oracle's
     row_number uses, valid for any n_centroids."""
+    missing = sorted(set(carry) - set(embeddings.columns))
+    if missing:
+        raise ValueError(
+            f"ivf_assign: carry column(s) {missing} not in embeddings "
+            f"columns {sorted(embeddings.columns)}"
+        )
     cents = _collect_centroids(embeddings, n_centroids, centroids)
     emb = F.col("embedding").cast("array<double>")
-    base = embeddings.select("vec_id", emb.alias("e"))
+    base = embeddings.select("vec_id", emb.alias("e"), *carry)
     norm_e = _norm(F.col("e"))
     score_cols = []
     for _cid, ce in cents:
@@ -469,6 +479,7 @@ def ivf_assign(
         "vec_id",
         F.element_at(cell_ids, pos).cast("long").alias("cell"),
         "e",
+        *carry,
     )
 
 
@@ -567,6 +578,7 @@ def build_ivf_index(
     n_iters: int = 10,
     max_sample: int = 4096,
     seed: int = 42,
+    carry: tuple[str, ...] = (),
 ) -> None:
     """Materialize the IVF index on disk: the cell assignment written as
     parquet PARTITIONED BY cell (so a probe reads only its cells'
@@ -590,9 +602,9 @@ def build_ivf_index(
     _centroids_df(embeddings, n_centroids, centroids).select(
         F.col("cent_id").alias("cell"), "ce"
     ).write.mode("overwrite").parquet(path + ".centroids")
-    ivf_assign(embeddings, n_centroids, centroids=centroids).write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(path)
+    ivf_assign(
+        embeddings, n_centroids, centroids=centroids, carry=carry
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
 
 
 def append_ivf_index(
@@ -622,9 +634,23 @@ def append_ivf_index(
         spark.read.parquet(index_path + ".centroids").orderBy("cell").collect()
     )
     cents = [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cents_rows]
-    ivf_assign(new_embeddings, len(cents), centroids=cents).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(index_path)
+    # the persisted layout is the contract: carried attribute columns
+    # (filtered-search payload) are whatever the index already stores —
+    # an append missing them would silently fork the file schemas
+    carry = tuple(
+        c for c in spark.read.parquet(index_path).columns
+        if c not in ("vec_id", "cell", "e")
+    )
+    missing = sorted(set(carry) - set(new_embeddings.columns))
+    if missing:
+        raise ValueError(
+            f"append_ivf_index: index at {index_path!r} carries attribute "
+            f"column(s) {list(carry)} but the new embeddings lack "
+            f"{missing}"
+        )
+    ivf_assign(
+        new_embeddings, len(cents), centroids=cents, carry=carry
+    ).write.partitionBy("cell").mode("append").parquet(index_path)
 
 
 def delete_from_ivf_index(
@@ -723,6 +749,59 @@ def ann_topk_ivf_indexed(
         .collect()
     ]
     cand = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    return (
+        cand.select("vec_id", _cos(F.col("e"), qcol, round_digits).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_ivf_filtered(
+    spark,
+    index_path: str,
+    query: list[float],
+    where,
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """FILTERED vector search against the persisted IVF index —
+    predicate + similarity in one probe, the vector-store operation
+    every retrieval stack needs ("nearest python documents", "nearest
+    within this tenant"). ``where`` (SQL string or Column) predicates
+    over the index's carried attribute columns
+    (``build_ivf_index(carry=...)`` stores them inline beside each
+    vector, the Qdrant/Vespa payload model), so the filtered probe is
+    the SAME partition-pruned cell read with the predicate fused into
+    the scan — no join against an attribute table, no second data
+    source.
+
+    Semantics are candidate-set pre-filtering: within the n_probe
+    nearest cells, drop non-matching rows BEFORE the top-k (matching
+    rows can never be displaced by filtered-out ones). Recall relative
+    to the filtered brute force is the usual IVF trade — a matching
+    vector outside the probed cells is missed; at n_probe = n_centroids
+    the result is EXACT (= brute force over the filtered corpus), which
+    is the oracle form. Highly selective filters want a higher n_probe
+    (the standard filtered-ANN guidance: candidates shrink with
+    selectivity, so widen the probe)."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cents = spark.read.parquet(index_path + ".centroids")
+    probe_cells = [
+        r["cell"]
+        for r in cents.select(
+            "cell", _cos(F.col("ce"), qcol, 6).alias("qs")
+        )
+        .orderBy(F.col("qs").desc(), "cell")
+        .limit(n_probe)
+        .collect()
+    ]
+    cond = F.expr(where) if isinstance(where, str) else where
+    cand = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(cond)
+    )
     return (
         cand.select("vec_id", _cos(F.col("e"), qcol, round_digits).alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
