@@ -1969,6 +1969,21 @@ class LakeTable:
             }
         state = self.read()
         types = {f.name: f.dataType for f in state.schema.fields}
+        if "_t_present" in state.columns:
+            raise ValueError(
+                "merge_into target carries a '_t_present' column "
+                "(reserved join marker)"
+            )
+        clash = sorted(
+            set(state.columns).intersection(
+                f"src_{c}" for c in source.columns if c != self.key
+            )
+        )
+        if clash:
+            raise ValueError(
+                f"merge_into: target column(s) {clash} collide with the "
+                "source's src_-qualified names — rename one side"
+            )
         if when_not_matched is not None:
             _, values = when_not_matched
             missing = sorted({"ts", "seq", "ns"} - set(values))

@@ -2003,3 +2003,25 @@ def test_merge_into_single_state_scan_plan(spark, tmp_path):
     assert scans <= renders, (
         f"{scans} state scans across {renders} plan renderings — "
         "the merge is re-scanning the state per arm")
+
+
+def test_merge_into_column_collision_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    t = _dw_table(spark, tmp_path)
+    src = _merge_src(spark, [(key(1), "patch", 500, 1000, "X")])
+    with _pytest.raises(ValueError, match="_s_present"):
+        t.merge_into(src.withColumn("_s_present", F.lit(1)), "m-c0",
+                     when_matched=[("delete", None)])
+    # a target column whose name equals a source column's src_-qualified
+    # form is refused before any join is built (ambiguous references)
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    t2 = LakeTable(spark, str(tmp_path / "clash"), n_buckets=2,
+                   payload_col="object")
+    t2.upsert(spark.createDataFrame(
+        [(key(1), 100, 0, 1, "i", "{}", "t.a", "v")],
+        "id string, ts long, inc int, seq long, op string, "
+        "object string, ns string, src_action string"), 0)
+    with _pytest.raises(ValueError, match="collide"):
+        t2.merge_into(src, "m-c1", when_matched=[("delete", None)])
