@@ -3307,6 +3307,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f3_event_transitions"] = _f3
 
+    # f4: first/last-touch attribution census — both models in ONE
+    # range-window pass over the per-user sort (no conversions×touches
+    # self-join); credit in integer cents so the census is
+    # order-independent.
+    def _f4(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.operators.temporal import attribution
+
+        return attribution(_events(spark, sf), window_seconds=86400)
+
+    q["f4_attribution"] = _f4
+
     # a14: regular-grid resample + LOCF gap-fill per user — one
     # per-second collapse (persisted for its two consumers), grid via
     # executor-side sequence(), carry-forward through asof_join's
@@ -6673,6 +6684,42 @@ SELECT src, dst, n_transitions,
        round(CAST(n_transitions AS DOUBLE)
              / sum(n_transitions) OVER (PARTITION BY src), 6) AS p_given_src
 FROM pairs
+""".strip()
+
+    # f4: the join form is the oracle for the engine's range-window
+    # form — qualifying touches are ts ∈ [conv_ts − W, conv_ts]
+    # (inclusive), last = (ts, event_id)-max, first = min, no qualifier
+    # = 'direct'. Cents are per-row floor(value·100) summed as BIGINT.
+    o["f4_attribution"] = """
+WITH conv AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS cts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tts,
+             event_id, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+j AS (SELECT c.event_id AS conv_id, c.cents, t.tts, t.event_id AS tid,
+             t.event_type AS ch
+      FROM conv c LEFT JOIN t
+        ON t.user_id = c.user_id
+       AND t.tts <= c.cts AND t.tts >= c.cts - 86400),
+lastp AS (SELECT conv_id, cents, coalesce(ch, 'direct') AS channel FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                      ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST) rn
+            FROM j) WHERE rn = 1),
+firstp AS (SELECT conv_id, cents, coalesce(ch, 'direct') AS channel FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                      ORDER BY tts ASC NULLS LAST, tid ASC NULLS LAST) rn
+            FROM j) WHERE rn = 1)
+SELECT 'last' AS model, channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM lastp GROUP BY channel
+UNION ALL
+SELECT 'first' AS model, channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM firstp GROUP BY channel
 """.strip()
 
     # a14: DuckDB's native ASOF JOIN is the carry-forward oracle;

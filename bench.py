@@ -126,6 +126,7 @@ def main() -> None:
         "f3_event_transitions", # Markov next-event census (per-user lead window)
         "a14_resample_locf",    # time-grid resample + LOCF gap fill (as-of union window)
         "a17_k_anonymity",      # k-anonymity census over generalized quasi-identifiers
+        "f4_attribution",       # first/last-touch attribution in one range-window pass
         "d22_function_clones",  # rename-normalized unit digests, one content scan
         "s9_kmeans_lloyd",      # integer-exact Lloyd rounds, literal-centroid assign
         "x17_schema_compat",    # writer-schema compat census (2 scans, census exchanges)

@@ -378,3 +378,96 @@ def resample_locf(
     )
     joined = asof_join(grid, obs, on=user, ts="grid_ts", payload=("obs",), suffix="_locf")
     return joined.select(user, "grid_ts", F.col("obs_locf").alias("value_locf"))
+
+
+def attribution(
+    events: DataFrame,
+    touches: tuple[str, ...] = ("view", "click", "signup"),
+    conversion: str = "purchase",
+    window_seconds: int = 86400,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    value: str = "value",
+    event_id: str = "event_id",
+) -> DataFrame:
+    """Marketing attribution census: credit each conversion to a
+    touchpoint channel under FIRST-touch and LAST-touch models in one
+    pass. A touchpoint qualifies when its timestamp lies in
+    ``[conv_ts − window_seconds, conv_ts]`` (inclusive lookback);
+    among qualifiers, last-touch takes the (ts, event_id)-maximum and
+    first-touch the minimum — total orders, so both models are
+    deterministic. A conversion with no qualifying touch is credited
+    to the ``'direct'`` channel. Output (model, channel,
+    n_conversions, value_cents): counts plus the conversions' value in
+    integer cents (per-row floor(value·100) — summed as BIGINT, so the
+    census is order-independent; a float sum would drift by addition
+    order across engines and partitionings).
+
+    Plan shape: ONE shuffle keyed by ``user`` and ONE sorted window
+    pass — both models are range-window aggregates (min/max of a
+    (ts, event_id, channel) struct over ``RANGE window_seconds
+    PRECEDING``) computed in the same WindowExec, then a census-sized
+    groupBy. No conversions×touches self-join: at 10^10 events the
+    self-join explodes on active users; the range window stays
+    O(events log events) within each user's partition slice."""
+    for c in (user, ts, type_col, value, event_id):
+        if c not in events.columns:
+            raise ValueError(
+                f"attribution: column {c!r} not in frame "
+                f"(have {events.columns!r})"
+            )
+    if window_seconds <= 0:
+        raise ValueError(
+            f"attribution: window_seconds must be > 0, got {window_seconds}"
+        )
+    if not touches:
+        raise ValueError("attribution: touches must be non-empty")
+    if conversion in touches:
+        raise ValueError(
+            f"attribution: conversion type {conversion!r} cannot also be "
+            "a touch channel"
+        )
+    uts = F.unix_timestamp(F.col(ts))  # whole seconds, UTC session
+    tp = F.when(
+        F.col(type_col).isin(*touches),
+        F.struct(
+            uts.alias("t"),
+            F.col(event_id).alias("eid"),
+            F.col(type_col).alias("channel"),
+        ),
+    )
+    w = (
+        Window.partitionBy(user)
+        .orderBy(uts)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    scored = (
+        events.withColumn("_tp", tp)
+        .withColumn("_last", F.max("_tp").over(w))
+        .withColumn("_first", F.min("_tp").over(w))
+        .filter(F.col(type_col) == conversion)
+        .select(
+            F.coalesce(F.col("_last.channel"), F.lit("direct")).alias(
+                "last_channel"
+            ),
+            F.coalesce(F.col("_first.channel"), F.lit("direct")).alias(
+                "first_channel"
+            ),
+            F.floor(F.col(value) * F.lit(100.0)).cast("long").alias(
+                "value_cents"
+            ),
+        )
+    )
+    def census(model: str, channel_col: str) -> DataFrame:
+        return scored.groupBy(
+            F.col(channel_col).alias("channel")
+        ).agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        ).select(F.lit(model).alias("model"), "channel",
+                 "n_conversions", "value_cents")
+
+    return census("last", "last_channel").unionByName(
+        census("first", "first_channel")
+    )

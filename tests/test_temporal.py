@@ -329,3 +329,65 @@ class TestResampleLocf:
             resample_locf(df, step_secs=0)
         with _pytest.raises(ValueError, match="nope"):
             resample_locf(df, value_col="nope")
+
+
+# -- attribution ------------------------------------------------------------
+
+
+def _attr_events(spark):
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: view@10, click@20, purchase@30 -> last=click, first=view
+        (1, t(10), 1, "view", 10.0, None),
+        (2, t(20), 1, "click", 0.0, None),
+        (3, t(30), 1, "purchase", 5.5, None),
+        # user 2: touch outside the window -> direct
+        (4, t(0), 2, "view", 0.0, None),
+        (5, t(50), 2, "purchase", 2.0, None),
+        # user 3: no touches at all -> direct
+        (6, t(40), 3, "purchase", 1.0, None),
+        # user 1 second purchase@35: last=click (still in window)
+        (7, t(35), 1, "purchase", 0.4, None),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+
+
+def test_attribution_models_and_direct(spark):
+    from kafka_connect_mongo_spark.operators.temporal import attribution
+
+    got = {(r["model"], r["channel"]): (r["n_conversions"], r["value_cents"])
+           for r in attribution(
+               _attr_events(spark), window_seconds=30).collect()}
+    # window=30s: user 2's view@0 vs purchase@50 -> outside -> direct
+    assert got[("last", "click")] == (2, 590)   # 5.5 + 0.4 -> 550 + 40
+    assert got[("last", "direct")] == (2, 300)  # users 2 and 3
+    assert got[("first", "view")] == (2, 590)
+    assert got[("first", "direct")] == (2, 300)
+    # inclusive boundary: widen to 50s -> user 2's view qualifies
+    got2 = {(r["model"], r["channel"]): r["n_conversions"]
+            for r in attribution(
+                _attr_events(spark), window_seconds=50).collect()}
+    assert got2[("last", "view")] == 1
+    assert got2[("last", "direct")] == 1  # only user 3 left
+
+
+def test_attribution_validation(spark):
+    import pytest as _pytest
+
+    from kafka_connect_mongo_spark.operators.temporal import attribution
+
+    ev = _attr_events(spark)
+    with _pytest.raises(ValueError, match="not in frame"):
+        attribution(ev.drop("value"))
+    with _pytest.raises(ValueError, match="window_seconds"):
+        attribution(ev, window_seconds=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        attribution(ev, touches=())
+    with _pytest.raises(ValueError, match="cannot also be"):
+        attribution(ev, touches=("purchase", "view"))
