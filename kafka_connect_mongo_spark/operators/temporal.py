@@ -459,15 +459,29 @@ def attribution(
             ),
         )
     )
-    def census(model: str, channel_col: str) -> DataFrame:
-        return scored.groupBy(
-            F.col(channel_col).alias("channel")
-        ).agg(
-            F.count("*").cast("long").alias("n_conversions"),
-            F.sum("value_cents").cast("long").alias("value_cents"),
-        ).select(F.lit(model).alias("model"), "channel",
-                 "n_conversions", "value_cents")
-
-    return census("last", "last_channel").unionByName(
-        census("first", "first_channel")
+    # Both models from the ONE scored pass: explode each conversion into
+    # (model, channel) pairs, then a single census groupBy. A union of
+    # two per-model selects would duplicate the scan+window subtree
+    # (measured: 2 FileScans) — the explode touches only conversions.
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("last_channel").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("first_channel").alias("channel"),
+                ),
+            )
+        ).alias("mc"),
+        "value_cents",
+    )
+    return both.groupBy(
+        F.col("mc.model").alias("model"),
+        F.col("mc.channel").alias("channel"),
+    ).agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
     )
