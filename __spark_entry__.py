@@ -1637,6 +1637,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st46_fact_deletion_vectors"] = _st46
 
+    # st47: CDC FAN-IN — two sharded feeds (key-hash split, so each
+    # key's events live in exactly one shard, the Mongo sharded-cluster
+    # shape) drain through SEPARATE checkpoints into ONE table, each
+    # with a per-source commit namespace (Kafka Connect's (topic,
+    # partition) offset keying). Exactly-once holds PER SOURCE: a
+    # re-drain of shard 0 against its checkpoint applies nothing. Final
+    # state = LWW(full feed) regardless of the split. Dual of st3
+    # (one feed → many tables).
+    def _st47(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.lake import LakeTable
+        from kafka_connect_mongo_spark.streaming.replay_stream import (
+            run_replay_stream,
+        )
+
+        shard = F.abs(F.hash(F.col("id"))) % 2
+        work0, staged0 = _stage_feed_files(
+            spark, sf, "cdc-fanin-", [shard == 0]
+        )
+        _, staged1 = _stage_feed_files(spark, sf, "cdc-fanin1-", [shard == 1])
+        root = os.path.join(work0, "lake")
+        table = LakeTable(spark, root, n_buckets=16, payload_col="object")
+        c0, c1 = os.path.join(work0, "ck0"), os.path.join(work0, "ck1")
+        run_replay_stream(spark, staged0, table, c0, source="shard0",
+                          max_files_per_trigger=1)
+        run_replay_stream(spark, staged1, table, c1, source="shard1",
+                          max_files_per_trigger=1)
+        again = run_replay_stream(spark, staged0, table, c0, source="shard0",
+                                  max_files_per_trigger=1)
+        if again["n_micro_batches"]:
+            raise AssertionError(
+                "fan-in re-drain of shard 0 applied new batches — "
+                "per-source exactly-once broken"
+            )
+        return table.read().select(
+            "id", "ts", "inc", "seq", "op", "ns", "content_sha"
+        )
+
+    q["st47_fanin_replay"] = _st47
+
     # Changelog VIEW between two snapshots: the NET per-key change set
     # (added | updated | deleted), robust to intermediate updates —
     # what read_changes' raw rows are not.
@@ -5389,6 +5428,17 @@ u AS (SELECT ts, inc, seq, op, ns, id, object FROM f
       UNION ALL SELECT ts, inc, seq, op, ns, id, object FROM ins),
 r AS (SELECT *, row_number() OVER (PARTITION BY id
         ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM u)
+SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
+""".strip()
+
+    # st47: the split is invisible to the oracle — fan-in of any
+    # partition of the feed LWWs to the same final state as the whole
+    # feed (tombstones dropped, per st43's final select).
+    o["st47_fanin_replay"] = f"""
+WITH f AS ({feed}),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY ts DESC, inc DESC, seq DESC) AS rn FROM f)
 SELECT id, ts, inc, seq, op, ns, sha256(object->>'$.content') AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd' AND object IS NOT NULL
 """.strip()

@@ -187,6 +187,7 @@ def main() -> None:
         "st44_predicate_update",  # MoR UPDATE SET..WHERE between two replay halves
         "st45_merge_into",  # generic 3-arm MERGE INTO over the full-feed state
         "st46_fact_deletion_vectors",  # Iceberg v3 position deletes on the fact side
+        "st47_fanin_replay",  # sharded fan-in: 2 sources, per-source exactly-once
     ] + job_queries_extra
 
     def run_noop(df) -> None:

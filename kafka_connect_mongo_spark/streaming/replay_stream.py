@@ -109,6 +109,7 @@ def run_replay_stream(
     max_files_per_trigger: int | None = 2,
     metrics_dir: str | None = None,
     quarantine_dir: str | None = None,
+    source: str | None = None,
 ) -> dict:
     """Replay the change feed into ``table`` with exactly-once semantics.
 
@@ -123,23 +124,35 @@ def run_replay_stream(
     the table later via ``operators/errors.requeue_quarantine`` once a
     repair exists. Off by default: the reference's basic mode ships the
     raw payload through unparsed, so un-opted tables keep those rows.
-    """
+
+    ``source`` namespaces the commit bookkeeping for FAN-IN: several
+    sharded feeds draining into ONE table each pass a distinct source id
+    (their commit keys become ``<source>:<batch_id>``), so each source's
+    exactly-once dedup is independent — Kafka Connect's (topic,
+    partition) offset keying, and the Mongo sharded-cluster shape where
+    every shard tails its own oplog. Without it, two sources' micro-batch
+    0s would collide in the committed-batch set and the second would be
+    silently skipped."""
     if snapshot_path:
         bootstrap(spark, table, snapshot_path)
 
     applied: list[dict] = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # commit key: namespaced per source for fan-in; metrics below keep
+        # the raw numeric micro-batch id (their parquet schema is long —
+        # fan-in callers pass a per-source metrics_dir)
+        bid = batch_id if source is None else f"{source}:{batch_id}"
         merged = batch_df  # metrics below stay over the FULL batch
         if quarantine_dir is not None:
             from ..operators.errors import split_corrupt
 
             merged, bad = split_corrupt(batch_df)
             bad.write.mode("overwrite").parquet(
-                os.path.join(quarantine_dir, f"batch_id={batch_id}")
+                os.path.join(quarantine_dir, f"batch_id={bid}")
             )
         prepared = prepare_batch(merged)
-        stats = table.upsert(prepared, batch_id)
+        stats = table.upsert(prepared, bid)
         applied.append(stats)
         if metrics_dir and not stats.get("skipped"):
             batch_lineage(batch_df, batch_id=batch_id).write.mode("append").parquet(

@@ -1321,3 +1321,47 @@ def test_transport_dedup_state_expires_with_watermark(spark, tmp_path_factory):
     # delivery would be dropped the same way, which is the watermark
     # loss mode the sink's idempotent MERGE backstops
     assert seqs == [1, 2, 3]
+
+
+def test_fanin_per_source_commit_namespace(spark, gen_paths, tmp_path_factory):
+    """Two sharded feeds -> ONE table: per-source commit namespacing
+    keeps each source's exactly-once dedup independent. Without it the
+    second source's micro-batch 0 collides with the first's and is
+    silently skipped (asserted here as the failure mode it prevents)."""
+    from pyspark.sql import functions as F
+
+    op_path, _ = gen_paths
+    raw = spark.read.parquet(op_path)
+    work = tmp_path_factory.mktemp("fanin")
+    shard = F.abs(F.hash(F.col("id"))) % 2
+    for i in range(2):
+        raw.filter(shard == i).coalesce(1).write.mode("overwrite").parquet(
+            str(work / f"shard{i}"))
+
+    # with namespacing: union equals the whole-feed replay
+    t = LakeTable(spark, str(work / "lake"), n_buckets=8,
+                  payload_col="object")
+    s0 = run_replay_stream(spark, str(work / "shard0"), t,
+                           str(work / "ck0"), source="s0")
+    s1 = run_replay_stream(spark, str(work / "shard1"), t,
+                           str(work / "ck1"), source="s1")
+    assert s0["n_micro_batches"] and s1["n_micro_batches"]
+    assert not any(b.get("skipped") for b in s1["batches"])
+    ref = LakeTable(spark, str(work / "ref"), n_buckets=8,
+                    payload_col="object")
+    run_replay_stream(spark, op_path, ref, str(work / "ckref"))
+    assert t.read().count() == ref.read().count()
+    # re-drain shard0 against its checkpoint: nothing new
+    again = run_replay_stream(spark, str(work / "shard0"), t,
+                              str(work / "ck0"), source="s0")
+    assert again["n_micro_batches"] == 0
+
+    # WITHOUT namespacing, the second source's batch 0 is wrongly
+    # deduplicated against the first source's commit
+    t2 = LakeTable(spark, str(work / "lake2"), n_buckets=8,
+                   payload_col="object")
+    run_replay_stream(spark, str(work / "shard0"), t2, str(work / "ck0b"),
+                      max_files_per_trigger=None)
+    bad = run_replay_stream(spark, str(work / "shard1"), t2,
+                            str(work / "ck1b"), max_files_per_trigger=None)
+    assert any(b.get("skipped") for b in bad["batches"])
