@@ -141,3 +141,97 @@ def test_merge_arms_equal_lake_under_any_batching(spark, tmp_path_factory, event
     lake_live = {r["id"]: r["object"] for r in table.read().collect()}
     assert merged_live == expected
     assert lake_live == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(event, min_size=2, max_size=20),
+    st.lists(event, min_size=0, max_size=10),
+    st.randoms(use_true_random=False),
+)
+def test_row_level_dml_equals_sequential_oracle(
+    spark, tmp_path_factory, events, later, rnd
+):
+    """st44/st43 property: for ANY history, DELETE WHERE + UPDATE WHERE
+    synthesize versions at (winner ts, inc+1, winner seq), so the final
+    state equals the pure-Python oracle that applies the same synthesis
+    over the LWW winners — including interplay with ANY later events
+    (which outrank or lose to the synthesized versions under the same
+    total order, never ambiguously: inc values are globally unique so no
+    exact (ts, inc, seq) triple ever collides)."""
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+
+    def mk_rows(evs, seq0):
+        rows = []
+        for k, (ts, inc, key, op, val) in enumerate(evs):
+            seq = seq0 + k
+            obj = None if op == "d" else json.dumps({"_id": key, "v": val})
+            rows.append((ts, inc * 64 + seq, seq, op, "t.c", key, obj, None, False))
+        return rows
+
+    rows = mk_rows(events, 0)
+
+    def winners(all_rows):
+        best = {}
+        for r in all_rows:
+            ts, inc, seq, op, ns, key, obj = r[:7]
+            cur = best.get(key)
+            if cur is None or (ts, inc, seq) > (cur[0], cur[1], cur[2]):
+                best[key] = (ts, inc, seq, op, ns, obj)
+        return best
+
+    def live(best):
+        return {
+            k: v for k, v in best.items() if v[3] != "d" and v[5] is not None
+        }
+
+    cols = ["id", "ts", "inc", "seq", "op", "ns", "object"]
+    table = LakeTable(
+        spark, str(tmp_path_factory.mktemp("dml-lake") / "t"),
+        n_buckets=2, max_deltas=2, payload_col="object",
+    )
+    table.upsert(
+        spark.createDataFrame(rows, schema=OPLOG_SCHEMA).select(*cols), 0
+    )
+
+    th_del = rnd.randint(0, 99)
+    th_upd = rnd.randint(0, 99)
+    synth = []
+
+    # DELETE WHERE v < th_del
+    table.delete_where(
+        f"CAST(get_json_object(object, '$.v') AS INT) < {th_del}", "dw"
+    )
+    for k, v in live(winners(rows)).items():
+        ts, inc, seq, op, ns, obj = v
+        if json.loads(obj)["v"] < th_del:
+            synth.append((ts, inc + 1, seq, "d", ns, k, None, None, False))
+
+    # UPDATE WHERE v >= th_upd over the post-delete state
+    table.update_where(
+        f"CAST(get_json_object(object, '$.v') AS INT) >= {th_upd}",
+        {"object": "concat('{\"_id\": \"', id, '\", \"v\": 1000}')"},
+        "uw",
+    )
+    for k, v in live(winners(rows + synth)).items():
+        ts, inc, seq, op, ns, obj = v
+        if json.loads(obj)["v"] >= th_upd:
+            synth.append((
+                ts, inc + 1, seq, "u", ns, k,
+                json.dumps({"_id": k, "v": 1000}), None, False,
+            ))
+
+    # later events: outrank or lose to the synthesized versions under
+    # the one total order, identically on both sides
+    later_rows = mk_rows(later, 1000)
+    if later_rows:
+        table.upsert(
+            spark.createDataFrame(later_rows, schema=OPLOG_SCHEMA)
+            .select(*cols), 1,
+        )
+
+    expected = {
+        k: v[5] for k, v in live(winners(rows + synth + later_rows)).items()
+    }
+    got = {r["id"]: r["object"] for r in table.read().collect()}
+    assert got == expected
