@@ -1214,6 +1214,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c3_split_counts"] = _c3
 
+    # c21: LEAKAGE CENSUS — the observable difference between the naive
+    # doc-hash split and the cluster-aware split: count near-dup pairs
+    # whose two docs landed in DIFFERENT splits under each strategy.
+    # cluster_hash must be 0 by construction (a cluster hashes once);
+    # doc_hash leaks at ~(1 − Σ fᵢ²) of the pairs. At 100 TB the
+    # cluster table is the persisted neardup_clusters artifact, built
+    # once per corpus snapshot and reused by every split.
+    def _c21(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.pipelines.splits import (
+            leakage_free_split,
+            train_val_test_split,
+        )
+
+        docs = _docs(spark, sf)
+        pairs = dd.minhash_near_dups(docs).select("doc_a", "doc_b").persist()
+        naive = train_val_test_split(docs, val_frac=0.1, test_frac=0.1)
+        safe = leakage_free_split(docs, val_frac=0.1, test_frac=0.1)
+
+        def census(tag: str, assign: DataFrame) -> DataFrame:
+            a = assign.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            )
+            b = assign.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            )
+            return pairs.join(a, "doc_a").join(b, "doc_b").agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.coalesce(
+                    F.sum((F.col("sa") != F.col("sb")).cast("long")),
+                    F.lit(0),
+                ).cast("long").alias("cross_split_pairs"),
+            ).select(F.lit(tag).alias("strategy"), "n_pairs",
+                     "cross_split_pairs")
+
+        return census("doc_hash", naive).unionByName(
+            census("cluster_hash", safe)
+        )
+
+    q["c21_leakage_free_split"] = _c21
+
     # N-gram decontamination: test-split docs sharing any 3-gram with the
     # train split (distinct-gram equi-join, no text past the projection).
     def _c4(spark: SparkSession, sf: str) -> DataFrame:
@@ -4579,6 +4619,49 @@ reach(x, label) AS (
   UNION
   SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y)
 SELECT x AS doc_id, min(label) AS cluster_id FROM reach GROUP BY x
+""".strip()
+
+    # c21: both split laws re-derived in SQL (same md5-bucket expression
+    # as c3, hashed over doc_id vs the closure's cluster representative),
+    # then the cross-split pair census per strategy.
+    def _bucket_of(e: str) -> str:
+        return (
+            "CAST(CAST(concat('0x', substr(md5('split-v1' || "
+            f"CAST({e} AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS BIGINT)"
+        )
+
+    def _split_of(e: str) -> str:
+        return (
+            f"CASE WHEN {_bucket_of(e)} < 1000 THEN 'test' "
+            f"WHEN {_bucket_of(e)} < 2000 THEN 'val' ELSE 'train' END"
+        )
+
+    o["c21_leakage_free_split"] = f"""
+WITH RECURSIVE pairs AS ({_sql_minhash(16, 4, 0.7)}),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION SELECT doc_b AS x, doc_a AS y FROM pairs),
+reach(x, label) AS (
+  SELECT x, x AS label FROM (SELECT DISTINCT x FROM edges) t
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.x = e.y),
+clus AS (SELECT x AS doc_id, min(label) AS cluster_id FROM reach GROUP BY x),
+nv AS (SELECT doc_id, {_split_of('doc_id')} AS split FROM documents),
+g AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+      FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+sv AS (SELECT doc_id, {_split_of('grp')} AS split FROM g),
+pp AS (SELECT doc_a, doc_b FROM pairs)
+SELECT 'doc_hash' AS strategy,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS cross_split_pairs
+FROM pp JOIN nv a ON a.doc_id = pp.doc_a JOIN nv b ON b.doc_id = pp.doc_b
+UNION ALL
+SELECT 'cluster_hash',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT)
+FROM pp JOIN sv a ON a.doc_id = pp.doc_a JOIN sv b ON b.doc_id = pp.doc_b
 """.strip()
 
     o["d5_cosine_neardup"] = """

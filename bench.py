@@ -127,6 +127,7 @@ def main() -> None:
         "a14_resample_locf",    # time-grid resample + LOCF gap fill (as-of union window)
         "a17_k_anonymity",      # k-anonymity census over generalized quasi-identifiers
         "f4_attribution",       # first/last-touch attribution in one range-window pass
+        "c21_leakage_free_split",  # cross-split near-dup leakage census (0 by construction)
         "d22_function_clones",  # rename-normalized unit digests, one content scan
         "s9_kmeans_lloyd",      # integer-exact Lloyd rounds, literal-centroid assign
         "x17_schema_compat",    # writer-schema compat census (2 scans, census exchanges)

@@ -736,3 +736,66 @@ def budget_sample(
         joined.select("doc_id", "domain", "n_tokens", cum)
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Group-aware train/val/test split: the assignment hashes each
+    doc's near-dup CLUSTER representative instead of its own id, so no
+    near-duplicate pair ever straddles a split boundary — the classic
+    leakage pitfall ``train_val_test_split`` cannot prevent (a doc and
+    its near-copy hash independently and land in different splits,
+    leaking test content into training).
+
+    ``clusters`` is a (doc_id, cluster_id) table — pass the PERSISTED
+    output of ``neardup_clusters`` (the 100 TB form: the cluster table
+    is built once per corpus snapshot and reused by every split/dedup
+    pass); ``None`` computes it inline. Unclustered docs are their own
+    singleton group (``coalesce(cluster_id, doc_id)``), so the split
+    law over singletons is IDENTICAL to ``train_val_test_split`` —
+    only clustered docs move, and they move together.
+
+    Plan: the hash assignment stays a row-local expression; the only
+    addition over the naive split is one left join against the
+    census-much-smaller cluster table (broadcast at typical dup
+    rates)."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            f"leakage_free_split: invalid fractions val={val_frac} "
+            f"test={test_frac} (need ≥0 and val+test < 1)"
+        )
+    if clusters is None:
+        from .dedup import neardup_clusters
+
+        clusters = neardup_clusters(
+            docs, n_hashes=n_hashes, band_size=band_size, threshold=threshold
+        )
+    if id_col not in clusters.columns or "cluster_id" not in clusters.columns:
+        raise ValueError(
+            f"leakage_free_split: clusters must carry ({id_col!r}, "
+            f"'cluster_id'), got {sorted(clusters.columns)}"
+        )
+    joined = docs.join(
+        clusters.select(id_col, "cluster_id"), id_col, "left"
+    )
+    grp = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = sample_hash(grp, salt)
+    test_bp = int(round(test_frac * RATE_DENOM))
+    val_bp = int(round(val_frac * RATE_DENOM))
+    split = (
+        F.when(bucket < test_bp, F.lit("test"))
+        .when(bucket < test_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return joined.withColumn("split", split).drop("cluster_id").select(
+        *docs.columns, "split"
+    )

@@ -747,3 +747,55 @@ def test_k_anonymity_validation(spark):
         k_anonymity(df, ("lang",), bands={"lang": 10})
     with _pytest.raises(ValueError, match="positive int"):
         k_anonymity(df, ("n_chars",), bands={"n_chars": 0})
+
+
+def test_leakage_free_split_zero_cross_pairs(spark):
+    """All docs of a near-dup cluster land in ONE split; singletons get
+    exactly the naive split's assignment (same hash law over doc_id)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    # 10 clusters of 3 near-identical docs + 30 singletons
+    for c in range(10):
+        for r in range(3):
+            rows.append((c * 10 + r, base + f" c{c}", "en", "web", 100))
+    for i in range(30):
+        rows.append((1000 + i, f"unique doc {i} " + " ".join(
+            f"w{i}x{j}" for j in range(20)), "en", "web", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    from kafka_connect_mongo_spark.pipelines import dedup as dd
+    from kafka_connect_mongo_spark.pipelines.splits import (
+        leakage_free_split,
+        train_val_test_split,
+    )
+
+    safe = leakage_free_split(docs, val_frac=0.2, test_frac=0.2)
+    assert safe.columns == docs.columns + ["split"]
+    pairs = dd.minhash_near_dups(docs).select("doc_a", "doc_b")
+    sp_map = {r["doc_id"]: r["split"] for r in safe.collect()}
+    cross = [
+        (r["doc_a"], r["doc_b"]) for r in pairs.collect()
+        if sp_map[r["doc_a"]] != sp_map[r["doc_b"]]
+    ]
+    assert cross == []  # zero leakage by construction
+    # singletons: identical assignment to the naive split
+    naive_map = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs, val_frac=0.2, test_frac=0.2).collect()
+    }
+    for i in range(30):
+        assert sp_map[1000 + i] == naive_map[1000 + i]
+    # persisted-cluster form: identical result
+    clusters = dd.neardup_clusters(docs)
+    safe2 = leakage_free_split(docs, clusters=clusters,
+                               val_frac=0.2, test_frac=0.2)
+    assert {(r["doc_id"], r["split"]) for r in safe2.collect()} == \
+        {(r["doc_id"], r["split"]) for r in safe.collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="invalid fractions"):
+        leakage_free_split(docs, val_frac=0.9, test_frac=0.2)
+    with _pytest.raises(ValueError, match="must carry"):
+        leakage_free_split(docs, clusters=clusters.drop("cluster_id"))
