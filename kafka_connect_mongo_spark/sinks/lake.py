@@ -2379,9 +2379,13 @@ class LakeTable:
         runs again — stats can be stale, results can't.
 
         ONE job over the current paths builds every bucket's bit set
-        (k ``xxhash64(col, seed)`` positions per row, grouped by file,
-        files mapped to their bucket group dirs); the sidecar is
-        metadata-scale (|buckets| x bits/8 bytes)."""
+        (k ``xxhash64(col, seed)`` positions per row, files mapped to
+        their bucket via a broadcast join on the file-group dir, bit
+        positions folded to 64-bit words with ``bit_or`` INSIDE the
+        aggregate — the same word-granularity fold as the fact table's
+        puffin build).  Only ``|buckets| x bits/64`` word rows ever
+        reach the driver (KBs), never per-file position sets; the
+        sidecar is metadata-scale (|buckets| x bits/8 bytes)."""
         self._require_main("build_blooms")
         if bits < 8 or bits & (bits - 1):
             raise ValueError(f"build_blooms: bits must be a power of two >= 8, got {bits}")
@@ -2397,35 +2401,55 @@ class LakeTable:
         paths = sorted(group_of)
         pos = F.array(
             *[
-                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(bits)).cast("int")
+                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(bits)).cast("long")
                 for j in range(k)
             ]
         )
-        rows = (
+        # group-dir -> bucket is metadata-scale (it IS the meta's path
+        # list); shipping it as a broadcast side keeps the file->bucket
+        # resolution on the executors.
+        grp_to_bucket = self.spark.createDataFrame(
+            [(g, b) for g, b in group_of.items()], "grp string, bucket string"
+        )
+        words = (
             self._read_parquet(paths)
             .filter(F.col(col).isNotNull())
             .select(
-                F.input_file_name().alias("_f"),
+                # file:///x -> /x; parquet parts sit directly in their
+                # group dir, so dirname(file) == group dir
+                F.regexp_replace(
+                    F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                    "/[^/]*$",
+                    "",
+                ).alias("grp"),
                 F.explode(pos).alias("_p"),
             )
-            .groupBy("_f")
-            .agg(F.collect_set("_p").alias("_ps"))
+            .join(F.broadcast(grp_to_bucket), "grp")
+            .select(
+                "bucket",
+                F.shiftright(F.col("_p"), 6).cast("int").alias("_w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))"
+                ).alias("_m"),
+            )
+            .groupBy("bucket", "_w")
+            .agg(F.bit_or("_m").alias("_word"))
             .collect()
         )
-        bitmaps: dict[str, bytearray] = {
-            b: bytearray(bits // 8) for b in self.meta["buckets"]
+        n_words = (bits + 63) // 64
+        word_arrs: dict[str, list[int]] = {
+            b: [0] * n_words for b in self.meta["buckets"]
         }
-        for r in rows:
-            f = os.path.abspath(r["_f"].replace("file:", "", 1))
-            bucket = next(
-                (b for g, b in group_of.items() if f.startswith(g + os.sep)),
-                None,
-            )
-            if bucket is None:
-                continue  # file outside any live group (can't happen)
-            bm = bitmaps[bucket]
-            for p in r["_ps"]:
-                bm[p // 8] |= 1 << (p % 8)
+        for r in words:
+            word_arrs[r["bucket"]][r["_w"]] = r["_word"] & 0xFFFFFFFFFFFFFFFF
+        # little-endian word serialization reproduces the byte/bit layout
+        # bm[p // 8] |= 1 << (p % 8) exactly (p // 8 == w*8 + (p%64)//8)
+        bitmaps: dict[str, bytearray] = {
+            b: bytearray(b"".join(w.to_bytes(8, "little") for w in ws))[
+                : bits // 8
+            ]
+            for b, ws in word_arrs.items()
+        }
         sidecar = {
             "col": col,
             "bits": bits,

@@ -1333,6 +1333,61 @@ def test_bloom_sidecars_skip_buckets_and_never_rows(tmp_path, spark):
         t.bloom_prune("ref", None)
 
 
+def test_bloom_word_fold_bit_exact(tmp_path, spark):
+    """The distributed word-level bit_or fold serializes to the exact
+    bitmap a per-position Python fold (bm[p//8] |= 1 << (p%8)) would
+    produce — for bits >= 64 (multi-word) and bits < 64 (truncated
+    single word) alike — so probe positions computed independently by
+    bloom_prune land on the same bits the build set."""
+    import base64
+
+    from pyspark.sql import Row
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    rows = [
+        ev(100, i, i, "i", "t.a", key(i), {"_id": key(i), "n": i})
+        for i in range(120)
+    ]
+    batch = mk(spark, rows).withColumn(
+        "ref", F.concat(F.lit("v-"), F.col("inc").cast("string"))
+    )
+    t.upsert(batch, 0)
+    for bits, k in [(256, 3), (32, 2)]:
+        t.build_blooms("ref", bits=bits, k=k)
+        with open(t._bloom_path("ref")) as f:
+            sidecar = json.load(f)
+        # reference fold: hash every live value with Spark's own
+        # xxhash64 (seeded), set bits per-position in Python
+        want = {b: bytearray(bits // 8) for b in sidecar["buckets"]}
+        for b in want:
+            vals = [
+                r["ref"]
+                for r in t._read_parquet(
+                    t._bucket_paths(b, t.meta["buckets"][b])
+                ).collect()
+                if r["ref"] is not None
+            ]
+            if not vals:
+                continue
+            hashed = spark.createDataFrame(
+                [Row(v=v) for v in vals]
+            ).select(
+                *[
+                    F.pmod(F.xxhash64("v", F.lit(j)), F.lit(bits)).alias(
+                        f"p{j}"
+                    )
+                    for j in range(k)
+                ]
+            ).collect()
+            for r in hashed:
+                for j in range(k):
+                    p = r[f"p{j}"]
+                    want[b][p // 8] |= 1 << (p % 8)
+        for b, entry in sidecar["buckets"].items():
+            got = base64.b64decode(entry["bitmap"])
+            assert got == bytes(want[b]), (bits, k, b)
+
+
 def test_cli_bloom_build_and_probe(tmp_path, spark):
     """Out-of-process `bloom`: build sidecars, then probe — the receipt
     reports skipped/read/stale buckets and the row count."""
