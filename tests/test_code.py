@@ -724,6 +724,34 @@ def test_incremental_closure_validation(spark):
         cd.incremental_closure(ok, bad)
 
 
+def test_incremental_closure_refuses_deletions(spark):
+    """The insert-only boundary is loud: retractions — whether passed as
+    a deleted_edges frame or hiding as tombstone ops in the delta —
+    raise with the DRed citation instead of silently keeping pairs the
+    deletion may have invalidated."""
+    base = _full_closure(spark, [("A", "B"), ("B", "C")])
+    adds = spark.createDataFrame([("C", "D")], "src string, dst string")
+    dels = spark.createDataFrame([("A", "B")], "src string, dst string")
+    with pytest.raises(NotImplementedError, match="DRed"):
+        cd.incremental_closure(base, adds, deleted_edges=dels)
+    tagged = spark.createDataFrame(
+        [("C", "D", "i"), ("A", "B", "d")],
+        "src string, dst string, op string",
+    )
+    with pytest.raises(NotImplementedError, match="tombstones"):
+        cd.incremental_closure(base, tagged)
+    # an empty retraction frame / all-insert tagged delta still folds
+    empty = dels.limit(0)
+    got = _closure_pairs(
+        cd.incremental_closure(base, tagged.filter("op = 'i'"),
+                               deleted_edges=empty)
+    )
+    want = _closure_pairs(
+        _full_closure(spark, [("A", "B"), ("B", "C"), ("C", "D")])
+    )
+    assert got == want
+
+
 class TestFunctionClones:
     def _repos(self, spark):
         fa = "def alpha(x):\n    return x * 4\n"
