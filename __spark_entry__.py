@@ -121,7 +121,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # regression canaries.  Every other entry keeps its original relative
 # order after the window.
 _DRIVER_WINDOW = [
-    "q_final_state", "a2_lww_collapse", "st1_streaming_replay",
+    "q_final_state", "st48_merge_replay", "st1_streaming_replay",
     "m5_pair_alignment", "st24_delete_latency", "c4_contamination",
     "c12_chunk_windows", "st10_time_travel", "st43_predicate_delete",
     "st44_predicate_update", "st46_fact_deletion_vectors", "st14_rollback",
@@ -3459,6 +3459,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s9_kmeans_lloyd"] = lambda spark, sf: sim.kmeans_lloyd(
         _emb(spark, sf), k=4, iterations=3
     )
+
+    # st48: the flagship replay re-run as EXECUTED MERGE INTO statements
+    # through Spark's own RewriteMergeIntoTable, against the bundled
+    # rowlake DSv2 catalog (java/rowlake/, SupportsRowLevelOperations —
+    # closes the "no executed MERGE" boundary standing since r2).
+    # Bootstrap + 4 timestamp-ordered batches, three reference sink arms
+    # (delete-on-tombstone / LWW-guarded update / upsert insert); oracle
+    # is q_final_state's SQL verbatim — the result must be THE SAME
+    # final state, per-row content_sha included.
+    def _st48(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.rowlake import replay_merge
+
+        return replay_merge(
+            spark,
+            gen.oplog_path(sf),
+            gen.repos_path(sf),
+            fq_table="rowlake.cdc.st48_final_state",
+        )
+
+    q["st48_merge_replay"] = _st48
 
     return _driver_order(q)
 
@@ -6938,4 +6958,7 @@ FROM n GROUP BY 1 HAVING count(*) >= 2
 
     # s9: the same 3 Lloyd iterations, unrolled.
     o["s9_kmeans_lloyd"] = _sql_kmeans(4, 3)
+
+    # st48: executed-MERGE replay must equal the flagship final state.
+    o["st48_merge_replay"] = o["q_final_state"]
     return _driver_order(o)

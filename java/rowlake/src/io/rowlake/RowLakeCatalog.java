@@ -1,0 +1,636 @@
+package io.rowlake;
+
+import java.io.IOException;
+import java.io.Serializable;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.Collections;
+import java.util.EnumSet;
+import java.util.HashMap;
+import java.util.HashSet;
+import java.util.LinkedHashSet;
+import java.util.List;
+import java.util.Map;
+import java.util.Set;
+import java.util.concurrent.ConcurrentHashMap;
+
+import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
+import org.apache.spark.sql.catalyst.util.ArrayData;
+import org.apache.spark.sql.catalyst.util.MapData;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.connector.read.Batch;
+import org.apache.spark.sql.connector.read.InputPartition;
+import org.apache.spark.sql.connector.read.PartitionReader;
+import org.apache.spark.sql.connector.read.PartitionReaderFactory;
+import org.apache.spark.sql.connector.read.Scan;
+import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.write.BatchWrite;
+import org.apache.spark.sql.connector.write.DataWriter;
+import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
+import org.apache.spark.sql.connector.write.RowLevelOperation;
+import org.apache.spark.sql.connector.write.RowLevelOperationBuilder;
+import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
+import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.connector.write.WriterCommitMessage;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StructField;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+import org.apache.spark.unsafe.types.UTF8String;
+
+/**
+ * A minimal in-memory DataSource V2 catalog whose tables support Spark's
+ * native row-level operations (MERGE INTO / UPDATE / DELETE) via the
+ * group-based copy-on-write path: the row-level scan reads the table as a
+ * single group; Spark's own RewriteMergeIntoTable / RewriteDelete /
+ * RewriteUpdate rules compute the replacement rows; the replace-write
+ * commits them atomically.
+ *
+ * Purpose: the sandbox ships no Iceberg/Delta runtime jar and has no
+ * network, so the engine's MERGE surface (sinks/lake.py merge_into, the
+ * parser-verified merge_into_sql) could never be EXECUTED through Spark's
+ * analyzer end-to-end. This catalog closes that gap with public Spark
+ * APIs only: it is the smallest SupportsRowLevelOperations implementation
+ * that lets `MERGE INTO rowlake.ns.t USING src ...` run for real.
+ *
+ * Semantics mirrored from the reference connector's upsert/delete sink
+ * contract (kafka-connect-mongo MongoSinkTask: replace-by-_id upsert,
+ * delete-on-tombstone) — re-expressed as the standard SQL MERGE arms.
+ *
+ * Storage is a JVM-static map (driver and executors share the JVM in
+ * local mode; rows travel through serializable commit messages, so the
+ * write path itself is executor-clean). NOT a persistence layer — a
+ * conformance harness for MERGE semantics at test scale.
+ */
+public class RowLakeCatalog implements TableCatalog, SupportsNamespaces {
+
+  static final class State implements Serializable {
+    StructType schema;
+    final List<Object[]> rows = new ArrayList<>();
+
+    State(StructType schema) {
+      this.schema = schema;
+    }
+  }
+
+  static final ConcurrentHashMap<String, State> STORE = new ConcurrentHashMap<>();
+  static final Set<String> NAMESPACES = ConcurrentHashMap.newKeySet();
+
+  private String catalogName = "rowlake";
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.catalogName = name;
+  }
+
+  @Override
+  public String name() {
+    return catalogName;
+  }
+
+  private String key(Identifier ident) {
+    return catalogName + " " + String.join(" ", ident.namespace())
+        + " " + ident.name();
+  }
+
+  private String nsKey(String[] namespace) {
+    return catalogName + " " + String.join(" ", namespace);
+  }
+
+  // -- TableCatalog ------------------------------------------------------
+
+  @Override
+  public Identifier[] listTables(String[] namespace) {
+    String prefix = nsKey(namespace) + " ";
+    List<Identifier> out = new ArrayList<>();
+    for (String k : STORE.keySet()) {
+      if (k.startsWith(prefix)) {
+        String rest = k.substring(prefix.length());
+        if (!rest.contains(" ")) {
+          out.add(Identifier.of(namespace, rest));
+        }
+      }
+    }
+    return out.toArray(new Identifier[0]);
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    String k = key(ident);
+    if (!STORE.containsKey(k)) {
+      throw new NoSuchTableException(ident);
+    }
+    return new RowLakeTable(k, ident.toString());
+  }
+
+  @Override
+  public Table createTable(
+      Identifier ident,
+      StructType schema,
+      Transform[] partitions,
+      Map<String, String> properties)
+      throws TableAlreadyExistsException {
+    if (partitions != null && partitions.length > 0) {
+      throw new UnsupportedOperationException(
+          "rowlake: partition transforms are not supported (single-group "
+              + "copy-on-write table)");
+    }
+    String k = key(ident);
+    if (STORE.putIfAbsent(k, new State(schema)) != null) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    NAMESPACES.add(nsKey(ident.namespace()));
+    return new RowLakeTable(k, ident.toString());
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes)
+      throws NoSuchTableException {
+    String k = key(ident);
+    State st = STORE.get(k);
+    if (st == null) {
+      throw new NoSuchTableException(ident);
+    }
+    synchronized (st) {
+      for (TableChange change : changes) {
+        if (change instanceof TableChange.AddColumn) {
+          TableChange.AddColumn add = (TableChange.AddColumn) change;
+          if (add.fieldNames().length != 1) {
+            throw new UnsupportedOperationException(
+                "rowlake: nested column additions are not supported");
+          }
+          if (!add.isNullable()) {
+            throw new UnsupportedOperationException(
+                "rowlake: added columns must be nullable (existing rows "
+                    + "are padded with NULL)");
+          }
+          st.schema = st.schema.add(add.fieldNames()[0], add.dataType(), true);
+        } else if (change instanceof TableChange.SetProperty
+            || change instanceof TableChange.RemoveProperty) {
+          // properties are not stored; accept silently
+        } else {
+          throw new UnsupportedOperationException(
+              "rowlake: unsupported table change " + change);
+        }
+      }
+    }
+    return new RowLakeTable(k, ident.toString());
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    return STORE.remove(key(ident)) != null;
+  }
+
+  @Override
+  public void renameTable(Identifier from, Identifier to)
+      throws NoSuchTableException, TableAlreadyExistsException {
+    State st = STORE.get(key(from));
+    if (st == null) {
+      throw new NoSuchTableException(from);
+    }
+    if (STORE.putIfAbsent(key(to), st) != null) {
+      throw new TableAlreadyExistsException(to);
+    }
+    STORE.remove(key(from));
+  }
+
+  // -- SupportsNamespaces ------------------------------------------------
+
+  @Override
+  public String[][] listNamespaces() {
+    Set<String[]> out = new LinkedHashSet<>();
+    String prefix = catalogName + " ";
+    for (String ns : NAMESPACES) {
+      if (ns.startsWith(prefix)) {
+        out.add(ns.substring(prefix.length()).split(" "));
+      }
+    }
+    return out.toArray(new String[0][]);
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] namespace)
+      throws NoSuchNamespaceException {
+    if (namespace.length == 0) {
+      return listNamespaces();
+    }
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    return new String[0][];
+  }
+
+  @Override
+  public boolean namespaceExists(String[] namespace) {
+    return NAMESPACES.contains(nsKey(namespace));
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+      throws NoSuchNamespaceException {
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    return Collections.emptyMap();
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> metadata) {
+    NAMESPACES.add(nsKey(namespace));
+  }
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes)
+      throws NoSuchNamespaceException {
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade)
+      throws NoSuchNamespaceException {
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    String prefix = nsKey(namespace) + " ";
+    if (!cascade) {
+      for (String k : STORE.keySet()) {
+        if (k.startsWith(prefix)) {
+          throw new IllegalStateException(
+              "rowlake: namespace not empty: " + Arrays.toString(namespace));
+        }
+      }
+    } else {
+      STORE.keySet().removeIf(k -> k.startsWith(prefix));
+    }
+    return NAMESPACES.remove(nsKey(namespace));
+  }
+
+  // -- Table -------------------------------------------------------------
+
+  static final class RowLakeTable
+      implements SupportsRead, SupportsWrite, SupportsRowLevelOperations {
+
+    private final String storeKey;
+    private final String displayName;
+
+    RowLakeTable(String storeKey, String displayName) {
+      this.storeKey = storeKey;
+      this.displayName = displayName;
+    }
+
+    private State state() {
+      State st = STORE.get(storeKey);
+      if (st == null) {
+        throw new IllegalStateException("rowlake: table dropped: " + displayName);
+      }
+      return st;
+    }
+
+    @Override
+    public String name() {
+      return displayName;
+    }
+
+    @Override
+    public StructType schema() {
+      return state().schema;
+    }
+
+    @Override
+    public Set<TableCapability> capabilities() {
+      return EnumSet.of(
+          TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE,
+          TableCapability.TRUNCATE);
+    }
+
+    @Override
+    public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+      return new FullScan(storeKey, schema());
+    }
+
+    @Override
+    public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      return new TableWrite(storeKey, schema(), info.schema(), false);
+    }
+
+    @Override
+    public RowLevelOperationBuilder newRowLevelOperationBuilder(
+        RowLevelOperationInfo info) {
+      RowLevelOperation.Command command = info.command();
+      return () -> new CopyOnWriteOperation(storeKey, schema(), command);
+    }
+  }
+
+  /**
+   * Group-based (no SupportsDelta) row-level operation: Spark rewrites
+   * MERGE/UPDATE/DELETE into a full-group scan plus a replacement write.
+   * One group == the whole table, so the replace-write's commit swaps the
+   * complete row list.
+   */
+  static final class CopyOnWriteOperation implements RowLevelOperation {
+    private final String storeKey;
+    private final StructType schema;
+    private final Command command;
+
+    CopyOnWriteOperation(String storeKey, StructType schema, Command command) {
+      this.storeKey = storeKey;
+      this.schema = schema;
+      this.command = command;
+    }
+
+    @Override
+    public Command command() {
+      return command;
+    }
+
+    @Override
+    public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+      return new FullScan(storeKey, schema);
+    }
+
+    @Override
+    public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      return new TableWrite(storeKey, schema, info.schema(), true);
+    }
+  }
+
+  // -- read path ---------------------------------------------------------
+
+  static final class FullScan implements ScanBuilder, Scan, Batch {
+    private final String storeKey;
+    private final StructType schema;
+
+    FullScan(String storeKey, StructType schema) {
+      this.storeKey = storeKey;
+      this.schema = schema;
+    }
+
+    @Override
+    public Scan build() {
+      return this;
+    }
+
+    @Override
+    public StructType readSchema() {
+      return schema;
+    }
+
+    @Override
+    public Batch toBatch() {
+      return this;
+    }
+
+    @Override
+    public InputPartition[] planInputPartitions() {
+      State st = STORE.get(storeKey);
+      List<Object[]> snapshot;
+      synchronized (st) {
+        snapshot = new ArrayList<>(st.rows);
+      }
+      int width = schema.fields().length;
+      int n = snapshot.size();
+      int slices = Math.max(1, Math.min(4, n));
+      InputPartition[] parts = new InputPartition[slices];
+      for (int s = 0; s < slices; s++) {
+        int lo = (int) ((long) n * s / slices);
+        int hi = (int) ((long) n * (s + 1) / slices);
+        Object[][] chunk = new Object[hi - lo][];
+        for (int i = lo; i < hi; i++) {
+          Object[] row = snapshot.get(i);
+          chunk[i - lo] = row.length == width ? row : Arrays.copyOf(row, width);
+        }
+        parts[s] = new RowsPartition(chunk);
+      }
+      return parts;
+    }
+
+    @Override
+    public PartitionReaderFactory createReaderFactory() {
+      return new RowsReaderFactory();
+    }
+  }
+
+  static final class RowsPartition implements InputPartition {
+    final Object[][] rows;
+
+    RowsPartition(Object[][] rows) {
+      this.rows = rows;
+    }
+  }
+
+  static final class RowsReaderFactory implements PartitionReaderFactory {
+    @Override
+    public PartitionReader<InternalRow> createReader(InputPartition partition) {
+      Object[][] rows = ((RowsPartition) partition).rows;
+      return new PartitionReader<InternalRow>() {
+        private int i = -1;
+
+        @Override
+        public boolean next() {
+          return ++i < rows.length;
+        }
+
+        @Override
+        public InternalRow get() {
+          return new GenericInternalRow(rows[i]);
+        }
+
+        @Override
+        public void close() {}
+      };
+    }
+  }
+
+  // -- write path --------------------------------------------------------
+
+  static final class TableWrite implements WriteBuilder, Write, BatchWrite {
+    private final String storeKey;
+    private final StructType tableSchema;
+    private final StructType writeSchema;
+    private final boolean replace;
+
+    TableWrite(
+        String storeKey,
+        StructType tableSchema,
+        StructType writeSchema,
+        boolean replace) {
+      this.storeKey = storeKey;
+      this.tableSchema = tableSchema;
+      this.writeSchema = writeSchema;
+      this.replace = replace;
+    }
+
+    @Override
+    public Write build() {
+      return this;
+    }
+
+    @Override
+    public BatchWrite toBatch() {
+      return this;
+    }
+
+    @Override
+    public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+      // The incoming rows follow the WRITE schema (a row-level rewrite
+      // may carry extra metadata columns or a different column order);
+      // stored rows must follow the TABLE schema. Map by name, drop
+      // anything the table doesn't know.
+      StructField[] tf = tableSchema.fields();
+      int[] srcIdx = new int[tf.length];
+      DataType[] srcType = new DataType[tf.length];
+      for (int i = 0; i < tf.length; i++) {
+        srcIdx[i] = -1;
+        for (int j = 0; j < writeSchema.fields().length; j++) {
+          if (writeSchema.fields()[j].name().equals(tf[i].name())) {
+            srcIdx[i] = j;
+            srcType[i] = writeSchema.fields()[j].dataType();
+            break;
+          }
+        }
+      }
+      return new RowsWriterFactory(srcIdx, srcType, writeSchema.fields().length);
+    }
+
+    @Override
+    public void commit(WriterCommitMessage[] messages) {
+      State st = STORE.get(storeKey);
+      synchronized (st) {
+        if (replace) {
+          st.rows.clear();
+        }
+        for (WriterCommitMessage m : messages) {
+          if (m != null) {
+            st.rows.addAll(messageRows(m));
+          }
+        }
+      }
+    }
+
+    /**
+     * When the jar is registered at runtime (`ADD JAR`), the commit
+     * message deserialized from the task result may belong to a second
+     * copy of RowsMessage from a different classloader — a direct cast
+     * would throw ClassCastException. Read the rows field reflectively
+     * so either copy works.
+     */
+    @SuppressWarnings("unchecked")
+    private static List<Object[]> messageRows(WriterCommitMessage m) {
+      if (m instanceof RowsMessage) {
+        return ((RowsMessage) m).rows;
+      }
+      try {
+        java.lang.reflect.Field f = m.getClass().getDeclaredField("rows");
+        f.setAccessible(true);
+        return (List<Object[]>) f.get(m);
+      } catch (ReflectiveOperationException e) {
+        throw new IllegalStateException(
+            "rowlake: unexpected commit message " + m.getClass(), e);
+      }
+    }
+
+    @Override
+    public void abort(WriterCommitMessage[] messages) {}
+  }
+
+  static final class RowsMessage implements WriterCommitMessage {
+    final List<Object[]> rows;
+
+    RowsMessage(List<Object[]> rows) {
+      this.rows = rows;
+    }
+  }
+
+  static final class RowsWriterFactory implements DataWriterFactory {
+    private final int[] srcIdx;
+    private final DataType[] srcType;
+    private final int declaredWidth;
+
+    RowsWriterFactory(int[] srcIdx, DataType[] srcType, int declaredWidth) {
+      this.srcIdx = srcIdx;
+      this.srcType = srcType;
+      this.declaredWidth = declaredWidth;
+    }
+
+    @Override
+    public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
+      List<Object[]> buffer = new ArrayList<>();
+      return new DataWriter<InternalRow>() {
+        @Override
+        public void write(InternalRow row) {
+          // A row-level rewrite (MergeRowsExec and friends) can emit
+          // physical rows with leading plan-internal columns beyond the
+          // declared write schema; the data columns sit at the TAIL in
+          // write-schema order. Shift ordinals by the surplus.
+          int offset = row.numFields() - declaredWidth;
+          if (offset < 0) {
+            throw new IllegalStateException(
+                "rowlake: physical row narrower than write schema ("
+                    + row.numFields() + " < " + declaredWidth + ")");
+          }
+          Object[] vals = new Object[srcIdx.length];
+          for (int i = 0; i < srcIdx.length; i++) {
+            int j = srcIdx[i];
+            vals[i] =
+                (j < 0 || row.isNullAt(j + offset))
+                    ? null
+                    : copyValue(row.get(j + offset, srcType[i]));
+          }
+          buffer.add(vals);
+        }
+
+        @Override
+        public WriterCommitMessage commit() {
+          return new RowsMessage(buffer);
+        }
+
+        @Override
+        public void abort() {}
+
+        @Override
+        public void close() {}
+      };
+    }
+  }
+
+  /** Detach a value from any reused/unsafe backing buffer. */
+  static Object copyValue(Object v) {
+    if (v instanceof UTF8String) {
+      return ((UTF8String) v).copy();
+    }
+    if (v instanceof byte[]) {
+      return ((byte[]) v).clone();
+    }
+    if (v instanceof InternalRow) {
+      return ((InternalRow) v).copy();
+    }
+    if (v instanceof ArrayData) {
+      return ((ArrayData) v).copy();
+    }
+    if (v instanceof MapData) {
+      return ((MapData) v).copy();
+    }
+    return v; // primitives, Decimal, CalendarInterval: immutable
+  }
+}

@@ -1,0 +1,189 @@
+"""EXECUTED ``MERGE INTO`` — the CDC upsert sink run through Spark's own
+row-level-operation planner, end to end.
+
+Until round 5 the MERGE surface stopped at the boundary the sandbox
+imposed: no Iceberg/Delta runtime jar, no network, so ``merge_into_sql``
+could be parser-verified to a ``MergeIntoTable`` plan but never executed
+(``tests/test_merge_sql.py``), and ``LakeTable.merge_into`` executed the
+arm semantics against the repo's own merge-on-read table. This module
+removes the boundary with public Spark APIs only: a from-scratch DSv2
+catalog (``java/rowlake/`` → bundled ``jars/rowlake.jar``) whose tables
+implement ``SupportsRowLevelOperations`` (group-based copy-on-write), so
+Spark's ``RewriteMergeIntoTable`` / ``RewriteUpdateTable`` /
+``RewriteDeleteFromTable`` rules plan and EXECUTE the statements for
+real.
+
+Reference semantics: the connector's sink contract — replace-by-``_id``
+upsert, delete-on-tombstone (kafka-connect-mongo
+``MongoSinkTask.kt:45-60``, ``MongoExportSinkTask.kt``) — expressed as
+the three standard MERGE arms with a last-writer-wins guard on
+``(ts, inc, seq)`` (the connector's ordering domain, S3/T5), applied
+batch-by-batch in timestamp order exactly as the Kafka consumer applies
+partitions of the export topic.
+
+Scale note (honest): the rowlake catalog is a CONFORMANCE harness — its
+copy-on-write path rewrites the whole table per statement and stores
+rows on the JVM heap, which is exactly what Iceberg copy-on-write does
+per touched FILE GROUP, shrunk to one group. The 100 TB deployment path
+for this engine remains ``sinks/lake.py`` (merge-on-read deltas + LSM
+compaction) and ``sinks/fact.py``; this module certifies that the MERGE
+statements those sinks mirror do execute with the claimed semantics on
+an engine-native row-level table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lww import lww_collapse
+from ..sources.export import read_snapshot, snapshot_as_events
+from ..sources.oplog import read_oplog
+
+ROWLAKE_JAR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "jars", "rowlake.jar")
+CATALOG_CLASS = "io.rowlake.RowLakeCatalog"
+
+#: Post-image payload fields (the add-only converged schema, SchemaMapper
+#: semantics) — matches operators/replay.py FINAL_FIELDS + stars.
+_PAYLOAD = "repo string, path string, commit string, lang string, content string, stars double"
+
+#: Public (reference-visible) columns of the final table state.
+PUBLIC_COLS = ["id", "ns", "repo", "path", "lang", "commit", "stars", "content_sha"]
+
+#: LWW guard: source event strictly newer than the stored row in the
+#: connector's (ts, inc, seq) ordering domain (OplogReader T5).
+_NEWER = (
+    "(s.ts > t.ts OR (s.ts = t.ts AND (s.inc > t.inc "
+    "OR (s.inc = t.inc AND s.seq > t.seq))))"
+)
+
+
+def ensure_rowlake(spark: SparkSession, catalog: str = "rowlake") -> str:
+    """Register the bundled rowlake catalog on an EXISTING session.
+
+    ``ADD JAR`` + a runtime catalog conf is enough: catalog resolution
+    goes through the session classloader, which includes runtime-added
+    jars (the jar's commit path is classloader-split-safe). Idempotent.
+    """
+    if not os.path.exists(ROWLAKE_JAR):
+        raise FileNotFoundError(
+            f"rowlake jar missing: {ROWLAKE_JAR} — run scripts/build_rowlake.sh"
+        )
+    spark.sql(f"ADD JAR '{ROWLAKE_JAR}'")
+    key = f"spark.sql.catalog.{catalog}"
+    if spark.conf.get(key, None) != CATALOG_CLASS:
+        spark.conf.set(key, CATALOG_CLASS)
+    return catalog
+
+
+def flatten_events(events: DataFrame) -> DataFrame:
+    """Project collapsed CDC events to merge-source rows: key + lineage
+    (ts, inc, seq, op) + flattened post-image + content sha256. ONE
+    ``from_json`` parse per row, JVM-side; tombstones keep null fields."""
+    doc = F.from_json(F.col("object"), _PAYLOAD).alias("doc")
+    return events.withColumn("doc", doc).select(
+        "id",
+        "ns",
+        F.col("ts").cast("int").alias("ts"),
+        F.col("inc").cast("int").alias("inc"),
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        F.col("doc.repo").alias("repo"),
+        F.col("doc.path").alias("path"),
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.commit").alias("commit"),
+        F.col("doc.stars").alias("stars"),
+        F.sha2(F.col("doc.content"), 256).alias("content_sha"),
+    )
+
+
+def create_state_table(spark: SparkSession, fq_table: str, drop: bool = True) -> None:
+    """(Re)create the final-state table: public columns + the LWW guard
+    lineage columns the idempotent MERGE needs."""
+    if drop:
+        spark.sql(f"DROP TABLE IF EXISTS {fq_table}")
+    ns = fq_table.rsplit(".", 1)[0]
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
+    spark.sql(
+        f"""CREATE TABLE {fq_table} (
+            id STRING, ns STRING, repo STRING, path STRING, lang STRING,
+            commit STRING, stars DOUBLE, content_sha STRING,
+            ts INT, inc INT, seq BIGINT)"""
+    )
+
+
+def merge_cdc_batch(
+    spark: SparkSession, fq_table: str, batch: DataFrame, view: str = "rowlake_src"
+) -> None:
+    """Apply ONE change batch with an executed MERGE INTO.
+
+    The batch is LWW-collapsed per key first (one source row per key —
+    MERGE requires it and the connector's sink applies in-order anyway),
+    then the three reference arms run with the strict
+    newer-than guard, which makes re-applying a batch a no-op
+    (idempotent retry, T1) and makes bootstrap-overlap safe (a feed
+    event at or before the snapshot position loses to the stored row):
+
+    - MATCHED, tombstone, newer        → DELETE
+    - MATCHED, newer                   → UPDATE (replace-by-_id)
+    - NOT MATCHED, not a tombstone     → INSERT (upsert semantics)
+    """
+    src = flatten_events(lww_collapse(batch, key="id"))
+    src.createOrReplaceTempView(view)
+    sets = ", ".join(
+        f"t.{c} = s.{c}"
+        for c in ("ns", "repo", "path", "lang", "commit", "stars", "content_sha", "ts", "inc", "seq")
+    )
+    cols = "id, ns, repo, path, lang, commit, stars, content_sha, ts, inc, seq"
+    scols = ", ".join(f"s.{c}" for c in cols.split(", "))
+    spark.sql(
+        f"""MERGE INTO {fq_table} t
+            USING {view} s
+            ON t.id = s.id
+            WHEN MATCHED AND s.op = 'd' AND {_NEWER} THEN DELETE
+            WHEN MATCHED AND {_NEWER} THEN UPDATE SET {sets}
+            WHEN NOT MATCHED AND s.op != 'd' THEN INSERT ({cols}) VALUES ({scols})"""
+    )
+
+
+def replay_merge(
+    spark: SparkSession,
+    oplog_path: str,
+    snapshot_path: str,
+    fq_table: str = "rowlake.cdc.final_state",
+    n_batches: int = 4,
+) -> DataFrame:
+    """Full replay via EXECUTED MERGE: bootstrap the snapshot, then apply
+    the change feed as ``n_batches`` MERGE INTO statements in timestamp
+    order (boundaries at distinct ts values, so the per-key event order
+    is preserved across batches and within-batch LWW + sequential
+    application ≡ global LWW — the same final state as ``replay()``).
+
+    Returns the public-column final state (the flagship's exact shape,
+    per-row ``content_sha`` = the north-rule invariant)."""
+    ensure_rowlake(spark, fq_table.split(".", 1)[0])
+    create_state_table(spark, fq_table)
+
+    snap_events = snapshot_as_events(read_snapshot(spark, snapshot_path))
+    merge_cdc_batch(spark, fq_table, snap_events, view="rowlake_bootstrap")
+
+    feed = read_oplog(spark, oplog_path)
+    if n_batches > 1:
+        qs = feed.approxQuantile(
+            "ts", [i / n_batches for i in range(1, n_batches)], 0.001
+        )
+        bounds = sorted(set(int(q) for q in qs))
+    else:
+        bounds = []
+    lo = None
+    for i, hi in enumerate([*bounds, None]):
+        part = feed
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        merge_cdc_batch(spark, fq_table, part, view=f"rowlake_batch_{i}")
+        lo = hi
+    return spark.table(fq_table).select(*PUBLIC_COLS)

@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Compile the rowlake DSv2 catalog against the pyspark-shipped Spark jars
+# and package it as kafka_connect_mongo_spark/jars/rowlake.jar.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+JARS=$(python -c "import pyspark, os; print(os.path.join(os.path.dirname(pyspark.__file__), 'jars'))")
+OUT=build/rowlake
+rm -rf "$OUT"
+mkdir -p "$OUT" kafka_connect_mongo_spark/jars
+javac -proc:none -encoding UTF-8 -cp "$JARS/*" -d "$OUT" java/rowlake/src/io/rowlake/*.java
+jar cf kafka_connect_mongo_spark/jars/rowlake.jar -C "$OUT" .
+echo "built kafka_connect_mongo_spark/jars/rowlake.jar"

@@ -1,8 +1,11 @@
 """The emitted MERGE statement, verified through Spark's OWN planner.
 
-The sandbox has no Iceberg/Delta catalog jar, so ``merge_into_sql`` can't
-EXECUTE here (its arm semantics are property-proven against LakeTable in
-``test_property_lww.py``). What CAN be proven in-sandbox, and is here:
+Since round 5, MERGE statements also EXECUTE in-sandbox against the
+bundled rowlake DSv2 catalog (``tests/test_rowlake.py`` — Spark's
+RewriteMergeIntoTable end-to-end, no external jars). This module keeps
+the parser-level proof for the Iceberg-targeted statement
+``merge_into_sql`` emits (its arm semantics are property-proven against
+LakeTable in ``test_property_lww.py``):
 
 - the statement parses through Spark's real SQL parser into a
   ``MergeIntoTable`` logical plan with exactly the documented arms
