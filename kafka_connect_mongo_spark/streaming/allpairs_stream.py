@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipelines.dedup import (
+    allpairs_block,
     allpairs_from_postings,
+    cross_pairs_block,
     cross_pairs_from_postings,
     tfidf_index_stats,
     weigh_against_stats,
@@ -67,28 +69,56 @@ def run_allpairs_stream(
     threshold: float = 0.9,
     margin: float = 0.999,
     max_files_per_trigger: int | None = 1,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Stream document files from ``docs_path`` through incremental
     all-pairs scoring against the base index built from
     ``base_docs_path``; returns the accumulated (doc_a, doc_b, cos_sim)
-    pairs (doc_a < doc_b)."""
+    pairs (doc_a < doc_b).
+
+    ``strategy`` mirrors ``tfidf_allpairs``: ``'auto'`` resolves ONCE
+    at stream setup from the frozen BASE index's token stats (the
+    regime of a template corpus does not flip per micro-batch), so
+    per-batch work pays no extra aggregates; ``'block'`` routes both
+    the within-batch and the batch×index scoring through the dense
+    matmul twins — the pair set is identical by the same
+    float64-exactness argument."""
     stats_dir, index_dir = build_allpairs_index(spark, base_docs_path, work_dir)
     pairs_dir = os.path.join(work_dir, "pairs")
     stats = spark.read.parquet(stats_dir)
     schema = spark.read.parquet(docs_path).schema
+    if strategy not in ("auto", "l2ap", "block"):
+        raise ValueError(f"run_allpairs_stream: unknown strategy {strategy!r}")
+    if strategy == "auto":
+        base_index = spark.read.parquet(os.path.join(index_dir, "batch_id=-1"))
+        r = (
+            base_index.groupBy("tok")
+            .agg(F.count("*").cast("long").alias("df"))
+            .agg(F.count("*").alias("v"), F.sum(F.col("df") * F.col("df")).alias("df2"))
+            .collect()[0]
+        )
+        n_c = base_index.select("doc_id").distinct().count()
+        strategy = (
+            "block" if r["v"] <= 65536 and (r["df2"] or 0) >= n_c * n_c else "l2ap"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
         nw = weigh_against_stats(batch, stats).persist()
         try:
-            found = allpairs_from_postings(nw, threshold, margin)
+            if strategy == "block":
+                found = allpairs_block(nw, threshold)
+            else:
+                found = allpairs_from_postings(nw, threshold, margin)
             index = (
                 spark.read.parquet(index_dir)
                 .filter(F.col("batch_id") != batch_id)
                 .drop("batch_id")
             )
-            cross = cross_pairs_from_postings(
-                nw, index, threshold, margin
+            cross = (
+                cross_pairs_block(nw, index, threshold)
+                if strategy == "block"
+                else cross_pairs_from_postings(nw, index, threshold, margin)
             ).select(
                 F.least("new_id", "corpus_id").alias("doc_a"),
                 F.greatest("new_id", "corpus_id").alias("doc_b"),
