@@ -1,0 +1,106 @@
+"""ONE number for "cold corpus → analyzed lake" (VERDICT r4 Next #8).
+
+The analyzed-query architecture has two ways to pay for JSON:
+
+- re-parse per query  (p3_analyzed_flatten: registry warm-start, but the
+  variant parse + cast-or-null dispatch run in EVERY query's plan);
+- parse at ingest     (run_analyzed_stream → LakeTable with native
+  flattened columns; p5-class queries read columns, no JSON anywhere).
+
+This script prices the trade as a receipt: the one-time ingest wall, the
+steady-state query wall over the ingested lake, the re-parse query wall,
+and the break-even query count. Run:
+
+    python scripts/bench_ingest.py [sf_dir]       # default sf0.1
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from kafka_connect_mongo_spark import generator as gen
+    from kafka_connect_mongo_spark.session import get_spark
+    from kafka_connect_mongo_spark.sinks.lake import LakeTable
+    from kafka_connect_mongo_spark.streaming.analyzed_stream import (
+        run_analyzed_stream,
+    )
+
+    gen.generate(sf_dir)
+    spark = get_spark(app_name="bench_ingest")
+
+    import __spark_entry__ as e
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    qs = e.queries()
+
+    # 1) one-time cost: cold oplog -> analyzed lake (parse-at-ingest)
+    work = tempfile.mkdtemp(prefix="bench-ingest-")
+    root = os.path.join(work, "lake")
+    t0 = time.time()
+    run_analyzed_stream(
+        spark,
+        gen.oplog_path(sf_dir),
+        LakeTable(spark, root, n_buckets=16),
+        os.path.join(work, "ckpt"),
+        namespace="code.repos",
+        max_files_per_trigger=None,
+    )
+    ingest_wall = time.time() - t0
+
+    # 2) steady-state analyzed query over the ingested lake (p5 shape)
+    lake_df = LakeTable(spark, root).read().select(
+        "id", "__op", "__ts", "repo", "lang", "stars", "camelcase"
+    )
+    noop(lake_df)  # warm-up
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        noop(lake_df)
+        walls.append(time.time() - t0)
+    steady = min(walls)
+
+    # 3) the re-parse path (p3: registry warm-started, JSON in the plan)
+    p3 = qs["p3_analyzed_flatten"](spark, sf_dir)
+    noop(p3)
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        noop(p3)
+        walls.append(time.time() - t0)
+    reparse = min(walls)
+
+    n_events = spark.read.parquet(gen.oplog_path(sf_dir)).count()
+    saving = reparse - steady
+    out = {
+        "metric": "analyzed_ingest_wall_sec",
+        "sf": gen.sf_from_dir(sf_dir),
+        "n_events": n_events,
+        "ingest_wall_sec": round(ingest_wall, 3),
+        "ingest_events_per_sec": round(n_events / ingest_wall, 1),
+        "steady_query_sec": round(steady, 3),
+        "reparse_query_sec": round(reparse, 3),
+        "breakeven_queries": (
+            round(ingest_wall / saving, 1) if saving > 0 else None
+        ),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
