@@ -287,7 +287,16 @@ def main() -> None:
         for c, r in results.items()
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve sections other receipt scripts appended after ours
+    # (e.g. the ingest receipt) across regenerations
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            extra = prev[cut:]
+    with open(baseline_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling efficiency (north_rule evidence)
 
 The north_rule's two-cluster-size criterion (throughput scaling efficiency
@@ -372,7 +381,7 @@ Reading the numbers:
 Raw replay walls (best round) per level: {json.dumps({c: r["replay_walls"] for c, r in results.items()})}
 
 Reproduce: `python scripts/bench_scaling.py {sf_alias}`
-""")
+""" + extra)
     print("wrote BENCH/BASELINE.md")
 
 
