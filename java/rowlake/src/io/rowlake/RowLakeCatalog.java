@@ -321,7 +321,12 @@ public class RowLakeCatalog implements TableCatalog, SupportsNamespaces {
       return EnumSet.of(
           TableCapability.BATCH_READ,
           TableCapability.BATCH_WRITE,
-          TableCapability.TRUNCATE);
+          TableCapability.TRUNCATE,
+          // enables Spark's MERGE WITH SCHEMA EVOLUTION: the analyzer's
+          // ResolveMergeIntoSchemaEvolution computes the source-schema
+          // diff and routes it through alterTable (AddColumn) before the
+          // row-level rewrite
+          TableCapability.AUTOMATIC_SCHEMA_EVOLUTION);
     }
 
     @Override

@@ -105,18 +105,21 @@ def merge_into_sql(
     upsert cannot resurrect the key.
 
     The statement is verified through Spark's OWN SQL parser
-    (``tests/test_merge_sql.py``): it parses to a ``MergeIntoTable`` plan
-    with exactly these arms, and analysis of the full statement fails
-    only on resolving the Iceberg catalog's target table — i.e. the one
-    thing between this SQL and execution is the catalog jar the sandbox
-    lacks, not the statement.
+    (``tests/test_merge_sql.py``: it parses to a ``MergeIntoTable`` plan
+    with exactly these arms) and, since round 5, EXECUTED verbatim
+    in-sandbox against the bundled rowlake DSv2 catalog — final state
+    proven equal to ``apply_merge_arms`` including tombstone retention,
+    stale-event rejection, and idempotent retry
+    (``tests/test_rowlake.py::test_merge_into_sql_executes_verbatim``).
 
     ``schema_evolution=True`` emits Spark 4's
     ``MERGE WITH SCHEMA EVOLUTION INTO`` — the declarative form of the
     engine's add-only schema registry: new source fields are added to the
     target schema by the planner (Iceberg schema merge), exactly the
     evolve-on-write behaviour ``LakeTable.upsert`` implements via
-    mergeSchema reads + the old-type-wins registry."""
+    mergeSchema reads + the old-type-wins registry. Also executed
+    in-sandbox (rowlake declares ``AUTOMATIC_SCHEMA_EVOLUTION``;
+    ``tests/test_rowlake.py::test_merge_with_schema_evolution_executes``)."""
     evo = " WITH SCHEMA EVOLUTION" if schema_evolution else ""
     return f"""
 MERGE{evo} INTO {table} t

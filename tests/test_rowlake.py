@@ -114,6 +114,88 @@ def test_executed_update_delete_and_evolution(spark, cat):
     assert len(got) == 1 and got[0]["quality"] == 0.5
 
 
+def test_merge_into_sql_executes_verbatim(spark, cat):
+    """The EXACT statement ``lake.merge_into_sql`` emits for an Iceberg
+    deployment — tombstone-retaining arms, (ts,inc,seq) struct guards —
+    executes against a rowlake table, and the resulting state equals
+    ``apply_merge_arms`` (the arm logic as DataFrame expressions, the
+    standing property-proven semantics). This upgrades
+    test_merge_sql.py's parser-level proof to an executed one."""
+    from kafka_connect_mongo_spark.sinks.lake import (
+        apply_merge_arms,
+        merge_into_sql,
+    )
+
+    fq = "rowlake.msql.state"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rowlake.msql")
+    spark.sql(f"DROP TABLE IF EXISTS {fq}")
+    spark.sql(
+        f"CREATE TABLE {fq} (id STRING, ts INT, inc INT, seq BIGINT, "
+        "op STRING, object STRING)"
+    )
+    state_rows = [
+        ("k1", 100, 0, 1, "i", "v1"),
+        ("k2", 100, 0, 2, "i", "v2"),
+        ("k3", 300, 0, 9, "u", "v3-new"),  # newer than the batch's event
+    ]
+    cols = "id, ts, inc, seq, op, object"
+    state = spark.createDataFrame(
+        state_rows, "id string, ts int, inc int, seq long, op string, object string"
+    )
+    state.createOrReplaceTempView("msql_seed")
+    spark.sql(f"INSERT INTO {fq} ({cols}) SELECT {cols} FROM msql_seed")
+    batch = spark.createDataFrame(
+        [
+            ("k1", 200, 0, 3, "u", "v1-upd"),   # newer update: wins
+            ("k2", 200, 0, 4, "d", None),        # newer delete: tombstone
+            ("k3", 200, 0, 5, "u", "v3-stale"),  # STALE update: must lose
+            ("k4", 200, 0, 6, "i", "v4"),        # unseen key: insert
+            ("k5", 200, 0, 7, "d", None),        # unseen tombstone: insert
+        ],
+        "id string, ts int, inc int, seq long, op string, object string",
+    )
+    batch.createOrReplaceTempView("msql_batch")
+    stmt = merge_into_sql(fq, "msql_batch")
+    spark.sql(stmt)
+    got = sorted(map(tuple, spark.table(fq).select(cols.split(", ")).collect()))
+    want = sorted(
+        map(tuple, apply_merge_arms(state, batch).select(cols.split(", ")).collect())
+    )
+    assert got == want
+    # tombstone ROWS retained (readers filter), stale update lost
+    by_id = {r[0]: r for r in got}
+    assert by_id["k2"][4] == "d" and by_id["k5"][4] == "d"
+    assert by_id["k3"][5] == "v3-new"
+    # idempotent retry: the >= guard makes re-applying the batch a no-op
+    spark.sql(stmt)
+    assert sorted(map(tuple, spark.table(fq).select(cols.split(", ")).collect())) == got
+
+
+def test_merge_with_schema_evolution_executes(spark, cat):
+    """``merge_into_sql(schema_evolution=True)``'s form executes: the
+    analyzer's ResolveMergeIntoSchemaEvolution computes the source-target
+    diff and ADD COLUMNs it through the catalog before the rewrite
+    (AUTOMATIC_SCHEMA_EVOLUTION capability); pre-existing rows read NULL
+    for the new column."""
+    fq = "rowlake.msql.evolved"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rowlake.msql")
+    spark.sql(f"DROP TABLE IF EXISTS {fq}")
+    spark.sql(f"CREATE TABLE {fq} (id STRING, v BIGINT)")
+    spark.sql(f"INSERT INTO {fq} VALUES ('a', 1)")
+    spark.createDataFrame(
+        [("a", 2, "py"), ("b", 3, "go")], "id string, v long, lang string"
+    ).createOrReplaceTempView("msql_evo_src")
+    spark.sql(
+        f"""MERGE WITH SCHEMA EVOLUTION INTO {fq} t USING msql_evo_src s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = sorted(map(tuple, spark.table(fq).collect()))
+    assert got == [("a", 2, "py"), ("b", 3, "go")]
+    assert [f.name for f in spark.table(fq).schema.fields] == ["id", "v", "lang"]
+
+
 def test_replay_merge_equals_batch_replay(spark, cat, gen_paths):
     """The executed-MERGE replay (bootstrap + 4 timestamp-ordered MERGE
     batches) reproduces the flagship replay() final state EXACTLY —
