@@ -112,14 +112,13 @@ def run_certificate_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
-        state = _resolve_state(spark, state_dir, exclude_batch=batch_id)
         bkeys = batch.select("ns", "id").distinct()
+        state = _resolve_state(
+            spark, state_dir, exclude_batch=batch_id, keys=bkeys
+        )
         events = batch.withColumn("_seed", F.lit(False))
         if state is not None:
-            seeds = (
-                state.join(bkeys, ["ns", "id"], "left_semi")
-                .withColumn("_seed", F.lit(True))
-            )
+            seeds = state.withColumn("_seed", F.lit(True))
             events = seeds.unionByName(events)
         paired = change_pairs(events, keep_cols=("_seed",)).persist()
         try:
