@@ -3480,6 +3480,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["st48_merge_replay"] = _st48
 
+    # st49: executed SQL DML on the merged state — Spark's own
+    # RewriteUpdateTable / RewriteDeleteFromTable plan and run
+    # `UPDATE ... SET ... WHERE` / `DELETE FROM ... WHERE` against the
+    # rowlake table st48's replay built (the executed twins of the MoR
+    # forms st43/st44). Oracle applies the same predicate algebra over
+    # the flagship state.
+    def _st49(spark: SparkSession, sf: str) -> DataFrame:
+        from kafka_connect_mongo_spark.sinks.rowlake import (
+            PUBLIC_COLS,
+            replay_merge,
+        )
+
+        fq = "rowlake.cdc.st49_state"
+        replay_merge(spark, gen.oplog_path(sf), gen.repos_path(sf), fq_table=fq)
+        spark.sql(f"UPDATE {fq} SET stars = stars + 1 WHERE lang = 'py'")
+        spark.sql(f"DELETE FROM {fq} WHERE lang = 'go'")
+        return spark.table(fq).select(*PUBLIC_COLS)
+
+    q["st49_executed_dml"] = _st49
+
     return _driver_order(q)
 
 
@@ -6961,4 +6981,14 @@ FROM n GROUP BY 1 HAVING count(*) >= 2
 
     # st48: executed-MERGE replay must equal the flagship final state.
     o["st48_merge_replay"] = o["q_final_state"]
+
+    # st49: the same state after UPDATE stars+1 WHERE lang='py' and
+    # DELETE WHERE lang='go' (NULL lang neither updated nor deleted).
+    o["st49_executed_dml"] = f"""
+SELECT id, ns, repo, path, lang, commit,
+       CASE WHEN lang = 'py' THEN stars + 1 ELSE stars END AS stars,
+       content_sha
+FROM ({o["q_final_state"]})
+WHERE NOT coalesce(lang = 'go', FALSE)
+""".strip()
     return _driver_order(o)
