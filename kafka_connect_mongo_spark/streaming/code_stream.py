@@ -10,18 +10,26 @@ ingest stream):
   for the batch's post-images ONLY (the batch-sized text scan is the
   whole text cost of a step), tombstone deletes, LWW-merge against the
   PREVIOUS committed state version, write the result as
-  ``state-<batch_id>``. Chained versions make retries exactly-once by
-  construction: a replayed batch re-reads its predecessor (committed)
-  and OVERWRITES its own version, so a half-committed attempt can
-  neither corrupt the chain nor double-apply — and the merge itself is
-  commutative/idempotent LWW by ``(ts, inc, seq)``, so ANY batching of
-  the feed folds to the same final state (the batch/incremental/
-  streaming equality the oracle asserts).
+  ``state-<batch_id>``.
 
-State size is O(|files|) slim rows (~150 B each), independent of corpus
-text bytes; at 100 TB the state rewrite per batch is a bounded slim-table
-job, and a production deployment would swap the full rewrite for a
-LakeTable MERGE keyed by ``_id`` (same semantics, delta-sized writes).
+State is BUCKETED and versioned (r5; previously each version rewrote
+the full table — the documented trade this replaces with the real
+thing): feature rows hash into ``n_buckets`` by ``_id``; a batch
+LWW-merges and rewrites ONLY the buckets its keys touch, and commits a
+manifest (``manifest-<n>.json``, bucket → owning version) that carries
+untouched buckets forward by reference. Per-batch cost is therefore
+O(batch + touched buckets), never O(|state|) — the same merge-on-read
+discipline as ``sinks/lake.py``, applied to the slim feature state.
+
+Chained versions make retries exactly-once by construction: a replayed
+batch re-reads its predecessor's MANIFEST (committed, written last via
+atomic rename) and OVERWRITES its own version dir + manifest, so a
+half-committed attempt can neither corrupt the chain nor double-apply —
+and the merge itself is commutative/idempotent LWW by ``(ts, inc,
+seq)``, so ANY batching of the feed folds to the same final state (the
+batch/incremental/streaming equality the oracle asserts). Resolution
+trusts only manifests: a planted/garbage version dir without its
+manifest is invisible until its batch legitimately commits over it.
 
 Reference parity: the reference connector maintains only the mirrored
 collection (MongoSinkTask.kt:45-79); this composes that maintenance with
@@ -30,6 +38,7 @@ the Stack-style curation decision layer over the same feed.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +48,65 @@ from ..operators.lww import lww_collapse
 from ..pipelines import code as cd
 from ..sources.export import read_snapshot
 from ..sources.oplog import OPLOG_SCHEMA, clean_feed_cond
+
+
+def _manifest_path(work_dir: str, batch_id: int) -> str:
+    return os.path.join(work_dir, f"manifest-{batch_id}.json")
+
+
+def _load_manifest(work_dir: str, batch_id: int, n_buckets: int) -> dict[int, int]:
+    """bucket -> owning version for state as of ``batch_id``; version -1
+    (the seed) implicitly owns every bucket."""
+    if batch_id < 0:
+        return {b: -1 for b in range(n_buckets)}
+    with open(_manifest_path(work_dir, batch_id)) as f:
+        raw = json.load(f)["buckets"]
+    return {int(b): int(v) for b, v in raw.items()}
+
+
+def _write_manifest(work_dir: str, batch_id: int, manifest: dict[int, int]) -> None:
+    tmp = _manifest_path(work_dir, batch_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"buckets": {str(b): v for b, v in manifest.items()}}, f)
+    os.replace(tmp, _manifest_path(work_dir, batch_id))
+
+
+def _latest_manifest(work_dir: str) -> int:
+    latest = -1
+    for e in os.listdir(work_dir):
+        if e.startswith("manifest-") and e.endswith(".json"):
+            latest = max(latest, int(e[len("manifest-") : -len(".json")]))
+    return latest
+
+
+def _version_dir(work_dir: str, version: int) -> str:
+    return os.path.join(
+        work_dir, "state-init" if version < 0 else f"state-{version}"
+    )
+
+
+def _read_state(
+    spark: SparkSession,
+    work_dir: str,
+    manifest: dict[int, int],
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Union of each requested bucket's OWNING version, partition-pruned
+    per version dir (``_b`` is the partition column)."""
+    want = sorted(manifest if buckets is None else buckets)
+    by_version: dict[int, list[int]] = {}
+    for b in want:
+        by_version.setdefault(manifest[b], []).append(b)
+    parts = []
+    for v, bs in sorted(by_version.items()):
+        df = spark.read.parquet(_version_dir(work_dir, v))
+        if len(bs) < len(manifest):
+            df = df.filter(F.col("_b").isin(bs))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def run_code_curation_stream(
@@ -51,11 +119,12 @@ def run_code_curation_stream(
     avg_line: float = cd.STACK_AVG_LINE,
     min_alnum: float = cd.STACK_MIN_ALNUM,
     max_files_per_trigger: int | None = 1,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Run the curation fold over the feed (availableNow); returns the
     curated set decided over the newest committed state version."""
-    seed_path = os.path.join(work_dir, "state-init")
     seed_marker = os.path.join(work_dir, "_SEED_DONE")
+    bucket = F.pmod(F.xxhash64("_id"), F.lit(n_buckets)).cast("int").alias("_b")
     if not os.path.exists(seed_marker):
         cd.curation_features(
             read_snapshot(spark, snapshot_path),
@@ -65,24 +134,36 @@ def run_code_curation_stream(
                 F.lit(-1).cast("long").alias("seq"),
                 F.lit("i").alias("op"),
             ),
-        ).write.mode("overwrite").parquet(seed_path)
+        ).withColumn("_b", bucket).write.partitionBy("_b").mode(
+            "overwrite"
+        ).parquet(_version_dir(work_dir, -1))
         with open(seed_marker, "w") as f:
             f.write("1")
 
-    def state_dir(batch_id: int) -> str:
-        return (
-            seed_path
-            if batch_id < 0
-            else os.path.join(work_dir, f"state-{batch_id}")
-        )
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = lww_collapse(batch_df.filter(clean_feed_cond()), key="id")
-        feats = cd.curation_feature_events(batch)
-        prev = spark.read.parquet(state_dir(batch_id - 1))
-        cd.merge_curation_features(prev, feats).write.mode(
-            "overwrite"
-        ).parquet(state_dir(batch_id))
+        feats = (
+            cd.curation_feature_events(batch).withColumn("_b", bucket).persist()
+        )
+        try:
+            touched = sorted(
+                r["_b"] for r in feats.select("_b").distinct().collect()
+            )
+            manifest = _load_manifest(work_dir, batch_id - 1, n_buckets)
+            if touched:
+                prev = _read_state(spark, work_dir, manifest, buckets=touched)
+                merged = lww_collapse(prev.unionByName(feats), key="_id")
+                # one task per touched bucket -> one file per bucket dir
+                # (the slim-row shuffle is cheap; unbounded task x bucket
+                # fan-out would write files x buckets tiny parquet parts)
+                merged.repartition(len(touched), F.col("_b")).write.partitionBy(
+                    "_b"
+                ).mode("overwrite").parquet(_version_dir(work_dir, batch_id))
+                for b in touched:
+                    manifest[b] = batch_id
+            _write_manifest(work_dir, batch_id, manifest)
+        finally:
+            feats.unpersist()
 
     reader = spark.readStream.schema(OPLOG_SCHEMA)
     if max_files_per_trigger:
@@ -96,11 +177,8 @@ def run_code_curation_stream(
     )
     q.awaitTermination()
 
-    latest = -1
-    for e in os.listdir(work_dir):
-        if e.startswith("state-") and e != "state-init":
-            latest = max(latest, int(e.split("-", 1)[1]))
-    state = spark.read.parquet(state_dir(latest))
+    manifest = _load_manifest(work_dir, _latest_manifest(work_dir), n_buckets)
+    state = _read_state(spark, work_dir, manifest).drop("_b")
     return cd.curation_decide(
         cd.live_curation_features(state),
         allow=allow,
