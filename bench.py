@@ -166,6 +166,7 @@ def main() -> None:
         "s7g_ann_ivf_delete",   # IVF index lifecycle: erase ids (hit cells only) + probe
         "s7h_ann_filtered",     # filtered vector search: payload predicate in the pruned probe
         "st48_merge_replay",    # EXECUTED MERGE replay via the rowlake DSv2 catalog
+        "st49_executed_dml",    # executed SQL UPDATE/DELETE over the merged state
         "st21_bucket_evolution",  # partition-spec evolution + migrate across a restart
         "st35_column_drop",     # metadata-only DROP COLUMN + compaction rewrite
         "st36_column_rename",   # metadata-only RENAME COLUMN: mixed-name batches unified
