@@ -11,7 +11,9 @@ parquet bytes.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -60,6 +62,45 @@ def _mid_ts(sf_dir: str) -> int:
 
 
 ID_WATERMARK = "8" + "0" * 23
+
+# ---------------------------------------------------------------------------
+# Query work-dir scratch (optimization guide §6: intermediates belong on
+# fast local scratch). Default /dev/shm — the same rationale as
+# session.py's spark.local.dir: the sandbox's shared disk adds noisy-
+# neighbor iowait AND an fsync per streaming-checkpoint/state-store
+# commit to every micro-batch; RAM-backed scratch removes both. On a
+# real cluster SPARK_GRAFT_WORK_DIR points this at NVMe scratch or the
+# lake's object store.
+_WORK_ROOT = os.environ.get("SPARK_GRAFT_WORK_DIR", "/dev/shm")
+_WORK_BASE = os.path.join(_WORK_ROOT, f"cdc-work-{os.getpid()}")
+_LAST_WORK: dict[str, str] = {}
+
+
+def _cleanup_work() -> None:
+    shutil.rmtree(_WORK_BASE, ignore_errors=True)
+
+
+atexit.register(_cleanup_work)
+
+
+def _mkwork(prefix: str, reuse: bool = False) -> str:
+    """mkdtemp on fast scratch, bounded: a non-``reuse`` prefix is a
+    per-run disposable — creating a new dir deletes the previous run's
+    dir of the same prefix (the earlier DataFrame was consumed before
+    the query closure is re-entered), so in-flight scratch stays at one
+    live dir per query instead of one per run (a full bench leaves ~30
+    GB otherwise). ``reuse=True`` marks dirs module-level caches hold on
+    to (warm registry / persisted indexes) — never reaped mid-process.
+    Everything goes at process exit."""
+    os.makedirs(_WORK_BASE, exist_ok=True)
+    if not reuse:
+        prev = _LAST_WORK.pop(prefix, None)
+        if prev:
+            shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_WORK_BASE)
+    if not reuse:
+        _LAST_WORK[prefix] = d
+    return d
 
 #: sf_dir -> path of a converged, persisted SchemaRegistry checkpoint
 #: (the warm-start analyzed-flatten path, see p3_warm_flatten).
@@ -350,7 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
         from kafka_connect_mongo_spark.streaming.gap_stream import run_gap_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-gapstream-")
+        work = _mkwork("cdc-gapstream-")
         staged = os.path.join(work, "feed")
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
         holed = raw.filter(
@@ -441,7 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scratch_name,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-smb-")
+        work = _mkwork("cdc-smb-")
         fin = replay(spark, gen.oplog_path(sf), gen.repos_path(sf)).select(
             "id", "ns", "content_sha"
         )
@@ -553,7 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if path is None or not os.path.exists(path):
             reg = SchemaRegistry()
             analyze_into_registry(feed, reg)
-            path = os.path.join(tempfile.mkdtemp(prefix="cdc-reg-"), "registry.json")
+            path = os.path.join(_mkwork("cdc-reg-", reuse=True), "registry.json")
             reg.save(path)
             _WARM_REGISTRY[sf] = path
         reg = SchemaRegistry.load(path)
@@ -584,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 run_analyzed_stream,
             )
 
-            work = tempfile.mkdtemp(prefix="cdc-analyzed-warm-")
+            work = _mkwork("cdc-analyzed-warm-", reuse=True)
             root = os.path.join(work, "lake")
             run_analyzed_stream(
                 spark, gen.oplog_path(sf), LakeTable(spark, root, n_buckets=16),
@@ -609,7 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-entry-")
+        work = _mkwork("cdc-entry-")
         table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16, payload_col="object")
         run_replay_stream(
             spark,
@@ -627,7 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.analyzed_stream import run_analyzed_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-analyzed-")
+        work = _mkwork("cdc-analyzed-")
         table = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
         run_analyzed_stream(
             spark, gen.oplog_path(sf), table, os.path.join(work, "ckpt"),
@@ -645,7 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.router import run_routed_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-routed-")
+        work = _mkwork("cdc-routed-")
         res = run_routed_stream(
             spark, gen.oplog_path(sf), os.path.join(work, "lake"),
             os.path.join(work, "ckpt"), snapshot_path=gen.repos_path(sf),
@@ -668,7 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complete mode (final emission == batch group-by, exactly).
         from kafka_connect_mongo_spark.streaming.windowed import run_windowed_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-windowed-")
+        work = _mkwork("cdc-windowed-")
         return run_windowed_stream(
             spark, gen.oplog_path(sf), os.path.join(work, "ckpt"),
             mode="complete", max_files_per_trigger=2,
@@ -681,7 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup — each key's earliest event emitted exactly once.
         from kafka_connect_mongo_spark.streaming.stateful import first_seen_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-firstseen-")
+        work = _mkwork("cdc-firstseen-")
         return first_seen_stream(
             spark, gen.oplog_path(sf), os.path.join(work, "ckpt"),
             max_files_per_trigger=2,
@@ -705,7 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         feed = _feed(spark, sf)
         mid = _mid_ts(sf)
-        work = tempfile.mkdtemp(prefix="cdc-consistent-")
+        work = _mkwork("cdc-consistent-")
         tables = {
             ns: LakeTable(
                 spark, os.path.join(work, ns.replace(".", "_")),
@@ -748,7 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
         mid = _mid_ts(sf)
-        work = tempfile.mkdtemp(prefix="cdc-mv-")
+        work = _mkwork("cdc-mv-")
         table = LakeTable(
             spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
         )
@@ -781,7 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
         mid = _mid_ts(sf)
-        work = tempfile.mkdtemp(prefix="cdc-mv3-")
+        work = _mkwork("cdc-mv3-")
         table = LakeTable(
             spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
         )
@@ -811,7 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         feed = _feed(spark, sf).filter(F.col("ns") == "code.docs")
         mid = _mid_ts(sf)
-        work = tempfile.mkdtemp(prefix="cdc-mv2-")
+        work = _mkwork("cdc-mv2-")
         table = LakeTable(
             spark, os.path.join(work, "lake"), n_buckets=8, payload_col="object"
         )
@@ -850,7 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equal the defining aggregate over the final LWW state.
         from kafka_connect_mongo_spark.streaming import mv_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-mv-stream-")
+        work = _mkwork("cdc-mv-stream-")
 
         def project(df: DataFrame) -> DataFrame:
             return df.withColumn(
@@ -918,7 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _st33(spark: SparkSession, sf: str) -> DataFrame:
         from kafka_connect_mongo_spark.streaming import mv_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-dmv-stream-")
+        work = _mkwork("cdc-dmv-stream-")
 
         def project(df: DataFrame) -> DataFrame:
             return df.withColumn(
@@ -971,7 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
         from kafka_connect_mongo_spark.streaming.replay_stream import run_replay_stream
 
-        work = tempfile.mkdtemp(prefix="cdc-dlq-")
+        work = _mkwork("cdc-dlq-")
         raw = spark.read.parquet(gen.oplog_path(sf))
         mangle = (
             F.col("op").isin("i", "u")
@@ -1068,7 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the batch's touched cells.
     def _sem_index(spark: SparkSession, sf: str) -> str:
         if sf not in _SEM_INDEX:
-            work = tempfile.mkdtemp(prefix="semidx-")
+            work = _mkwork("semidx-", reuse=True)
             path = os.path.join(work, "sem_index")
             sim.build_semantic_index(_emb(spark, sf), path, n_clusters=16, eps=0.9)
             _SEM_INDEX[sf] = path
@@ -1104,7 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         idx = _sem_index(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-semstream-")
+        work = _mkwork("cdc-semstream-")
         staged = os.path.join(work, "emb")
         os.makedirs(staged)
         twins = _twin_batch(spark, sf)
@@ -1138,7 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         import shutil
 
-        work = tempfile.mkdtemp(prefix="cdc-joinstream-")
+        work = _mkwork("cdc-joinstream-")
         staged = os.path.join(work, "feed")
         os.makedirs(staged)
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
@@ -1211,7 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_allpairs_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-apstream-")
+        work = _mkwork("cdc-apstream-")
         docs = _docs(spark, sf)
         base_dir = os.path.join(work, "base")
         strm_dir = os.path.join(work, "stream")
@@ -1372,7 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_budget_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-budgetstream-")
+        work = _mkwork("cdc-budgetstream-")
         staged = os.path.join(work, "docs")
         os.makedirs(staged)
         tagged = _docs(spark, sf).withColumn(
@@ -1478,25 +1519,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
 
         raw = spark.read.schema(OPLOG_SCHEMA).parquet(gen.oplog_path(sf))
-        work = tempfile.mkdtemp(prefix=prefix)
+        work = _mkwork(prefix)
         staged = os.path.join(work, "feed")
         os.makedirs(staged)
         # ONE job for all batches: tag each condition's rows, shuffle by
         # tag (each tag -> one partition -> one part file), write all
         # tag dirs in a single partitioned write (the serial
         # coalesce(1)-per-half form was 2 single-task full-feed jobs —
-        # measured 16.5 s -> ~6 s at sf0.1).
-        tagged = None
-        for i, cond in enumerate(conds):
-            half = raw.filter(cond)
-            if mutate is not None:
-                half = mutate(half)
-            half = half.withColumn("__h", F.lit(i))
-            tagged = half if tagged is None else tagged.unionAll(half)
+        # measured 16.5 s -> ~6 s at sf0.1). Without ``mutate`` the tags
+        # come from ONE scan (array-of-matching-tags + explode — exact
+        # union semantics incl. overlapping conds) instead of one
+        # filtered scan per condition (guide §2.3: N-branch union read
+        # the feed N times; measured ~2x on the r6 2-cond splits).
+        if mutate is None:
+            tags = F.array_compact(
+                F.array(
+                    *[
+                        F.when(cond, F.lit(i)).otherwise(F.lit(None))
+                        for i, cond in enumerate(conds)
+                    ]
+                )
+            )
+            tagged = raw.select("*", F.explode(tags).alias("__h"))
+        else:
+            tagged = None
+            for i, cond in enumerate(conds):
+                half = mutate(raw.filter(cond)).withColumn("__h", F.lit(i))
+                tagged = half if tagged is None else tagged.unionAll(half)
         tmp = os.path.join(work, "halves")
         (
             tagged.repartition(F.col("__h"))
             .write.mode("overwrite")
+            # 8 MB row groups: each staged batch is ONE file by contract
+            # (mtime replay order), so row groups are the only split
+            # unit a downstream scan has — without this every stream's
+            # batch decodes its whole file in a single task (guide §6).
+            .option("parquet.block.size", 8 * 1024 * 1024)
             .partitionBy("__h")
             .parquet(tmp)
         )
@@ -1702,7 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.fact import FactTable
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-factdv-")
+        work = _mkwork("cdc-factdv-")
         t = FactTable(spark, os.path.join(work, "fact"), spec=("day:ts",))
         t.append(ev.filter(F.col("event_id") % 2 == 0), 0)
         t.delete_vector("event_type = 'error'", "dv-0")
@@ -1875,7 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.fact import FactTable
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-fact-")
+        work = _mkwork("cdc-fact-")
         t = FactTable(spark, os.path.join(work, "fact"), spec=("day:ts",))
         b0 = ev.filter(F.col("event_id") % 2 == 0)
         t.append(b0, 0)
@@ -1915,7 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-factstream-")
+        work = _mkwork("cdc-factstream-")
         staged = os.path.join(work, "staged")
         os.makedirs(staged)
         for i in range(2):
@@ -1966,7 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.fact import FactTable
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-factstats-")
+        work = _mkwork("cdc-factstats-")
         t = FactTable(
             spark,
             os.path.join(work, "fact"),
@@ -2006,7 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.fact import FactTable
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-factbloom-")
+        work = _mkwork("cdc-factbloom-")
         t = FactTable(
             spark,
             os.path.join(work, "fact"),
@@ -2091,7 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_mongo_spark.sinks.lake import LakeTable
 
         feed = _feed(spark, sf).select("id", "ts", "inc", "seq", "op", "ns")
-        work = tempfile.mkdtemp(prefix="cdc-widen-")
+        work = _mkwork("cdc-widen-")
         t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
         t.upsert(
             feed.filter(F.col("seq") % 2 == 0).withColumn(
@@ -2124,7 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("content_len"),
         )
-        work = tempfile.mkdtemp(prefix="cdc-drop-")
+        work = _mkwork("cdc-drop-")
         t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
         t.upsert(feed.filter(F.col("seq") % 2 == 0), 0)
         t.upsert(feed.filter(F.col("seq") % 2 == 1), 1)
@@ -2148,7 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("content_len"),
         )
-        work = tempfile.mkdtemp(prefix="cdc-rename-")
+        work = _mkwork("cdc-rename-")
         t = LakeTable(spark, os.path.join(work, "lake"), n_buckets=16)
         t.upsert(feed.filter(F.col("seq") % 2 == 0), 0)
         t.rename_field("content_len", "payload_len")
@@ -2251,7 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         ev = _events(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-qstream-")
+        work = _mkwork("cdc-qstream-")
         staged = os.path.join(work, "events")
         os.makedirs(staged)
         parity = sample_hash(F.col("event_id")) % 2
@@ -2370,7 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.get_json_object(F.col("object"), "$.content"), 256
             ).alias("content_sha"),
         )
-        work = tempfile.mkdtemp(prefix="cdc-lookup-")
+        work = _mkwork("cdc-lookup-")
         table = LakeTable(
             spark, os.path.join(work, "lake"), n_buckets=32,
             payload_col="object",
@@ -2408,7 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_curation_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-curstream-")
+        work = _mkwork("cdc-curstream-")
         staged = os.path.join(work, "docs")
         os.makedirs(staged)
         docs = _docs(spark, sf)
@@ -2456,7 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_dedup_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-dedupstream-")
+        work = _mkwork("cdc-dedupstream-")
         staged = os.path.join(work, "docs")
         docs = _docs(spark, sf)
         for i in range(4):
@@ -2480,7 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_session_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-sessions-")
+        work = _mkwork("cdc-sessions-")
         staged = os.path.join(work, "events")
         ranked = _events(spark, sf).withColumn(
             "_q", F.ntile(4).over(W.orderBy("ts", "event_id"))
@@ -2506,7 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         import shutil
 
-        work = tempfile.mkdtemp(prefix="cdc-sessw-")
+        work = _mkwork("cdc-sessw-")
         staged = os.path.join(work, "events")  # file source needs a DIR
         os.makedirs(staged)
         shutil.copy(
@@ -2947,7 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layer (vote → gate → dedup) re-derives from slim rows at
         # O(|files|) cost, never re-reading unchanged text. Oracle =
         # batch c18 over the LWW-final file state — fold ≡ rebuild.
-        work = tempfile.mkdtemp(prefix="cdc-inccur-")
+        work = _mkwork("cdc-inccur-")
         seed = cd.curation_features(
             read_snapshot(spark, gen.repos_path(sf)),
             extra=(
@@ -2988,7 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_code_curation_stream,
         )
 
-        work = tempfile.mkdtemp(prefix="cdc-curstream-code-")
+        work = _mkwork("cdc-curstream-code-")
         return run_code_curation_stream(
             spark,
             gen.oplog_path(sf),
@@ -3073,7 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         path = _IVF_INDEX.get(sf)
         if path is None or not os.path.exists(path + ".centroids"):
-            path = os.path.join(tempfile.mkdtemp(prefix="cdc-ivf-"), "index")
+            path = os.path.join(_mkwork("cdc-ivf-", reuse=True), "index")
             sim.build_ivf_index(emb, path, n_centroids=16)
             _IVF_INDEX[sf] = path
         qvec = [
@@ -3093,7 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # usual IVF trade, pytest-covered).
     def _ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
         emb = _emb(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-ivffilt-")
+        work = _mkwork("cdc-ivffilt-")
         path = os.path.join(work, "index")
         sim.build_ivf_index(emb, path, n_centroids=16, carry=("label",))
         qvec = [
@@ -3113,7 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # appended vectors exactly as if they were indexed at build time.
     def _ann_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
         emb = _emb(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-ivfapp-")
+        work = _mkwork("cdc-ivfapp-")
         path = os.path.join(work, "index")
         sim.build_ivf_index(
             emb.filter(F.col("vec_id") % 5 != 2), path, n_centroids=16
@@ -3133,7 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantizer is untouched (FAISS remove_ids semantics).
     def _ann_ivf_delete(spark: SparkSession, sf: str) -> DataFrame:
         emb = _emb(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-ivfdel-")
+        work = _mkwork("cdc-ivfdel-")
         path = os.path.join(work, "index")
         sim.build_ivf_index(emb, path, n_centroids=16)
         doomed = [
@@ -3185,7 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cells prune the corpus, PQ codes shrink what the probe reads
         # (partition-pruned 8 B/vector), exact re-rank of the shortlist.
         emb = _emb(spark, sf)
-        work = tempfile.mkdtemp(prefix="cdc-ivfpq-")
+        work = _mkwork("cdc-ivfpq-")
         path = os.path.join(work, "index")
         sim.build_ivfpq_index(emb, path, n_centroids=16, m=8, ksub=16)
         qvec = [
@@ -3216,7 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         path = _SEARCH_INDEX.get(sf)
         if path is None or not os.path.exists(path + ".meta.json"):
-            path = os.path.join(tempfile.mkdtemp(prefix="cdc-sidx-"), "index")
+            path = os.path.join(_mkwork("cdc-sidx-", reuse=True), "index")
             srch.build_search_index(_docs(spark, sf), path, n_buckets=16)
             _SEARCH_INDEX[sf] = path
         return path
@@ -3255,7 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         terms = ["dup", "merge", "vector"]
         docs = _docs(spark, sf)
-        path = os.path.join(tempfile.mkdtemp(prefix="cdc-sidx-inc-"), "index")
+        path = os.path.join(_mkwork("cdc-sidx-inc-"), "index")
         srch.build_search_index(
             docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
         )

@@ -1,0 +1,69 @@
+"""Targeted re-measurement harness (guide §1.4) — bench.py stays frozen.
+
+Times the named queries with bench.py's exact methodology (batch queries:
+warm-up + min-of-5 noop walls with the 0.15 s floor break; job/streaming
+queries: warm-up + min-of-2 full job walls) and prints one JSON line
+{"queries": {...}}. Used for before/after receipts in OPTIMIZATION_r06.md
+without paying the full-board bench wall per iteration.
+
+Usage: python bench_extra.py q1 q2 ...      (or: python bench_extra.py --jobs q1 ...)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as e
+    from kafka_connect_mongo_spark import generator as g
+    from kafka_connect_mongo_spark.session import get_spark
+
+    g.generate(sf_dir)
+    spark = get_spark(app_name="bench_extra")
+    qs = e.queries()
+
+    # mirror bench.py's split: these run as full job walls, min-of-2
+    job_prefixes = ("st", "mv", "j6", "s7f", "s7g", "s7h", "s8c", "d13", "a16", "c19", "t11")
+
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        is_job = name.startswith(job_prefixes)
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        if is_job:
+            run_noop(qs[name](spark, sf_dir))  # warm-up
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run_noop(qs[name](spark, sf_dir))
+                walls.append(time.time() - t0)
+            timings[name] = round(min(walls), 3)
+        else:
+            df = qs[name](spark, sf_dir)
+            run_noop(df)  # warm-up
+            walls = []
+            for _ in range(5):
+                t0 = time.time()
+                run_noop(df)
+                walls.append(time.time() - t0)
+                if min(walls) < 0.15:
+                    break
+            timings[name] = round(min(walls), 3)
+        print(f"## {name}: {timings[name]}", flush=True)
+    spark.stop()
+    print(json.dumps({"queries": timings, "sf": g.sf_from_dir(sf_dir)}))
+
+
+if __name__ == "__main__":
+    main()

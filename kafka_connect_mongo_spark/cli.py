@@ -517,14 +517,18 @@ def main(argv: list[str] | None = None) -> None:
 
         from .sinks.lake import LakeTable
         from .sources.export import read_snapshot, snapshot_as_events
-        from .streaming.replay_stream import prepare_batch
+        from .streaming.replay_stream import post_cols, prepare_batch_slim
 
         snap = read_snapshot(
             spark, args.snapshot, id_watermark=args.id_watermark,
             additional_filter=args.filter,
         )
         table = LakeTable(spark, args.table, n_buckets=args.buckets, payload_col="object")
-        stats = table.upsert(prepare_batch(snapshot_as_events(snap)), "export")
+        stats = table.upsert(
+            prepare_batch_slim(snapshot_as_events(snap)),
+            "export",
+            post_collapse_cols=post_cols(),
+        )
         print(json.dumps(stats))
     elif args.cmd == "replay":
         from .operators.replay import replay

@@ -77,7 +77,7 @@ def requeue_quarantine(
     buckets like any batch."""
     import os
 
-    from ..streaming.replay_stream import prepare_batch
+    from ..streaming.replay_stream import post_cols, prepare_batch_slim
 
     if not os.path.isdir(quarantine_dir) or not any(
         e.startswith("batch_id=") for e in os.listdir(quarantine_dir)
@@ -89,7 +89,13 @@ def requeue_quarantine(
     good, still_bad = split_corrupt(parked)
     n_good = good.count()
     n_bad = still_bad.count()
-    stats = table.upsert(prepare_batch(good), batch_id) if n_good else {}
+    stats = (
+        table.upsert(
+            prepare_batch_slim(good), batch_id, post_collapse_cols=post_cols()
+        )
+        if n_good
+        else {}
+    )
     return {
         "n_requeued": n_good,
         "n_still_bad": n_bad,

@@ -46,6 +46,17 @@ def get_spark(
         # dynamic partition overwrite: the lake sink rewrites only the
         # hash-buckets touched by a batch, never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Input split size (guide §6): streaming replays scan ONE staged
+        # feed file per micro-batch (the mtime-ordered replay contract),
+        # so the split size — not the file count — sets the batch's scan
+        # parallelism; 8 MB splits match the 8 MB row groups the staging
+        # writer emits. Parameterised: large sequential cluster scans
+        # want 128m-1g (fewer map tasks feeding each shuffle, §2.2) —
+        # set SPARK_GRAFT_MAX_PARTITION_BYTES there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         # zstd shuffle/spill compression: the LWW shuffle carries post-image
         # JSON payloads; denser compression halves the bytes through the
         # (sandbox-proxied, and on real clusters network-bound) shuffle.

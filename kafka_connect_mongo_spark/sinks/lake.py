@@ -69,7 +69,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.lww import ORDER_COLS, lww_collapse, tombstone_cond
+from ..operators.lww import ORDER_COLS, lww_collapse, tombstone_cond, top1_per_key
 
 META_NAME = "_meta.json"
 LOCK_NAME = "_meta.lock"
@@ -552,24 +552,52 @@ class LakeTable:
             ).cast("int"),
         )
 
-    def _stage_partitioned(self, df: DataFrame) -> str:
-        """Write df partitioned by _bucket to a staging dir; returns path."""
+    def _stage_partitioned(self, df: DataFrame, partitioned: bool = False) -> str:
+        """Write df partitioned by _bucket to a staging dir; returns path.
+
+        ``partitioned=True`` declares the frame is ALREADY clustered by
+        ``_bucket`` (e.g. the upsert's single-exchange plan) — no extra
+        repartition shuffle."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
+        if not partitioned:
+            df = df.repartition(F.col("_bucket"))
         (
-            df.repartition(F.col("_bucket"))
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging)
         )
         return staging
 
-    def upsert(self, batch: DataFrame, batch_id: int | str) -> dict:
+    def upsert(
+        self,
+        batch: DataFrame,
+        batch_id: int | str,
+        post_collapse_cols: dict[str, F.Column] | None = None,
+    ) -> dict:
         """MERGE one change batch. Returns lineage stats for the batch.
 
-        Steps: skip-if-committed → LWW-collapse batch → stage per-bucket
-        delta files (O(batch) bytes — existing data is never read) → move
-        deltas in → compact any bucket over ``max_deltas`` → atomic meta
-        swap → drop superseded files."""
+        Steps: skip-if-committed → single exchange on ``_bucket`` →
+        LWW-collapse per key inside the bucket partitions → stage
+        per-bucket delta files (O(batch) bytes — existing data is never
+        read) → move deltas in → compact any bucket over ``max_deltas``
+        → atomic meta swap → drop superseded files.
+
+        Physical shape (guide §2.4): the batch is shuffled ONCE, by
+        ``_bucket``. ``hashpartitioning(_bucket)`` satisfies the LWW
+        window's clustering on ``(_bucket, key)`` (``_bucket`` is a
+        function of the key), so the per-key top-1 runs inside the same
+        exchange and the staged write needs no second shuffle — the old
+        plan exchanged on the key for the window and AGAIN on ``_bucket``
+        for the layout, moving the payload twice.
+
+        ``post_collapse_cols`` (optional): column name → deterministic
+        row-local expression evaluated AFTER the LWW collapse — the hook
+        for expensive derived columns (content sha, JSON extraction)
+        that neither ordering nor bucketing needs: they run over the
+        per-key winners across the reduce tasks instead of over every
+        event row in the (often single-task, one-file-per-micro-batch)
+        scan. The expressions must not reference ordering/identity
+        columns' REPLACEMENTS — they see the winner row as stored."""
         if self.is_committed(batch_id):
             return {"batch_id": str(batch_id), "skipped": True}
 
@@ -579,25 +607,32 @@ class LakeTable:
 
         # Callers write LOGICAL names; files store PHYSICAL names.
         batch = self._to_physical(batch)
-        collapsed = lww_collapse(batch, key=self.key)
+        bucketed = self._with_bucket(batch).repartition(F.col("_bucket"))
+        collapsed = top1_per_key(bucketed, ["_bucket", self.key])
+        if post_collapse_cols:
+            for name, expr in post_collapse_cols.items():
+                collapsed = collapsed.withColumn(name, expr)
         # Merge the schema BEFORE staging: a widened column (int→long,
         # float→double) casts the batch up to the table type so the
         # written file already matches the committed schema; an
         # incompatible evolution raises here, before a byte lands.
         merged = self._merge_schema(collapsed)
         target = {f.name: f.dataType for f in merged.fields}
-        have = {f.name: f.dataType for f in collapsed.schema.fields}
+        have = {
+            f.name: f.dataType
+            for f in collapsed.schema.fields
+            if f.name != "_bucket"
+        }
         if any(have[c] != target[c] for c in have):
             collapsed = collapsed.select(
                 *[
                     F.col(c).cast(target[c]).alias(c)
-                    if have[c] != target[c]
+                    if c in have and have[c] != target[c]
                     else F.col(c)
                     for c in collapsed.columns
                 ]
             )
-        collapsed = self._with_bucket(collapsed)
-        staging = self._stage_partitioned(collapsed)
+        staging = self._stage_partitioned(collapsed, partitioned=True)
 
         # Move each staged bucket dir in as a new delta (current layout).
         affected: list[int] = []

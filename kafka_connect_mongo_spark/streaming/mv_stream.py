@@ -45,7 +45,7 @@ from ..model import OPLOG_SCHEMA
 from ..operators import mv
 from ..sinks.lake import LakeTable
 from ..sources.oplog import clean_feed_cond
-from .replay_stream import prepare_batch
+from .replay_stream import post_cols, prepare_batch_slim
 
 
 def _prev_committed(table: LakeTable, batch_id: int) -> int:
@@ -93,8 +93,8 @@ def run_mv_stream(
         if namespace is not None:
             clean = clean.filter(F.col("ns") == namespace)
         prev = _prev_committed(table, int(batch_id))
-        prepared = prepare_batch(clean)
-        table.upsert(prepared, batch_id)
+        prepared = prepare_batch_slim(clean)
+        table.upsert(prepared, batch_id, post_collapse_cols=post_cols())
         if prev < 0:
             # first batch: everything is an insert — the delta IS the
             # defining aggregate over the batch's snapshot state

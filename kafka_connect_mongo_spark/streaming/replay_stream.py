@@ -40,22 +40,36 @@ from ..sources.oplog import read_oplog_stream
 BOOTSTRAP_BATCH_ID = "bootstrap"
 
 
+def content_sha_col() -> F.Column:
+    """The lake's derived content sha256 (JSON parse + hash — the
+    expensive per-row work of a replay batch)."""
+    return F.sha2(F.get_json_object(F.col("object"), "$.content"), 256)
+
+
 def prepare_batch(batch: DataFrame) -> DataFrame:
     """Project a raw feed micro-batch to the lake row shape.
 
     Keeps the basic-mode payload (post-image JSON; null for deletes,
     AbstractMongoSourceTask.kt:174-177) plus the content sha256 so final
     state verifies without reparsing."""
-    return batch.select(
-        "id",
-        "ts",
-        "inc",
-        "seq",
-        "op",
-        "ns",
-        "object",
-        F.sha2(F.get_json_object(F.col("object"), "$.content"), 256).alias("content_sha"),
+    return prepare_batch_slim(batch).withColumn(
+        "content_sha", content_sha_col()
     )
+
+
+def prepare_batch_slim(batch: DataFrame) -> DataFrame:
+    """``prepare_batch`` minus the derived sha — callers pass
+    ``post_collapse_cols={"content_sha": content_sha_col()}`` to
+    ``LakeTable.upsert`` instead, which evaluates the JSON parse + hash
+    AFTER the per-key LWW collapse (guide §1.2/§4: only the winners pay,
+    and the work runs across the reduce tasks rather than inside the
+    micro-batch's often single-file scan task)."""
+    return batch.select("id", "ts", "inc", "seq", "op", "ns", "object")
+
+
+def post_cols() -> dict:
+    """The deferred-derivation kwargs for ``LakeTable.upsert``."""
+    return {"content_sha": content_sha_col()}
 
 
 def bootstrap(
@@ -93,7 +107,9 @@ def bootstrap(
         if fail_after_chunks is not None and chunks_run >= fail_after_chunks:
             raise RuntimeError(f"injected bootstrap crash before chunk {i}")
         events = snapshot_as_events(snapshot_id_range(snapshot, lo, hi))
-        table.upsert(prepare_batch(events), chunk_id)
+        table.upsert(
+            prepare_batch_slim(events), chunk_id, post_collapse_cols=post_cols()
+        )
         chunks_run += 1
     table.mark_committed(BOOTSTRAP_BATCH_ID)
     return {"batch_id": BOOTSTRAP_BATCH_ID, "skipped": False, "chunks_run": chunks_run}
@@ -151,8 +167,8 @@ def run_replay_stream(
             bad.write.mode("overwrite").parquet(
                 os.path.join(quarantine_dir, f"batch_id={bid}")
             )
-        prepared = prepare_batch(merged)
-        stats = table.upsert(prepared, bid)
+        prepared = prepare_batch_slim(merged)
+        stats = table.upsert(prepared, bid, post_collapse_cols=post_cols())
         applied.append(stats)
         if metrics_dir and not stats.get("skipped"):
             batch_lineage(batch_df, batch_id=batch_id).write.mode("append").parquet(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..model import topic_name
 from ..sinks.lake import LakeTable
 from ..sources.oplog import read_oplog_stream
-from .replay_stream import bootstrap, prepare_batch
+from .replay_stream import bootstrap, post_cols, prepare_batch_slim
 
 
 class NamespaceRouter:
@@ -103,8 +103,13 @@ class NamespaceRouter:
         tables = {ns: self.table_for(ns) for ns in ns_list}
 
         def one(ns: str) -> dict:
-            prepared = prepare_batch(batch.filter(F.col("ns") == ns))
-            return {"ns": ns, **tables[ns].upsert(prepared, batch_id)}
+            prepared = prepare_batch_slim(batch.filter(F.col("ns") == ns))
+            return {
+                "ns": ns,
+                **tables[ns].upsert(
+                    prepared, batch_id, post_collapse_cols=post_cols()
+                ),
+            }
 
         if len(ns_list) <= 1 or self.max_parallel <= 1:
             return [one(ns) for ns in ns_list]

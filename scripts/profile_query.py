@@ -1,0 +1,79 @@
+"""Per-action wall-time profiler for declared queries (guide §1).
+
+Monkeypatches the DataFrame actions that the engine's query closures use
+(parquet/save writes, collect/first/count/head) to print one line per
+action with its wall time and the repo call site, then runs the named
+queries end-to-end (noop sink, bench methodology). Measurement tooling
+only — never imported by the engine or bench.py.
+
+Usage: python scripts/profile_query.py st28_streaming_changes [more...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _site() -> str:
+    for fr in reversed(traceback.extract_stack()[:-2]):
+        f = fr.filename
+        if "/repo/" in f and "profile_query" not in f and "pyspark" not in f:
+            return f"{os.path.basename(f)}:{fr.lineno}"
+    return "?"
+
+
+def _wrap(cls, name, label):
+    orig = getattr(cls, name)
+
+    def timed(self, *a, **kw):
+        t0 = time.time()
+        r = orig(self, *a, **kw)
+        dt = time.time() - t0
+        if dt > 0.03:
+            arg = ""
+            if a and isinstance(a[0], str):
+                arg = " " + a[0][-60:]
+            print(f"    [{label} {dt:6.2f}s] {_site()}{arg}", flush=True)
+        return r
+
+    setattr(cls, name, timed)
+
+
+def main() -> None:
+    from pyspark.sql import DataFrame
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    import __spark_entry__ as e
+    from kafka_connect_mongo_spark import generator as g
+    from kafka_connect_mongo_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    g.generate(sf_dir)
+    spark = get_spark(app_name="profile")
+    qs = e.queries()
+
+    _wrap(DataFrameWriter, "parquet", "write.parquet")
+    _wrap(DataFrameWriter, "save", "write.save")
+    _wrap(DataFrame, "collect", "collect")
+    _wrap(DataFrame, "count", "count")
+    _wrap(DataFrame, "first", "first")
+    _wrap(DataFrame, "head", "head")
+
+    for name in sys.argv[1:]:
+        print(f"== {name}", flush=True)
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        t1 = time.time()
+        print(f"    [closure {t1 - t0:6.2f}s]", flush=True)
+        df.write.mode("overwrite").format("noop").save()
+        print(f"== {name} total {time.time() - t0:6.2f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

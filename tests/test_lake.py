@@ -2080,3 +2080,60 @@ def test_merge_into_column_collision_guards(spark, tmp_path):
         "object string, ns string, src_action string"), 0)
     with _pytest.raises(ValueError, match="collide"):
         t2.merge_into(src, "m-c1", when_matched=[("delete", None)])
+
+
+# -- r6 optimization: single-exchange upsert + deferred derived columns ----
+
+
+def test_upsert_post_collapse_cols_match_eager(tmp_path, spark):
+    """upsert(post_collapse_cols=...) must be byte-equivalent to passing
+    the derived column eagerly — the r6 deferral only moves WHERE the
+    expression evaluates (after the LWW collapse), never what it
+    computes."""
+    from kafka_connect_mongo_spark.streaming.replay_stream import (
+        content_sha_col,
+        post_cols,
+        prepare_batch,
+        prepare_batch_slim,
+    )
+
+    rows = [
+        ev(100, i % 3, i, "i", "t.a", key(i % 7), {"_id": key(i % 7), "content": f"c{i}"})
+        for i in range(40)
+    ] + [ev(200, 0, 99, "d", "t.a", key(1), None)]
+    batch = spark.createDataFrame(rows, schema=OPLOG_SCHEMA)
+
+    eager = LakeTable(spark, str(tmp_path / "eager"), n_buckets=4, payload_col="object")
+    eager.upsert(prepare_batch(batch), 0)
+    deferred = LakeTable(spark, str(tmp_path / "deferred"), n_buckets=4, payload_col="object")
+    deferred.upsert(prepare_batch_slim(batch), 0, post_collapse_cols=post_cols())
+
+    cols = ["id", "ts", "inc", "seq", "op", "ns", "object", "content_sha"]
+    a = sorted(map(tuple, eager.read().select(*cols).collect()))
+    b = sorted(map(tuple, deferred.read().select(*cols).collect()))
+    assert a == b and len(a) > 0
+    # committed schemas agree (deferred column lands in the table schema)
+    assert eager.meta["columns"] == deferred.meta["columns"]
+    # and the deferred expression sees winners only: a stale duplicate of
+    # a key never contributes a sha (no way to observe directly; the LWW
+    # equality above is the contract)
+    _ = content_sha_col()
+
+
+def test_upsert_single_exchange_plan(tmp_path, spark):
+    """The staged-write plan shuffles ONCE (by _bucket): the per-key LWW
+    window reuses the bucket exchange (hashpartitioning(_bucket)
+    satisfies clustering on (_bucket, key)) instead of exchanging on the
+    key and then AGAIN on the bucket."""
+    from kafka_connect_mongo_spark.operators.lww import top1_per_key
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    rows = [
+        ev(100, 0, i, "i", "t.a", key(i % 5), {"_id": key(i % 5), "n": i})
+        for i in range(20)
+    ]
+    batch = mk(spark, rows)
+    bucketed = t._with_bucket(batch).repartition(F.col("_bucket"))
+    collapsed = top1_per_key(bucketed, ["_bucket", t.key])
+    plan = collapsed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
