@@ -755,57 +755,102 @@ class LakeTable:
                 bounds[c] = None
         return bounds
 
-    def _compact_bucket(self, b: str, purge_tombstones: bool = False) -> list[str]:
-        """base ∪ deltas → LWW collapse → new base generation. Returns the
-        now-superseded paths (deleted by the caller AFTER the meta commit).
+    def _compact_buckets(
+        self, bkeys: list[str], purge_tombstones: bool = False
+    ) -> list[str]:
+        """base ∪ deltas → LWW collapse → new base generation, for EVERY
+        requested bucket in ONE Spark job. Returns the now-superseded
+        paths (deleted by the caller AFTER the meta commit).
 
-        If the table declares a ``sort_order`` (see ``compact``), the
-        rewritten base is sorted within each output file on those
-        columns, so parquet row-group min/max stats become effective for
-        predicates on them — Iceberg's sort-order-on-rewrite. Purely a
-        layout property: the merge-on-read result is order-insensitive."""
-        state = self.meta["buckets"][b]
-        old_paths = self._bucket_paths(b, state)
-        if not old_paths:
+        Physical shape (guide §2.4/§2.6, the scrub_keys lesson — a
+        serial per-bucket loop is 2×|buckets| tiny jobs whose scheduling
+        overhead dominates): all requested buckets' file groups are read
+        together, rows re-derive their bucket with the writer's own hash
+        expression FOR THE LAYOUT THEIR FILES LIVE IN, one exchange on
+        (_layout, _bucket) clusters the rewrite, the per-key LWW window
+        reuses that exchange, and a single partitioned write emits every
+        bucket's new base generation.
+
+        If the table declares a ``sort_order``/``zorder``, the rewritten
+        bases are sorted within each output file on those columns, so
+        parquet row-group min/max stats become effective for predicates
+        on them — Iceberg's sort-order-on-rewrite. Purely a layout
+        property: the merge-on-read result is order-insensitive."""
+        plan: dict[str, list[str]] = {}
+        per_layout: dict[int, list[tuple[str, list[str]]]] = {}
+        for b in bkeys:
+            state = self.meta["buckets"][str(b)]
+            paths = self._bucket_paths(str(b), state)
+            if not paths:
+                continue
+            plan[str(b)] = paths
+            per_layout.setdefault(self._layout_of(str(b))[0], []).append(
+                (str(b), paths)
+            )
+        if not plan:
             return []
-        df = self._read_parquet(old_paths)
-        merged = lww_collapse(df, key=self.key)
-        if purge_tombstones:
-            merged = merged.filter(~tombstone_cond(self._payload_col_in(merged)))
-        zexpr = self._zorder_expr(merged.columns)
-        if zexpr is not None:
-            merged = merged.sortWithinPartitions(zexpr)
-        else:
-            order = self.meta.get("sort_order")
-            if order:
-                present = [c for c in order if c in merged.columns]
+        obsolete: list[str] = []
+        # One job PER LAYOUT (tables have 1 live layout except mid-
+        # evolution, when they briefly have 2): a single literal _layout
+        # column would constant-fold, which both re-introduces the
+        # window's exchange (a literal is not part of its clustering)
+        # and fails the writer's ordering check (triggering a re-sort by
+        # partition columns that destroys the declared sort order).
+        for n, members in sorted(per_layout.items()):
+            layout_paths = [p for _, ps in members for p in ps]
+            df = self._with_bucket(self._read_parquet(layout_paths), n=n)
+            df = df.repartition(F.col("_bucket"))
+            merged = top1_per_key(df, ["_bucket", self.key])
+            if purge_tombstones:
+                merged = merged.filter(
+                    ~tombstone_cond(self._payload_col_in(merged))
+                )
+            data_cols = [c for c in merged.columns if c != "_bucket"]
+            zexpr = self._zorder_expr(data_cols)
+            if zexpr is not None:
+                merged = merged.sortWithinPartitions("_bucket", zexpr)
+            else:
+                order = self.meta.get("sort_order")
+                present = [c for c in (order or []) if c in data_cols]
                 if present:
-                    merged = merged.sortWithinPartitions(*present)
-        gen = (state["base"] or 0) + 1
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
-        # NO coalesce(1): a bucket at 10^10 scale is many GB — its base
-        # generation must stay multi-file/multi-task; readers take a dir.
-        self._to_physical(merged).write.mode("overwrite").parquet(staging)
-        if not any(f.startswith("part-") for f in os.listdir(staging)):
-            # bucket compacted away entirely (all rows were purged
-            # tombstones): no base generation, just forget the bucket.
+                    merged = merged.sortWithinPartitions("_bucket", *present)
+            staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:8]}")
+            # NO coalesce(1): a bucket at 10^10 scale is many GB — its
+            # base generation must stay multi-file/multi-task; readers
+            # take a dir.
+            self._to_physical(merged).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(staging)
+            for b, old_paths in members:
+                _, bid = self._layout_of(b)
+                state = self.meta["buckets"][b]
+                src = os.path.join(staging, f"_bucket={bid}")
+                if not os.path.isdir(src) or not any(
+                    f.startswith("part-") for f in os.listdir(src)
+                ):
+                    # bucket compacted away entirely (all rows were
+                    # purged tombstones): no base generation, just
+                    # forget the bucket.
+                    self.meta["buckets"][b] = {"base": None, "deltas": []}
+                else:
+                    gen = (state["base"] or 0) + 1
+                    dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
+                    shutil.rmtree(dst, ignore_errors=True)  # orphaned gen
+                    os.replace(src, dst)
+                    self.meta["buckets"][b] = {"base": gen, "deltas": []}
+                obsolete.extend(old_paths)
             shutil.rmtree(staging, ignore_errors=True)
-            self.meta["buckets"][b] = {"base": None, "deltas": []}
-            return old_paths
-        dst = os.path.join(self._bucket_dir(b), f"gen={gen}")
-        shutil.rmtree(dst, ignore_errors=True)  # crash-orphaned gen dir
-        os.replace(staging, dst)
-        self.meta["buckets"][b] = {"base": gen, "deltas": []}
-        return old_paths
+        return obsolete
 
     def _compact_full_buckets(self) -> tuple[int, list[str]]:
-        obsolete: list[str] = []
-        n = 0
-        for b, state in self.meta["buckets"].items():
-            if len(state["deltas"]) > self.max_deltas:
-                obsolete.extend(self._compact_bucket(b))
-                n += 1
-        return n, obsolete
+        over = [
+            b
+            for b, state in self.meta["buckets"].items()
+            if len(state["deltas"]) > self.max_deltas
+        ]
+        if not over:
+            return 0, []
+        return len(over), self._compact_buckets(over)
 
     # -- reads ---------------------------------------------------------------
 
@@ -1300,9 +1345,9 @@ class LakeTable:
                 )
             self.meta["zorder"] = list(zorder_by)
             self.meta["zorder_bounds"] = self._fit_zorder_bounds(zorder_by)
-        obsolete: list[str] = []
-        for b in list(self.meta["buckets"]):
-            obsolete.extend(self._compact_bucket(b, purge_tombstones=True))
+        obsolete = self._compact_buckets(
+            list(self.meta["buckets"]), purge_tombstones=True
+        )
         self._write_meta()
         protected = self._branch_referenced()
         for path in obsolete:
