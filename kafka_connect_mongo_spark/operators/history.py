@@ -220,6 +220,7 @@ def change_pairs(
     ns_col: str | None = "ns",
     payload_col: str | None = "object",
     keep_cols: tuple[str, ...] = (),
+    with_last: bool = False,
 ) -> DataFrame:
     """Debezium-style before/after images per event — the engine-side
     dual of the reference's update lookback (``OplogReader.kt:116``
@@ -268,4 +269,18 @@ def change_pairs(
         kind.alias("change_kind"),
         *[F.col(c) for c in keep_cols],
     ]
+    if with_last:
+        # ``_is_last`` marks each key's FINAL event in the SAME window
+        # pass (row position == partition size over the identical
+        # partition+order spec — one exchange, one sort): streaming
+        # callers derive their per-key last-image state from the pairs
+        # frame instead of re-shuffling the events a second time.
+        wall = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(
+            (F.row_number().over(w) == F.count(F.lit(1)).over(wall)).alias(
+                "_is_last"
+            )
+        )
     return feed.select(*cols)

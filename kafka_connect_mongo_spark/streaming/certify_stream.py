@@ -9,19 +9,23 @@ compares this against ``cdc_certificate(sink.read())`` (or the `verify`
 CLI) on whatever cadence it audits; a divergence pinpoints the namespace
 the moment it happens instead of at the next full-table compare.
 
-Per-batch cost is O(batch + touched keys): the before-images come from
-the same last-live-image state the change-pair stream keeps
-(``streaming/change_stream.py`` — one entry per touched key, LWW over
-commit order), and the certificate fold is a |touched namespaces|-row
-merge. The certificate itself is a handful of rows — the version chain
-is effectively free.
+Per-batch cost is O(batch + touched buckets): the before-images come
+from the same last-live-image state the change-pair stream keeps —
+BUCKETED + manifest-versioned with a bounded per-bucket delta chain
+(``streaming/change_stream.py``, the r6 LSM layout that replaced the
+grow-with-history ``batch_id=*`` scan) — and the certificate fold is a
+|touched namespaces|-row merge. The certificate itself is a handful of
+rows — the version chain is effectively free. The batch's pairs AND its
+new state rows come out of ONE window pass
+(``change_pairs(with_last=True)``).
 
 Exactly-once discipline (the repo's versioned-state rule,
 ``streaming/code_stream.py``): ``cert/batch_id={n}`` holds the FULL
 certificate as of batch n and is written with OVERWRITE after reading
 its committed predecessor (max batch_id < n) — a retried batch
 recomputes from the same predecessor and overwrites its own
-half-committed attempt, so duplicated delivery can never double-fold.
+half-committed attempt, so duplicated delivery can never double-fold;
+the state side is retry-safe by chained manifests.
 
 Bootstrap: ``init_certificate_stream`` seeds version −1 with the
 snapshot's certificate and the snapshot keys' images (the initial-import
@@ -46,10 +50,17 @@ from ..operators.certify import (
 )
 from ..operators.history import FEED_HISTORY_COLS as FEED_COLS
 from ..operators.history import change_pairs
-from ..operators.lww import ORDER_COLS, top1_per_key, tombstone_cond
 from ..sources.export import read_snapshot, snapshot_as_events
 from ..sources.oplog import clean_feed_cond
-from .change_stream import _has_partitions, _resolve_state
+from .change_stream import (
+    N_STATE_BUCKETS,
+    _has_partitions,
+    commit_state_version,
+    resolve_state,
+    state_bucket_col,
+    state_rows_from_pairs,
+    write_state_manifest,
+)
 
 _CERT_SCHEMA = "ns string, n_rows long, xor_digest long, sum_digest long"
 
@@ -82,15 +93,26 @@ def init_certificate_stream(
     """Seed version −1 from the initial import: the snapshot's
     certificate plus its keys' last-live-image state entries (their
     ordering coordinates precede every feed event — the bootstrap
-    contract, ``sources/export.snapshot_as_events``)."""
+    contract, ``sources/export.snapshot_as_events``), bucketed under the
+    state manifest so later batches prune to their touched buckets."""
     state_dir = os.path.join(work_dir, "state")
     cert_dir = os.path.join(work_dir, "cert")
     if _has_partitions(cert_dir):
         return
     boot = snapshot_as_events(read_snapshot(spark, snapshot_path))
-    boot.select(*FEED_COLS, F.lit(False).alias("_gone")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "batch_id=-1"))
+    (
+        boot.select(*FEED_COLS, F.lit(False).alias("_gone"))
+        .withColumn("_b", state_bucket_col())
+        .repartition(F.col("_b"))
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(os.path.join(state_dir, "v-1"))
+    )
+    write_state_manifest(
+        state_dir,
+        -1,
+        {b: {"base": -1, "deltas": []} for b in range(N_STATE_BUCKETS)},
+    )
     cdc_certificate(boot.select("ns", "id", "object")).write.mode(
         "overwrite"
     ).parquet(os.path.join(cert_dir, "batch_id=-1"))
@@ -102,6 +124,7 @@ def run_certificate_stream(
     work_dir: str,
     snapshot_path: str | None = None,
     max_files_per_trigger: int | None = 1,
+    n_buckets: int = N_STATE_BUCKETS,
 ) -> DataFrame:
     """Stream feed files through the certificate fold; returns the final
     published certificate after the stream drains (availableNow)."""
@@ -113,14 +136,22 @@ def run_certificate_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
         bkeys = batch.select("ns", "id").distinct()
-        state = _resolve_state(
-            spark, state_dir, exclude_batch=batch_id, keys=bkeys
+        touched = sorted(
+            r["_b"]
+            for r in bkeys.select(state_bucket_col(n_buckets).alias("_b"))
+            .distinct()
+            .collect()
+        )
+        state = resolve_state(
+            spark, state_dir, batch_id, keys=bkeys, buckets=touched
         )
         events = batch.withColumn("_seed", F.lit(False))
         if state is not None:
             seeds = state.withColumn("_seed", F.lit(True))
             events = seeds.unionByName(events)
-        paired = change_pairs(events, keep_cols=("_seed",)).persist()
+        paired = change_pairs(
+            events, keep_cols=("_seed",), with_last=True
+        ).persist()
         try:
             images = images_from_change_pairs(paired.filter(~F.col("_seed")))
             prev = _predecessor_cert(spark, cert_dir, batch_id)
@@ -128,18 +159,11 @@ def run_certificate_stream(
             folded.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(cert_dir, f"batch_id={batch_id}")
             )
-            last = top1_per_key(events, ["ns", "id"], desc_cols=ORDER_COLS)
-            gone = tombstone_cond("object")
-            last.select(
-                "ns",
-                "id",
-                *[
-                    F.when(gone, F.lit(None)).otherwise(F.col(c)).alias(c)
-                    for c in (*ORDER_COLS, "op", "object")
-                ],
-                gone.alias("_gone"),
-            ).write.mode("overwrite").parquet(
-                os.path.join(state_dir, f"batch_id={batch_id}")
+            new_state = state_rows_from_pairs(paired).withColumn(
+                "_b", state_bucket_col(n_buckets)
+            )
+            commit_state_version(
+                spark, state_dir, batch_id, new_state, touched, n_buckets
             )
         finally:
             paired.unpersist()

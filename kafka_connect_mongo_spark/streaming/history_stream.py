@@ -56,16 +56,25 @@ def _has_partitions(d: str) -> bool:
 
 
 def _resolve_current(
-    spark: SparkSession, current_dir: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    current_dir: str,
+    exclude_batch: int | None = None,
+    keys: DataFrame | None = None,
 ) -> DataFrame | None:
     """Per-key latest entry across batch partitions; ``_gone`` markers
     drop the key. ``exclude_batch`` skips a half-committed retry's own
-    partition (partition-pruned filter)."""
+    partition (partition-pruned filter). ``keys`` (distinct (ns, id))
+    pushes the touched-key restriction BELOW the per-key window —
+    filtering by key never drops a key's versions, and without it the
+    top-1 window shuffles the FULL accumulated current view every batch
+    (the change_stream lesson, guide §2.3)."""
     if not _has_partitions(current_dir):
         return None
     df = spark.read.parquet(current_dir)
     if exclude_batch is not None:
         df = df.filter(F.col("batch_id") != exclude_batch)
+    if keys is not None:
+        df = df.join(keys.select("ns", "id"), ["ns", "id"], "left_semi")
     latest = top1_per_key(df, ["ns", "id"], desc_cols=("batch_id",))
     return latest.filter(~F.col("_gone")).select(*FEED_COLS)
 
@@ -154,12 +163,15 @@ def run_history_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.filter(clean_feed_cond()).select(*FEED_COLS)
-        cur = _resolve_current(spark, current_dir, exclude_batch=batch_id)
         bkeys = batch.select("ns", "id").distinct()
+        # only touched keys' open rows re-enter the interval window —
+        # and the restriction runs BELOW the resolution window (r6)
+        cur = _resolve_current(
+            spark, current_dir, exclude_batch=batch_id, keys=bkeys
+        )
         events = batch
         if cur is not None:
-            # only touched keys' open rows re-enter the interval window
-            events = cur.join(bkeys, ["ns", "id"], "left_semi").unionByName(batch)
+            events = cur.unionByName(batch)
         recomputed = scd2_history(events).persist()
         try:
             new_cur = recomputed.filter(F.col("is_current") == 1)

@@ -1365,3 +1365,63 @@ def test_fanin_per_source_commit_namespace(spark, gen_paths, tmp_path_factory):
     bad = run_replay_stream(spark, str(work / "shard1"), t2,
                             str(work / "ck1b"), max_files_per_trigger=None)
     assert any(b.get("skipped") for b in bad["batches"])
+
+
+def test_change_stream_state_chain_bounded_and_folds(spark, tmp_path_factory):
+    """r6 LSM state: per-bucket delta chains stay ≤ MAX_STATE_DELTAS —
+    a batch that finds a touched bucket at the cap folds it into a base
+    rewrite inside its own version — and resolution over the bounded
+    chain still yields the exact batch pair set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_mongo_spark.model import OPLOG_SCHEMA
+    from kafka_connect_mongo_spark.operators.history import change_pairs
+    from kafka_connect_mongo_spark.streaming.change_stream import (
+        MAX_STATE_DELTAS,
+        PAIR_COLS,
+        load_state_manifest,
+        run_change_stream,
+    )
+
+    work = tmp_path_factory.mktemp("change-lsm")
+    staged = str(work / "feed")
+    os.makedirs(staged)
+    n_files = MAX_STATE_DELTAS + 3  # enough batches to force a fold
+    all_rows = []
+    for i in range(n_files):
+        # every batch touches key k0 (its bucket's chain must fold) and
+        # introduces a fresh key
+        rows = [
+            (100 + i, 0, 2 * i, "u" if i else "i", "a.t", "k0",
+             '{"v": %d}' % i, None, False),
+            (100 + i, 1, 2 * i + 1, "i", "a.t", f"k{i + 1}",
+             '{"v": 0}', None, False),
+        ]
+        all_rows.extend(rows)
+        d = str(work / f"half{i}")
+        spark.createDataFrame(rows, schema=OPLOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        dst = os.path.join(staged, f"f{i:02d}.parquet")
+        os.replace(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = run_change_stream(spark, staged, str(work / "pairs"))
+    feed = spark.createDataFrame(all_rows, schema=OPLOG_SCHEMA).select(
+        "ts", "inc", "seq", "op", "ns", "id", "object"
+    )
+    assert sorted(map(tuple, out.select(*PAIR_COLS).collect())) == sorted(
+        map(tuple, change_pairs(feed).select(*PAIR_COLS).collect())
+    )
+    manifest = load_state_manifest(
+        str(work / "pairs" / "state"), before_batch=n_files
+    )
+    assert manifest, "state manifest missing"
+    # every bucket's chain is bounded, and k0's bucket actually folded
+    assert all(
+        len(st["deltas"]) <= MAX_STATE_DELTAS for st in manifest.values()
+    )
+    assert any(st["base"] is not None for st in manifest.values())
