@@ -34,7 +34,8 @@ import shutil
 import numpy as np
 import pandas as pd
 
-GEN_VERSION = "v6"  # v6: per-repo planted license headers (+v5 imports/secrets)
+GEN_VERSION = "v7"  # v7: 16k-row parquet row groups (splittable scans); same data
+# (v6: per-repo planted license headers; +v5 imports/secrets)
 # (v4: zstd parquet — fewer bytes through the sandbox's I/O proxy)
 GEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gen")
 SEED = 42
@@ -292,8 +293,17 @@ def generate(sf_dir: str, out_root: str = GEN_ROOT, seed: int = SEED) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "oplog"), exist_ok=True)
     snapshot = repos.iloc[:n_snapshot].reset_index(drop=True)
+    # row_group_size (v7): pandas' default emits ONE row group per file,
+    # which makes every scan of the snapshot a single Spark task however
+    # many cores the host has (row groups are parquet's only split
+    # unit). ~16k-row groups (~1 MB zstd) let maxPartitionBytes fan the
+    # text-feature scans across the cluster. Values/order unchanged —
+    # both engines still read identical logical data.
     snapshot.to_parquet(
-        os.path.join(tmp, "repos.parquet"), index=False, compression="zstd"
+        os.path.join(tmp, "repos.parquet"),
+        index=False,
+        compression="zstd",
+        row_group_size=16384,
     )
     chunks = np.array_split(np.arange(len(full)), n_files)
     for k, idxs in enumerate(chunks):
@@ -301,6 +311,7 @@ def generate(sf_dir: str, out_root: str = GEN_ROOT, seed: int = SEED) -> str:
             os.path.join(tmp, "oplog", f"part-{k:04d}.parquet"),
             index=False,
             compression="zstd",
+            row_group_size=16384,
         )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(GEN_VERSION)

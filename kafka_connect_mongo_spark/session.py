@@ -57,6 +57,17 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
+        # Matching parquet block (row-group) size for everything the
+        # engine writes: row groups are parquet's only split unit, so a
+        # one-file micro-batch staged with the default 128 MB block is a
+        # single-task scan no matter the cluster. 8 MB groups make every
+        # staged feed / state file splittable to the split size above.
+        # Production: raise both together (big sequential scans want
+        # 128m+ groups for compression and scan throughput).
+        .config(
+            "spark.hadoop.parquet.block.size",
+            os.environ.get("SPARK_GRAFT_PARQUET_BLOCK_BYTES", str(8 * 1024 * 1024)),
+        )
         # zstd shuffle/spill compression: the LWW shuffle carries post-image
         # JSON payloads; denser compression halves the bytes through the
         # (sandbox-proxied, and on real clusters network-bound) shuffle.

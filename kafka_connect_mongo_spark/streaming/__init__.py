@@ -1,0 +1,33 @@
+"""Streaming modules. Shared helper: state-store partition sizing.
+
+Stateful operators (stream-stream joins, watermarked dedup,
+session/window aggregations, applyInPandasWithState) pin
+``spark.sql.shuffle.partitions`` into the checkpoint at the first batch
+and then commit EVERY partition's state store(s) EVERY micro-batch — so
+partition count is a fixed per-batch cost multiplier, independent of
+data volume. Batch-side AQE coalescing never applies to these
+exchanges. The helper scopes a partition count to one stream start:
+size it to expected state volume (watermark-bounded rows / group
+cardinality), not to the session's batch shuffle width; production
+deployments with large state raise it per stream.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+@contextmanager
+def pinned_state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions`` for a stream
+    start (no-op when ``n`` is None); always restores the session
+    value."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

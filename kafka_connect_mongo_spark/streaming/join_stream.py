@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import pinned_state_partitions
+
 
 def run_delete_latency_stream(
     spark: SparkSession,
@@ -37,9 +39,19 @@ def run_delete_latency_stream(
     max_delay_s: int = 1800,
     watermark_delay_s: int = 3600,
     max_files_per_trigger: int | None = 1,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Stream the change feed through the insert×delete interval join;
-    returns the accumulated (id, insert_ts, delete_ts, latency_s)."""
+    returns the accumulated (id, insert_ts, delete_ts, latency_s).
+
+    ``state_partitions`` sizes the join's state-store partitioning
+    (pinned into the checkpoint at the first batch — Spark's rule for
+    stateful operators). A symmetric hash join keeps FOUR stores per
+    partition and commits every one of them every micro-batch, so
+    partition count is a per-batch fixed cost multiplier; the state
+    itself is horizon-bounded (watermark eviction), so it stays small
+    per partition. Size it to state volume, not to the session's
+    shuffle width — None keeps the session default."""
     if max_delay_s <= 0:
         raise ValueError(
             f"run_delete_latency_stream: max_delay_s must be > 0, got {max_delay_s}"
@@ -95,15 +107,16 @@ def run_delete_latency_stream(
         "delete_ts",
         (F.col("delete_ts") - F.col("insert_ts")).alias("latency_s"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(out_dir):
         return spark.createDataFrame(
             [], "id string, insert_ts long, delete_ts long, latency_s long"

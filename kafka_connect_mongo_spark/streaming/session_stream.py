@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import pinned_state_partitions
+
 OUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -80,6 +82,7 @@ def run_session_stream(
     gap_seconds: int = 1800,
     max_files_per_trigger: int | None = 1,
     out_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Sessionize the event stream (availableNow); labeled rows land in a
     parquet sink and the sink is returned — nothing flows through the
@@ -99,14 +102,15 @@ def run_session_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     try:
         return spark.read.schema(OUT_SCHEMA).parquet(out_dir)
     except Exception:
@@ -119,6 +123,7 @@ def run_session_window_stream(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Per-SESSION summaries via the BUILT-IN ``session_window``
     aggregation — the complement of ``run_session_stream`` (which labels
@@ -159,12 +164,13 @@ def run_session_window_stream(
     def sink(batch_df: DataFrame, _bid: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(agg.schema).parquet(out_dir)

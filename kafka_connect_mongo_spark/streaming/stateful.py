@@ -83,6 +83,7 @@ def first_seen_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     out_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the first-seen dedup over the feed (availableNow); emitted rows
     land in a parquet sink (``out_dir``, default beside the checkpoint) and
@@ -102,14 +103,17 @@ def first_seen_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from . import pinned_state_partitions
+
+    with pinned_state_partitions(spark, state_partitions):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     try:
         return spark.read.schema(FIRST_SEEN_SCHEMA).parquet(out_dir)
     except Exception:  # zero batches emitted → sink dir never created

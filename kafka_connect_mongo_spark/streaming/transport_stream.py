@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..model import OPLOG_SCHEMA
 from ..sources.oplog import clean_feed_cond
+from . import pinned_state_partitions
 
 OUT_COLS = ["ts", "inc", "seq", "op", "ns", "id"]
 
@@ -49,6 +50,7 @@ def run_transport_dedup(
     work_dir: str,
     delay: str = "600 seconds",
     max_files_per_trigger: int | None = 1,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain ``feed_path`` (availableNow) through the watermarked
     offset-dedup; returns the exactly-once event stream read back from
@@ -65,12 +67,13 @@ def run_transport_dedup(
         .dropDuplicatesWithinWatermark(["seq"])
         .select(*OUT_COLS)
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(*OUT_COLS)

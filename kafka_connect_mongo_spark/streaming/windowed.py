@@ -96,6 +96,7 @@ def run_windowed_stream(
     mode: str = "complete",
     watermark_delay: str | None = None,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Stream the feed through the windowed aggregation; returns the final
     emitted result as a (batch) DataFrame.
@@ -127,28 +128,31 @@ def run_windowed_stream(
     #   its emission IS the full result.
     # Either way rows are written executor-side; state stays bounded by
     # the watermark and the driver holds no rows.
-    if mode == "append":
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out_dir)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    else:
+    from . import pinned_state_partitions
 
-        def sink(batch_df: DataFrame, _bid: int) -> None:
-            batch_df.write.mode("overwrite").parquet(out_dir)
+    with pinned_state_partitions(spark, state_partitions):
+        if mode == "append":
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
 
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode(mode)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
+            def sink(batch_df: DataFrame, _bid: int) -> None:
+                batch_df.write.mode("overwrite").parquet(out_dir)
+
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode(mode)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
     try:
         return spark.read.schema(agg.schema).parquet(out_dir)
     except Exception:  # nothing emitted (e.g. append mode, no window closed)
