@@ -52,7 +52,11 @@ def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length(F.col("text"))
-    n_alpha_sp = F.length(F.regexp_replace(F.col("text"), r"[^a-z ]", ""))
+    # translate beats the counting regex 8x (see code.line_metrics):
+    # strip the kept chars, diff lengths — bit-identical count
+    n_alpha_sp = F.length(F.col("text")) - F.length(
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz ", "")
+    )
     punct_ratio = F.round((n_chars - n_alpha_sp) / n_chars, 6)
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
@@ -523,7 +527,11 @@ def classifier_score(
     )
     n = F.size(toks).cast("long")
     n_chars = F.length(F.col("text"))
-    n_alpha_sp = F.length(F.regexp_replace(F.col("text"), r"[^a-z ]", ""))
+    # translate beats the counting regex 8x (see code.line_metrics):
+    # strip the kept chars, diff lengths — bit-identical count
+    n_alpha_sp = F.length(F.col("text")) - F.length(
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz ", "")
+    )
     f_len = F.least(F.lit(1.0), n.cast("double") / F.lit(64.0))
     f_punct = F.round((n_chars - n_alpha_sp) / n_chars, 6)
     scale = float(CLS_SCALE)

@@ -49,13 +49,14 @@ def get_spark(
         # Input split size (guide §6): streaming replays scan ONE staged
         # feed file per micro-batch (the mtime-ordered replay contract),
         # so the split size — not the file count — sets the batch's scan
-        # parallelism; 8 MB splits match the 8 MB row groups the staging
-        # writer emits. Parameterised: large sequential cluster scans
-        # want 128m-1g (fewer map tasks feeding each shuffle, §2.2) —
-        # set SPARK_GRAFT_MAX_PARTITION_BYTES there.
+        # parallelism, and the JSON-heavy scans are CPU-bound (2m beat
+        # 8m by another ~25% on the flagship: the ~8 MB zstd snapshot
+        # fans out to cores instead of 1-2 tasks). Parameterised: large
+        # sequential cluster scans want 128m-1g (fewer map tasks feeding
+        # each shuffle, §2.2) — set SPARK_GRAFT_MAX_PARTITION_BYTES.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
         )
         # Matching parquet block (row-group) size for everything the
         # engine writes: row groups are parquet's only split unit, so a

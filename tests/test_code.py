@@ -818,3 +818,32 @@ class TestFunctionClones:
             + plan.count("LocalTableScan")
             == 1
         ), plan
+
+
+def test_alnum_count_translate_equals_regex(spark):
+    """r6: line_metrics' alnum count switched from a counting regex to
+    a translate length-diff — must stay bit-identical on every content
+    shape (unicode, empty, all-alnum, none-alnum)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "abc 123 \n x_y-z"),
+        ("b", ""),
+        ("c", "ABCdef0189"),
+        ("d", " \n\t!@#$%^&*()"),
+        ("e", "héllo wörld 42 — ünïcode"),
+        ("f", "#comment\nplain line\n" + "x" * 500),
+    ]
+    df = spark.createDataFrame(rows, "_id string, content string")
+    old = F.length(F.regexp_replace(F.col("content"), r"[^a-zA-Z0-9]", ""))
+    _ALNUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    new = F.length(F.col("content")) - F.length(
+        F.translate(F.col("content"), _ALNUM, "")
+    )
+    assert df.filter(old != new).count() == 0
+    # the text.py variant ([^a-z ] kept-set) too
+    old2 = F.length(F.regexp_replace(F.col("content"), r"[^a-z ]", ""))
+    new2 = F.length(F.col("content")) - F.length(
+        F.translate(F.col("content"), "abcdefghijklmnopqrstuvwxyz ", "")
+    )
+    assert df.filter(old2 != new2).count() == 0
