@@ -73,7 +73,8 @@ def _doc_grams(docs: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     shingle+hash chain as the MinHash path (dedup.py), so one persisted
     gram table can serve dedup AND decontamination."""
     return (
-        docs.select(id_col, F.explode(_shingles(F.col("text"), k)).alias("shingle"))
+        docs.select(id_col, F.split(F.col("text"), r"\s+").alias("__toks"))
+        .select(id_col, F.explode(_shingles(F.col("__toks"), k)).alias("shingle"))
         .select(id_col, (_h60(F.col("shingle")) % MOD_P).alias("h"))
         .distinct()
     )
@@ -136,8 +137,11 @@ def split_contamination(
     grams = (
         tagged.filter(F.col("split") != "val")
         .select(
+            "doc_id", "split", F.split(F.col("text"), r"\s+").alias("__toks")
+        )
+        .select(
             "doc_id", "split",
-            F.explode(_shingles(F.col("text"), k)).alias("shingle"),
+            F.explode(_shingles(F.col("__toks"), k)).alias("shingle"),
         )
         .select("doc_id", "split", (_h60(F.col("shingle")) % MOD_P).alias("h"))
         .distinct()
@@ -186,9 +190,10 @@ def split_overlap_sketch(
     tagged = train_val_test_split(docs, val_frac, test_frac, salt)
     grams = (
         tagged.filter(F.col("split").isin("train", "test"))
+        .select("split", F.split(F.col("text"), r"\s+").alias("__toks"))
         .select(
             "split",
-            F.explode(_shingles(F.col("text"), k_gram)).alias("shingle"),
+            F.explode(_shingles(F.col("__toks"), k_gram)).alias("shingle"),
         )
         .select("split", (_h60(F.col("shingle")) % MOD_P).alias("h"))
     )

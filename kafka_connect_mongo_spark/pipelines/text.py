@@ -956,8 +956,12 @@ def bpe_encode(
     ids = F.transform(
         toks, lambda t: F.coalesce(F.element_at(id_map, t), F.lit(0))
     )
-    return docs.select(
+    # alias ``ids`` before fanning out: inlined, the whole BPE merge
+    # chain re-ran per consuming column (the _shingles-class hazard)
+    return docs.withColumn("__ids", ids).select(
         F.col(id_col),
-        F.size(ids).cast("long").alias("n_tokens"),
-        F.array_join(ids.cast("array<string>"), " ").alias("token_ids"),
+        F.size(F.col("__ids")).cast("long").alias("n_tokens"),
+        F.array_join(F.col("__ids").cast("array<string>"), " ").alias(
+            "token_ids"
+        ),
     )
