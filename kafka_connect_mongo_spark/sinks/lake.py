@@ -65,7 +65,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1238,6 +1238,100 @@ class LakeTable:
         )
         images = F.filter(F.array(pre, post), lambda x: x.isNotNull())
         return j.select(F.explode(images).alias("img")).select(
+            "img.row.*", "img.change"
+        )
+
+    def changelog_rows_for_batch(
+        self,
+        from_batch: int | str,
+        to_batch: int | str,
+        keys: DataFrame,
+    ) -> DataFrame:
+        """``changelog_rows`` specialised to ONE committed interval whose
+        touched keys are known (the streaming-MV maintenance loop):
+        instead of collapsing TWO merge-on-read snapshots and
+        full-outer-joining them (two windows + a join per micro-batch),
+        read the OLD snapshot restricted to the touched keys, union the
+        interval's raw delta rows (``read_changes`` — already one
+        LWW-collapsed row per key per batch), and resolve old/new
+        winners with ONE ordered window pass: the new winner is the
+        per-key (ts, inc, seq) maximum over the union, the old winner
+        the maximum among old-side rows (``first`` with ignorenulls over
+        the same window frame). Ties between a delta row and the stored
+        row order the stored row first, which makes ``changed`` false
+        exactly as ``changelog_rows``'s ord comparison does. Output is
+        row-for-row ``changelog_rows(from, to, keys)`` (pytest-pinned);
+        raises like ``read_changes`` when compaction consumed the
+        interval — callers fall back to the general form."""
+        self._require_main("changelog_rows_for_batch")
+        a = self.read_as_of(from_batch, include_tombstones=True, keys=keys)
+        delta = self.read_changes(from_batch, to_batch).join(
+            keys.select(self.key), self.key, "left_semi"
+        )
+        cols = a.columns + [c for c in delta.columns if c not in a.columns]
+        types: dict[str, T.DataType] = {
+            f.name: f.dataType for f in a.schema.fields
+        }
+        types.update({f.name: f.dataType for f in delta.schema.fields})
+
+        def pad(df: DataFrame, from_a: bool) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[
+                    (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(c)
+                    for c in cols
+                ],
+                F.lit(from_a).alias("_from_a"),
+            )
+
+        u = pad(a, True).unionByName(pad(delta, False))
+        row = F.struct(*[F.col(c) for c in cols])
+        order = [F.col(c).desc() for c in ORDER_COLS] + [F.col("_from_a").desc()]
+        w = Window.partitionBy(self.key).orderBy(*order)
+        wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        picked = (
+            u.select(
+                F.col(self.key).alias("__k"),
+                F.row_number().over(w).alias("__rn"),
+                F.first(row).over(wall).alias("__new"),
+                F.first(F.when(F.col("_from_a"), row), ignorenulls=True)
+                .over(wall)
+                .alias("__old"),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        payload = self.payload_col if self.payload_col in cols else None
+
+        def alive(side: str) -> F.Column:
+            c = F.col(side).isNotNull() & (F.col(f"{side}.op") != "d")
+            if payload is not None:
+                c = c & F.col(f"{side}.{payload}").isNotNull()
+            return c
+
+        alive_a, alive_b = alive("__old"), alive("__new")
+        ord_a = F.struct(*[F.col(f"__old.{c}") for c in ORDER_COLS])
+        ord_b = F.struct(*[F.col(f"__new.{c}") for c in ORDER_COLS])
+        changed = ord_a != ord_b
+        pre = F.when(
+            alive_a & (~alive_b | changed),
+            F.struct(
+                F.col("__old").alias("row"),
+                F.when(alive_b, F.lit("update_pre"))
+                .otherwise(F.lit("deleted"))
+                .alias("change"),
+            ),
+        )
+        post = F.when(
+            alive_b & (~alive_a | changed),
+            F.struct(
+                F.col("__new").alias("row"),
+                F.when(alive_a, F.lit("update_post"))
+                .otherwise(F.lit("added"))
+                .alias("change"),
+            ),
+        )
+        images = F.filter(F.array(pre, post), lambda x: x.isNotNull())
+        return picked.select(F.explode(images).alias("img")).select(
             "img.row.*", "img.change"
         )
 

@@ -104,12 +104,20 @@ def run_mv_stream(
         else:
             # restrict the snapshot diff to the keys THIS batch wrote:
             # untouched keys net zero images, so the changelog stays
-            # O(batch) instead of two O(table) snapshot collapses.
-            images = project(
-                table.changelog_rows(
-                    prev, batch_id, keys=prepared.select(table.key)
+            # O(batch) instead of two O(table) snapshot collapses — and
+            # the per-batch specialisation resolves old/new winners in
+            # ONE window over (old touched-key rows ∪ the batch's delta
+            # files) instead of two MoR collapses + a full-outer join
+            # (r6; falls back if compaction consumed the interval)
+            keys = prepared.select(table.key)
+            try:
+                images = project(
+                    table.changelog_rows_for_batch(prev, batch_id, keys)
                 )
-            )
+            except ValueError:
+                images = project(
+                    table.changelog_rows(prev, batch_id, keys=keys)
+                )
             delta = images.groupBy(*group_cols).agg(
                 *mv._measures(count_col, sum_cols, mv.changelog_weight())
             )

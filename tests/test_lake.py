@@ -2137,3 +2137,30 @@ def test_upsert_single_exchange_plan(tmp_path, spark):
     collapsed = top1_per_key(bucketed, ["_bucket", t.key])
     plan = collapsed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_changelog_rows_for_batch_matches_general_form(tmp_path, spark):
+    """r6: the streaming-MV per-batch changelog (one window over old
+    rows ∪ delta files) must be row-identical to changelog_rows over
+    the same interval — creates, updates, deletes, stale re-deliveries
+    and untouched keys."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4, payload_col="object")
+    b0 = [
+        ev(100, 0, 0, "i", "t.a", key(1), {"_id": key(1), "v": 1}),
+        ev(100, 0, 1, "i", "t.a", key(2), {"_id": key(2), "v": 2}),
+        ev(100, 0, 2, "i", "t.b", key(3), {"_id": key(3), "v": 3}),
+        ev(100, 0, 3, "i", "t.b", key(4), {"_id": key(4), "v": 4}),
+    ]
+    b1 = [
+        ev(200, 0, 4, "u", "t.a", key(1), {"_id": key(1), "v": 9}),   # update
+        ev(200, 0, 5, "d", "t.a", key(2), None),                      # delete
+        ev(200, 0, 6, "i", "t.a", key(5), {"_id": key(5), "v": 5}),   # create
+        ev(50, 0, 7, "u", "t.b", key(3), {"_id": key(3), "v": 0}),    # stale: loses LWW
+        # key(4) untouched
+    ]
+    t.upsert(mk(spark, b0), 0)
+    t.upsert(mk(spark, b1), 1)
+    keys = mk(spark, b1).select("id").distinct()
+    want = sorted(map(tuple, t.changelog_rows(0, 1, keys=keys).collect()))
+    got = sorted(map(tuple, t.changelog_rows_for_batch(0, 1, keys).collect()))
+    assert got == want and len(got) > 0
