@@ -925,6 +925,7 @@ def allpairs_block(
     threshold: float = 0.9,
     block_mem_bytes: int = 128 << 20,
     max_vocab: int = 65536,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine via DENSE BLOCK MATMUL — the execution
     strategy for template-saturated corpora where token-collision
@@ -957,6 +958,8 @@ def allpairs_block(
             f"allpairs_block: threshold must be in (0, 1], got {threshold}"
         )
     w = postings.persist()
+    if cleanup is not None:
+        cleanup.append(w)
     head = w.agg(
         F.countDistinct("tok").alias("v"), F.countDistinct("doc_id").alias("n")
     ).collect()[0]
@@ -1231,6 +1234,7 @@ def cross_pairs_block(
     threshold: float = 0.9,
     block_mem_bytes: int = 128 << 20,
     max_vocab: int = 65536,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Cross-side exact cosine via dense block matmul — the
     batch-probes-index twin of ``allpairs_block`` (same template-
@@ -1243,11 +1247,19 @@ def cross_pairs_block(
 
     nw = new_postings.persist()
     cw = corpus_postings.persist()
+    if cleanup is not None:
+        # ADVICE r5: a streaming caller invokes this every micro-batch;
+        # without a hook the cached postings accumulate for the stream's
+        # lifetime. The caller unpersists after materializing the result.
+        cleanup.extend((nw, cw))
     ch = cw.agg(
         F.countDistinct("tok").alias("v"), F.countDistinct("doc_id").alias("n")
     ).collect()[0]
     v, n_c = ch["v"], ch["n"]
     if v > max_vocab:
+        if cleanup is None:
+            nw.unpersist()
+            cw.unpersist()
         raise ValueError(
             f"cross_pairs_block: vocabulary {v} exceeds dense-feasible "
             f"bound {max_vocab} — use the postings join"

@@ -2601,7 +2601,7 @@ class LakeTable:
                 ).alias("grp"),
                 F.explode(pos).alias("_p"),
             )
-            .join(F.broadcast(grp_to_bucket), "grp")
+            .join(F.broadcast(grp_to_bucket), "grp", "left")
             .select(
                 "bucket",
                 F.shiftright(F.col("_p"), 6).cast("int").alias("_w"),
@@ -2613,6 +2613,18 @@ class LakeTable:
             .agg(F.bit_or("_m").alias("_word"))
             .collect()
         )
+        # join-coverage guard (ADVICE r5): an INNER join would silently
+        # drop rows whose file path failed the dirname==group-dir match
+        # (nested layouts, URI encoding), and a missing bit makes
+        # bloom_prune skip a bucket that holds matches — wrong results
+        # with no symptom. LEFT join + loud raise instead.
+        if any(r["bucket"] is None for r in words):
+            raise RuntimeError(
+                f"build_blooms: data file(s) under {self.root!r} did not "
+                f"resolve to a bucket group dir — path layout drifted from "
+                f"the meta; refusing to write a bitmap that would prune "
+                f"wrongly"
+            )
         n_words = (bits + 63) // 64
         word_arrs: dict[str, list[int]] = {
             b: [0] * n_words for b in self.meta["buckets"]

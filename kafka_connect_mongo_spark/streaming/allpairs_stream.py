@@ -105,9 +105,10 @@ def run_allpairs_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
         nw = weigh_against_stats(batch, stats).persist()
+        cleanup: list = []  # block twins' internal caches (ADVICE r5)
         try:
             if strategy == "block":
-                found = allpairs_block(nw, threshold)
+                found = allpairs_block(nw, threshold, cleanup=cleanup)
             else:
                 found = allpairs_from_postings(nw, threshold, margin)
             index = (
@@ -116,7 +117,7 @@ def run_allpairs_stream(
                 .drop("batch_id")
             )
             cross = (
-                cross_pairs_block(nw, index, threshold)
+                cross_pairs_block(nw, index, threshold, cleanup=cleanup)
                 if strategy == "block"
                 else cross_pairs_from_postings(nw, index, threshold, margin)
             ).select(
@@ -133,6 +134,8 @@ def run_allpairs_stream(
             )
         finally:
             nw.unpersist()
+            for df in cleanup:
+                df.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
